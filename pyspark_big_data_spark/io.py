@@ -1,0 +1,93 @@
+"""Sources and sinks.
+
+Covers the reference's IO surface (SURVEY.md §2.1) Spark-first:
+- S1 CSV scan  -> read_csv with an explicit schema (no inference pre-scan;
+  the reference's ``inferSchema=True`` costs a full extra pass,
+  ``src/query1.py:14-23`` / results/query1.txt csv-vs-parquet gap).
+- S2 Parquet scan -> read_table / spark.read.parquet (column pruning +
+  predicate pushdown for free).
+- S3 Parquet sink -> write_parquet / csv_to_parquet
+  (== ``src/csv_to_parquet.py:7-13``), with optional partitioning —
+  at scale, partition-pruned layout is the difference between a scan of
+  one partition and a scan of 100 TB.
+- S4 in-memory literal dimension -> literal_dim (== ``src/query3.py:7-32``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from pyspark_big_data_spark import schemas
+from pyspark_big_data_spark.session import ensure_session_confs
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as its canonical schema.
+
+    Handles the on-disk TIMESTAMP(NANOS) quirk: under ``nanosAsLong``
+    Spark surfaces nanos as LongType; convert to a proper timestamp
+    (microsecond truncation — identical to what DuckDB's reader does,
+    so oracle comparisons agree).
+    """
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    canonical = schemas.TABLES.get(name)
+    if canonical is None:
+        return df
+    for field in canonical.fields:
+        actual = df.schema[field.name].dataType
+        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)) and isinstance(
+            actual, T.LongType
+        ):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros((F.col(field.name) / F.lit(1000)).cast("long")),
+            )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with a declared schema (S1). Inference is dev-only."""
+    ensure_session_confs(spark)
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Parquet sink (S3). ``partition_by`` enables partition pruning at scale."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def csv_to_parquet(
+    spark: SparkSession,
+    csv_path: str,
+    parquet_path: str,
+    schema: T.StructType,
+    partition_by: list[str] | None = None,
+) -> None:
+    """CSV -> Parquet conversion utility (== ``src/csv_to_parquet.py:1-22``,
+    minus schema inference)."""
+    write_parquet(read_csv(spark, csv_path, schema), parquet_path, partition_by=partition_by)
+
+
+def literal_dim(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
+    """Small in-memory dimension table (S4, == ``src/query3.py:7-32``).
+
+    Joins against the result auto-broadcast under the engine's
+    autoBroadcastJoinThreshold; callers can force with F.broadcast().
+    """
+    return spark.createDataFrame(rows, schema=schema)

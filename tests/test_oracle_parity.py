@@ -1,0 +1,24 @@
+"""Differential gate: every registered (query, oracle) pair must agree
+with DuckDB on sf0.001 — the in-repo mirror of the driver's
+CORRECTNESS check at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_big_data_spark.queries import ORACLES, REGISTRY
+from pyspark_big_data_spark.testing import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    n = assert_query_matches_oracle(spark, name, sf_dir)
+    assert n > 0, f"{name} returned no rows on {sf_dir} — degenerate fixture?"
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = set(REGISTRY) - set(ORACLES)
+    # Non-SQL-expressible ops may omit the oracle, but must be deliberate:
+    # keep the allowlist here explicit and short.
+    allowed_rows_only: set[str] = set()
+    assert missing <= allowed_rows_only, f"queries lacking oracle: {missing}"
