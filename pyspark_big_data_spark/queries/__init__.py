@@ -1,6 +1,11 @@
 """Import all query modules so they self-register."""
 
-from pyspark_big_data_spark.queries import q1_top_months  # noqa: F401
+from pyspark_big_data_spark.queries import (  # noqa: F401
+    q1_top_months,
+    q2_time_bins,
+    q3_segment_profile,
+    q4_distance,
+)
 from pyspark_big_data_spark.queries.registry import ORACLES, REGISTRY
 
 __all__ = ["REGISTRY", "ORACLES"]

@@ -20,11 +20,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Runtime-settable SQL confs that correctness depends on. These are also
+# Runtime-settable SQL confs that CORRECTNESS depends on. These are also
 # (re)applied to externally-created sessions via ensure_session_confs().
+# Performance confs (AQE etc.) live in _PERF_CONFS and are only set at
+# session build time — callers may legitimately toggle them per query.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+_PERF_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -59,7 +64,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
-    for k, v in _RUNTIME_CONFS.items():
+    for k, v in {**_RUNTIME_CONFS, **_PERF_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     ensure_session_confs(spark)

@@ -77,9 +77,11 @@ def assert_query_matches_oracle(spark: SparkSession, name: str, sf_dir: str) -> 
     return len(spark_pdf)
 
 
-def physical_plan(df: DataFrame) -> str:
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Explain text; mode 'codegen' shows WholeStageCodegen subtrees
+    (the AQE-wrapped 'formatted' initial plan omits codegen markers)."""
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
+        df._jdf.queryExecution(), mode
     )
 
 

@@ -1,0 +1,77 @@
+"""Plan-shape assertions: the engine's promise isn't just right answers,
+it's right *plans* (SURVEY.md §4). These tests pin the physical-plan
+properties that matter at 100 TB: small dims broadcast, filters reach
+the parquet scan, hints pass through, hot paths stay in codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.q3_segment_profile import segment_profile
+from pyspark_big_data_spark.queries.q4_distance import q4_avg_distance
+from pyspark_big_data_spark.testing import assert_plan_contains, assert_plan_lacks, physical_plan
+
+
+def test_q4_dim_join_is_broadcast(spark, sf_dir):
+    df = q4_avg_distance(spark, sf_dir)
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "SortMergeJoin", "CartesianProduct")
+
+
+def test_q4_filter_pushed_to_scan(spark, sf_dir):
+    plan = physical_plan(q4_avg_distance(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(c_acctbal" in plan, plan
+
+
+def test_q4_no_python_workers_in_column_tier(spark, sf_dir):
+    # the pure-Column tier must not ship rows to Python
+    assert_plan_lacks(q4_avg_distance(spark, sf_dir), "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey").filter(F.col("l_orderkey") > 0)
+    plan = physical_plan(df)
+    assert "ReadSchema" in plan
+    # only the selected column is read, not all 11
+    read_schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema_line and "l_extendedprice" not in read_schema_line
+
+
+def test_join_hint_passthrough_merge(spark, sf_dir):
+    spark.catalog.clearCache()  # cached plans match hint-free subtrees and would mask the hint
+    df = segment_profile(spark, sf_dir, top=True, hint_lineitem="merge", cache=False)
+    assert_plan_contains(df, "SortMergeJoin")
+
+
+def test_join_hint_passthrough_shuffle_hash(spark, sf_dir):
+    spark.catalog.clearCache()
+    df = segment_profile(spark, sf_dir, top=True, hint_lineitem="shuffle_hash", cache=False)
+    assert_plan_contains(df, "ShuffledHashJoin")
+
+
+def test_join_hint_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown join hint"):
+        segment_profile(None, "unused", hint_orders="nested_loop")
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    # Catalyst must generate map-side partial aggregation (A1 scale path)
+    df = read_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count()
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE defers physical planning, so codegen subtrees only materialize in
+    # the final plan; disable AQE just to make the codegen spans inspectable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = read_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count()
+        plan = physical_plan(df, mode="codegen")
+        assert "WholeStageCodegen" in plan and "Found 0" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
