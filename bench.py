@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+Timing bracket matches the reference's own methodology
+(``src/query1.py:154,167``): session already created, bracket covers
+read + plan + action per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+HEADLINE = [
+    "q1_top_months_per_year",
+    "q2_event_time_bins",
+    "q3_segment_profile_top",
+    "q4_avg_distance",
+    "q4_avg_distance_pandas_udf",
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_priority_semi_join",
+    # extensions (added as they land); keep list in sync with docs
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "ann_topk_bruteforce",
+    "tumbling_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    from pyspark_big_data_spark.queries import REGISTRY
+    from pyspark_big_data_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY.get(name)
+        if fn is None:
+            log(f"bench: skipping {name} (not registered yet)")
+            continue
+        spark.catalog.clearCache()  # each query pays its own IO, like the reference
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            log(f"bench: {name} FAILED: {exc}")
+            continue
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        log(f"bench: {name}: {dt:.3f}s ({n} rows)")
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

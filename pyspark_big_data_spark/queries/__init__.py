@@ -1,6 +1,7 @@
 """Import all query modules so they self-register."""
 
 from pyspark_big_data_spark.queries import (  # noqa: F401
+    analytics,
     q1_top_months,
     q2_time_bins,
     q3_segment_profile,

@@ -1,0 +1,182 @@
+"""Core analytics queries beyond the four reference shapes.
+
+These widen operator coverage (multi-aggregate with derived expressions,
+deep join trees over broadcast dims, positional union, semi-join-style
+IN filters) and demonstrate the engine's exact-aggregation policy
+(functions/aggregates.py) that keeps double sums deterministic under any
+partitioning — a correctness property the reference never had to face on
+its 2-node cluster but that matters on 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.functions.aggregates import davg, davg_sql, dsum, dsum_sql
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+_CUTOFF = "TIMESTAMP '1998-09-02 00:00:00'"
+
+_PRICING_ORACLE = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {dsum_sql("l_quantity", "sum_qty")},
+       {dsum_sql("l_extendedprice", "sum_base_price")},
+       {dsum_sql("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
+       {dsum_sql("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)", "sum_charge")},
+       {davg_sql("l_quantity", "avg_qty")},
+       {davg_sql("l_extendedprice", "avg_price")},
+       {davg_sql("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= {_CUTOFF}
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_ORACLE)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter -> wide multi-aggregate.
+
+    One shuffle (tiny: #groups = |returnflag| x |linestatus|); all eight
+    aggregates compute in a single partial+final HashAggregate pair over
+    one scan. Filter and 6-column projection push into the parquet scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(F.expr(f"l_shipdate <= {_CUTOFF}"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_REVENUE_ORACLE = f"""
+SELECT n.n_name,
+       {dsum_sql("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")},
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+@register("revenue_by_nation", oracle=_REVENUE_ORACLE)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped deep join tree: region->nation broadcast down onto
+    the customer->orders->lineitem fact chain.
+
+    Scale notes: region/nation are broadcast (no shuffle); the fact chain
+    joins are key-partitioned and AQE-managed. The region IN-filter
+    applies before the broadcast, shrinking the build side; the orderdate
+    predicate pushes into the orders scan.
+    """
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    dims = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        customer.join(dims, customer["c_nationkey"] == dims["n_nationkey"])
+        .join(orders, F.col("c_custkey") == orders["o_custkey"])
+        .join(lineitem, F.col("o_orderkey") == lineitem["l_orderkey"])
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+_UNION_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS cnt
+FROM (
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 300000.0
+)
+GROUP BY o_orderpriority
+ORDER BY cnt DESC, o_orderpriority ASC
+"""
+
+
+@register("union_priority_counts", oracle=_UNION_ORACLE)
+def union_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional UNION ALL of two filtered scans (U1,
+    == ``src/query1.py:25``), then group-count. The engine prefers
+    unionByName whenever schemas are declared — positional union silently
+    miscombines if column order drifts."""
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = orders.filter(F.col("o_totalprice") > 300000.0).select("o_orderpriority")
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("o_orderpriority").asc())
+    )
+
+
+_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("order_priority_semi_join", oracle=_PRIORITY_ORACLE)
+def order_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join — an
+    operator family the reference lacks entirely (SURVEY.md §2.3 notes
+    inner joins only). Semi joins matter at scale: the probe side never
+    duplicates rows, so no fan-out blowup."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP '1996-10-01 00:00:00'"
+        )
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        lineitem,
+        (orders["o_orderkey"] == lineitem["l_orderkey"])
+        & (lineitem["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
