@@ -2,10 +2,15 @@
 
 from pyspark_big_data_spark.queries import (  # noqa: F401
     analytics,
+    dedup,
+    event_windows,
+    multimodal_queries,
     q1_top_months,
     q2_time_bins,
     q3_segment_profile,
     q4_distance,
+    similarity,
+    text_analysis,
 )
 from pyspark_big_data_spark.queries.registry import ORACLES, REGISTRY
 

@@ -1,0 +1,192 @@
+"""Near-dup dedup queries over documents, with full DuckDB oracles.
+
+The oracles replay the exact MinHash/SimHash pipelines in SQL — possible
+because the hash family is portable md5 arithmetic (operators/dedup.py).
+Oracle SQL is *generated* from the same constants as the Spark plan, so
+the two can't drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.operators import dedup as DD
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+_EST_THRESHOLD = 0.5
+_JACCARD_THRESHOLD = 0.4
+_HAMMING_MAX = 2
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_H48 = "(('0x' || substr(md5({e}), 1, 12))::BIGINT)"
+
+
+def _dd_minhash_cte() -> str:
+    """Shared DuckDB CTE chain: docs -> shingles -> signatures -> bands -> candidates."""
+    hs = _H48.format(e="s")
+    mins = ", ".join(
+        f"min(({DD.HASH_A[j]} * {hs} + {DD.HASH_B[j]}) % {DD.MERSENNE_P}) AS sig{j}"
+        for j in range(DD.NUM_HASHES)
+    )
+    sig_cols = ", ".join(f"sig{j}" for j in range(DD.NUM_HASHES))
+    bands = ", ".join(
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(sig{t * DD.BAND_ROWS + r} AS STRING)" for r in range(DD.BAND_ROWS)
+        )
+        + f") AS band{t}"
+        for t in range(DD.NUM_BANDS)
+    )
+    bandu = " UNION ALL ".join(
+        f"SELECT doc_id, {t} AS band_no, band{t} AS band FROM sigs" for t in range(DD.NUM_BANDS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+sh AS (
+    SELECT doc_id,
+           substr(norm, unnest(generate_series(1, greatest(length(norm) - {DD.SHINGLE_LEN - 1}, 1))),
+                  {DD.SHINGLE_LEN}) AS s
+    FROM d
+),
+sig0 AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig_cols}, {bands} FROM sig0),
+bandl AS ({bandu}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandl a
+    JOIN bandl b ON a.band_no = b.band_no AND a.band = b.band AND a.doc_id < b.doc_id
+)"""
+
+
+_AGREE = " + ".join(
+    f"(CASE WHEN x.sig{j} = y.sig{j} THEN 1 ELSE 0 END)" for j in range(DD.NUM_HASHES)
+)
+
+_MINHASH_ORACLE = f"""{_dd_minhash_cte()}
+SELECT c.id_a, c.id_b, ({_AGREE}) / {float(DD.NUM_HASHES)} AS est_jaccard
+FROM cand c
+JOIN sigs x ON x.doc_id = c.id_a
+JOIN sigs y ON y.doc_id = c.id_b
+WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle -> K=16 minhash -> 8 bands of
+    r=2 -> banded equi-join candidates -> signature-agreement filter."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs)
+    sigs = DD.minhash_signatures(sh).cache()  # reused: bands + both agreement joins
+    cand = DD.candidate_pairs(DD.band_keys(sigs))
+    return (
+        DD.estimated_jaccard(cand, sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_NGRAM_ORACLE = f"""{_dd_minhash_cte()},
+filtered AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
+    WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+    SELECT f.id_a, f.id_b, COUNT(*) AS n_inter
+    FROM filtered f
+    JOIN dsh x ON x.doc_id = f.id_a
+    JOIN dsh y ON y.doc_id = f.id_b AND y.s = x.s
+    GROUP BY f.id_a, f.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-n-gram Jaccard, verified only on LSH candidates
+    (estimate >= threshold) — the candidate-then-verify pattern that
+    keeps exact similarity affordable at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs).cache()  # reused: signatures + exact verify
+    sigs = DD.minhash_signatures(sh).cache()
+    cand = DD.candidate_pairs(DD.band_keys(sigs))
+    filtered = (
+        DD.estimated_jaccard(cand, sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    return (
+        DD.exact_jaccard(filtered, sh)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _dd_simhash_cte() -> str:
+    ht = _H48.format(e="tok")
+    weights = ", ".join(
+        f"sum(CASE WHEN ({ht} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(DD.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(DD.SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+w AS (SELECT doc_id, {weights} FROM t GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM w)"""
+
+
+_SIMHASH_ORACLE = f"""{_dd_simhash_cte()}
+SELECT doc_id, simhash FROM sh ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signature (majority vote of token-hash
+    bits) — constant output size per doc, one shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.simhash(docs).orderBy("doc_id")
+
+
+_SIMHASH_PAIRS_ORACLE = f"""{_dd_simhash_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY id_a, id_b
+"""
+
+
+@register("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within Hamming distance <= 2 of SimHash. Test-scale uses the
+    O(n^2) compare on the 8-byte signatures; the scale path blocks on
+    signature bytes (pigeonhole: d<=2 over 4 blocks -> 2 blocks equal)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = DD.simhash(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

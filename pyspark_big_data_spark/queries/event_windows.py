@@ -1,0 +1,145 @@
+"""Event-time window aggregations over the events table.
+
+The reference has no streaming/window surface at all (SURVEY.md §2.10);
+this module adds the batch event-time surface — tumbling, sliding, and
+gap-based session windows — with DuckDB oracles. The same logical
+operations run incrementally in streaming/ via Structured Streaming
+(readStream + watermark); batch and stream share semantics, which is
+the Spark-idiomatic "one API" story.
+
+Window starts are emitted as formatted strings so oracle comparison is
+timezone-representation-proof.
+
+Scale notes: tumbling/sliding aggs are single-shuffle partial+final
+HashAggregates on (window, key) — Spark's F.window derives the bucket
+arithmetically, no explode for tumbling; sliding produces
+window/slide copies per row (here 2x). Sessionization uses a window
+function over (user) ordered by ts: one shuffle on user_id; at 100 TB
+user_id is high-cardinality so partitions stay balanced (AQE handles
+stragglers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pyspark_big_data_spark.functions.aggregates import dsum, dsum_sql
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DD = "%Y-%m-%d %H:%M:%S"
+
+_TUMBLING_ORACLE = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_FMT_DD}') AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       {dsum_sql("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("tumbling_window_agg", oracle=_TUMBLING_ORACLE)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# sliding: 1h windows every 30min — each event belongs to exactly 2 windows
+_SLIDING_ORACLE = f"""
+WITH assigned AS (
+    SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+           value
+    FROM events
+)
+SELECT strftime(window_start, '{_FMT_DD}') AS window_start,
+       COUNT(*) AS cnt,
+       {dsum_sql("value", "sum_value")}
+FROM assigned
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sliding_window_agg", oracle=_SLIDING_ORACLE)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(F.date_format("w.start", _FMT).alias("window_start"), "cnt", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# session windows: per-user, 30-minute inactivity gap. Batch formulation =
+# lag + cumulative session counter (identical SQL-window semantics in both
+# engines); the streaming twin uses F.session_window (streaming/streams.py).
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '{_SESSION_GAP_MIN} minutes'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       strftime(MIN(ts), '{_FMT_DD}') AS session_start,
+       strftime(MAX(ts), '{_FMT_DD}') AS session_end,
+       COUNT(*) AS n_events,
+       {dsum_sql("value", "sum_value")}
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("session_window_agg", oracle=_SESSION_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    prev_ts = F.lag("ts").over(w_order)
+    new_session = (prev_ts.isNull() | (F.col("ts").cast("timestamp") - prev_ts > gap)).cast("long")
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), _FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _FMT).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over the embeddings table (ArrayType(Float), dim 64).
+
+North-star extension (SURVEY.md §7 M6): approximate-nearest-neighbor and
+near-duplicate detection for training-data pipelines.
+
+Three tiers:
+- brute-force cosine top-k (the exactness baseline; probes broadcast
+  against the full corpus — at 100 TB you shard probes and corpus by
+  range and this becomes a broadcast-nested-loop per shard);
+- all-pairs near-dup above a cosine threshold (self-join; at scale this
+  MUST be blocked/bucketed first — the LSH tier below is that path);
+- sign-random-projection LSH bucketing (the scale path: candidates only
+  form within a bucket, turning O(n^2) into O(sum of bucket^2)).
+
+All three have exact DuckDB oracles: the hyperplane constants are
+md5-derived and inlined identically into the Spark plan and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pyspark_big_data_spark.functions import vectors as V
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+_PROBE_MOD = 50  # vec_id % 50 == 0 -> 2% of corpus are probes
+_TOP_K = 5
+_NEAR_DUP_COS = 0.40
+_LSH_PLANES = V.random_hyperplanes(n_planes=4, dim=64)
+_LSH_CAND_COS = 0.25
+
+_DD_V = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+_DD_COS = (
+    "list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+_ANN_ORACLE = f"""
+WITH v AS ({_DD_V}),
+pairs AS (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, {_DD_COS} AS cos
+    FROM (SELECT * FROM v WHERE vec_id % {_PROBE_MOD} = 0) a
+    JOIN v b ON b.vec_id <> a.vec_id
+), ranked AS (
+    SELECT probe_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC
+           ) AS BIGINT) AS rnk
+    FROM pairs
+)
+SELECT probe_id, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {_TOP_K}
+ORDER BY probe_id, rnk
+"""
+
+
+@register("ann_topk_bruteforce", oracle=_ANN_ORACLE)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+    )
+    with_norm = emb.withColumn("nrm", V.norm(F.col("e")))
+    probes = with_norm.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+    )
+    # probes are a small fraction: broadcast them, stream the corpus once
+    pairs = with_norm.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (V.dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+_NEAR_DUP_ORACLE = f"""
+WITH v AS ({_DD_V})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_DD_COS}, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_DD_COS} >= {_NEAR_DUP_COS}
+ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_near_dup", oracle=_NEAR_DUP_ORACLE)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup (exactness baseline). O(n^2): correct at
+    test scale, intentionally superseded by the LSH tier for scale —
+    mirrored by the reference's own worst-plan demonstration
+    (forced cartesian, ``results/query3.txt:92-94``)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _NEAR_DUP_COS)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _dd_bucket(planes: list[list[float]]) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LSH_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, e, {_dd_bucket(_LSH_PLANES)} AS bucket
+    FROM ({_DD_V})
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       ROUND({_DD_COS}, 6) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_DD_COS} >= {_LSH_CAND_COS}
+ORDER BY id_a, id_b
+"""
+
+
+@register("ann_lsh_bucketed", oracle=_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: sign-random-projection LSH. Bucket on 4 hyperplane
+    signs, self-join only within buckets (equi-join on bucket — a
+    key-partitioned shuffle, NOT a cartesian), then exact cosine on the
+    ~n/16-sized candidate groups. At 100 TB: more planes + multiple
+    plane-tables (band amplification) keep buckets bounded."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+    )
+    bucketed = emb.withColumn("bucket", V.simhash_bucket(F.col("e"), _LSH_PLANES))
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("bucket").alias("bucket")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("bucket").alias("bucket_b")
+    )
+    cos = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _LSH_CAND_COS)
+        .select("id_a", "id_b", "bucket", F.round("cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis queries over the documents table (training-data ops).
+
+North-star extension surface (SURVEY.md §7 M6): token statistics,
+quality scoring, language-ID, and content fingerprinting — each a pure
+column-expression pipeline with a DuckDB oracle twin.
+
+Dialect note: the Spark implementations are DataFrame code
+(functions/text.py); the oracles re-express the same semantics in DuckDB
+SQL (regexp_replace needs the 'g' flag there, list_* instead of Spark's
+higher-order functions). Both are asserted equal by the differential
+gate, which is exactly the point: two independent encodings, one result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.functions import text as TX
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+# DuckDB-side normalized text + token list (single source for oracles)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _dd_marker_count(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in TX.LID_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({markers})))"
+
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '{TX.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM (SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+ORDER BY doc_id
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.word_count(F.col("text")).cast("long").alias("n_words"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.length(TX.normalize_text(F.col("text"))).cast("long").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       n_words,
+       ROUND(avg_wlen, 6) AS avg_word_len,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(pratio, 6) AS punct_ratio,
+       ROUND(least(1.0,
+             0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+           + 0.4 * least(stop_ratio * 5.0, 1.0)
+           + 0.3 * (1.0 - least(pratio * 10.0, 1.0))), 6) AS quality
+FROM (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS avg_wlen,
+           CAST({_dd_marker_count('en')} AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+           CAST(length(text) - length(regexp_replace(text, '{TX.PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pratio
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_scores", oracle=_QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, fluency (stopword density),
+    punctuation noise — the standard pre-training filter trio."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_words = TX.word_count(F.col("text")).cast("long")
+    avg_wlen = TX.avg_word_len(F.col("text"))
+    stop_ratio = TX.stopword_ratio(F.col("text"))
+    pratio = TX.punct_ratio(F.col("text"))
+    quality = F.least(
+        F.lit(1.0),
+        F.lit(0.3) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.4) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(pratio * 10.0, F.lit(1.0))),
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(pratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _lid_oracle() -> str:
+    score_cols = ",\n       ".join(
+        f"CAST({_dd_marker_count(lang)} AS BIGINT) AS score_{lang}" for lang in TX.LID_ORDER
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in TX.LID_ORDER) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in TX.LID_ORDER:
+        case += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+SELECT doc_id, {', '.join('score_' + lang for lang in TX.LID_ORDER)}, {case} AS lang_pred
+FROM (
+    SELECT doc_id,
+       {score_cols}
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", oracle=_lid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax.
+
+    The synthetic corpus is English-like regardless of its lang column,
+    so predictions skew 'en'/'und' here — the oracle validates the
+    operator, unit tests validate the heuristic on real multilingual
+    samples (tests/test_text_functions.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scores = {lang: TX.lid_score(toks, lang).cast("long") for lang in TX.LID_ORDER}
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in TX.LID_ORDER],
+        TX.lid_predict(scores).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+_FP_ORACLE = f"""
+SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_doc_id
+"""
+
+
+@register("dedup_exact", oracle=_FP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: hash-groupBy keeping the
+    lowest doc_id per normalized-text md5 (deterministic survivor rule).
+
+    Scale notes: one shuffle on the 16-byte fingerprint — the canonical
+    exact-dedup plan at any scale. Survivorship as min(doc_id) makes the
+    result reproducible regardless of partitioning (first-seen isn't)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )

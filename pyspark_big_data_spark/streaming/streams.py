@@ -1,0 +1,93 @@
+"""Structured Streaming surface: the incremental twins of the batch
+event-time queries (queries/event_windows.py).
+
+The reference has no streaming at all (SURVEY.md §2.10); this is the
+engine's extension surface. Batch and stream share the same logical
+operations — F.window / session_window aggregations — so correctness is
+tested by equating a stream replay of the events table (availableNow
+trigger) with the batch result.
+
+Scale notes: watermarks bound state (late data beyond the watermark is
+dropped); state lives in the state store keyed by (window, key) — at
+100 TB the knobs are watermark delay, state-store provider (RocksDB),
+and shuffle partitions, not query shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from pyspark_big_data_spark.functions.aggregates import dsum
+from pyspark_big_data_spark.session import ensure_session_confs
+
+# on-disk schema of the events parquet (ts = TIMESTAMP(NANOS) -> int64)
+_EVENTS_DISK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source, explicit schema —
+    streaming reads never infer)."""
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_DISK_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window aggregate (watermark bounds state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows (gap-based, built-in session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Replay the whole source with an availableNow trigger into a memory
+    sink; returns the result table. Test/dev harness — production sinks
+    are kafka/parquet with checkpointing."""
+    spark = stream_df.sparkSession
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

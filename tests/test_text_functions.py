@@ -1,0 +1,48 @@
+"""Unit tests for text primitives on real (non-synthetic) samples —
+the testdata corpus is English-like for every lang label, so the LID
+heuristic is validated here instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.functions import text as TX
+
+SAMPLES = [
+    ("en", "the cat sat on the mat and looked to the door because it is late"),
+    ("de", "der hund ist nicht im haus und die katze ist auch nicht da"),
+    ("es", "el perro no es una mascota que los vecinos quieren en la casa"),
+    ("fr", "le chien est dans le jardin et les enfants sont dans une maison"),
+    ("zh", "我 是 不 在 的 了 好"),
+]
+
+
+def test_lid_predicts_real_languages(spark):
+    df = spark.createDataFrame(SAMPLES, ["expected", "text"])
+    toks = TX.tokens(F.col("text"))
+    scores = {lang: TX.lid_score(toks, lang) for lang in TX.LID_ORDER}
+    out = df.select("expected", TX.lid_predict(scores).alias("pred")).collect()
+    for row in out:
+        assert row["pred"] == row["expected"], row
+
+
+def test_lid_und_on_no_markers(spark):
+    df = spark.createDataFrame([("xyzzy plugh quux",)], ["text"])
+    toks = TX.tokens(F.col("text"))
+    scores = {lang: TX.lid_score(toks, lang) for lang in TX.LID_ORDER}
+    assert df.select(TX.lid_predict(scores).alias("p")).first()["p"] == "und"
+
+
+def test_normalize_and_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [("  The   QUICK fox ",), ("the quick fox",)], ["text"]
+    )
+    fps = [r["fp"] for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]  # normalization makes them identical
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("ab cd, 12!",)], ["text"])
+    n = df.select(TX.bpe_token_count(F.col("text")).alias("n")).first()["n"]
+    # ab, cd, ',', 1, 2, '!'
+    assert n == 6
