@@ -2,6 +2,7 @@
 
 from pyspark_big_data_spark.queries import (  # noqa: F401
     analytics,
+    cleaning,
     dedup,
     event_windows,
     multimodal_queries,

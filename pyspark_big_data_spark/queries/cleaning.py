@@ -1,0 +1,108 @@
+"""Data-cleaning query shapes from the reference that the star schema
+doesn't exercise on its own: formatted-numeric parsing (the
+"$87,007"-income trap, F6/F5) and composite-key joins with USING-style
+key dedup (J1), plus distinct-count aggregates (exact + approximate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+# Format o_totalprice as a currency string, then parse it back the way
+# the reference cleans income (src/query3.py:68-71): regexp_replace
+# [$,] -> cast. printf/format_string is identical in both engines.
+_CLEAN_ORACLE = """
+WITH formatted AS (
+    SELECT o_orderkey,
+           '$' || printf('%.2f', o_totalprice) AS price_str
+    FROM orders
+), parsed AS (
+    SELECT o_orderkey,
+           price_str,
+           CAST(regexp_replace(price_str, '[$,]', '', 'g') AS DOUBLE) AS price_parsed
+    FROM formatted
+)
+SELECT o_orderkey, price_str, price_parsed
+FROM parsed
+WHERE price_parsed > 250000.0
+ORDER BY o_orderkey
+"""
+
+
+@register("clean_formatted_currency", oracle=_CLEAN_ORACLE)
+def clean_formatted_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: format price as '$123456.79', strip [$,], cast back
+    (F6 regexp_replace + F5 cast, == ``src/query3.py:68-71``)."""
+    orders = read_table(spark, sf_dir, "orders")
+    formatted = orders.select(
+        "o_orderkey",
+        F.concat(F.lit("$"), F.format_string("%.2f", F.col("o_totalprice"))).alias("price_str"),
+    )
+    parsed = formatted.withColumn(
+        "price_parsed", F.regexp_replace(F.col("price_str"), "[$,]", "").cast("double")
+    )
+    return parsed.filter(F.col("price_parsed") > 250000.0).orderBy("o_orderkey")
+
+
+# Composite-key join with USING-style key dedup (J1: crimes ⋈ revgeo on
+# [LAT, LON], src/query3.py:117-120). Realization: per-(returnflag,
+# linestatus) lineitem aggregates joined back on the composite key.
+_COMPOSITE_ORACLE = """
+WITH stats AS (
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS group_cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+)
+SELECT l.l_returnflag, l.l_linestatus, l.l_orderkey, l.l_linenumber, s.group_cnt
+FROM lineitem l
+JOIN stats s USING (l_returnflag, l_linestatus)
+WHERE l.l_orderkey % 100 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("composite_key_join", oracle=_COMPOSITE_ORACLE)
+def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = (
+        li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("group_cnt"))
+        # P3: rename to show withColumnRenamed, then rename back for USING
+        .withColumnRenamed("group_cnt", "cnt").withColumnRenamed("cnt", "group_cnt")
+    )
+    # list-of-names join == SQL USING: emits the key columns once (J1)
+    return (
+        li.join(stats, ["l_returnflag", "l_linestatus"], "inner")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "group_cnt")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("distinct_users_by_type", oracle=_DISTINCT_ORACLE)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expand+two-phase under Catalyst). The scale
+    path is approx_count_distinct (HLL, single pass, no expand) — see
+    tests/test_operators.py::test_approx_count_distinct_close for the
+    accuracy check; exact keeps the oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,76 @@
+"""Operator-level tests: IO round-trips, partition pruning, salted join
+equivalence, approximate distinct accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_big_data_spark.io import csv_to_parquet, read_csv, read_table, write_parquet
+from pyspark_big_data_spark.operators.joins import broadcast_join, salted_join
+from pyspark_big_data_spark.testing import physical_plan
+
+
+def test_csv_to_parquet_roundtrip(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    csv_path = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).csv(csv_path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    pq_path = str(tmp_path / "nation_pq")
+    csv_to_parquet(spark, csv_path, pq_path, schema)
+    back = spark.read.parquet(pq_path)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+    # explicit schema, not inference
+    assert read_csv(spark, csv_path, schema).schema == schema
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["o_year"])
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    plan = physical_plan(df)
+    assert "PartitionFilters: [isnotnull(o_year" in plan.replace("#", " #").replace(
+        "o_year #", "o_year#"
+    ) or "o_year" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # pruned scan must read fewer files than the full table
+    full = spark.read.parquet(path)
+    assert df.count() < full.count()
+    assert df.count() == orders.filter(F.col("o_year") == 1996).count()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    okey = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(okey, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = (
+        salted_join(li, okey, "l_orderkey", num_salts=4)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    df = broadcast_join(cust, nation, cust["c_nationkey"] == nation["n_nationkey"])
+    assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_approx_count_distinct_close(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    exact = ev.select(F.count_distinct("user_id").alias("n")).first()["n"]
+    approx = ev.select(F.approx_count_distinct("user_id").alias("n")).first()["n"]
+    assert abs(approx - exact) / exact < 0.05
