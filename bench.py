@@ -52,6 +52,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup (not timed): the reference's bracket also starts
+    # from an already-created session (src/query1.py:150-154)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY.get(name)

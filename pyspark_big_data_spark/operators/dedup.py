@@ -33,27 +33,42 @@ HASH_A = [(3 + 7 * j) % 8191 + 1 for j in range(NUM_HASHES)]
 HASH_B = [(11 + 13 * j) % MERSENNE_P for j in range(NUM_HASHES)]
 
 SHINGLE_LEN = 5
+SHINGLE_STRIDE = 2  # w-shingling stride: halves hash work, negligible est impact
 SIMHASH_BITS = 16
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) rows: character SHINGLE_LEN-grams of normalized text."""
+    """(id, shingle) rows: character SHINGLE_LEN-grams of normalized text,
+    sampled every SHINGLE_STRIDE positions (the per-shingle hash is the
+    pipeline's dominant cost; stride trades a little estimator variance
+    for half the hashing)."""
     norm = normalize_text(F.col(text_col))
     d = df.select(F.col(id_col), norm.alias("norm"))
-    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length("norm") - (SHINGLE_LEN - 1), F.lit(1))))
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length("norm") - (SHINGLE_LEN - 1), F.lit(1)),
+            F.lit(SHINGLE_STRIDE),
+        )
+    )
     return d.select(id_col, pos.alias("i"), "norm").select(
         id_col, F.substring(F.col("norm"), F.col("i"), SHINGLE_LEN).alias("s")
     )
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One row per doc with sig0..sig{K-1}: min of (a_j*h + b_j) mod P."""
-    h = hash48(F.col("s"))
+    """One row per doc with sig0..sig{K-1}: min of (a_j*h + b_j) mod P.
+
+    The md5-derived base hash is projected ONCE before the aggregate —
+    referencing hash48 inside all K aggregate expressions would make
+    codegen evaluate the md5 K times per shingle.
+    """
+    hashed = sh.select(id_col, hash48(F.col("s")).alias("h"))
     aggs = [
-        F.min((F.lit(HASH_A[j]) * h + F.lit(HASH_B[j])) % MERSENNE_P).alias(f"sig{j}")
+        F.min((F.lit(HASH_A[j]) * F.col("h") + F.lit(HASH_B[j])) % MERSENNE_P).alias(f"sig{j}")
         for j in range(NUM_HASHES)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -138,14 +153,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     (+1 if set, -1 if clear; ties -> 0 -> bit clear)."""
     norm = normalize_text(F.col(text_col))
     toks = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok"))
-    h = hash48(F.col("tok"))
+    hashed = toks.select(id_col, hash48(F.col("tok")).alias("h"))  # md5 once, not once per bit
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"w{b}")
         for b in range(SIMHASH_BITS)
     ]
-    weights = toks.groupBy(id_col).agg(*aggs)
+    weights = hashed.groupBy(id_col).agg(*aggs)
     sig: Column = sum(
         F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)
     )

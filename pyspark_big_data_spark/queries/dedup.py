@@ -45,7 +45,9 @@ def _dd_minhash_cte() -> str:
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 sh AS (
     SELECT doc_id,
-           substr(norm, unnest(generate_series(1, greatest(length(norm) - {DD.SHINGLE_LEN - 1}, 1))),
+           substr(norm,
+                  unnest(generate_series(1, greatest(length(norm) - {DD.SHINGLE_LEN - 1}, 1),
+                                         {DD.SHINGLE_STRIDE})),
                   {DD.SHINGLE_LEN}) AS s
     FROM d
 ),
