@@ -40,9 +40,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)) and isinstance(
             actual, T.LongType
         ):
+            # integer `div`, NOT `/`: double division of epoch-nanos
+            # (~1.7e18, double ulp ≈ 256) corrupts the microseconds
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros((F.col(field.name) / F.lit(1000)).cast("long")),
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
     return df
 

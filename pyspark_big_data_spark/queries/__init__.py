@@ -10,8 +10,10 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     q2_time_bins,
     q3_segment_profile,
     q4_distance,
+    reshaping,
     similarity,
     text_analysis,
+    window_functions,
 )
 from pyspark_big_data_spark.queries.registry import ORACLES, REGISTRY
 
