@@ -32,9 +32,14 @@ HEADLINE = [
     # extensions (added as they land); keep list in sync with docs
     "dedup_exact",
     "dedup_minhash_lsh",
+    "simhash_near_pairs",
     "text_quality_scores",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "tumbling_window_agg",
+    "session_window_agg",
+    "asof_join_last_order",
+    "running_customer_spend",
 ]
 
 

@@ -2,9 +2,11 @@
 
 from pyspark_big_data_spark.queries import (  # noqa: F401
     analytics,
+    ann_ivf,
     cleaning,
     dedup,
     event_windows,
+    ml_lsh_queries,
     multimodal_queries,
     q1_top_months,
     q2_time_bins,

@@ -1,0 +1,147 @@
+"""IVF-style ANN: coarse quantization by cell centroids, probe the
+nearest cells only.
+
+The cells here are the embeddings' label column (a pre-existing
+partition of the corpus — in production the cells come from k-means);
+centroids are element-wise means. Each probe vector ranks cells by
+centroid cosine, searches the top NPROBE cells, and returns exact
+cosine top-k within them. This is the classic IVF trade: scan
+NPROBE/num_cells of the corpus instead of all of it.
+
+Determinism: every cross-row sum (centroid components, norms, dot
+products) is decimal-exact (cast each term to DECIMAL(38,18), sum,
+cast back) so Spark's partial aggregation and DuckDB's sequential scan
+produce bit-identical doubles — cell ranking cannot flip between
+engines.
+
+Scale notes: centroids are tiny (cells x dim rows) and broadcast; the
+probe->cell assignment is a broadcast join + one aggregate; the search
+join is an equi-join on cell id. No stage touches all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+_PROBE_MOD = 50
+_NPROBE = 2
+_TOP_K = 5
+_DEC = "decimal(38,18)"
+
+
+def _dsum_exact(col_expr):
+    return F.sum(col_expr.cast(_DEC)).cast("double")
+
+
+_IVF_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+), pv AS (
+    SELECT vec_id, label,
+           unnest(generate_series(1, len(e))) AS pos,
+           unnest(e) AS val
+    FROM v
+), centroids AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(val) AS cval
+    FROM pv GROUP BY label, pos
+), cnorm AS (
+    SELECT label, sqrt(CAST(SUM(CAST(cval * cval AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+    FROM centroids GROUP BY label
+), probes AS (
+    SELECT * FROM pv WHERE vec_id % {_PROBE_MOD} = 0
+), pnorm AS (
+    SELECT vec_id, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE)) AS pn
+    FROM probes GROUP BY vec_id
+), assign AS (
+    SELECT p.vec_id, c.label,
+           CAST(SUM(CAST(p.val * c.cval AS DECIMAL(38,18))) AS DOUBLE)
+               / (ANY_VALUE(n.cn) * ANY_VALUE(pn.pn)) AS ccos
+    FROM probes p
+    JOIN centroids c ON c.pos = p.pos
+    JOIN cnorm n ON n.label = c.label
+    JOIN pnorm pn ON pn.vec_id = p.vec_id
+    GROUP BY p.vec_id, c.label
+), cells AS (
+    SELECT vec_id AS probe_id, label, ccos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS cell_rnk
+    FROM assign
+), searched AS (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+    FROM v a
+    JOIN cells cl ON cl.probe_id = a.vec_id AND cl.cell_rnk <= {_NPROBE}
+    JOIN v b ON b.label = cl.label AND b.vec_id <> a.vec_id
+)
+SELECT probe_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY cos DESC, neighbor_id
+       ) AS BIGINT) AS rnk
+FROM searched
+QUALIFY rnk <= {_TOP_K}
+ORDER BY probe_id, rnk
+"""
+
+
+@register("ann_topk_ivf", oracle=_IVF_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    pv = emb.select(
+        "vec_id", "label", F.posexplode("e").alias("pos0", "val")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+
+    # centroid frames use 'c_label' throughout: they share lineage with the
+    # probe frames, and Spark's ambiguous-self-join check rejects 'label'
+    centroids = pv.groupBy(F.col("label").alias("c_label"), F.col("pos")).agg(
+        (_dsum_exact(F.col("val")) / F.count("val")).alias("cval")
+    )
+    cnorm = centroids.groupBy("c_label").agg(
+        F.sqrt(_dsum_exact(F.col("cval") * F.col("cval"))).alias("cn")
+    )
+    probes = pv.filter(F.col("vec_id") % _PROBE_MOD == 0).select("vec_id", "pos", "val")
+    pnorm = probes.groupBy("vec_id").agg(
+        F.sqrt(_dsum_exact(F.col("val") * F.col("val"))).alias("pn")
+    )
+    assign = (
+        probes.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(_dsum_exact(F.col("val") * F.col("cval")).alias("pdot"))
+        .join(F.broadcast(cnorm), "c_label")
+        .join(pnorm, "vec_id")
+        .select("vec_id", "c_label", (F.col("pdot") / (F.col("cn") * F.col("pn"))).alias("ccos"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("c_label"))
+    cells = (
+        assign.withColumn("cell_rnk", F.row_number().over(w_cell))
+        .filter(F.col("cell_rnk") <= _NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), F.col("c_label").alias("cell"))
+    )
+
+    a = emb.select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("label").alias("n_cell"),  # renamed: self-join lineage makes 'label' ambiguous
+    )
+    dot = F.aggregate(F.zip_with("pe", "ne", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    searched = (
+        cells.join(F.broadcast(a), "probe_id")
+        .join(b, (F.col("n_cell") == F.col("cell")) & (F.col("neighbor_id") != F.col("probe_id")))
+        .select("probe_id", "neighbor_id", (dot / (nrm(F.col("pe")) * nrm(F.col("ne")))).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        searched.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+        .orderBy("probe_id", "rnk")
+    )

@@ -17,6 +17,7 @@ same tuned configuration:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -62,6 +63,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(par))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), "pyspark_big_data_warehouse"),
+            ),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     for k, v in {**_RUNTIME_CONFS, **_PERF_CONFS}.items():
