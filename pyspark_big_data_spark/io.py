@@ -86,6 +86,21 @@ def csv_to_parquet(
     write_parquet(read_csv(spark, csv_path, schema), parquet_path, partition_by=partition_by)
 
 
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the input has fewer partitions than cores.
+
+    Small single-file parquet inputs arrive as ONE partition, serializing
+    CPU-heavy per-row pipelines (hashing, explode) onto one core. On a
+    real multi-file 100 TB input this is a no-op — the guard avoids
+    paying a gratuitous full shuffle there.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def literal_dim(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     """Small in-memory dimension table (S4, == ``src/query3.py:7-32``).
 

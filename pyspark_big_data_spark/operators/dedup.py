@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pyspark_big_data_spark.functions.text import hash48, normalize_text
+from pyspark_big_data_spark.io import ensure_min_partitions
 
 MERSENNE_P = 1_000_000_007
 NUM_HASHES = 16
@@ -43,7 +44,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     pipeline's dominant cost; stride trades a little estimator variance
     for half the hashing)."""
     norm = normalize_text(F.col(text_col))
-    d = df.select(F.col(id_col), norm.alias("norm"))
+    # single-file inputs arrive as 1 partition; spread the hash work
+    d = ensure_min_partitions(df.select(F.col(id_col), norm.alias("norm")))
     pos = F.explode(
         F.sequence(
             F.lit(1),
@@ -152,7 +154,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     bit b of the signature = majority vote of bit b across token hashes
     (+1 if set, -1 if clear; ties -> 0 -> bit clear)."""
     norm = normalize_text(F.col(text_col))
-    toks = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok"))
+    toks = ensure_min_partitions(df.select(F.col(id_col), norm.alias("n"))).select(
+        F.col(id_col), F.explode(F.split(F.col("n"), " ")).alias("tok")
+    )
     hashed = toks.select(id_col, hash48(F.col("tok")).alias("h"))  # md5 once, not once per bit
     aggs = [
         F.sum(
