@@ -79,6 +79,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         log(f"bench: {name}: {dt:.3f}s ({n} rows)")
 
+    variants = _csv_vs_parquet_variant(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -87,11 +89,61 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "variants": variants,
                 "sf": sf_num,
             }
         )
     )
     spark.stop()
+
+
+def _csv_vs_parquet_variant(spark, sf_dir: str) -> dict[str, float]:
+    """Reproduce the reference's csv-vs-parquet headline comparison
+    (BASELINE.md: parquet ~1.75x faster on identical logic) on the
+    pricing-summary aggregation over lineitem."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark import schemas
+    from pyspark_big_data_spark.io import read_csv, read_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_csv_")
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        csv_path = f"{tmp}/lineitem_csv"
+        li.write.option("header", True).mode("overwrite").csv(csv_path)
+
+        def agg(df):
+            return (
+                df.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("q"))
+                .collect()
+            )
+
+        spark.catalog.clearCache()
+        t0 = time.time()
+        agg(read_csv(spark, csv_path, schemas.LINEITEM))
+        csv_sec = time.time() - t0
+
+        spark.catalog.clearCache()
+        t0 = time.time()
+        agg(read_table(spark, sf_dir, "lineitem"))
+        pq_sec = time.time() - t0
+
+        out = {
+            "lineitem_agg_csv_sec": round(csv_sec, 3),
+            "lineitem_agg_parquet_sec": round(pq_sec, 3),
+            "csv_over_parquet_ratio": round(csv_sec / pq_sec, 2) if pq_sec > 0 else None,
+        }
+        log(f"bench: csv {csv_sec:.3f}s vs parquet {pq_sec:.3f}s")
+        return out
+    except Exception as exc:  # noqa: BLE001
+        log(f"bench: csv variant FAILED: {exc}")
+        return {}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+methodology (SURVEY.md §5: "no property-based testing"). Each property
+runs a batch of generated inputs through the real Spark expressions and
+checks an independent Python model or an algebraic invariant."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.functions import text as TX
+from pyspark_big_data_spark.functions.distance import EARTH_RADIUS_KM, haversine_km
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+def _py_day_part(hour: int, minute: int) -> str:
+    hhmm = f"{hour * 100 + minute:04d}"
+    if "0500" <= hhmm <= "1159":
+        return "morning"
+    if "1200" <= hhmm <= "1659":
+        return "afternoon"
+    if "1700" <= hhmm <= "2059":
+        return "evening"
+    return "night"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 23), st.integers(0, 59)), min_size=1, max_size=40))
+def test_day_part_binning_matches_python_model(spark, times):
+    from pyspark_big_data_spark.queries.q2_time_bins import _day_part
+
+    df = spark.createDataFrame(times, ["h", "m"])
+    hhmm = F.lpad((F.col("h") * 100 + F.col("m")).cast("string"), 4, "0")
+    got = df.select("h", "m", _day_part(hhmm).alias("bin")).collect()
+    for r in got:
+        assert r["bin"] == _py_day_part(r["h"], r["m"])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-85, 85), st.floats(-180, 180), st.floats(-85, 85), st.floats(-180, 180)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_haversine_invariants(spark, coords):
+    df = spark.createDataFrame(coords, ["la1", "lo1", "la2", "lo2"])
+    d12 = haversine_km(F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2"))
+    d21 = haversine_km(F.col("la2"), F.col("lo2"), F.col("la1"), F.col("lo1"))
+    d11 = haversine_km(F.col("la1"), F.col("lo1"), F.col("la1"), F.col("lo1"))
+    rows = df.select(d12.alias("d12"), d21.alias("d21"), d11.alias("d11")).collect()
+    for r in rows:
+        assert 0.0 <= r["d12"] <= math.pi * EARTH_RADIUS_KM + 1e-6
+        assert abs(r["d12"] - r["d21"]) < 1e-9  # symmetry
+        assert r["d11"] < 1e-9  # identity
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet=" aAbB\t.", min_size=0, max_size=30), min_size=1, max_size=30))
+def test_normalize_idempotent_and_fingerprint_ws_invariant(spark, texts):
+    rows = [(t,) for t in texts]
+    df = spark.createDataFrame(rows, ["t"])
+    out = df.select(
+        TX.normalize_text(F.col("t")).alias("n1"),
+        TX.normalize_text(TX.normalize_text(F.col("t"))).alias("n2"),
+        TX.fingerprint(F.col("t")).alias("f1"),
+        TX.fingerprint(F.concat(F.lit("  "), F.col("t"), F.lit(" \t"))).alias("f2"),
+    ).collect()
+    for r in out:
+        assert r["n1"] == r["n2"]  # idempotent
+        assert r["f1"] == r["f2"]  # whitespace-invariant fingerprint
+
+
+def test_minhash_identical_docs_estimate_one(spark):
+    from pyspark_big_data_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different string of words here")],
+        ["doc_id", "text"],
+    )
+    sigs = DD.minhash_signatures(DD.shingles(docs))
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in DD.estimated_jaccard(cand, sigs).collect()}
+    assert est[(1, 2)] == 1.0
+    assert est[(1, 3)] < 0.5
