@@ -13,6 +13,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     q3_segment_profile,
     q4_distance,
     reshaping,
+    semi_structured,
     similarity,
     text_analysis,
     window_functions,

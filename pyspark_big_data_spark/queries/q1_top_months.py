@@ -67,6 +67,62 @@ def q1_top_months_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SQL_VARIANT = _ORACLE
 
+# String-sliced variant: the reference's dates are strings shaped
+# "MM/DD/YYYY hh:mm:ss AM" and year/month come from positional slicing —
+# with two documented traps (SURVEY.md §7): the Column slice sugar
+# ``df[c][7:4]`` means substr(pos=7, len=4) (src/query3.py:46), and SQL
+# ``substring(x, 0, 2)`` behaves as (x, 1, 2) in Spark (src/query1.py:107).
+# The oracle uses the portable 1-based form; the Spark side deliberately
+# uses both trap spellings to pin their semantics.
+_ORACLE_STRING_SLICE = """
+WITH dated AS (
+    SELECT strftime(o_orderdate, '%m/%d/%Y %I:%M:%S %p') AS date_occ
+    FROM orders
+), counts AS (
+    SELECT CAST(substr(date_occ, 7, 4) AS BIGINT) AS o_year,
+           CAST(substr(date_occ, 1, 2) AS BIGINT) AS o_month,
+           COUNT(*) AS cnt
+    FROM dated
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT o_year, o_month, cnt,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_year ORDER BY cnt DESC, o_month ASC
+           ) AS BIGINT) AS rnk
+    FROM counts
+)
+SELECT o_year, o_month, cnt, rnk
+FROM ranked
+WHERE rnk <= 3
+ORDER BY o_year ASC, rnk ASC
+"""
+
+
+@register("q1_top_months_string_slice", oracle=_ORACLE_STRING_SLICE)
+def q1_top_months_string_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact string-slicing path (== ``src/query1.py:121-146``
+    semantics on a formatted date string)."""
+    orders = read_table(spark, sf_dir, "orders")
+    dated = orders.select(
+        F.date_format("o_orderdate", "MM/dd/yyyy hh:mm:ss a").alias("date_occ")
+    )
+    counts = (
+        dated.select(
+            # Column slice sugar: [7:4] == substr(pos=7, len=4) — NOT python
+            dated["date_occ"][7:4].cast("long").alias("o_year"),
+            # substring(x, 0, 2) behaves as (x, 1, 2) in Spark SQL
+            F.expr("substring(date_occ, 0, 2)").cast("long").alias("o_month"),
+        )
+        .groupBy("o_year", "o_month")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_year").orderBy(F.col("cnt").desc(), F.col("o_month").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy(F.col("o_year").asc(), F.col("rnk").asc())
+    )
+
 
 @register("q1_top_months_per_year_sql", oracle=_ORACLE_SQL_VARIANT)
 def q1_top_months_per_year_sql(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,15 @@ def test_broadcast_join_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in physical_plan(df)
 
 
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    row = orders.select(
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
 def test_approx_count_distinct_close(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     exact = ev.select(F.count_distinct("user_id").alias("n")).first()["n"]

@@ -28,5 +28,8 @@ def test_every_query_has_oracle_or_is_flagged():
         # the exact oracled pipelines asserted in tests/test_ml_lsh.py.
         "dedup_minhash_ml",
         "ann_brp_lsh_ml",
+        # from_json typed twin of json_props_extract (which IS oracled);
+        # kept rows-only to pin the API variant.
+        "json_props_typed",
     }
     assert missing <= allowed_rows_only, f"queries lacking oracle: {missing}"

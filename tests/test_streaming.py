@@ -29,6 +29,23 @@ def test_stream_session_windows_run(spark, sf_dir):
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
+def test_stream_sessions_equal_batch_sessionization(spark, sf_dir):
+    """The streaming session_window and the batch lag/cumsum
+    sessionization must produce the same (user, start, n_events) sets."""
+    from pyspark_big_data_spark.queries.event_windows import session_window_agg
+
+    ev = streams.stream_events(spark, sf_dir)
+    got = streams.run_to_memory(streams.session_counts(ev), "t_sessions_cmp")
+    stream_set = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()
+    }
+    batch_set = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_window_agg(spark, sf_dir).collect()
+    }
+    assert stream_set == batch_set
+
+
 def test_stateful_running_user_stats(spark, sf_dir):
     ev = streams.stream_events(spark, sf_dir)
     got = streams.run_to_memory(stateful.running_user_stats(ev), "t_stateful", output_mode="update")
