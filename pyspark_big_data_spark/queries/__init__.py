@@ -15,6 +15,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     reshaping,
     semi_structured,
     similarity,
+    statistics,
     text_analysis,
     window_functions,
 )

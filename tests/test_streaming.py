@@ -46,6 +46,35 @@ def test_stream_sessions_equal_batch_sessionization(spark, sf_dir):
     assert stream_set == batch_set
 
 
+def test_foreach_batch_checkpointed_sink(spark, sf_dir, tmp_path):
+    """Production-sink shape: foreachBatch -> parquet with a checkpoint.
+    A second run from the same checkpoint must be a no-op (no duplicate
+    micro-batches) — exactly-once at the sink level."""
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def run_once():
+        ev = streams.stream_events(spark, sf_dir)
+        q = (
+            streams.tumbling_counts(ev)
+            .writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    batch_n = tumbling_window_agg(spark, sf_dir).count()
+    assert n1 == batch_n
+    run_once()  # same checkpoint: source exhausted, nothing re-emitted
+    assert spark.read.parquet(out_dir).count() == n1
+
+
 def test_stateful_running_user_stats(spark, sf_dir):
     ev = streams.stream_events(spark, sf_dir)
     got = streams.run_to_memory(stateful.running_user_stats(ev), "t_stateful", output_mode="update")
