@@ -17,6 +17,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     similarity,
     statistics,
     text_analysis,
+    training_pipeline,
     window_functions,
 )
 from pyspark_big_data_spark.queries.registry import ORACLES, REGISTRY

@@ -1,0 +1,41 @@
+"""Plan guardrails over EVERY registered query: no accidental cartesian
+products, and Python workers only where the query deliberately uses
+them. This is the test that keeps future operators honest at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_big_data_spark.queries import REGISTRY
+from pyspark_big_data_spark.testing import physical_plan
+
+# queries whose SEMANTICS are a python-eval path
+_PYTHON_OK = {
+    "q4_avg_distance_pandas_udf",
+    "q4_avg_distance_sql_udf",
+    "multimodal_feature_extract",
+    "dedup_minhash_ml",  # ml models may stage through python/udf wrappers
+    "ann_brp_lsh_ml",
+}
+
+# inequality-only self-join conditions legitimately plan as
+# BroadcastNestedLoopJoin at test scale (documented O(n^2) baselines)
+_NESTED_LOOP_OK = {
+    "embedding_near_dup",
+    "ann_topk_bruteforce",
+    "simhash_near_pairs",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_and_no_stray_python(spark, sf_dir, name):
+    df = REGISTRY[name](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in _NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join — missing an equi-join key?"
+        )
+    if name not in _PYTHON_OK:
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name} unexpectedly ships rows to Python ({node})"
