@@ -138,6 +138,59 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTERS_ORACLE = f"""{_dd_minhash_cte()},
+pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
+    WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+    WITH RECURSIVE walk(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.src, s.v FROM walk w JOIN sym s ON s.u = w.node
+    )
+    SELECT src, node FROM walk
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash-LSH near-dup pairs ->
+    connected components (iterative min-label propagation,
+    operators/graph.py) -> every doc labeled with its cluster's min
+    doc_id. Downstream dedup keeps one doc per cluster_id.
+
+    The oracle replays the transitive closure with a recursive CTE —
+    an independent algorithm (BFS closure vs label propagation)
+    agreeing on the same fixpoint."""
+    from pyspark_big_data_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs)
+    sigs = DD.minhash_signatures(sh).cache()
+    cand = DD.candidate_pairs(DD.band_keys(sigs))
+    pairs = (
+        DD.estimated_jaccard(cand, sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 def _dd_simhash_cte() -> str:
     ht = _H48.format(e="tok")
     weights = ", ".join(
