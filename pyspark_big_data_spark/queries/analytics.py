@@ -142,6 +142,74 @@ def union_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SETOPS_ORACLE = """
+WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000.0),
+     recent AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+SELECT 'both' AS set_kind, COUNT(*) AS cnt FROM (SELECT * FROM hi INTERSECT SELECT * FROM recent)
+UNION ALL
+SELECT 'hi_only', COUNT(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM recent)
+UNION ALL
+SELECT 'recent_only', COUNT(*) FROM (SELECT * FROM recent EXCEPT SELECT * FROM hi)
+ORDER BY set_kind
+"""
+
+
+@register("customer_set_ops", oracle=_SETOPS_ORACLE)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY.md §2.7):
+    customers with big orders vs recently active — both plan as
+    aggregate-free left-semi / left-anti joins under Catalyst."""
+    orders = read_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 200000.0).select("o_custkey").distinct()
+    recent = (
+        orders.filter(F.expr("o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"))
+        .select("o_custkey")
+        .distinct()
+    )
+    counts = [
+        hi.intersect(recent).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("both").alias("set_kind"), "cnt"
+        ),
+        hi.exceptAll(recent).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("hi_only").alias("set_kind"), "cnt"
+        ),
+        recent.exceptAll(hi).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit("recent_only").alias("set_kind"), "cnt"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("set_kind")
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS cnt
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+@register("cube_status_priority", oracle=_CUBE_ORACLE)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "cnt",
+        )
+        .orderBy("status", "priority")
+    )
+
+
 _PRIORITY_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o
