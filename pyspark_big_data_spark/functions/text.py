@@ -38,6 +38,22 @@ def hash48_sql_duckdb(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
 
 
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash (first 15 hex chars of md5).
+
+    60 bits — not 64 — so the value (and anything built from per-bit
+    majority votes over it, like SimHash) stays strictly positive in a
+    signed BIGINT in BOTH engines: a 16-hex-char prefix can exceed
+    2^63-1, turning into sign-extension traps for ``>>`` / ``bit_count``
+    differential oracles.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql_duckdb(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # normalization / tokenization
 # ---------------------------------------------------------------------------

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from pyspark_big_data_spark.functions.text import hash48, normalize_text
+import itertools
+
+from pyspark_big_data_spark.functions.text import hash48, hash60, normalize_text
 from pyspark_big_data_spark.io import ensure_min_partitions
 
 MERSENNE_P = 1_000_000_007
@@ -35,7 +37,18 @@ HASH_B = [(11 + 13 * j) % MERSENNE_P for j in range(NUM_HASHES)]
 
 SHINGLE_LEN = 5
 SHINGLE_STRIDE = 2  # w-shingling stride: halves hash work, negligible est impact
-SIMHASH_BITS = 16
+
+# SimHash: 60-bit signatures (15 hex chars of md5 -> positive in signed
+# int64 in BOTH engines; 64 bits would sign-extend, see functions/text.py
+# ::hash60), split into 4 x 15-bit blocks for the pigeonhole candidate
+# join: Hamming(a,b) <= 2 can touch at most 2 blocks, so >= 2 of the 4
+# blocks are bit-identical -> candidates are an EQUI-join on
+# (block_pair_id, block_i, block_j), never an all-pairs compare.
+SIMHASH_BITS = 60
+SIMHASH_BLOCK_BITS = 15
+SIMHASH_NUM_BLOCKS = SIMHASH_BITS // SIMHASH_BLOCK_BITS
+SIMHASH_BLOCK_PAIRS = list(itertools.combinations(range(SIMHASH_NUM_BLOCKS), 2))
+SIMHASH_HAMMING_MAX = 2  # must stay <= SIMHASH_NUM_BLOCKS - 2 for pigeonhole
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -157,7 +170,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     toks = ensure_min_partitions(df.select(F.col(id_col), norm.alias("n"))).select(
         F.col(id_col), F.explode(F.split(F.col("n"), " ")).alias("tok")
     )
-    hashed = toks.select(id_col, hash48(F.col("tok")).alias("h"))  # md5 once, not once per bit
+    hashed = toks.select(id_col, hash60(F.col("tok")).alias("h"))  # md5 once, not once per bit
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -169,3 +182,63 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)
     )
     return weights.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_block_keys(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode each signature into its C(NUM_BLOCKS, 2) block-pair keys.
+
+    Row (id, simhash, pair_id, v1, v2) for every unordered block pair
+    (i, j): two docs within Hamming SIMHASH_HAMMING_MAX share at least
+    one pair row with identical (pair_id, v1, v2) — the pigeonhole join
+    key. Map-side only (explode x6), no shuffle.
+    """
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    block = [
+        F.shiftright(F.col("simhash"), t * SIMHASH_BLOCK_BITS).bitwiseAND(F.lit(mask))
+        for t in range(SIMHASH_NUM_BLOCKS)
+    ]
+    entries = [
+        F.struct(F.lit(pid).alias("pair_id"), block[i].alias("v1"), block[j].alias("v2"))
+        for pid, (i, j) in enumerate(SIMHASH_BLOCK_PAIRS)
+    ]
+    return sh.select(
+        id_col, "simhash", F.explode(F.array(*entries)).alias("bp")
+    ).select(id_col, "simhash", "bp.pair_id", "bp.v1", "bp.v2")
+
+
+def simhash_near_pairs_blocked(
+    sh: DataFrame, hamming_max: int = SIMHASH_HAMMING_MAX, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a < id_b, hamming) pairs within ``hamming_max`` via the
+    pigeonhole block EQUI-join — the 100 TB-safe plan (the all-pairs
+    compare is only the DuckDB oracle's independent witness).
+
+    Cost: explode 6 rows/doc, one shuffle on the 30-bit+pair_id key,
+    Σbucket² refine work — same shape as MinHash banding. Requires
+    hamming_max <= NUM_BLOCKS - 2 (else <2 blocks are guaranteed equal
+    and the equi-key no longer covers all true pairs).
+    """
+    if hamming_max > SIMHASH_NUM_BLOCKS - 2:
+        raise ValueError(
+            f"hamming_max={hamming_max} needs > {SIMHASH_NUM_BLOCKS - 2} equal blocks; "
+            "raise SIMHASH_NUM_BLOCKS or lower the threshold"
+        )
+    bk = simhash_block_keys(sh, id_col)
+    a = bk.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "pair_id", "v1", "v2"
+    )
+    b = bk.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "pair_id", "v1", "v2"
+    )
+    cand = (
+        a.join(b, ["pair_id", "v1", "v2"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()  # (ha, hb) are functions of the ids: distinct stays per-pair
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )

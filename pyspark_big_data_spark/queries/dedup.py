@@ -16,10 +16,11 @@ from pyspark_big_data_spark.queries.registry import register
 
 _EST_THRESHOLD = 0.5
 _JACCARD_THRESHOLD = 0.4
-_HAMMING_MAX = 2
+_HAMMING_MAX = DD.SIMHASH_HAMMING_MAX
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _H48 = "(('0x' || substr(md5({e}), 1, 12))::BIGINT)"
+_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 
 
 def _dd_minhash_cte() -> str:
@@ -192,7 +193,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_simhash_cte() -> str:
-    ht = _H48.format(e="tok")
+    ht = _H60.format(e="tok")
     weights = ", ".join(
         f"sum(CASE WHEN ({ht} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
         for b in range(DD.SIMHASH_BITS)
@@ -213,12 +214,15 @@ SELECT doc_id, simhash FROM sh ORDER BY doc_id
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash signature (majority vote of token-hash
+    """Per-document 60-bit SimHash signature (majority vote of token-hash
     bits) — constant output size per doc, one shuffle."""
     docs = read_table(spark, sf_dir, "documents")
     return DD.simhash(docs).orderBy("doc_id")
 
 
+# Oracle is the ALL-PAIRS compare on purpose: an independent algorithm
+# (O(n^2) witness vs the engine's pigeonhole block join) agreeing on the
+# same pair set — exactly the shape of the dedup_clusters oracle.
 _SIMHASH_PAIRS_ORACLE = f"""{_dd_simhash_cte()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -230,18 +234,12 @@ ORDER BY id_a, id_b
 
 @register("simhash_near_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs within Hamming distance <= 2 of SimHash. Test-scale uses the
-    O(n^2) compare on the 8-byte signatures; the scale path blocks on
-    signature bytes (pigeonhole: d<=2 over 4 blocks -> 2 blocks equal)."""
+    """Pairs within Hamming distance <= 2 of 60-bit SimHash, via the
+    pigeonhole block EQUI-join (4 x 15-bit blocks; d <= 2 touches at
+    most 2 blocks, so >= 2 blocks match exactly -> candidates come from
+    an equi-join on (block_pair_id, block_i, block_j), then an exact
+    bit_count refine). No nested-loop anywhere — scales like MinHash
+    banding (Σbucket² refine cost)."""
     docs = read_table(spark, sf_dir, "documents")
     sh = DD.simhash(docs)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
-    )
+    return DD.simhash_near_pairs_blocked(sh).orderBy("id_a", "id_b")

@@ -19,11 +19,11 @@ _PYTHON_OK = {
 }
 
 # inequality-only self-join conditions legitimately plan as
-# BroadcastNestedLoopJoin at test scale (documented O(n^2) baselines)
+# BroadcastNestedLoopJoin at test scale (documented O(n^2) baselines
+# with registered bucketed scale twins + input-size guards)
 _NESTED_LOOP_OK = {
     "embedding_near_dup",
     "ann_topk_bruteforce",
-    "simhash_near_pairs",
 }
 
 
