@@ -87,16 +87,27 @@ def csv_to_parquet(
 
 
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition only when the input has fewer partitions than cores.
+    """Repartition only when the input is too narrow to parallelize.
 
     Small single-file parquet inputs arrive as ONE partition, serializing
     CPU-heavy per-row pipelines (hashing, explode) onto one core. On a
     real multi-file 100 TB input this is a no-op — the guard avoids
     paying a gratuitous full shuffle there.
+
+    The probe is ``df.inputFiles()`` (driver-side file listing off the
+    logical plan), NOT ``df.rdd.getNumPartitions()``: converting to an
+    RDD forces physical-plan materialization outside AQE on every call.
+    A multi-file input already fans out at least one task per file
+    (usually more, via ``maxPartitionBytes`` splits), so file count is a
+    safe lower bound on scan parallelism.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # e.g. streaming plans: leave the plan untouched
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -71,6 +71,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never silently return half-propagated labels: a component with
+        # diameter > max_iterations would get WRONG cluster ids. (For
+        # huge-diameter graphs, switch to pointer-jumping large/small-star
+        # — O(log n) rounds — before raising this limit.)
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations "
+            f"({changed} labels still changing); raise max_iterations"
+        )
 
     sym.unpersist()
     return labels

@@ -4,11 +4,13 @@ Convention (schemas.py::MEDIA_META): media travels as a BinaryType
 column beside a metadata struct; compute-heavy decode/transform runs as
 Arrow-batched mapInPandas over bounded-size batches.
 
-The container has no image/audio codecs, so decode is STUBBED: the
-deterministic fake derives features from the raw bytes (so tests are
-real end-to-end through the Spark plumbing — schema, batching,
-partitioning), and `decode_image` raises NotImplementedError exactly
-where a codec (pillow/ffmpeg) would plug in.
+Decode is FEATURE-GATED: when pillow is importable, `decode_image`
+really decodes and `extract_features` derives pixel statistics; in
+codec-less containers (like this one) the deterministic byte-stub
+fallback keeps tests real end-to-end through the Spark plumbing —
+schema, batching, partitioning are identical either way. A custom
+``decoder`` callable can also be injected (that's how the codec path
+itself is tested without pillow).
 
 Scale notes: binary payloads make rows wide — the layer repartitions by
 target batch count before mapInPandas so a single executor never holds
@@ -18,11 +20,16 @@ column (column pruning keeps binary IO at zero).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+try:  # feature gate: real image decode only when a codec lib exists
+    from PIL import Image as _PILImage  # type: ignore[import-not-found]
+except ImportError:
+    _PILImage = None
 
 FEATURE_DIM = 8
 
@@ -53,12 +60,35 @@ def attach_media(df: DataFrame, text_col: str = "text", media_type: str = "image
     return df.withColumn("media", payload).withColumn("media_meta", meta)
 
 
+def codec_available() -> bool:
+    return _PILImage is not None
+
+
 def decode_image(payload: bytes):
-    """Real decode hook — requires a codec library not present here."""
-    raise NotImplementedError(
-        "image decode requires pillow/opencv; plug a codec into "
-        "extract_features(decoder=...) when available"
-    )
+    """Decode an image payload to a PIL image (requires pillow)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode requires pillow/opencv; plug a codec into "
+            "extract_features(decoder=...) when available"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    img.load()
+    return img
+
+
+def _image_features(payload: bytes) -> list[float]:
+    """Real features via the codec: dimensions + coarse luminance
+    histogram mass. Same FEATURE_DIM shape as the byte-stub fallback."""
+    img = decode_image(payload).convert("L")
+    w, h = img.size
+    hist = img.histogram()  # 256 luminance bins
+    n = max(w * h, 1)
+    feats = [float(w), float(h)]
+    for lo in range(0, 256, 48):  # 6 coarse buckets, mirrors the stub
+        feats.append(sum(hist[lo : lo + 48]) / n)
+    return feats[:FEATURE_DIM]
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -79,13 +109,18 @@ def extract_features(
     id_col: str = "doc_id",
     media_col: str = "media",
     batches: int = 32,
+    decoder: Callable[[bytes], list[float]] | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Arrow-batched; repartitioned so payload batches stay bounded. Swap
-    `_fake_features` for a real decoder+model without touching the
-    Spark-side shape.
+    Arrow-batched; repartitioned so payload batches stay bounded.
+    ``decoder`` resolution: explicit callable > real codec features
+    (when pillow is importable) > deterministic byte-stub. All three
+    produce the same FEATURES_SCHEMA, so downstream plans are identical
+    with or without codecs installed.
     """
+    if decoder is None:
+        decoder = _image_features if codec_available() else _fake_features
 
     def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches_iter:
@@ -93,7 +128,7 @@ def extract_features(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": pdf[media_col].map(len).astype("int64"),
-                    "features": pdf[media_col].map(_fake_features),
+                    "features": pdf[media_col].map(decoder),
                 }
             )
             yield out

@@ -21,6 +21,6 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     training_pipeline,
     window_functions,
 )
-from pyspark_big_data_spark.queries.registry import ORACLES, REGISTRY
+from pyspark_big_data_spark.queries.registry import ORACLES, REGISTRY, driver_registry
 
-__all__ = ["REGISTRY", "ORACLES"]
+__all__ = ["REGISTRY", "ORACLES", "driver_registry"]

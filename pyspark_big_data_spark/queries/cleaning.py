@@ -91,7 +91,7 @@ ORDER BY event_type
 """
 
 
-@register("distinct_users_by_type", oracle=_DISTINCT_ORACLE)
+@register("distinct_users_by_type", oracle=_DISTINCT_ORACLE, driver=False)
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count-distinct (expand+two-phase under Catalyst). The scale
     path is approx_count_distinct (HLL, single pass, no expand) — see

@@ -93,7 +93,7 @@ _SESSION_GAP_MIN = 30
 
 _SESSION_ORACLE = f"""
 WITH marked AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, event_id, value,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL '{_SESSION_GAP_MIN} minutes'
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -102,7 +102,7 @@ WITH marked AS (
 ), numbered AS (
     SELECT user_id, ts, value,
            SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_id
     FROM marked
@@ -123,9 +123,13 @@ ORDER BY user_id, session_id
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cumulative window orders by (ts, event_id) too: with duplicate
+    # (user_id, ts) rows a ts-only ROWS frame has engine-dependent peer
+    # order, letting Spark and the oracle split tied rows into different
+    # sessions
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")

@@ -124,7 +124,7 @@ def q1_top_months_string_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q1_top_months_per_year_sql", oracle=_ORACLE_SQL_VARIANT)
+@register("q1_top_months_per_year_sql", oracle=_ORACLE_SQL_VARIANT, driver=False)
 def q1_top_months_per_year_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same logical query submitted as one Spark SQL string over a temp view
     (== the reference's sql variant, ``src/query1.py:81-118``; Catalyst

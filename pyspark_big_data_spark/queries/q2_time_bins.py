@@ -73,7 +73,7 @@ def q2_event_time_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q2_event_time_bins_sql", oracle=_ORACLE)
+@register("q2_event_time_bins_sql", oracle=_ORACLE, driver=False)
 def q2_event_time_bins_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query as one Spark SQL string (== ``src/query2.py:61-93``)."""
     read_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")

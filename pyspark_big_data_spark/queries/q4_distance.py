@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from pyspark_big_data_spark.functions.distance import (
+    geodesic_km_pandas_udf,
     haversine_km,
     haversine_km_pandas_udf,
     haversine_sql,
@@ -107,6 +108,20 @@ def q4_avg_distance_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized pandas_udf tier (D1 modernized)."""
     df = _filtered_join(spark, sf_dir)
     udf = haversine_km_pandas_udf()
+    return _aggregate(df, udf(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")))
+
+
+@register("q4_avg_distance_geodesic")  # no SQL oracle: iterative WGS-84
+def q4_avg_distance_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact semantics tier: WGS-84 geodesic distance
+    (geopy's Karney when installed == ``src/query4.py:9-10,34``; else a
+    vectorized Vincenty inverse agreeing to <1e-9 relative), Arrow-
+    batched. The haversine default differs from these digits by ~0.3%
+    (tested in tests/test_geodesic.py); a reference user porting q4
+    verbatim should use THIS entry. Rows-only driver check — an
+    iterative geodesic has no DuckDB twin."""
+    df = _filtered_join(spark, sf_dir)
+    udf = geodesic_km_pandas_udf()
     return _aggregate(df, udf(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")))
 
 

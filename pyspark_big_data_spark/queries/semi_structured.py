@@ -43,7 +43,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("json_props_typed")  # rows-only twin using from_json (typed bulk parse)
+@register("json_props_typed", driver=False)  # rows-only twin using from_json (typed bulk parse)
 def json_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same aggregation via from_json with a declared schema — the bulk
     path when a payload has many fields (single parse, typed struct)."""

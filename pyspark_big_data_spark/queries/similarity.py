@@ -30,6 +30,25 @@ _NEAR_DUP_COS = 0.40
 _LSH_PLANES = V.random_hyperplanes(n_planes=4, dim=64)
 _LSH_CAND_COS = 0.25
 
+# O(n^2) baselines refuse to run beyond this input size: they exist as
+# exactness oracles for the bucketed scale twins (ann_lsh_bucketed,
+# ann_topk_ivf), and an all-pairs plan silently launched on a 100 TB
+# table is an outage, not a query.
+ALLPAIRS_MAX_ROWS = 50_000
+
+
+def guard_allpairs(df: DataFrame, what: str) -> DataFrame:
+    """Fail fast (driver-side count on the narrow projection) if an
+    all-pairs baseline is about to run on an input too big for O(n^2)."""
+    n = df.count()
+    if n > ALLPAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{what}: refusing all-pairs plan on {n} rows "
+            f"(> {ALLPAIRS_MAX_ROWS}); use the bucketed scale twin "
+            "(ann_lsh_bucketed / ann_topk_ivf / simhash_near_pairs)"
+        )
+    return df
+
 _DD_V = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
 _DD_COS = (
     "list_dot_product(a.e, b.e) / "
@@ -61,8 +80,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", V.to_double_array(F.col("embedding")).alias("e")
     )
     with_norm = emb.withColumn("nrm", V.norm(F.col("e")))
-    probes = with_norm.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+    probes = guard_allpairs(
+        with_norm.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+        ),
+        "ann_topk_bruteforce probes",
     )
     # probes are a small fraction: broadcast them, stream the corpus once
     pairs = with_norm.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
@@ -93,9 +115,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup (exactness baseline). O(n^2): correct at
     test scale, intentionally superseded by the LSH tier for scale —
     mirrored by the reference's own worst-plan demonstration
-    (forced cartesian, ``results/query3.txt:92-94``)."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+    (forced cartesian, ``results/query3.txt:92-94``). Input-size guarded:
+    refuses to run past ALLPAIRS_MAX_ROWS."""
+    emb = guard_allpairs(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+        ),
+        "embedding_near_dup",
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))

@@ -74,11 +74,17 @@ def crime_q3_descent_profile(
     top: bool = True,
     hint_revgeo: str | None = None,
     hint_income: str | None = None,
-    truncate_zip4: bool = True,
+    truncate_zip4: bool = False,
 ) -> DataFrame:
     """Victim-descent profile of the top/bottom-3 income ZIPs for 2015
     (== src/query3.py). Two-phase head(3)+isin preserved; the joined
-    frame is cached so the pipeline executes once (SURVEY.md §3.3 fix)."""
+    frame is cached so the pipeline executes once (SURVEY.md §3.3 fix).
+
+    ``truncate_zip4`` defaults to False to match the reference's SHIPPED
+    behavior: its ZIP-4 truncation is commented out
+    (src/query3.py:95-96, "this affects query result"), so default-arg
+    callers here get the same digits a reference user gets. Pass True
+    for the cleaned-ZIP variant the reference docstring describes."""
     c = crimes.filter(
         (F.col("Vict Descent") != "-") & F.col("Vict Descent").isNotNull()
     ).filter(crimes["DATE OCC"][7:4] == "2015").select("DR_NO", "Vict Descent", "LAT", "LON")
@@ -97,12 +103,20 @@ def crime_q3_descent_profile(
         r = r.hint(hint_revgeo)
     if hint_income:
         inc = inc.hint(hint_income)
+    hinted = bool(hint_revgeo or hint_income)
+    if hinted:
+        # cache-buster + no caching: CacheManager matches plans ignoring
+        # hints, so a cached unhinted run would silently serve (and
+        # erase) the hinted join (see queries/q3_segment_profile.py)
+        c = c.where(F.lit(True))
 
     joined = (
         c.join(r, ["LAT", "LON"], "inner")  # composite key, inner == null filter
         .join(inc, "ZIPcode", "inner")
         .select("ZIPcode", "income", "Vict Descent")
-    ).cache()
+    )
+    if not hinted:
+        joined = joined.cache()
 
     zip_income = joined.select("ZIPcode", "income").distinct()
     order = F.col("income").desc() if top else F.col("income").asc()

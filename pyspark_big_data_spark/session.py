@@ -86,9 +86,21 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     points call this defensively so reads of TIMESTAMP(NANOS) parquet
     and UTC event-time semantics hold there too.
     """
+    import warnings
+
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # immutable in this deployment; keep going
+            pass  # possibly immutable in this deployment; verified below
+        # these confs are CORRECTNESS-critical (TIMESTAMP(NANOS) reads,
+        # UTC event-time): never fail silently if the set didn't stick
+        effective = spark.conf.get(k, None)
+        if effective != v:
+            warnings.warn(
+                f"session conf {k}={effective!r} (wanted {v!r}): "
+                "TIMESTAMP(NANOS) parquet reads / event-time semantics may be wrong",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark

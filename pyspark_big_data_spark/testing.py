@@ -32,7 +32,14 @@ def duckdb_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by value; normalize dtypes."""
+    """Sort columns by name and rows by value; normalize dtypes.
+
+    Row order must be STABLE under last-ulp float differences, or two
+    rows with nearly-equal floats can sort in opposite orders across
+    engines, misaligning row pairs and producing spurious diffs that the
+    rtol check then flags. So the sort key uses non-float columns first
+    and floats only as a rounded (7 significant digits) tie-breaker.
+    """
     out = df.reindex(sorted(df.columns), axis=1).copy()
     for c in out.columns:
         if pd.api.types.is_datetime64_any_dtype(out[c]):
@@ -41,8 +48,18 @@ def _canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = out[c].astype("int64")
         elif pd.api.types.is_float_dtype(out[c]):
             out[c] = out[c].astype("float64")
-    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
-    return out
+    exact_cols = [c for c in out.columns if not pd.api.types.is_float_dtype(out[c])]
+    float_cols = [c for c in out.columns if pd.api.types.is_float_dtype(out[c])]
+    key = pd.DataFrame(index=out.index)
+    for c in exact_cols:
+        key[c] = out[c]
+    for c in float_cols:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = out[c].to_numpy()
+            mag = np.floor(np.log10(np.abs(v), where=v != 0, out=np.zeros_like(v)))
+            key[c] = np.where(np.isfinite(v), np.round(v / 10.0**mag, 7) * 10.0**mag, v)
+    order = key.sort_values(by=exact_cols + float_cols, kind="mergesort").index
+    return out.loc[order].reset_index(drop=True)
 
 
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> None:

@@ -83,3 +83,32 @@ def test_approx_count_distinct_close(spark, sf_dir):
     exact = ev.select(F.count_distinct("user_id").alias("n")).first()["n"]
     approx = ev.select(F.approx_count_distinct("user_id").alias("n")).first()["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_allpairs_guard_refuses_big_inputs(spark):
+    from pyspark_big_data_spark.queries.similarity import ALLPAIRS_MAX_ROWS, guard_allpairs
+    import pytest
+
+    small = spark.range(10).withColumnRenamed("id", "vec_id")
+    assert guard_allpairs(small, "test") is small  # passthrough under the limit
+
+    big = spark.range(ALLPAIRS_MAX_ROWS + 1)
+    with pytest.raises(ValueError, match="refusing all-pairs"):
+        guard_allpairs(big, "test")
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from pyspark_big_data_spark.operators.graph import connected_components
+    import pytest
+
+    # a 12-node chain has diameter 11 > max_iterations=2: must raise, not
+    # silently return half-propagated labels
+    nodes = spark.range(12).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, node_col="node", max_iterations=2)
+    # and converges fine with enough iterations
+    ok = connected_components(nodes, edges, node_col="node", max_iterations=15)
+    assert {r["component"] for r in ok.collect()} == {0}

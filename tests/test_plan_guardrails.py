@@ -12,6 +12,7 @@ from pyspark_big_data_spark.testing import physical_plan
 # queries whose SEMANTICS are a python-eval path
 _PYTHON_OK = {
     "q4_avg_distance_pandas_udf",
+    "q4_avg_distance_geodesic",
     "q4_avg_distance_sql_udf",
     "multimodal_feature_extract",
     "dedup_minhash_ml",  # ml models may stage through python/udf wrappers

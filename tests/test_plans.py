@@ -51,6 +51,19 @@ def test_join_hint_passthrough_shuffle_hash(spark, sf_dir):
     assert_plan_contains(df, "ShuffledHashJoin")
 
 
+def test_join_hint_survives_default_cache(spark, sf_dir):
+    # hints force cache=False by construction, so even after an unhinted
+    # cached run the hinted plan must keep its strategy (the CacheManager
+    # matches plans ignoring hints and would otherwise swallow it)
+    segment_profile(spark, sf_dir, top=True).count()  # populate the cache
+    try:
+        df = segment_profile(spark, sf_dir, top=True, hint_lineitem="merge")
+        assert_plan_contains(df, "SortMergeJoin")
+        assert_plan_lacks(df, "InMemoryTableScan")
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_join_hint_validation():
     import pytest
 
