@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_near_pairs",
+    "winnow_near_pairs",
     "text_quality_scores",
     "ann_topk_bruteforce",
     "ann_topk_ivf",

@@ -139,3 +139,5 @@ def stopword_ratio(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of normalized text (exact-dedup key)."""
     return F.md5(normalize_text(col))
+
+

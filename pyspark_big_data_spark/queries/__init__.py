@@ -6,6 +6,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     cleaning,
     dedup,
     event_windows,
+    fingerprint,
     ml_lsh_queries,
     multimodal_queries,
     q1_top_months,

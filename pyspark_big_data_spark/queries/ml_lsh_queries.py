@@ -11,7 +11,10 @@ from pyspark_big_data_spark.operators.ml_lsh import brp_lsh_near_neighbors, minh
 from pyspark_big_data_spark.queries.registry import register
 
 
-@register("dedup_minhash_ml")  # rows-only
+# driver=False: the 50-entry driver surface keeps oracled queries; these
+# rows-only ml twins are verified by the pytest recall gate
+# (tests/test_ml_lsh.py) and the PERFORMANCE.md recall table instead.
+@register("dedup_minhash_ml", driver=False)  # rows-only
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return (
@@ -21,7 +24,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_brp_lsh_ml")  # rows-only
+@register("ann_brp_lsh_ml", driver=False)  # rows-only (see note above)
 def ann_brp_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return (
