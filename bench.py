@@ -36,7 +36,9 @@ HEADLINE = [
     "winnow_near_pairs",
     "text_quality_scores",
     "ann_topk_bruteforce",
+    "ann_topk_bruteforce_np",
     "ann_topk_ivf",
+    "ann_topk_ivf_np",
     "tumbling_window_agg",
     "session_window_agg",
     "asof_join_last_order",

@@ -152,3 +152,95 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+@register("ann_topk_ivf_np", driver=False)  # fast tier; agreement-gated in pytest
+def ann_topk_ivf_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized fast tier of ann_topk_ivf — same cells, same NPROBE,
+    same top-k semantics, BLAS math.
+
+    The exact tier pays twice for oracle determinism: decimal(38,18)
+    centroid aggregation and an interpreted higher-order-function cosine
+    in the search join (~70 s at the 10x stress SF). Here centroids are
+    plain double aggregates (tiny: cells x dim rows, collected + closed
+    over), probe->cell ranking is a driver-side numpy matmul on the 2%
+    probe sample, and the search is one mapInPandas scan of the corpus:
+    each Arrow batch multiplies its rows against the probe matrices of
+    the cells present in the batch and emits per-batch top-k; a final
+    window takes the exact global top-k (~3 s at the same SF;
+    PERFORMANCE.md). No corpus shuffle at any point — the same property
+    that makes IVF the scale path at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    # centroids: cells x dim is tiny — aggregate distributed, collect
+    cent_rows = (
+        emb.select("label", F.posexplode("e").alias("pos0", "val"))
+        .groupBy("label", "pos0")
+        .agg(F.avg("val").alias("cval"))
+        .collect()
+    )
+    labels = sorted({r["label"] for r in cent_rows})
+    dim = max(r["pos0"] for r in cent_rows) + 1
+    cmat = np.zeros((len(labels), dim))
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    for r in cent_rows:
+        cmat[lab_idx[r["label"]], r["pos0"]] = r["cval"]
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    probes_pd = emb.filter(F.col("vec_id") % _PROBE_MOD == 0).toPandas()
+    pids = probes_pd["vec_id"].to_numpy()
+    pmat = np.stack(probes_pd["e"].to_numpy())
+    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+    # rank cells per probe: (probes x cells), take top NPROBE
+    ccos = pmat @ cmat.T
+    order = np.argsort(-ccos, axis=1, kind="stable")[:, :_NPROBE]
+    # cell label -> (probe_ids, probe_matrix) searching that cell
+    per_cell: dict[int, list[int]] = {}
+    for pi, cells in enumerate(order):
+        for ci in cells:
+            per_cell.setdefault(labels[ci], []).append(pi)
+    cell_probes = {
+        lab: (pids[idx], pmat[idx]) for lab, idx in per_cell.items()
+    }
+    b_cells = spark.sparkContext.broadcast(cell_probes)
+    k = _TOP_K
+
+    def search(batches):
+        cp = b_cells.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for lab, grp in pdf.groupby("label"):
+                if lab not in cp:
+                    continue
+                probe_ids, pm = cp[lab]
+                x = np.stack(grp["e"].to_numpy())
+                x = x / np.linalg.norm(x, axis=1, keepdims=True)
+                sims = x @ pm.T
+                ids = grp["vec_id"].to_numpy()
+                sims[ids[:, None] == probe_ids[None, :]] = -np.inf
+                kk = min(k, sims.shape[0])
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                cos = np.take_along_axis(sims, top, axis=0)
+                keep = np.isfinite(cos).ravel(order="F")
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.repeat(probe_ids, kk)[keep],
+                        "neighbor_id": ids[top].ravel(order="F")[keep],
+                        "cosine": cos.ravel(order="F")[keep],
+                    }
+                )
+
+    cand = emb.mapInPandas(search, schema="probe_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
+        .orderBy("probe_id", "rnk")
+    )

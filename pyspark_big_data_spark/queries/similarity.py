@@ -115,6 +115,72 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_topk_bruteforce_np", driver=False)  # fast tier; recall-gated in pytest
+def ann_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized fast tier of ann_topk_bruteforce: Arrow-batched
+    mapInPandas with a BLAS matrix multiply per batch (batch x probes),
+    per-batch top-k, then an exact global top-k window over the tiny
+    candidate set (batches x probes x k rows).
+
+    Why it exists: the exact tier's dot product is a SQL higher-order
+    function (F.aggregate/zip_with) — HOFs are CodegenFallback in Spark,
+    i.e. interpreted per row, which dominates wall time once pairs hit
+    the millions (measured ~66 s for 8M pairs at the 10x stress SF vs
+    ~2 s here; PERFORMANCE.md). numpy changes float summation order, so
+    this tier is recall-gated against the exact oracled query
+    (tests/test_similarity_np.py) instead of hash-compared.
+
+    Scale notes: probes are collected to the driver and broadcast —
+    fine for the 2% probe fraction here; past ~10^5 probes you shard the
+    probe matrix and union the shards (same plan per shard, no corpus
+    re-shuffle: the corpus is still scanned exactly once per shard)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+    )
+    probes_pd = guard_allpairs(
+        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_bruteforce_np probes"
+    ).toPandas()
+    pids = probes_pd["vec_id"].to_numpy()
+    pmat = np.stack(probes_pd["e"].to_numpy())
+    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+    b_probes = spark.sparkContext.broadcast((pids, pmat))
+    k = _TOP_K
+
+    def search(batches):
+        probe_ids, pm = b_probes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["e"].to_numpy())
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = x @ pm.T  # batch x probes
+            ids = pdf["vec_id"].to_numpy()
+            sims[ids[:, None] == probe_ids[None, :]] = -np.inf  # exclude self
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # kk x probes
+            cos = np.take_along_axis(sims, top, axis=0)
+            keep = np.isfinite(cos).ravel(order="F")
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(probe_ids, kk)[keep],
+                    "neighbor_id": ids[top].ravel(order="F")[keep],
+                    "cosine": cos.ravel(order="F")[keep],
+                }
+            )
+
+    cand = emb.mapInPandas(search, schema="probe_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
 _NEAR_DUP_ORACLE = f"""
 WITH v AS ({_DD_V})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_DD_COS}, 6) AS cosine

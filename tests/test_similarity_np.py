@@ -1,0 +1,48 @@
+"""The vectorized brute-force tier must agree with the exact oracled
+tier: identical semantics, float summation order aside."""
+
+from __future__ import annotations
+
+from pyspark_big_data_spark.queries.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_bruteforce_np,
+)
+
+
+def test_np_tier_matches_exact_topk(spark, sf_dir):
+    exact = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_bruteforce_np(spark, sf_dir).collect()
+    }
+    assert len(fast) == len(exact)
+    # recall: BLAS vs sequential-fold sums differ in last ulps, which can
+    # only flip neighbors whose cosines tie to ~1e-12 — demand near-total
+    # agreement and exact cosine agreement (6dp) on the overlap
+    overlap = set(exact) & set(fast)
+    assert len(overlap) / len(exact) >= 0.98
+    for key in overlap:
+        assert abs(exact[key] - fast[key]) < 2e-6
+
+
+def test_ivf_np_tier_matches_exact(spark, sf_dir):
+    from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf, ann_topk_ivf_np
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_ivf(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_ivf_np(spark, sf_dir).collect()
+    }
+    assert len(fast) == len(exact)
+    # double-vs-decimal centroid sums can flip a near-tied cell ranking;
+    # demand near-total pair agreement and 6dp cosine agreement on overlap
+    overlap = set(exact) & set(fast)
+    assert len(overlap) / len(exact) >= 0.95
+    for key in overlap:
+        assert abs(exact[key] - fast[key]) < 2e-6
