@@ -17,6 +17,8 @@ _PYTHON_OK = {
     "multimodal_feature_extract",
     "dedup_minhash_ml",  # ml models may stage through python/udf wrappers
     "ann_brp_lsh_ml",
+    "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
+    "ann_topk_ivf_np",
 }
 
 # inequality-only self-join conditions legitimately plan as
