@@ -32,6 +32,9 @@ HEADLINE = [
     # extensions (added as they land); keep list in sync with docs
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_fast",
+    "span_dedup_chunks",
+    "bm25_topk",
     "simhash_near_pairs",
     "winnow_near_pairs",
     "text_quality_scores",

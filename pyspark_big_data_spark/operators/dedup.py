@@ -71,14 +71,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     )
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", base_hash=hash48) -> DataFrame:
     """One row per doc with sig0..sig{K-1}: min of (a_j*h + b_j) mod P.
 
-    The md5-derived base hash is projected ONCE before the aggregate —
-    referencing hash48 inside all K aggregate expressions would make
-    codegen evaluate the md5 K times per shingle.
+    The base hash is projected ONCE before the aggregate — referencing
+    it inside all K aggregate expressions would make codegen evaluate
+    the hash K times per shingle. Default ``base_hash`` is the portable
+    md5-48 (DuckDB-replayable); pass ``xxhash64_48`` for the JVM-native
+    production tier (no oracle twin, ~same estimator quality).
     """
-    hashed = sh.select(id_col, hash48(F.col("s")).alias("h"))
+    hashed = sh.select(id_col, base_hash(F.col("s")).alias("h"))
     aggs = [
         F.min((F.lit(HASH_A[j]) * F.col("h") + F.lit(HASH_B[j])) % MERSENNE_P).alias(f"sig{j}")
         for j in range(NUM_HASHES)
@@ -86,14 +88,26 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Long-form (id, band_no, band): md5 over each band's r components."""
+def xxhash64_48(col: Column) -> Column:
+    """JVM-native 48-bit base hash: xxhash64 masked to 48 bits so the
+    LCG products (a_j * h) stay below 2^63 exactly like hash48. ~10x
+    cheaper than md5 (no hex round-trip, vectorized codegen) — the
+    production hash when a DuckDB differential twin isn't needed."""
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << 48) - 1))
+
+
+def band_keys(sigs: DataFrame, id_col: str = "doc_id", band_hash=None) -> DataFrame:
+    """Long-form (id, band_no, band): hash over each band's r components
+    (md5 by default for oracle portability; pass e.g. F.xxhash64 for the
+    production tier)."""
+    if band_hash is None:
+        band_hash = lambda *cols: F.md5(F.concat_ws(",", *cols))  # noqa: E731
     entries = []
     for t in range(NUM_BANDS):
         parts = [
             F.col(f"sig{t * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)
         ]
-        entries.append(F.struct(F.lit(t).alias("band_no"), F.md5(F.concat_ws(",", *parts)).alias("band")))
+        entries.append(F.struct(F.lit(t).alias("band_no"), band_hash(*parts).alias("band")))
     return sigs.select(id_col, F.explode(F.array(*entries)).alias("bk")).select(
         id_col, F.col("bk.band_no").alias("band_no"), F.col("bk.band").alias("band")
     )

