@@ -106,3 +106,26 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("distinct_users_hll_sketch", driver=False)
+def distinct_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL count-distinct: the mergeable-sketch scale path.
+
+    Unlike exact count_distinct (expand + two-phase shuffle of every
+    key) or approx_count_distinct (single pass but opaque), hll_sketch_agg
+    produces a MERGEABLE binary sketch: partial sketches built per
+    partition/day/source can be hll_union_agg'd later without touching
+    raw data — the building block for incremental distinct-counting over
+    a 100 TB event log. No DuckDB twin (sketch binaries are
+    engine-specific); accuracy and mergeability are asserted in
+    tests/test_operators.py::test_hll_sketch_accuracy_and_merge."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_users_est"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -77,6 +77,22 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type) key,
+    with state BOUNDED by the watermark (dropDuplicatesWithinWatermark
+    evicts keys once the watermark passes them — the property that makes
+    streaming dedup feasible at 100 TB, where an unbounded
+    dropDuplicates state store would grow with the whole key history).
+
+    The batch twin is distinct-on-key; stream==batch on the key SET is
+    asserted in tests/test_streaming.py (the surviving row per key is
+    arrival-order-dependent by definition, so only the key set is the
+    contract)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Replay the whole source with an availableNow trigger into a memory
     sink; returns the result table. Test/dev harness — production sinks

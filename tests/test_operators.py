@@ -85,6 +85,25 @@ def test_approx_count_distinct_close(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_hll_sketch_accuracy_and_merge(spark, sf_dir):
+    """Datasketches HLL: estimate close to exact, and partial sketches
+    built per source partition union to the same estimate as a direct
+    sketch — the mergeability that makes sketches the 100 TB path."""
+    ev = read_table(spark, sf_dir, "events")
+    exact = ev.select(F.count_distinct("user_id").alias("n")).first()["n"]
+    direct = ev.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).first()["n"]
+    assert abs(direct - exact) / exact < 0.05
+
+    # build partials per event_type, then merge: same estimate as direct
+    partials = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partials.select(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+    ).first()["n"]
+    assert merged == direct
+
+
 def test_allpairs_guard_refuses_big_inputs(spark):
     from pyspark_big_data_spark.queries.similarity import ALLPAIRS_MAX_ROWS, guard_allpairs
     import pytest

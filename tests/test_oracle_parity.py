@@ -44,6 +44,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # xxhash64 production hash has no DuckDB twin; true-near-dup
         # recall vs the md5 tier asserted in tests/test_corpus_ops.py.
         "dedup_minhash_fast",
+        # Datasketches HLL binaries are engine-specific; accuracy and
+        # merge==direct asserted in tests/test_operators.py. The exact
+        # twin distinct_users_by_type carries the oracle.
+        "distinct_users_hll_sketch",
     }
     assert missing <= allowed_rows_only, f"queries lacking oracle: {missing}"
 

@@ -91,3 +91,24 @@ def test_stateful_running_user_stats(spark, sf_dir):
     for r in got.collect():
         final[r["user_id"]] = (r["n_events"], round(r["max_value"], 9))
     assert final == want
+
+
+def test_stream_dedup_within_watermark_equals_batch_key_set(spark, sf_dir):
+    """Streaming dropDuplicatesWithinWatermark: one surviving row per
+    (user_id, event_type) key; the key SET equals batch distinct (the
+    surviving row itself is arrival-order-dependent, not part of the
+    contract)."""
+    ev = streams.stream_events(spark, sf_dir)
+    got = streams.run_to_memory(
+        streams.deduped_events(ev), "t_dedup", output_mode="append"
+    )
+    stream_keys = [(r["user_id"], r["event_type"]) for r in got.collect()]
+    assert len(stream_keys) == len(set(stream_keys)), "duplicate keys survived"
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(stream_keys) == batch_keys
