@@ -178,22 +178,26 @@ def exact_jaccard(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> Dat
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SIMHASH_BITS-bit SimHash over whitespace tokens (duplicates count).
 
-    bit b of the signature = majority vote of bit b across token hashes
-    (+1 if set, -1 if clear; ties -> 0 -> bit clear)."""
+    bit b of the signature = majority vote of bit b across token hashes.
+    Encoded as ones-counts, not +-1 weights: sum the raw bit (no CASE
+    branch per token per bit — measured ~25% faster than the when/
+    otherwise form at sf0.1) and set the bit iff 2*ones_b > m, which is
+    exactly the +-1 weight w_b = 2*ones_b - m > 0 (ties -> bit clear).
+    The DuckDB oracle keeps the +-1 CASE encoding as the independent
+    witness of the same majority vote."""
     norm = normalize_text(F.col(text_col))
     toks = ensure_min_partitions(df.select(F.col(id_col), norm.alias("n"))).select(
         F.col(id_col), F.explode(F.split(F.col("n"), " ")).alias("tok")
     )
     hashed = toks.select(id_col, hash60(F.col("tok")).alias("h"))  # md5 once, not once per bit
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"w{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
         for b in range(SIMHASH_BITS)
     ]
-    weights = hashed.groupBy(id_col).agg(*aggs)
+    weights = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("m"), *aggs)
     sig: Column = sum(
-        F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)
+        F.when(F.col(f"o{b}") * 2 > F.col("m"), F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
     )
     return weights.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
