@@ -131,3 +131,45 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and converges fine with enough iterations
     ok = connected_components(nodes, edges, node_col="node", max_iterations=15)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_star_contraction_handles_long_chains_in_log_rounds(spark):
+    """connected_components_star is diameter-independent: a 200-node
+    chain (diameter 199, where propagation needs 199 iterations)
+    resolves within the default 30 star rounds."""
+    from pyspark_big_data_spark.operators.graph import connected_components_star
+
+    nodes = spark.range(200).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(199)], ["id_a", "id_b"])
+    got = connected_components_star(nodes, edges, node_col="node")
+    assert {r["component"] for r in got.collect()} == {0}
+    assert got.count() == 200
+
+
+def test_star_contraction_equals_propagation(spark):
+    """Both algorithms must agree on a mixed graph: several clusters of
+    different shapes plus singletons."""
+    from pyspark_big_data_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    import random
+
+    rng = random.Random(7)
+    # 3 random clusters over disjoint id ranges + 10 singleton nodes
+    edges = []
+    for base in (0, 100, 200):
+        ids = list(range(base, base + 30))
+        for _ in range(40):
+            edges.append((rng.choice(ids), rng.choice(ids)))
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 30)]
+        + [(i,) for i in range(100, 130)]
+        + [(i,) for i in range(200, 230)]
+        + [(i,) for i in range(900, 910)],
+        ["node"],
+    )
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {(r["id"], r["component"]) for r in connected_components(nodes, e, node_col="node").collect()}
+    b = {(r["id"], r["component"]) for r in connected_components_star(nodes, e, node_col="node").collect()}
+    assert a == b
