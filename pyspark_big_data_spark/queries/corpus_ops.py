@@ -387,3 +387,170 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= QUOTA_K)
         .orderBy("lang", "source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 100
+
+_VOCAB_ORACLE = f"""
+SELECT tok,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY cf DESC, tok
+LIMIT {VOCAB_TOP}
+"""
+
+
+@register("vocab_stats", oracle=_VOCAB_ORACLE, driver=False)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: document frequency + collection frequency per
+    term, top-VOCAB_TOP by cf (the tokenizer-/BPE-training input stage).
+    One explode + one shuffle keyed by term; the top-k is a
+    TakeOrderedAndProject, no full sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+        .orderBy(F.col("cf").desc(), "tok")
+        .limit(VOCAB_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+PROBE_MOD = 11  # doc_id % PROBE_MOD == 0 plays the held-out benchmark set
+CONTAM_MIN_SHARED = 2  # shared SPAN_W-token chunks to flag containment
+
+
+def _chunk_fps_sql(rel: str) -> str:
+    """DuckDB chunk fingerprints of a documents-shaped relation."""
+    return f"""
+    SELECT doc_id,
+           md5(array_to_string(list_slice(toks, c * {SPAN_W} + 1, c * {SPAN_W} + {SPAN_W}), ' ')) AS fp
+    FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(ceil(greatest(len(toks), 1) / {float(SPAN_W)}) AS BIGINT) - 1)) AS c
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM {rel})
+    )
+"""
+
+
+_DECONTAM_ORACLE = f"""
+WITH probe_chunks AS (
+    SELECT DISTINCT doc_id, fp FROM ({_chunk_fps_sql("(SELECT * FROM documents WHERE doc_id % {M} = 0)".format(M=PROBE_MOD))})
+),
+corpus_chunks AS (
+    SELECT DISTINCT doc_id, fp FROM ({_chunk_fps_sql("(SELECT * FROM documents WHERE doc_id % {M} <> 0)".format(M=PROBE_MOD))})
+)
+SELECT c.doc_id AS doc_id,
+       MIN(p.doc_id) AS probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+FROM corpus_chunks c JOIN probe_chunks p ON c.fp = p.fp
+GROUP BY c.doc_id
+HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+ORDER BY c.doc_id
+"""
+
+
+def _chunk_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) distinct SPAN_W-token chunk fingerprints (map-side)."""
+    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.greatest(F.size("toks"), F.lit(1)) / F.lit(float(SPAN_W))).cast("long")
+    e = d.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("c")
+    )
+    return e.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("toks", F.col("c") * SPAN_W + 1, F.lit(SPAN_W)), " ")).alias("fp"),
+    ).distinct()
+
+
+@register("decontaminate_vs_probes", oracle=_DECONTAM_ORACLE, driver=False)
+def decontaminate_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that contain
+    held-out evaluation content — here, >= CONTAM_MIN_SHARED shared
+    W-token chunks with any probe document (exact duplicates share all
+    chunks, so containment subsumes exact-match decontamination).
+
+    Shape: probe chunks are a small set -> Catalyst broadcasts them into
+    the fp equi-join; the corpus side is one map-side chunking pass.
+    At 100 TB the probe side (a benchmark suite) stays broadcastable by
+    construction — this is the canonical decontamination plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+    pc = _chunk_fps(probes).select(F.col("doc_id").alias("probe_id"), "fp")
+    cc = _chunk_fps(corpus)
+    return (
+        cc.join(F.broadcast(pc), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.min("probe_id").alias("probe_id"),
+            F.count(F.lit(1)).alias("n_shared_chunks"),
+        )
+        .filter(F.col("n_shared_chunks") >= CONTAM_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture upsampling
+# ---------------------------------------------------------------------------
+
+# per-language mixture weights: repeat floor(w) times, +1 with
+# probability frac(w) decided by the seeded hash bucket (deterministic
+# fractional upsampling — reruns produce the identical mixture)
+MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "es": 1.5, "fr": 0.5, "zh": 2.0}
+MIX_SEED = "up:"
+
+_mix_case_dd = "CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {w}" for lg, w in sorted(MIX_WEIGHTS.items())
+) + " ELSE 1.0 END"
+
+_MIX_ORACLE = f"""
+WITH weighted AS (
+    SELECT doc_id, lang,
+           CAST(floor({_mix_case_dd}) AS BIGINT)
+           + (CASE WHEN ({_H48_DD.format(e=f"'{MIX_SEED}' || CAST(doc_id AS VARCHAR)")} % 100)
+                        < CAST(round(({_mix_case_dd} - floor({_mix_case_dd})) * 100) AS BIGINT)
+              THEN 1 ELSE 0 END) AS n_copies
+    FROM documents
+)
+SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy_no
+FROM weighted
+WHERE n_copies >= 1
+ORDER BY doc_id, copy_no
+"""
+
+
+@register("mixture_upsample", oracle=_MIX_ORACLE, driver=False)
+def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture upsampling: physically repeat each document
+    per its language weight (floor + hash-seeded fractional part).
+    Map-side explode only — no shuffle; the hash-bucket fractional draw
+    makes the sampled mixture a pure function of (seed, doc_id), so a
+    resumed or re-run 100 TB job regenerates the identical mixture."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.lit(1.0)
+    for lg, wt in sorted(MIX_WEIGHTS.items()):
+        w = F.when(F.col("lang") == lg, F.lit(wt)).otherwise(w)
+    bucket = TX.hash48(F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string"))) % 100
+    frac_pct = F.round((w - F.floor(w)) * 100).cast("long")
+    n_copies = F.floor(w).cast("long") + F.when(bucket < frac_pct, 1).otherwise(0)
+    return (
+        docs.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select("doc_id", "lang", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_no"))
+        .orderBy("doc_id", "copy_no")
+    )

@@ -104,3 +104,53 @@ def test_fast_minhash_tier_finds_true_near_dups(spark, sf_dir):
     for label, found in (("md5", md5_pairs), ("xxhash64", fast_pairs)):
         recall = len(truth & found) / len(truth)
         assert recall >= 0.9, f"{label} tier misses true near-dups: recall {recall:.2f}"
+
+
+def test_vocab_stats_order_and_bounds(spark, sf_dir):
+    from pyspark_big_data_spark.queries.corpus_ops import VOCAB_TOP, vocab_stats
+
+    rows = vocab_stats(spark, sf_dir).collect()
+    assert 0 < len(rows) <= VOCAB_TOP
+    cfs = [r.cf for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    assert all(r.df <= r.cf for r in rows)  # df can never exceed cf
+
+
+def test_decontamination_flags_only_corpus_docs(spark, sf_dir):
+    from pyspark_big_data_spark.queries.corpus_ops import (
+        CONTAM_MIN_SHARED,
+        PROBE_MOD,
+        decontaminate_vs_probes,
+    )
+
+    rows = decontaminate_vs_probes(spark, sf_dir).collect()
+    assert rows, "no contamination found — fixture should contain planted dups"
+    for r in rows:
+        assert r.doc_id % PROBE_MOD != 0, "a probe doc flagged itself"
+        assert r.probe_id % PROBE_MOD == 0
+        assert r.n_shared_chunks >= CONTAM_MIN_SHARED
+
+
+def test_mixture_upsample_copies_match_weights(spark, sf_dir):
+    from pyspark_big_data_spark.queries.corpus_ops import MIX_WEIGHTS, mixture_upsample
+
+    df = mixture_upsample(spark, sf_dir)
+    per_lang = {
+        r.lang: r.n
+        for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, w in MIX_WEIGHTS.items():
+        if lang not in base:
+            continue
+        ratio = per_lang.get(lang, 0) / base[lang]
+        # fractional part is a hash draw: allow sampling noise around w
+        assert abs(ratio - w) < 0.35, f"{lang}: ratio {ratio:.2f} vs weight {w}"
+    # deterministic on rerun
+    assert df.count() == mixture_upsample(spark, sf_dir).count()
