@@ -554,3 +554,214 @@ def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_no"))
         .orderBy("doc_id", "copy_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_NSHARDS = 8  # parallel packing streams per language
+PACK_SEED = "pk:"
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+           ({_H48_DD.format(e="'" + PACK_SEED + "' || CAST(doc_id AS VARCHAR)")} % {PACK_NSHARDS}) AS shard
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, shard, n_toks,
+           CAST(SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM t
+),
+assigned AS (
+    SELECT lang, shard, n_toks, cum,
+           CAST(floor((cum - n_toks) * 1.0 / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           CASE WHEN CAST(floor((cum - 1) * 1.0 / {PACK_BUDGET}) AS BIGINT)
+                     > CAST(floor((cum - n_toks) * 1.0 / {PACK_BUDGET}) AS BIGINT)
+                THEN 1 ELSE 0 END AS splits
+    FROM c
+)
+SELECT lang, shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS pack_tokens,
+       CAST(SUM(splits) AS BIGINT) AS n_split_docs
+FROM assigned
+GROUP BY lang, shard, pack_id
+ORDER BY lang, shard, pack_id
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE, driver=False)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in deterministic
+    order and chunk the token stream into PACK_BUDGET-token training
+    sequences; each document is assigned to the pack where it STARTS,
+    and ``n_split_docs`` counts documents straddling a pack boundary.
+
+    The scale design is the sharding: packing is an inherently ordered
+    (cumulative-sum) operation, so a single global window would funnel
+    100 TB through one reducer per language. Sharding by a seeded hash
+    of doc_id first gives PACK_NSHARDS independent, deterministic
+    packing streams per language — the window shuffle is keyed by
+    (lang, shard) and parallelizes; raise PACK_NSHARDS to match the
+    cluster. The cumulative sum itself is one running-window pass and
+    the final per-pack rollup is a partial+final aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+        (TX.hash48(F.concat(F.lit(PACK_SEED), F.col("doc_id").cast("string"))) % PACK_NSHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_toks").over(w))
+    start_pack = F.floor((F.col("cum") - F.col("n_toks")) / F.lit(float(PACK_BUDGET))).cast("long")
+    end_pack = F.floor((F.col("cum") - 1) / F.lit(float(PACK_BUDGET))).cast("long")
+    assigned = c.select(
+        "lang",
+        "shard",
+        "n_toks",
+        start_pack.alias("pack_id"),
+        F.when(end_pack > start_pack, 1).otherwise(0).alias("splits"),
+    )
+    return (
+        assigned.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("pack_tokens"),
+            F.sum("splits").alias("n_split_docs"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality metrics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+REP_MAX_TOP_TOKEN_FRAC = 0.11  # ~75th pct on the synthetic corpus
+REP_MAX_TOP_BIGRAM_FRAC = 0.05
+
+_REP_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(toks) AS tok FROM base
+),
+tc AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, tok
+),
+td AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_toks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_tok
+    FROM tc GROUP BY doc_id
+),
+bgs AS (
+    SELECT doc_id, list_extract(toks, p) || ' ' || list_extract(toks, p + 1) AS bg
+    FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS p
+        FROM base WHERE len(toks) >= 2
+    )
+),
+bc AS (
+    SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c FROM bgs GROUP BY doc_id, bg
+),
+bd AS (
+    SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bg FROM bc GROUP BY doc_id
+)
+SELECT td.doc_id AS doc_id, n_toks, n_distinct,
+       ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS distinct_frac,
+       ROUND(CAST(top_tok AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS top_token_frac,
+       CASE WHEN n_toks > 1
+            THEN ROUND(CAST(COALESCE(top_bg, 0) AS DOUBLE) / CAST(n_toks - 1 AS DOUBLE), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CAST(CASE WHEN CAST(top_tok AS DOUBLE) / CAST(n_toks AS DOUBLE) <= {REP_MAX_TOP_TOKEN_FRAC}
+                  AND CAST(COALESCE(top_bg, 0) AS DOUBLE) / CAST(GREATEST(n_toks - 1, 1) AS DOUBLE) <= {REP_MAX_TOP_BIGRAM_FRAC}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM td LEFT JOIN bd ON td.doc_id = bd.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("repetition_metrics", oracle=_REP_ORACLE, driver=False)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality: per-document distinct-token
+    ratio, most-frequent-token fraction, and most-frequent-bigram
+    fraction, with a keep/drop flag at fixed thresholds (the repetition
+    rules of the Gopher/MassiveText and C4 cleaning recipes).
+
+    Shape: every shuffle is keyed by doc_id — explode is map-side, the
+    (doc_id, gram) counts are partial+final aggregates, and the final
+    token/bigram join is a same-key equi-join. No global state, so this
+    runs at scan speed on 100 TB. Fractions are a single IEEE division
+    of two integers (bit-identical across engines); round(6) is belt
+    and braces."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    tc = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    td = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    bd = (
+        base.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"))
+    )
+    top_tok_frac = F.col("top_tok").cast("double") / F.col("n_toks").cast("double")
+    top_bg_frac = F.coalesce(F.col("top_bg"), F.lit(0)).cast("double") / F.greatest(
+        F.col("n_toks") - 1, F.lit(1)
+    ).cast("double")
+    return (
+        td.join(bd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_distinct",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_toks").cast("double"), 6).alias(
+                "distinct_frac"
+            ),
+            F.round(top_tok_frac, 6).alias("top_token_frac"),
+            F.when(
+                F.col("n_toks") > 1,
+                F.round(
+                    F.coalesce(F.col("top_bg"), F.lit(0)).cast("double")
+                    / (F.col("n_toks") - 1).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+            F.when(
+                (top_tok_frac <= REP_MAX_TOP_TOKEN_FRAC) & (top_bg_frac <= REP_MAX_TOP_BIGRAM_FRAC),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -154,3 +154,51 @@ def test_mixture_upsample_copies_match_weights(spark, sf_dir):
         assert abs(ratio - w) < 0.35, f"{lang}: ratio {ratio:.2f} vs weight {w}"
     # deterministic on rerun
     assert df.count() == mixture_upsample(spark, sf_dir).count()
+
+
+def test_pack_sequences_conserves_tokens_and_bounds_packs(spark, sf_dir):
+    from pyspark_big_data_spark.queries.corpus_ops import (
+        PACK_BUDGET,
+        PACK_NSHARDS,
+        pack_sequences,
+    )
+    from pyspark_big_data_spark.functions import text as TX
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_toks = docs.select(
+        F.sum(F.size(TX.tokens(F.col("text"))).cast("long")).alias("n")
+    ).collect()[0].n
+    # token conservation: every document lands in exactly one pack
+    assert sum(r.pack_tokens for r in rows) == total_toks
+    for r in rows:
+        assert 0 <= r.shard < PACK_NSHARDS
+        assert r.pack_id >= 0
+        assert r.n_split_docs <= r.n_docs
+    # within a (lang, shard) stream, pack ids are contiguous from 0 and
+    # every pack except possibly the last starts below the budget line
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in rows:
+        streams[(r.lang, r.shard)].append(r)
+    for key, packs in streams.items():
+        packs.sort(key=lambda r: r.pack_id)
+        assert [p.pack_id for p in packs] == list(range(len(packs))), key
+
+
+def test_repetition_metrics_flags_planted_repeats(spark, sf_dir):
+    from pyspark_big_data_spark.queries.corpus_ops import repetition_metrics
+
+    rows = repetition_metrics(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    kept = [r for r in rows if r.keep == 1]
+    assert 0 < len(kept) < len(rows), "thresholds should split the corpus"
+    for r in rows:
+        assert 0.0 < r.distinct_frac <= 1.0
+        assert 0.0 < r.top_token_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        # the mode can't be rarer than the uniform floor (round-6 slack)
+        assert r.top_token_frac * r.n_toks >= 1.0 - 1e-4
