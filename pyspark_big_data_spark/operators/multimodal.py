@@ -104,6 +104,149 @@ def _fake_features(payload: bytes) -> list[float]:
     return feats[:FEATURE_DIM]
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType()),
+                    T.StructField("format", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic nearest-neighbor downsample of the raw byte stream
+    to exactly width*height bytes — the codec-less stand-in for a pixel
+    resize (same index math a 1-D nearest-neighbor resampler uses)."""
+    n_out = width * height
+    n_in = len(payload)
+    if n_in == 0:
+        return bytes(n_out)
+    return bytes(payload[(i * n_in) // n_out] for i in range(n_out))
+
+
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real codec path: decode, resize, re-encode PNG (requires pillow)."""
+    import io
+
+    img = decode_image(payload).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    batches: int = 32,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """mapInPandas media resize: payload -> fixed (width, height) with
+    the metadata struct rewritten to match.
+
+    Resolution order mirrors ``extract_features``: explicit ``resizer``
+    > real codec (pillow) > deterministic byte-stub. Output schema is
+    identical on every path, so downstream plans never depend on which
+    codec was present at runtime.
+    """
+    if resizer is None:
+        resizer = _pil_resize if codec_available() else _stub_resize
+
+    def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches_iter:
+            resized = pdf[media_col].map(lambda p: resizer(p, width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": resized,
+                    "media_meta": [
+                        {
+                            "media_type": "image",
+                            "format": "resized",
+                            "n_bytes": len(p),
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                        }
+                        for p in resized
+                    ],
+                }
+            )
+
+    narrow = df.select(id_col, media_col).repartition(batches)
+    return narrow.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every: int = 5,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    batches: int = 32,
+    splitter: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling for video-typed payloads: split each payload into
+    frames, keep every ``every``-th, one output row per kept frame.
+
+    Without a container demuxer in the environment, the default
+    ``splitter`` treats the payload as fixed-size ``frame_bytes`` chunks
+    (a raw/uncompressed-stream model); a real demuxer (pyav/ffmpeg)
+    plugs in via ``splitter`` with no plan change. The fan-out happens
+    inside the Arrow batch (one input row -> ceil(n_frames/every) output
+    rows), so no explode/shuffle is needed.
+    """
+    if splitter is None:
+
+        def splitter(p: bytes) -> list[bytes]:
+            return [p[i : i + frame_bytes] for i in range(0, len(p), frame_bytes)] or [b""]
+
+    def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches_iter:
+            ids, idxs, totals, frames = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                fr = splitter(payload)
+                for j in range(0, len(fr), every):
+                    ids.append(int(doc_id))
+                    idxs.append(j)
+                    totals.append(len(fr))
+                    frames.append(fr[j])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    narrow = df.select(id_col, media_col).repartition(batches)
+    return narrow.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",

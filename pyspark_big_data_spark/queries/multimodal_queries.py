@@ -42,3 +42,58 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 2), 6).alias("mean_byte"),
     ).orderBy("doc_id")
+
+
+# The stub resize is nearest-neighbor indexing over the raw byte stream,
+# and the corpus is pure ASCII (verified: max codepoint 121) — so the
+# byte math replays over characters in SQL and the md5 checksums must
+# agree bit-for-bit. In-repo parity gate only (driver surface is capped).
+_RESIZE_W = 32
+_RESIZE_H = 32
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       md5(string_agg(substr(text, (i * length(text)) // {_RESIZE_W * _RESIZE_H} + 1, 1),
+                      '' ORDER BY i)) AS checksum
+FROM documents, generate_series(0, {_RESIZE_W * _RESIZE_H - 1}) AS t(i)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE, driver=False)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every media payload to a fixed (W, H) via the Arrow batch
+    path; checksum proves the resampled bytes, not just the plumbing."""
+    docs = MM.attach_media(read_table(spark, sf_dir, "documents"))
+    rz = MM.resize_media(docs, width=_RESIZE_W, height=_RESIZE_H)
+    return rz.select("doc_id", F.md5(F.col("media")).alias("checksum")).orderBy("doc_id")
+
+
+_FRAME_BYTES = 256
+_FRAME_EVERY = 5
+_FRAMES_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, text, (length(text) + {_FRAME_BYTES - 1}) // {_FRAME_BYTES} AS n_frames
+    FROM documents
+),
+f AS (
+    SELECT doc_id, n_frames,
+           unnest(generate_series(0, n_frames - 1, {_FRAME_EVERY})) AS frame_idx
+    FROM d
+)
+SELECT f.doc_id, f.frame_idx, f.n_frames,
+       md5(substr(d.text, CAST(f.frame_idx * {_FRAME_BYTES} + 1 AS INTEGER), {_FRAME_BYTES})) AS checksum
+FROM f JOIN d ON d.doc_id = f.doc_id
+ORDER BY f.doc_id, f.frame_idx
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE, driver=False)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-model frame sampling: fixed-size chunk frames, every 5th
+    kept, fan-out inside the Arrow batch (no explode shuffle)."""
+    docs = MM.attach_media(read_table(spark, sf_dir, "documents"), media_type="video")
+    fr = MM.sample_frames(docs, frame_bytes=_FRAME_BYTES, every=_FRAME_EVERY)
+    return fr.select(
+        "doc_id", "frame_idx", "n_frames", F.md5(F.col("frame")).alias("checksum")
+    ).orderBy("doc_id", "frame_idx")

@@ -74,3 +74,69 @@ def test_image_features_shape_when_codec_present():
     Image.new("L", (8, 8), color=200).save(buf, format="PNG")
     feats = MM._image_features(buf.getvalue())
     assert len(feats) == MM.FEATURE_DIM and feats[0] == 8.0 and feats[1] == 8.0
+
+
+def test_resize_media_stub_matches_python(spark, sf_dir):
+    docs = MM.attach_media(read_table(spark, sf_dir, "documents")).limit(8)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    out = {r["doc_id"]: r for r in MM.resize_media(docs, width=4, height=3).collect()}
+    assert set(out) == set(texts)
+    for doc_id, text in texts.items():
+        expect = MM._stub_resize(text.encode("utf-8"), 4, 3)
+        row = out[doc_id]
+        assert bytes(row["media"]) == expect
+        assert len(expect) == 12
+        assert row["media_meta"]["width"] == 4 and row["media_meta"]["height"] == 3
+        assert row["media_meta"]["format"] == "resized"
+
+
+def test_resize_media_partitioning_invariant(spark, sf_dir):
+    docs = MM.attach_media(read_table(spark, sf_dir, "documents"))
+    a = {r["doc_id"]: bytes(r["media"]) for r in MM.resize_media(docs, batches=3).collect()}
+    b = {r["doc_id"]: bytes(r["media"]) for r in MM.resize_media(docs, batches=17).collect()}
+    assert a == b
+
+
+def test_resize_media_injected_resizer(spark, sf_dir):
+    docs = MM.attach_media(read_table(spark, sf_dir, "documents")).limit(5)
+
+    def reverse_resizer(payload: bytes, w: int, h: int) -> bytes:
+        return payload[::-1][: w * h]
+
+    out = MM.resize_media(docs, width=2, height=2, resizer=reverse_resizer)
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in out.collect():
+        assert bytes(r["media"]) == texts[r["doc_id"]].encode("utf-8")[::-1][:4]
+
+
+def test_sample_frames_chunk_math(spark, sf_dir):
+    frame_bytes, every = 64, 3
+    docs = MM.attach_media(
+        read_table(spark, sf_dir, "documents"), media_type="video"
+    ).limit(10)
+    texts = {r["doc_id"]: r["text"].encode("utf-8") for r in docs.select("doc_id", "text").collect()}
+    rows = MM.sample_frames(docs, frame_bytes=frame_bytes, every=every).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, payload in texts.items():
+        n_frames = max((len(payload) + frame_bytes - 1) // frame_bytes, 1)
+        expect_idx = list(range(0, n_frames, every))
+        got = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == expect_idx
+        assert all(r["n_frames"] == n_frames for r in got)
+        for r in got:
+            start = r["frame_idx"] * frame_bytes
+            assert bytes(r["frame"]) == payload[start : start + frame_bytes]
+
+
+def test_sample_frames_injected_splitter(spark, sf_dir):
+    docs = MM.attach_media(read_table(spark, sf_dir, "documents")).limit(3)
+
+    def two_halves(payload: bytes) -> list[bytes]:
+        mid = len(payload) // 2
+        return [payload[:mid], payload[mid:]]
+
+    rows = MM.sample_frames(docs, every=1, splitter=two_halves).collect()
+    assert all(r["n_frames"] == 2 for r in rows)
+    assert sorted({r["frame_idx"] for r in rows}) == [0, 1]

@@ -40,7 +40,42 @@ FACT_OFFSETS: dict[str, tuple[str, ...]] = {
 }
 
 
-def scale_table(src: str, dst: str, name: str, n_copies: int) -> int:
+def _salt_texts(texts: list[str], copy: int) -> list[str]:
+    """Rewrite every token through a per-copy vocabulary bijection
+    (same-length md5-derived a-z rename, cached per distinct token).
+
+    Within a copy, identical tokens stay identical and token lengths
+    are preserved, so intra-copy document similarity — exact-dup,
+    shingle Jaccard, MinHash estimates, winnow fingerprints — carries
+    over from the source corpus. Across copies the same token maps to
+    unrelated strings, so cross-copy replicas share ~no shingles. True
+    near-dup pair volume then grows ~linearly with N — the shape of a
+    real larger corpus — instead of quadratically as with verbatim
+    replicas. (A position-keyed constant-salt scheme was tried first
+    and rejected: constant salts shared across documents inflated
+    cross-document similarity ~24x.)
+    """
+    import hashlib
+
+    cache: dict[str, str] = {}
+    out = []
+    for text in texts:
+        toks = text.split(" ")
+        for k, t in enumerate(toks):
+            r = cache.get(t)
+            if r is None:
+                # a-z alphabet (not hex): keeps char-shingle entropy close
+                # to natural text so shingle-overlap stats don't collapse
+                d = hashlib.md5(f"{copy}:{t}".encode()).digest()
+                az = "".join(chr(97 + b % 26) for b in d)
+                r = (az * (len(t) // 16 + 1))[: len(t)] if t else t
+                cache[t] = r
+            toks[k] = r
+        out.append(" ".join(toks))
+    return out
+
+
+def scale_table(src: str, dst: str, name: str, n_copies: int, salt_docs: bool = False) -> int:
     t = pq.read_table(f"{src}/{name}.parquet")
     if name in DIMS:
         pq.write_table(t, f"{dst}/{name}.parquet")
@@ -52,6 +87,14 @@ def scale_table(src: str, dst: str, name: str, n_copies: int) -> int:
             idx = c.schema.get_field_index(col)
             shifted = pc.add(c.column(col), pa.scalar(i * STRIDE, type=c.schema.field(col).type))
             c = c.set_column(idx, c.schema.field(col), shifted)
+        if salt_docs and name == "documents" and i > 0:
+            idx = c.schema.get_field_index("text")
+            salted = pa.array(_salt_texts(c.column("text").to_pylist(), i), type=pa.string())
+            c = c.set_column(idx, c.schema.field("text"), salted)
+            if "n_chars" in c.schema.names:
+                nidx = c.schema.get_field_index("n_chars")
+                nchars = pc.utf8_length(c.column("text")).cast(c.schema.field("n_chars").type)
+                c = c.set_column(nidx, c.schema.field("n_chars"), nchars)
         copies.append(c)
     out = pa.concat_tables(copies)
     pq.write_table(out, f"{dst}/{name}.parquet")
@@ -59,12 +102,18 @@ def scale_table(src: str, dst: str, name: str, n_copies: int) -> int:
 
 
 def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else f"/root/repo/.scale/sf{n_copies}x"
+    args = [a for a in sys.argv[1:] if a != "--salt-docs"]
+    salt_docs = "--salt-docs" in sys.argv[1:]
+    n_copies = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    dst = (
+        args[2]
+        if len(args) > 2
+        else f"/root/repo/.scale/sf{n_copies}x{'_salted' if salt_docs else ''}"
+    )
     os.makedirs(dst, exist_ok=True)
     for name in list(DIMS) + list(FACT_OFFSETS):
-        rows = scale_table(src, dst, name, n_copies)
+        rows = scale_table(src, dst, name, n_copies, salt_docs=salt_docs)
         print(f"{name}: {rows} rows -> {dst}/{name}.parquet")
 
 
