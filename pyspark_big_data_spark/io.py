@@ -112,6 +112,72 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     return df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """JSON-lines scan with a declared schema (no inference pre-scan).
+
+    JSONL is the interchange format of LLM training corpora; an explicit
+    schema matters doubly here — inference over text-heavy JSON costs a
+    full extra pass AND silently widens types on dirty rows. Corrupt
+    lines land in the standard ``_corrupt_record`` column when the
+    schema declares one (PERMISSIVE mode) instead of failing the job.
+    """
+    ensure_session_confs(spark)
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    shards: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink — the training-export format.
+
+    ``shards`` repartitions so the export lands as a fixed shard count
+    (training loaders usually want n_shards ≈ n_readers, not one file
+    per upstream task); ``compression`` (e.g. ``gzip``/``zstd`` where
+    the codec is present) trades CPU for the usual ~5-10x text ratio.
+    Binary columns are not JSON-representable — cast or base64 first;
+    this guard fails fast instead of writing corrupt exports.
+    """
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.BinaryType):
+            raise ValueError(
+                f"column {field.name!r} is BinaryType: JSONL cannot carry raw "
+                "bytes — base64() it (or drop it) before export"
+            )
+    if shards is not None:
+        df = df.repartition(shards)
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (columnar twin of S2 — pruning + pushdown apply equally)."""
+    ensure_session_confs(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink, partition-pruned like the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def literal_dim(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     """Small in-memory dimension table (S4, == ``src/query3.py:7-32``).
 
