@@ -4,6 +4,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     analytics,
     ann_ivf,
     cleaning,
+    clustering,
     corpus_ops,
     dedup,
     event_windows,

@@ -1,0 +1,102 @@
+"""Embedding clustering + SemDeDup-style semantic dedup.
+
+SemDeDup (semantic dedup over embedding clusters) is the scale recipe
+for meaning-level near-dup removal in training corpora: k-means the
+embeddings, then compare pairs ONLY within a cluster — Σ cluster_size²
+work instead of n². Both stages here are fully oracled: the k-means
+oracle is *generated* from the same constants by
+``operators/kmeans.py::kmeans_oracle_sql`` (unrolled Lloyd iterations,
+decimal-exact distances), so Spark and DuckDB replay the identical
+fixpoint path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.operators import kmeans as KM
+from pyspark_big_data_spark.queries.registry import register
+
+_K = 8
+_ITERS = 3
+_COS_THRESHOLD = 0.4
+
+_CHAIN, _FINAL = KM.kmeans_oracle_sql(k=_K, iters=_ITERS)
+
+_KMEANS_ORACLE = f"""{_CHAIN}
+SELECT vec_id, cid AS cluster FROM {_FINAL} ORDER BY vec_id
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+@register("kmeans_clusters", oracle=_KMEANS_ORACLE, driver=False)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means cluster assignment for every embedding (k={_K},
+    {_ITERS} iterations, deterministic smallest-id init)."""
+    return KM.kmeans_assignments(_emb(spark, sf_dir), k=_K, iters=_ITERS).orderBy("vec_id")
+
+
+_SEMANTIC_ORACLE = f"""{_CHAIN}
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM {_FINAL} x
+JOIN {_FINAL} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+JOIN v a ON a.vec_id = x.vec_id
+JOIN v b ON b.vec_id = y.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {_COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@register("semantic_dedup", oracle=_SEMANTIC_ORACLE, driver=False)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: near-dup pairs (cosine >= {_COS_THRESHOLD}) compared
+    only WITHIN a k-means cluster — the candidate equi-join is on the
+    cluster id, so the pair bill is Σ cluster_size², never n².
+
+    Recall caveat by construction (true of SemDeDup itself): a pair
+    split across clusters is never compared. The exact all-pairs
+    witness is ``embedding_near_dup``; the oracle here replays the same
+    cluster-then-compare path, so parity is exact regardless.
+    """
+    emb = _emb(spark, sf_dir)
+    # n tiny rows; without the cache the whole Lloyd lineage runs once
+    # per self-join side
+    assign = KM.kmeans_assignments(emb, k=_K, iters=_ITERS).cache()
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    # norms hoisted BELOW the join (computed n times, not Σ cluster_size²
+    # times); sqrt(dot(x,x)) is the identical double either way, so the
+    # per-pair oracle arithmetic is unchanged
+    ann = emb.join(assign, "vec_id").select(
+        "vec_id", "e", "cluster", nrm(F.col("e")).alias("nn")
+    )
+    a = ann.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "cluster", F.col("nn").alias("na")
+    )
+    b = ann.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("nn").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= _COS_THRESHOLD)
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine")).orderBy(
+        "id_a", "id_b"
+    )

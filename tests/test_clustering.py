@@ -1,0 +1,67 @@
+"""Lloyd k-means + SemDeDup invariants (the differential parity itself is
+covered by tests/test_oracle_parity.py over the generated oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.operators import kmeans as KM
+from pyspark_big_data_spark.queries.clustering import _K, semantic_dedup
+from pyspark_big_data_spark.queries.similarity import embedding_near_dup
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def test_kmeans_covers_all_vectors_with_at_most_k_clusters(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    assign = KM.kmeans_assignments(emb, k=_K, iters=3)
+    assert assign.count() == emb.count()  # every vector labeled exactly once
+    assert assign.select("cluster").distinct().count() <= _K
+
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = dict(KM.kmeans_assignments(emb, k=_K, iters=3).collect())
+    b = dict(KM.kmeans_assignments(emb.repartition(13), k=_K, iters=3).collect())
+    assert a == b  # decimal-exact sums: layout cannot flip an argmin
+
+
+def test_kmeans_iterations_reduce_or_hold_inertia(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    pv = KM.long_form(emb)
+
+    def inertia(iters: int) -> float:
+        assign = KM.kmeans_assignments(emb, k=_K, iters=iters)
+        cent = (
+            pv.join(assign, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("cval"))
+        )
+        return (
+            pv.join(assign, "vec_id")
+            .join(cent, ["cluster", "pos"])
+            .select(((F.col("val") - F.col("cval")) ** 2).alias("sq"))
+            .agg(F.sum("sq"))
+            .collect()[0][0]
+        )
+
+    assert inertia(3) <= inertia(1) + 1e-9  # Lloyd is monotone in inertia
+
+
+def test_semantic_dedup_pairs_are_subset_of_exact_witness(spark, sf_dir):
+    sem = {
+        (r["id_a"], r["id_b"]) for r in semantic_dedup(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup(spark, sf_dir).collect()
+    }
+    # within-cluster comparison can only MISS pairs, never invent them
+    assert sem <= exact
+    if exact:
+        recall = len(sem) / len(exact)
+        assert recall > 0  # on this corpus some planted pairs co-cluster

@@ -15,6 +15,8 @@ _PYTHON_OK = {
     "q4_avg_distance_geodesic",
     "q4_avg_distance_sql_udf",
     "multimodal_feature_extract",
+    "multimodal_resize",  # Arrow mapInPandas resample by design
+    "multimodal_frame_sample",  # Arrow mapInPandas chunker by design
     "dedup_minhash_ml",  # ml models may stage through python/udf wrappers
     "ann_brp_lsh_ml",
     "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
