@@ -765,3 +765,101 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM fluency scoring (the CCNet-style LM quality filter, exact)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, {_TOKS} AS arr FROM documents WHERE len({_TOKS}) >= 2
+),
+posn AS (
+    SELECT doc_id, arr, unnest(generate_series(2, len(arr))) AS pos FROM d
+),
+big AS (
+    SELECT doc_id, arr[pos - 1] AS prev, arr[pos] AS tok FROM posn
+),
+n2 AS (
+    SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS n2 FROM big GROUP BY prev, tok
+),
+n1 AS (
+    SELECT prev, CAST(COUNT(*) AS BIGINT) AS n1 FROM big GROUP BY prev
+),
+voc AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+    FROM (SELECT unnest(arr) AS tok FROM d)
+),
+scored AS (
+    SELECT b.doc_id,
+           ln(CAST(n2.n2 + 1 AS DOUBLE) / CAST(n1.n1 + voc.v AS DOUBLE)) AS lp
+    FROM big b
+    JOIN n2 ON n2.prev = b.prev AND n2.tok = b.tok
+    JOIN n1 ON n1.prev = b.prev
+    CROSS JOIN voc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS mean_logp
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("bigram_fluency", oracle=_BIGRAM_ORACLE, driver=False)
+def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    bigram LM trained on the corpus itself — the CCNet-recipe LM quality
+    filter (low scores = disfluent/boilerplate docs), with the corpus
+    standing in for the external reference LM the env doesn't ship.
+
+    Exactness: bigram extraction is map-side array slicing (explode of
+    positions 2..len + element_at — no per-doc window shuffle); counts
+    are integers; each smoothed probability is one IEEE double division;
+    ln() ulps are absorbed by round(mean, 6) over a decimal-exact sum —
+    the same policy as bm25_topk. The vocab size is a 1-row broadcast
+    scalar (bm25's pattern, allowlisted).
+
+    Scale: two count aggregates (n2, n1 — partial+final), two equi-joins
+    keyed on the bigram/prev, one scalar broadcast. The n2 table is the
+    corpus bigram vocabulary — at 100 TB cap it (min-count pruning) or
+    hash the keys; nothing here is all-pairs.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    big = d.select(
+        "doc_id", "arr", F.explode(F.sequence(F.lit(2), F.size("arr"))).alias("pos")
+    ).select(
+        "doc_id",
+        F.element_at("arr", F.col("pos") - 1).alias("prev"),
+        F.element_at("arr", F.col("pos")).alias("tok"),
+    )
+    n2 = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("n2"))
+    n1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    voc = d.select(F.explode("arr").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    lp = F.log(
+        (F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("v")).cast("double")
+    )
+    scored = (
+        big.join(n2, ["prev", "tok"])
+        .join(n1, ["prev"])
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -202,3 +202,24 @@ def test_repetition_metrics_flags_planted_repeats(spark, sf_dir):
         assert 0.0 <= r.top_bigram_frac <= 1.0
         # the mode can't be rarer than the uniform floor (round-6 slack)
         assert r.top_token_frac * r.n_toks >= 1.0 - 1e-4
+
+
+def test_bigram_fluency_matches_python_tokenization(spark, sf_dir):
+    import re
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.corpus_ops import bigram_fluency
+
+    out = {r["doc_id"]: r for r in bigram_fluency(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_expected = 0
+    for r in docs:
+        toks = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        if len(toks) < 2:
+            assert r["doc_id"] not in out
+            continue
+        n_expected += 1
+        row = out[r["doc_id"]]
+        assert row["n_bigrams"] == len(toks) - 1
+        assert row["mean_logp"] < 0  # smoothed probability is always < 1
+    assert len(out) == n_expected

@@ -38,6 +38,7 @@ _NESTED_LOOP_OK = {
 # so this is the only spelling of a scalar attach.
 _SCALAR_BROADCAST_OK = {
     "bm25_topk",
+    "bigram_fluency",
 }
 
 
