@@ -78,6 +78,32 @@ def main() -> None:
         )
     )
 
+    # --- SemDeDup tier: within-cluster pairs only ---
+    from pyspark_big_data_spark.operators.kmeans import kmeans_assignments
+    from pyspark_big_data_spark.queries.clustering import _ITERS, _K, semantic_dedup
+
+    sem_hits = pair_set(semantic_dedup(spark, sf_dir))
+    emb_e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sizes = [
+        r["c"]
+        for r in kmeans_assignments(emb_e, k=_K, iters=_ITERS)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    sem_cand = sum(s * (s - 1) // 2 for s in sizes)
+    rows.append(
+        (
+            "near-dup pairs",
+            f"semantic_dedup (k-means k={_K}, within-cluster)",
+            len(sem_hits & truth),
+            len(truth),
+            sem_cand,
+        )
+    )
+
     # --- top-k recall (truth: brute-force top-k per probe) ---
     from pyspark_big_data_spark.queries.ann_ivf import _NPROBE, _PROBE_MOD
 
