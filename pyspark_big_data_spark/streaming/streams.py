@@ -107,3 +107,17 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """readStream over a JSONL directory (file source, explicit schema).
+
+    The streaming twin of ``io.read_jsonl``: new shard files appearing in
+    ``path`` become micro-batches — the standard continuous-ingestion
+    shape for training corpora landing as JSONL drops. Schema is
+    mandatory (streaming reads never infer); declare a
+    ``_corrupt_record`` column to keep dirty lines from failing the
+    stream, same as the batch reader.
+    """
+    ensure_session_confs(spark)
+    return spark.readStream.schema(schema).json(path)

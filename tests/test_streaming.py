@@ -112,3 +112,28 @@ def test_stream_dedup_within_watermark_equals_batch_key_set(spark, sf_dir):
         .collect()
     }
     assert set(stream_keys) == batch_keys
+
+
+def test_stream_jsonl_ingestion_equals_batch(spark, sf_dir, tmp_path):
+    # land the documents table as JSONL shards, then stream-ingest them:
+    # a count-by-lang over the stream must equal the batch aggregate
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table, write_jsonl
+    from pyspark_big_data_spark.streaming.streams import run_to_memory, stream_jsonl
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "jsonl_drop")
+    write_jsonl(docs, path, shards=3)
+
+    stream = stream_jsonl(spark, path, docs.schema)
+    agg = stream.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {
+        (r["lang"], r["cnt"])
+        for r in run_to_memory(agg, "jsonl_ingest", output_mode="complete").collect()
+    }
+    want = {
+        (r["lang"], r["cnt"])
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
