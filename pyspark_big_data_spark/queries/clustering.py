@@ -100,3 +100,51 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine")).orderBy(
         "id_a", "id_b"
     )
+
+
+@register("semantic_dedup_np", driver=False)  # fast tier; agreement-gated in pytest
+def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS fast tier of semantic_dedup: identical clusters (the exact
+    decimal-tier Lloyd assignment is reused — it is NOT the bottleneck),
+    but the within-cluster pair stage runs as one applyInPandas per
+    cluster: normalize the cluster's matrix, one X @ X.T, take the upper
+    triangle over the threshold. At the 10x stress SF the interpreted
+    HOF pair stage is ~94 s of semantic_dedup's 137 s; this tier runs
+    the identical pair set in ~33 s (one shuffle by cluster + Arrow
+    transfer dominates, the matmul is negligible — PERFORMANCE.md).
+    Per-cluster memory is O(size²) doubles — the same cluster-size knob
+    (grow k with n) that bounds the pair bill bounds the matmul.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    assign = KM.kmeans_assignments(emb, k=_K, iters=_ITERS)
+    ann = emb.join(assign, "vec_id").select("vec_id", "e", "cluster")
+
+    def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["e"].to_numpy())
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        s = x @ x.T
+        iu, ju = np.triu_indices(n, k=1)
+        cos = s[iu, ju]
+        keep = cos >= _COS_THRESHOLD
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": np.round(cos[keep], 6),
+            }
+        )
+
+    out = ann.groupBy("cluster").applyInPandas(
+        pairs_in_cluster, schema="id_a long, id_b long, cosine double"
+    )
+    return out.orderBy("id_a", "id_b")

@@ -65,3 +65,23 @@ def test_semantic_dedup_pairs_are_subset_of_exact_witness(spark, sf_dir):
     if exact:
         recall = len(sem) / len(exact)
         assert recall > 0  # on this corpus some planted pairs co-cluster
+
+
+def test_semantic_dedup_np_tier_matches_exact(spark, sf_dir):
+    from pyspark_big_data_spark.queries.clustering import semantic_dedup_np
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"] for r in semantic_dedup(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_np(spark, sf_dir).collect()
+    }
+    # BLAS vs sequential-fold sums differ in last ulps, which can only
+    # flip pairs whose cosine ties the threshold to ~1e-12 — demand
+    # near-total agreement and 6dp cosine agreement on the overlap
+    overlap = set(exact) & set(fast)
+    if exact or fast:
+        assert len(overlap) / max(len(exact), len(fast)) >= 0.98
+    for key in overlap:
+        assert abs(exact[key] - fast[key]) < 2e-6

@@ -21,6 +21,7 @@ _PYTHON_OK = {
     "ann_brp_lsh_ml",
     "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
     "ann_topk_ivf_np",
+    "semantic_dedup_np",  # BLAS fast tier: applyInPandas per cluster
 }
 
 # inequality-only self-join conditions legitimately plan as
