@@ -130,3 +130,73 @@ def kmeans_oracle_sql(k: int = 8, iters: int = 3, table: str = "embeddings") -> 
 )"""
             )
     return "".join(parts), f"a{iters}"
+
+
+def kmeans_assignments_np(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """BLAS fast tier of ``kmeans_assignments``: same smallest-id init,
+    same Lloyd schedule, but each assignment pass is a mapInPandas argmin
+    against the BROADCAST centroid matrix — zero shuffle for assignment
+    (the corpus is scanned in place), one small aggregate + driver
+    collect (k x dim doubles) per recompute.
+
+    Double-vs-decimal distance sums can flip near-tied argmins, so this
+    tier is agreement-gated against the exact tier in tests rather than
+    oracled. At 100 TB this is the production shape: the corpus never
+    shuffles, centroids ride the broadcast, and the per-iteration driver
+    round-trip is k x dim floats.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    seed_rows = emb.orderBy(id_col).limit(k).collect()
+    cids = np.array([r[id_col] for r in seed_rows], dtype="int64")  # ascending
+    cmat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in seed_rows])
+
+    assign_df = None
+    for it in range(iters):
+        b = spark.sparkContext.broadcast((cids, cmat))
+
+        # bind the broadcast by VALUE: `b` rebinds every loop iteration,
+        # and the returned frame's closure must not chase the name
+        def assign(batches, _b=b):
+            ids_c, m = _b.value
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy())
+                d2 = ((x[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+                # argmin takes the FIRST min index; ids_c ascending makes
+                # this the same (d2, cid) tie-break as the exact tier
+                best = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].astype("int64"),
+                        "cluster": ids_c[best],
+                    }
+                )
+
+        assign_df = emb.mapInPandas(assign, schema=f"{id_col} long, cluster long")
+        if it < iters - 1:
+            cent_rows = (
+                emb.join(assign_df, id_col)
+                .select("cluster", F.posexplode(vec_col).alias("pos0", "val"))
+                .groupBy("cluster", "pos0")
+                .agg(F.avg("val").alias("cval"))
+                .collect()
+            )
+            live = sorted({r["cluster"] for r in cent_rows})
+            dim = max(r["pos0"] for r in cent_rows) + 1
+            cids = np.array(live, dtype="int64")
+            idx = {c: i for i, c in enumerate(live)}
+            cmat = np.zeros((len(live), dim))
+            for r in cent_rows:
+                cmat[idx[r["cluster"]], r["pos0"]] = r["cval"]
+    return assign_df

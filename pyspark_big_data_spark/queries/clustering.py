@@ -148,3 +148,13 @@ def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs_in_cluster, schema="id_a long, id_b long, cosine double"
     )
     return out.orderBy("id_a", "id_b")
+
+
+@register("kmeans_clusters_np", driver=False)  # fast tier; agreement-gated in pytest
+def kmeans_clusters_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS fast tier of kmeans_clusters: broadcast-centroid mapInPandas
+    argmin (zero assignment shuffle) — the production Lloyd shape; see
+    operators/kmeans.py::kmeans_assignments_np."""
+    return KM.kmeans_assignments_np(_emb(spark, sf_dir), k=_K, iters=_ITERS).orderBy(
+        "vec_id"
+    )

@@ -85,3 +85,13 @@ def test_semantic_dedup_np_tier_matches_exact(spark, sf_dir):
         assert len(overlap) / max(len(exact), len(fast)) >= 0.98
     for key in overlap:
         assert abs(exact[key] - fast[key]) < 2e-6
+
+
+def test_kmeans_np_tier_agrees_with_exact(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    exact = dict(KM.kmeans_assignments(emb, k=_K, iters=3).collect())
+    fast = dict(KM.kmeans_assignments_np(emb, k=_K, iters=3).collect())
+    assert set(exact) == set(fast)  # every vector assigned in both tiers
+    # double-vs-decimal sums can flip only near-tied argmins
+    agree = sum(1 for v in exact if exact[v] == fast[v]) / len(exact)
+    assert agree >= 0.98

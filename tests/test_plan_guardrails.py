@@ -22,6 +22,7 @@ _PYTHON_OK = {
     "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
     "ann_topk_ivf_np",
     "semantic_dedup_np",  # BLAS fast tier: applyInPandas per cluster
+    "kmeans_clusters_np",  # BLAS fast tier: broadcast-centroid mapInPandas
 }
 
 # inequality-only self-join conditions legitimately plan as
