@@ -41,6 +41,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # tests/test_similarity_np.py.
         "ann_topk_bruteforce_np",
         "ann_topk_ivf_np",
+        # same float64-vs-decimal reasoning; agreement vs the oracled
+        # exact tiers asserted in tests/test_clustering.py.
+        "semantic_dedup_np",
+        "kmeans_clusters_np",
         # xxhash64 production hash has no DuckDB twin; true-near-dup
         # recall vs the md5 tier asserted in tests/test_corpus_ops.py.
         "dedup_minhash_fast",
