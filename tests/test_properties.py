@@ -91,3 +91,32 @@ def test_minhash_identical_docs_estimate_one(spark):
     est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in DD.estimated_jaccard(cand, sigs).collect()}
     assert est[(1, 2)] == 1.0
     assert est[(1, 3)] < 0.5
+
+
+@given(
+    st.binary(min_size=0, max_size=400),
+    st.integers(1, 12),
+    st.integers(1, 12),
+)
+def test_stub_resize_properties(payload, w, h):
+    from pyspark_big_data_spark.operators.multimodal import _stub_resize
+
+    out = _stub_resize(payload, w, h)
+    assert len(out) == w * h  # exact target size for ANY input
+    if payload:
+        # nearest-neighbor sampling: every output byte exists in the input,
+        # and the index map is monotone (order-preserving resample)
+        assert set(out) <= set(payload)
+        idxs = [(i * len(payload)) // (w * h) for i in range(w * h)]
+        assert idxs == sorted(idxs)
+        assert out == bytes(payload[i] for i in idxs)
+
+
+@given(st.binary(min_size=0, max_size=600), st.integers(1, 64), st.integers(1, 5))
+def test_frame_splitter_partition_properties(payload, frame_bytes, every):
+    # the default splitter must tile the payload exactly: concatenating
+    # all frames reproduces it, and sampled indices step by `every`
+    frames = [payload[i : i + frame_bytes] for i in range(0, len(payload), frame_bytes)] or [b""]
+    assert b"".join(frames) == payload
+    kept = list(range(0, len(frames), every))
+    assert kept[0] == 0 and all(b - a == every for a, b in zip(kept, kept[1:]))
