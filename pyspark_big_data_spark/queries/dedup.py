@@ -268,3 +268,52 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     sh = DD.simhash(docs)
     return DD.simhash_near_pairs_blocked(sh).orderBy("id_a", "id_b")
+
+
+_SURVIVORS_ORACLE = f"""{_dd_minhash_cte()},
+pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
+    WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+    WITH RECURSIVE walk(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.src, s.v FROM walk w JOIN sym s ON s.u = w.node
+    )
+    SELECT src, node FROM walk
+),
+labels AS (
+    SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+)
+SELECT l.doc_id, CAST(cnt.n AS BIGINT) AS cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS n FROM labels GROUP BY cluster_id) cnt
+  ON cnt.cluster_id = l.cluster_id
+WHERE l.doc_id = l.cluster_id
+ORDER BY l.doc_id
+"""
+
+
+@register("dedup_near_survivors", oracle=_SURVIVORS_ORACLE, driver=False)
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT at 100 TB: one surviving doc per near-dup
+    cluster (min doc_id), with the cluster size it absorbed.
+
+    This is the "emit survivors, not pairs" guidance from the x10
+    stress (PERFORMANCE.md) made a registered query: output is O(docs)
+    regardless of how heavy duplication is, while the pair view grows
+    with Σ cluster_size². Plan: the dedup_clusters pipeline + one
+    count-by-label + a survivor filter — no new shuffle shape."""
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_size")
+        .orderBy("doc_id")
+    )
