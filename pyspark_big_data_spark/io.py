@@ -25,10 +25,19 @@ from pyspark_big_data_spark.session import ensure_session_confs
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as its canonical schema.
 
-    Handles the on-disk TIMESTAMP(NANOS) quirk: under ``nanosAsLong``
-    Spark surfaces nanos as LongType; convert to a proper timestamp
-    (microsecond truncation — identical to what DuckDB's reader does,
-    so oracle comparisons agree).
+    Normalizes whatever timestamp encoding the parquet writer chose to
+    the canonical Spark type, so downstream queries never see an
+    encoding-dependent schema:
+    - TIMESTAMP(NANOS): under ``nanosAsLong`` Spark surfaces nanos as
+      LongType; convert with integer div (microsecond truncation —
+      identical to what DuckDB's reader does, so oracle comparisons
+      agree).
+    - ``timestamp[us]`` without timezone: Spark reads TIMESTAMP_NTZ;
+      when the canonical field is TimestampType, cast (wall-clock is
+      interpreted in the session timezone, pinned to UTC by
+      ensure_session_confs, so values match DuckDB's naive read).
+    - The reverse (tz-annotated on disk, canonical NTZ) casts the same
+      way.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -37,15 +46,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df
     for field in canonical.fields:
         actual = df.schema[field.name].dataType
-        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)) and isinstance(
-            actual, T.LongType
-        ):
+        if not isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+            continue
+        if isinstance(actual, T.LongType):
             # integer `div`, NOT `/`: double division of epoch-nanos
             # (~1.7e18, double ulp ≈ 256) corrupts the microseconds
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif actual != field.dataType and isinstance(
+            actual, (T.TimestampType, T.TimestampNTZType)
+        ):
+            df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
     return df
 
 

@@ -21,29 +21,33 @@ from pyspark.sql import types as T
 from pyspark_big_data_spark.functions.aggregates import dsum
 from pyspark_big_data_spark.session import ensure_session_confs
 
-# on-disk schema of the events parquet (ts = TIMESTAMP(NANOS) -> int64)
-_EVENTS_DISK_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source, explicit schema —
-    streaming reads never infer)."""
+    streaming reads never infer).
+
+    The testdata generator has shipped ``ts`` as both TIMESTAMP(NANOS)
+    (surfaced as LongType under ``nanosAsLong``) and plain
+    ``timestamp[us]`` (surfaced as TIMESTAMP_NTZ), so the stream schema
+    is derived from the actual parquet footer via a one-time batch
+    metadata read — never hardcoded. The one-off footer read is
+    driver-side metadata only (no data scan) and happens once at stream
+    construction, not per micro-batch.
+    """
     ensure_session_confs(spark)
+    disk_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_DISK_SCHEMA)
+        spark.readStream.schema(disk_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = disk_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # int64 epoch-nanos: integer div to micros (see io.read_table)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # wall-clock in the session timezone (pinned UTC) == the instant
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
