@@ -155,7 +155,7 @@ ORDER BY set_kind
 """
 
 
-@register("customer_set_ops", oracle=_SETOPS_ORACLE)
+@register("customer_set_ops", oracle=_SETOPS_ORACLE, driver=False)
 def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (absent from the reference, SURVEY.md §2.7):
     customers with big orders vs recently active — both plan as

@@ -94,7 +94,7 @@ ORDER BY probe_id, rnk
 """
 
 
-@register("ann_topk_ivf", oracle=_IVF_ORACLE)
+@register("ann_topk_ivf", oracle=_IVF_ORACLE, driver=False)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
@@ -154,7 +154,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_ivf_np", driver=False)  # fast tier; agreement-gated in pytest
+@register("ann_topk_ivf_np")  # fast scale tier (driver rows-only; agreement-gated in pytest)
 def ann_topk_ivf_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized fast tier of ann_topk_ivf — same cells, same NPROBE,
     same top-k semantics, BLAS math.

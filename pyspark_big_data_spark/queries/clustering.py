@@ -35,7 +35,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_clusters", oracle=_KMEANS_ORACLE, driver=False)
+@register("kmeans_clusters", oracle=_KMEANS_ORACLE)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means cluster assignment for every embedding (k={_K},
     {_ITERS} iterations, deterministic smallest-id init)."""
@@ -56,7 +56,7 @@ ORDER BY id_a, id_b
 """
 
 
-@register("semantic_dedup", oracle=_SEMANTIC_ORACLE, driver=False)
+@register("semantic_dedup", oracle=_SEMANTIC_ORACLE)
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: near-dup pairs (cosine >= {_COS_THRESHOLD}) compared
     only WITHIN a k-means cluster — the candidate equi-join is on the

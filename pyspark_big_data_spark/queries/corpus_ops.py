@@ -285,7 +285,7 @@ ORDER BY doc_id
 """
 
 
-@register("pii_scrub", oracle=_PII_ORACLE, driver=False)
+@register("pii_scrub", oracle=_PII_ORACLE)
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: regex count + replace of emails/phones, with a
     post-scrub content fingerprint. Pure map-side column expressions —
@@ -335,7 +335,7 @@ ORDER BY doc_id
 """
 
 
-@register("sample_hash_bucket", oracle=_HASH_SAMPLE_ORACLE, driver=False)
+@register("sample_hash_bucket", oracle=_HASH_SAMPLE_ORACLE)
 def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic {SAMPLE_PCT}% sample: hash-mod bucketing on a seeded
     key. Unlike rand()/TABLESAMPLE, membership is a pure function of
@@ -406,7 +406,7 @@ LIMIT {VOCAB_TOP}
 """
 
 
-@register("vocab_stats", oracle=_VOCAB_ORACLE, driver=False)
+@register("vocab_stats", oracle=_VOCAB_ORACLE)
 def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: document frequency + collection frequency per
     term, top-VOCAB_TOP by cf (the tokenizer-/BPE-training input stage).
@@ -476,7 +476,7 @@ def _chunk_fps(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-@register("decontaminate_vs_probes", oracle=_DECONTAM_ORACLE, driver=False)
+@register("decontaminate_vs_probes", oracle=_DECONTAM_ORACLE)
 def decontaminate_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents that contain
     held-out evaluation content — here, >= CONTAM_MIN_SHARED shared
@@ -534,7 +534,7 @@ ORDER BY doc_id, copy_no
 """
 
 
-@register("mixture_upsample", oracle=_MIX_ORACLE, driver=False)
+@register("mixture_upsample", oracle=_MIX_ORACLE)
 def mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture upsampling: physically repeat each document
     per its language weight (floor + hash-seeded fractional part).
@@ -595,7 +595,7 @@ ORDER BY lang, shard, pack_id
 """
 
 
-@register("pack_sequences", oracle=_PACK_ORACLE, driver=False)
+@register("pack_sequences", oracle=_PACK_ORACLE)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in deterministic
     order and chunk the token stream into PACK_BUDGET-token training
@@ -694,7 +694,7 @@ ORDER BY doc_id
 """
 
 
-@register("repetition_metrics", oracle=_REP_ORACLE, driver=False)
+@register("repetition_metrics", oracle=_REP_ORACLE)
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality: per-document distinct-token
     ratio, most-frequent-token fraction, and most-frequent-bigram
@@ -807,7 +807,7 @@ ORDER BY doc_id
 """
 
 
-@register("bigram_fluency", oracle=_BIGRAM_ORACLE, driver=False)
+@register("bigram_fluency", oracle=_BIGRAM_ORACLE)
 def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean log-probability under an add-one-smoothed
     bigram LM trained on the corpus itself — the CCNet-recipe LM quality

@@ -237,7 +237,7 @@ SELECT doc_id, simhash FROM sh ORDER BY doc_id
 
 # driver=False: simhash_near_pairs subsumes the signature computation on
 # the 50-row driver surface; this stays fully oracled in the pytest gate.
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE, driver=False)
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 60-bit SimHash signature (majority vote of token-hash
     bits) — constant output size per doc, one shuffle."""
@@ -299,7 +299,7 @@ ORDER BY l.doc_id
 """
 
 
-@register("dedup_near_survivors", oracle=_SURVIVORS_ORACLE, driver=False)
+@register("dedup_near_survivors", oracle=_SURVIVORS_ORACLE)
 def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup OUTPUT at 100 TB: one surviving doc per near-dup
     cluster (min doc_id), with the cluster size it absorbed.

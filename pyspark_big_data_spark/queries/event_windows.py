@@ -75,7 +75,7 @@ ORDER BY 1
 """
 
 
-@register("sliding_window_agg", oracle=_SLIDING_ORACLE)
+@register("sliding_window_agg", oracle=_SLIDING_ORACLE, driver=False)
 def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     return (

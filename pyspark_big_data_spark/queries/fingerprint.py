@@ -57,7 +57,7 @@ ORDER BY doc_id
 
 # driver=False: winnow_near_pairs subsumes fingerprinting on the 50-row
 # driver surface; this stays fully oracled in the pytest gate.
-@register("doc_fingerprint_winnow", oracle=_SUMMARY_ORACLE, driver=False)
+@register("doc_fingerprint_winnow", oracle=_SUMMARY_ORACLE)
 def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowed fingerprint summary. The md5 digest of the
     sorted fingerprint set makes the whole set hash-comparable without

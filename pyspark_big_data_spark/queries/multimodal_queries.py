@@ -33,7 +33,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_feature_extract")  # rows-only: Arrow batch path
+@register("multimodal_feature_extract", driver=False)  # rows-only: Arrow batch path
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = MM.attach_media(read_table(spark, sf_dir, "documents"))
     feats = MM.extract_features(docs)

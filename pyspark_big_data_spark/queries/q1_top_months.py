@@ -98,7 +98,7 @@ ORDER BY o_year ASC, rnk ASC
 """
 
 
-@register("q1_top_months_string_slice", oracle=_ORACLE_STRING_SLICE)
+@register("q1_top_months_string_slice", oracle=_ORACLE_STRING_SLICE, driver=False)
 def q1_top_months_string_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-exact string-slicing path (== ``src/query1.py:121-146``
     semantics on a formatted date string)."""

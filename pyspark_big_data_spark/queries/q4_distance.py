@@ -103,7 +103,7 @@ def q4_avg_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aggregate(df, haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")))
 
 
-@register("q4_avg_distance_pandas_udf", oracle=_ORACLE)
+@register("q4_avg_distance_pandas_udf", oracle=_ORACLE, driver=False)
 def q4_avg_distance_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized pandas_udf tier (D1 modernized)."""
     df = _filtered_join(spark, sf_dir)
@@ -111,7 +111,7 @@ def q4_avg_distance_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aggregate(df, udf(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")))
 
 
-@register("q4_avg_distance_geodesic")  # no SQL oracle: iterative WGS-84
+@register("q4_avg_distance_geodesic", driver=False)  # no SQL oracle: iterative WGS-84
 def q4_avg_distance_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-exact semantics tier: WGS-84 geodesic distance
     (geopy's Karney when installed == ``src/query4.py:9-10,34``; else a
@@ -125,7 +125,7 @@ def q4_avg_distance_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aggregate(df, udf(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")))
 
 
-@register("q4_avg_distance_sql_udf", oracle=_ORACLE)
+@register("q4_avg_distance_sql_udf", oracle=_ORACLE, driver=False)
 def q4_avg_distance_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-registered row-at-a-time UDF called from SQL text
     (D2, == ``src/query4.py:76,89``). Parity foil — the slow path."""

@@ -66,7 +66,7 @@ ORDER BY returnflag, linestatus
 """
 
 
-@register("rollup_lineitem_status", oracle=_ROLLUP_ORACLE)
+@register("rollup_lineitem_status", oracle=_ROLLUP_ORACLE, driver=False)
 def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP totals (leaf -> subtotal -> grand total) with
     grouping() provenance — the hypertable-rollup shape: one pass,

@@ -51,14 +51,22 @@ _LSH_TABLES = [
 ALLPAIRS_MAX_ROWS = 50_000
 
 
-def guard_allpairs(df: DataFrame, what: str) -> DataFrame:
-    """Fail fast (driver-side count on the narrow projection) if an
-    all-pairs baseline is about to run on an input too big for O(n^2)."""
-    n = df.count()
-    if n > ALLPAIRS_MAX_ROWS:
+def guard_allpairs(df: DataFrame, what: str, max_rows: int | None = None) -> DataFrame:
+    """Fail fast if an all-pairs baseline is about to run on an input too
+    big for O(n^2).
+
+    The probe is ``limit(max_rows + 1).count()`` — a BOUNDED job that
+    early-terminates once the limit is hit, not a full scan of the
+    input (on a 100 TB table the old full ``count()`` pre-scan would
+    cost as much as a real query before the guard could even fire).
+    The guard only needs to know "more than max_rows or not", never the
+    exact count."""
+    cap = ALLPAIRS_MAX_ROWS if max_rows is None else max_rows
+    n_bound = df.limit(cap + 1).count()
+    if n_bound > cap:
         raise ValueError(
-            f"{what}: refusing all-pairs plan on {n} rows "
-            f"(> {ALLPAIRS_MAX_ROWS}); use the bucketed scale twin "
+            f"{what}: refusing all-pairs plan on >{cap} rows; "
+            "use the bucketed scale twin "
             "(ann_lsh_bucketed / ann_topk_ivf / simhash_near_pairs)"
         )
     return df
@@ -88,7 +96,7 @@ ORDER BY probe_id, rnk
 """
 
 
-@register("ann_topk_bruteforce", oracle=_ANN_ORACLE)
+@register("ann_topk_bruteforce", oracle=_ANN_ORACLE, driver=False)
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array(F.col("embedding")).alias("e")
@@ -115,7 +123,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_bruteforce_np", driver=False)  # fast tier; recall-gated in pytest
+@register("ann_topk_bruteforce_np")  # fast scale tier (driver rows-only; recall-gated in pytest)
 def ann_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized fast tier of ann_topk_bruteforce: Arrow-batched
     mapInPandas with a BLAS matrix multiply per batch (batch x probes),

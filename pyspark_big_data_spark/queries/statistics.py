@@ -49,7 +49,7 @@ ORDER BY l_returnflag
 """
 
 
-@register("stats_by_returnflag", oracle=_STATS_ORACLE)
+@register("stats_by_returnflag", oracle=_STATS_ORACLE, driver=False)
 def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean / sample stddev / Pearson correlation from exact moment sums
     (one aggregate pass; deterministic under any partitioning)."""
@@ -86,7 +86,7 @@ ORDER BY o_custkey
 """
 
 
-@register("orders_per_customer_array", oracle=_ARRAY_ORACLE)
+@register("orders_per_customer_array", oracle=_ARRAY_ORACLE, driver=False)
 def orders_per_customer_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list with deterministic ordering (sort_array) — emitted as
     a joined string so the oracle comparison is representation-proof.
@@ -122,7 +122,7 @@ ORDER BY l_returnflag, metric
 """
 
 
-@register("unpivot_lineitem_metrics", oracle=_UNPIVOT_ORACLE)
+@register("unpivot_lineitem_metrics", oracle=_UNPIVOT_ORACLE, driver=False)
 def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide -> long reshaping with DataFrame.unpivot (melt)."""
     from pyspark_big_data_spark.functions.aggregates import dsum

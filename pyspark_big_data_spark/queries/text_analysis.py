@@ -39,7 +39,7 @@ ORDER BY doc_id
 """
 
 
-@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE, driver=False)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(

@@ -96,7 +96,7 @@ ORDER BY n_name
 """
 
 
-@register("nation_rank_dense_ntile", oracle=_RANKS_ORACLE)
+@register("nation_rank_dense_ntile", oracle=_RANKS_ORACLE, driver=False)
 def nation_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank (gap vs no-gap on ties) and ntile quartiles over
     a pre-aggregated 25-row frame (global windows only ever see
