@@ -48,12 +48,21 @@ def kmeans_assignments(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Return (id, cluster) after ``iters`` Lloyd assignment steps.
 
     ``iters`` assignments with ``iters - 1`` centroid recomputes in
     between (the final assignment is the output — recomputing after it
     would be wasted work).
+
+    ``n_probe > 1`` makes the FINAL assignment soft: each point is
+    emitted for its ``n_probe`` nearest centroids (one row per cell),
+    while the intermediate centroid recomputes stay hard (rn == 1, the
+    classic Lloyd update). This is the multi-probe trick that recovers
+    the cross-cluster recall SemDeDup loses by construction — a pair
+    only needs ONE shared cell among each side's n_probe cells to be
+    compared — at a pair bill still bounded by Σ cell_size², never n².
     """
     pv = long_form(emb, id_col, vec_col).cache()
 
@@ -72,11 +81,9 @@ def kmeans_assignments(
             .agg(_dsum_exact(d2).alias("d2"))
         )
         w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
-        best = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cid")
-        )
+        ranked = dist.withColumn("rn", F.row_number().over(w))
+        final_n = n_probe if it == iters - 1 else 1
+        best = ranked.filter(F.col("rn") <= final_n).select(id_col, "cid")
         if it < iters - 1:
             cent = (
                 pv.join(best, id_col)
@@ -86,9 +93,13 @@ def kmeans_assignments(
     return best.select(F.col(id_col), F.col("cid").alias("cluster"))
 
 
-def kmeans_oracle_sql(k: int = 8, iters: int = 3, table: str = "embeddings") -> str:
+def kmeans_oracle_sql(
+    k: int = 8, iters: int = 3, table: str = "embeddings", final_topn: int = 1
+) -> str:
     """Generated DuckDB replay of the exact same Lloyd path (shared
-    constants, unrolled iterations) — the two engines cannot drift."""
+    constants, unrolled iterations) — the two engines cannot drift.
+    ``final_topn`` mirrors ``kmeans_assignments(n_probe=...)``: the last
+    assignment CTE keeps the top-n cells per point instead of the argmin."""
     parts = [
         f"""WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}
@@ -106,6 +117,7 @@ def kmeans_oracle_sql(k: int = 8, iters: int = 3, table: str = "embeddings") -> 
     ]
     for it in range(1, iters + 1):
         prev_c = f"c{it - 1}"
+        topn = final_topn if it == iters else 1
         parts.append(
             f""", a{it}d AS (
     SELECT p.vec_id, c.cid,
@@ -117,7 +129,7 @@ def kmeans_oracle_sql(k: int = 8, iters: int = 3, table: str = "embeddings") -> 
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
         FROM a{it}d
-    ) WHERE rn = 1
+    ) WHERE rn <= {topn}
 )"""
         )
         if it < iters:

@@ -155,7 +155,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("ann_topk_ivf_np")  # fast scale tier (driver rows-only; agreement-gated in pytest)
-def ann_topk_ivf_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_ivf_np(
+    spark: SparkSession, sf_dir: str, probe_shards: int | None = None
+) -> DataFrame:
     """Vectorized fast tier of ann_topk_ivf — same cells, same NPROBE,
     same top-k semantics, BLAS math.
 
@@ -192,51 +194,62 @@ def ann_topk_ivf_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmat[lab_idx[r["label"]], r["pos0"]] = r["cval"]
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
-    probes_pd = emb.filter(F.col("vec_id") % _PROBE_MOD == 0).toPandas()
-    pids = probes_pd["vec_id"].to_numpy()
-    pmat = np.stack(probes_pd["e"].to_numpy())
-    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
-    # rank cells per probe: (probes x cells), take top NPROBE
-    ccos = pmat @ cmat.T
-    order = np.argsort(-ccos, axis=1, kind="stable")[:, :_NPROBE]
-    # cell label -> (probe_ids, probe_matrix) searching that cell
-    per_cell: dict[int, list[int]] = {}
-    for pi, cells in enumerate(order):
-        for ci in cells:
-            per_cell.setdefault(labels[ci], []).append(pi)
-    cell_probes = {
-        lab: (pids[idx], pmat[idx]) for lab, idx in per_cell.items()
-    }
-    b_cells = spark.sparkContext.broadcast(cell_probes)
+    from pyspark_big_data_spark.queries.similarity import _probe_shards, guard_allpairs
+
+    probes_pd = guard_allpairs(
+        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_ivf_np probes"
+    ).toPandas()
+    pids_all = probes_pd["vec_id"].to_numpy()
+    pmat_all = np.stack(probes_pd["e"].to_numpy())
+    pmat_all = pmat_all / np.linalg.norm(pmat_all, axis=1, keepdims=True)
     k = _TOP_K
 
-    def search(batches):
-        cp = b_cells.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for lab, grp in pdf.groupby("label"):
-                if lab not in cp:
-                    continue
-                probe_ids, pm = cp[lab]
-                x = np.stack(grp["e"].to_numpy())
-                x = x / np.linalg.norm(x, axis=1, keepdims=True)
-                sims = x @ pm.T
-                ids = grp["vec_id"].to_numpy()
-                sims[ids[:, None] == probe_ids[None, :]] = -np.inf
-                kk = min(k, sims.shape[0])
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-                cos = np.take_along_axis(sims, top, axis=0)
-                keep = np.isfinite(cos).ravel(order="F")
-                yield pd.DataFrame(
-                    {
-                        "probe_id": np.repeat(probe_ids, kk)[keep],
-                        "neighbor_id": ids[top].ravel(order="F")[keep],
-                        "cosine": cos.ravel(order="F")[keep],
-                    }
-                )
+    def shard_scan(pids, pmat):
+        # rank cells per probe: (probes x cells), take top NPROBE
+        ccos = pmat @ cmat.T
+        order = np.argsort(-ccos, axis=1, kind="stable")[:, :_NPROBE]
+        # cell label -> (probe_ids, probe_matrix) searching that cell
+        per_cell: dict[int, list[int]] = {}
+        for pi, cells in enumerate(order):
+            for ci in cells:
+                per_cell.setdefault(labels[ci], []).append(pi)
+        cell_probes = {lab: (pids[idx], pmat[idx]) for lab, idx in per_cell.items()}
+        b_cells = spark.sparkContext.broadcast(cell_probes)
 
-    cand = emb.mapInPandas(search, schema="probe_id long, neighbor_id long, cosine double")
+        def search(batches):
+            cp = b_cells.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for lab, grp in pdf.groupby("label"):
+                    if lab not in cp:
+                        continue
+                    probe_ids, pm = cp[lab]
+                    x = np.stack(grp["e"].to_numpy())
+                    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+                    sims = x @ pm.T
+                    ids = grp["vec_id"].to_numpy()
+                    sims[ids[:, None] == probe_ids[None, :]] = -np.inf
+                    kk = min(k, sims.shape[0])
+                    top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                    cos = np.take_along_axis(sims, top, axis=0)
+                    keep = np.isfinite(cos).ravel(order="F")
+                    yield pd.DataFrame(
+                        {
+                            "probe_id": np.repeat(probe_ids, kk)[keep],
+                            "neighbor_id": ids[top].ravel(order="F")[keep],
+                            "cosine": cos.ravel(order="F")[keep],
+                        }
+                    )
+
+        return emb.mapInPandas(search, schema="probe_id long, neighbor_id long, cosine double")
+
+    # shard the probe matrix (see similarity._probe_shards): one scan per
+    # shard, union, exact global top-k below — bounds resident probe state
+    cand = None
+    for s_pids, s_pmat in _probe_shards(pids_all, pmat_all, probe_shards):
+        sc = shard_scan(s_pids, s_pmat)
+        cand = sc if cand is None else cand.unionByName(sc)
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rnk", F.row_number().over(w).cast("long"))

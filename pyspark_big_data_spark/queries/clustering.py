@@ -150,6 +150,69 @@ def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+_N_PROBE = 3  # cells per point in the soft assignment (recall knob)
+
+_MP_CHAIN, _MP_FINAL = KM.kmeans_oracle_sql(k=_K, iters=_ITERS, final_topn=_N_PROBE)
+
+_MULTIPROBE_ORACLE = f"""{_MP_CHAIN}
+, mp_pairs AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM {_MP_FINAL} x
+    JOIN {_MP_FINAL} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM mp_pairs p
+JOIN v a ON a.vec_id = p.id_a
+JOIN v b ON b.vec_id = p.id_b
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {_COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@register("semantic_dedup_multiprobe", oracle=_MULTIPROBE_ORACLE, driver=False)
+def semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with MULTI-PROBE (soft) assignment: each embedding joins
+    its {_N_PROBE} nearest cells, and a pair is compared if the two
+    sides share ANY cell. This recovers the recall the hard-assignment
+    tier loses to cross-cluster splits (measured 0.30-0.46 at k={_K} on
+    this testdata vs ~1.0 here; recall table in PERFORMANCE.md, floor
+    gated in tests/test_clustering.py) while the pair bill stays
+    Σ cell_size² — the same knob (grow k with n) bounds it at 100 TB.
+
+    Stages: soft Lloyd assignment (operators/kmeans.py, n_probe), pair
+    candidates via the cell equi-join, DISTINCT (a pair sharing several
+    cells is compared once), then one exact cosine per candidate.
+    """
+    emb = _emb(spark, sf_dir)
+    assign = KM.kmeans_assignments(emb, k=_K, iters=_ITERS, n_probe=_N_PROBE).cache()
+    a = assign.select(F.col("vec_id").alias("id_a"), "cluster")
+    b = assign.select(F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"))
+    cand = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), nrm(F.col("e")).alias("na"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), nrm(F.col("e")).alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= _COS_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("kmeans_clusters_np", driver=False)  # fast tier; agreement-gated in pytest
 def kmeans_clusters_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS fast tier of kmeans_clusters: broadcast-centroid mapInPandas

@@ -123,39 +123,38 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_bruteforce_np")  # fast scale tier (driver rows-only; recall-gated in pytest)
-def ann_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized fast tier of ann_topk_bruteforce: Arrow-batched
-    mapInPandas with a BLAS matrix multiply per batch (batch x probes),
-    per-batch top-k, then an exact global top-k window over the tiny
-    candidate set (batches x probes x k rows).
+# Auto-shard the probe matrix past this many probes: bounds the broadcast
+# (shard x dim doubles) and the per-batch BLAS output (batch x shard).
+_PROBES_PER_SHARD = 100_000
 
-    Why it exists: the exact tier's dot product is a SQL higher-order
-    function (F.aggregate/zip_with) — HOFs are CodegenFallback in Spark,
-    i.e. interpreted per row, which dominates wall time once pairs hit
-    the millions (measured ~66 s for 8M pairs at the 10x stress SF vs
-    ~2 s here; PERFORMANCE.md). numpy changes float summation order, so
-    this tier is recall-gated against the exact oracled query
-    (tests/test_similarity_np.py) instead of hash-compared.
 
-    Scale notes: probes are collected to the driver and broadcast —
-    fine for the 2% probe fraction here; past ~10^5 probes you shard the
-    probe matrix and union the shards (same plan per shard, no corpus
-    re-shuffle: the corpus is still scanned exactly once per shard)."""
+def _probe_shards(pids, pmat, n_shards: int | None):
+    """Split the (ids, matrix) probe set into contiguous shards.
+
+    ``n_shards=None`` auto-sizes from _PROBES_PER_SHARD (1 shard at test
+    scale); $SPARK_GRAFT_PROBE_SHARDS overrides for tests/ops."""
+    import math
+    import os
+
+    import numpy as np  # noqa: F401 — pmat is ndarray; keep the dep explicit
+
+    if n_shards is None:
+        env = os.environ.get("SPARK_GRAFT_PROBE_SHARDS")
+        n_shards = int(env) if env else max(1, math.ceil(len(pids) / _PROBES_PER_SHARD))
+    n_shards = max(1, min(n_shards, len(pids)))
+    step = math.ceil(len(pids) / n_shards)
+    for lo in range(0, len(pids), step):
+        yield pids[lo : lo + step], pmat[lo : lo + step]
+
+
+def _batch_topk_scan(emb: DataFrame, pids, pmat, k: int) -> DataFrame:
+    """One corpus scan: per Arrow batch, BLAS cosine vs the given probe
+    matrix, emit per-batch top-k candidates (exact global top-k is the
+    caller's window over the union of batches/shards)."""
     import numpy as np
     import pandas as pd
 
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
-    )
-    probes_pd = guard_allpairs(
-        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_bruteforce_np probes"
-    ).toPandas()
-    pids = probes_pd["vec_id"].to_numpy()
-    pmat = np.stack(probes_pd["e"].to_numpy())
-    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
-    b_probes = spark.sparkContext.broadcast((pids, pmat))
-    k = _TOP_K
+    b_probes = emb.sparkSession.sparkContext.broadcast((pids, pmat))
 
     def search(batches):
         probe_ids, pm = b_probes.value
@@ -179,7 +178,50 @@ def ann_topk_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    cand = emb.mapInPandas(search, schema="probe_id long, neighbor_id long, cosine double")
+    return emb.mapInPandas(search, schema="probe_id long, neighbor_id long, cosine double")
+
+
+@register("ann_topk_bruteforce_np")  # fast scale tier (driver rows-only; recall-gated in pytest)
+def ann_topk_bruteforce_np(
+    spark: SparkSession, sf_dir: str, probe_shards: int | None = None
+) -> DataFrame:
+    """Vectorized fast tier of ann_topk_bruteforce: Arrow-batched
+    mapInPandas with a BLAS matrix multiply per batch (batch x probes),
+    per-batch top-k, then an exact global top-k window over the tiny
+    candidate set (batches x probes x k rows).
+
+    Why it exists: the exact tier's dot product is a SQL higher-order
+    function (F.aggregate/zip_with) — HOFs are CodegenFallback in Spark,
+    i.e. interpreted per row, which dominates wall time once pairs hit
+    the millions (measured ~66 s for 8M pairs at the 10x stress SF vs
+    ~2 s here; PERFORMANCE.md). numpy changes float summation order, so
+    this tier is recall-gated against the exact oracled query
+    (tests/test_similarity_np.py) instead of hash-compared.
+
+    Scale notes: probes are collected to the driver and broadcast in
+    SHARDS (probe_shards / $SPARK_GRAFT_PROBE_SHARDS, auto-sized past
+    _PROBES_PER_SHARD): each shard is an independent mapInPandas pass
+    over the corpus with only that shard's probe matrix resident, and
+    the shard results union before the exact global top-k window. Peak
+    driver/executor memory is one shard's matrix, never the full probe
+    set; the corpus is scanned once per shard with no re-shuffle."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+    )
+    probes_pd = guard_allpairs(
+        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_bruteforce_np probes"
+    ).toPandas()
+    pids = probes_pd["vec_id"].to_numpy()
+    pmat = np.stack(probes_pd["e"].to_numpy())
+    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+
+    cand = None
+    for s_pids, s_pmat in _probe_shards(pids, pmat, probe_shards):
+        shard_cand = _batch_topk_scan(emb, s_pids, s_pmat, _TOP_K)
+        cand = shard_cand if cand is None else cand.unionByName(shard_cand)
+    k = _TOP_K
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         cand.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -95,3 +95,17 @@ def test_kmeans_np_tier_agrees_with_exact(spark, sf_dir):
     # double-vs-decimal sums can flip only near-tied argmins
     agree = sum(1 for v in exact if exact[v] == fast[v]) / len(exact)
     assert agree >= 0.98
+
+
+def test_multiprobe_recall_floor(spark, sf_dir):
+    """The multi-probe tier must recover >= 90% of the exact all-pairs
+    near-dup truth (hard assignment measures 0.30-0.46 here — the
+    cross-cluster split multi-probe exists to fix). Also a witness
+    subset: every emitted pair must be true (cosine filter is exact)."""
+    from pyspark_big_data_spark.queries.clustering import semantic_dedup_multiprobe
+    from pyspark_big_data_spark.queries.similarity import embedding_near_dup
+
+    truth = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(spark, sf_dir).collect()}
+    mp = {(r["id_a"], r["id_b"]) for r in semantic_dedup_multiprobe(spark, sf_dir).collect()}
+    assert mp <= truth
+    assert len(mp & truth) / len(truth) >= 0.9

@@ -28,6 +28,24 @@ def test_np_tier_matches_exact_topk(spark, sf_dir):
         assert abs(exact[key] - fast[key]) < 2e-6
 
 
+def test_probe_sharding_is_exact(spark, sf_dir):
+    """Sharding the probe matrix must not change results AT ALL: each
+    probe's candidates come only from its own shard's scan, and the
+    global top-k window runs over the union — so sharded == unsharded
+    bit-for-bit (not just recall-close)."""
+    from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf_np
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(ann_topk_bruteforce_np(spark, sf_dir, probe_shards=3)) == rows(
+        ann_topk_bruteforce_np(spark, sf_dir, probe_shards=1)
+    )
+    assert rows(ann_topk_ivf_np(spark, sf_dir, probe_shards=3)) == rows(
+        ann_topk_ivf_np(spark, sf_dir, probe_shards=1)
+    )
+
+
 def test_ivf_np_tier_matches_exact(spark, sf_dir):
     from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf, ann_topk_ivf_np
 

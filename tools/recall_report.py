@@ -80,7 +80,13 @@ def main() -> None:
 
     # --- SemDeDup tier: within-cluster pairs only ---
     from pyspark_big_data_spark.operators.kmeans import kmeans_assignments
-    from pyspark_big_data_spark.queries.clustering import _ITERS, _K, semantic_dedup
+    from pyspark_big_data_spark.queries.clustering import (
+        _ITERS,
+        _K,
+        _N_PROBE,
+        semantic_dedup,
+        semantic_dedup_multiprobe,
+    )
 
     sem_hits = pair_set(semantic_dedup(spark, sf_dir))
     emb_e = read_table(spark, sf_dir, "embeddings").select(
@@ -101,6 +107,34 @@ def main() -> None:
             len(sem_hits & truth),
             len(truth),
             sem_cand,
+        )
+    )
+    # cross-cluster miss rate: the truth pairs hard assignment can NEVER
+    # compare (the split-cluster failure mode multi-probe exists to fix)
+    cross_miss = len(truth - sem_hits)
+    print(
+        f"semantic_dedup cross-cluster miss rate: {cross_miss}/{len(truth)}"
+        f" = {cross_miss / len(truth):.2%} of true pairs split across clusters"
+        if truth
+        else "no truth pairs"
+    )
+
+    mp_hits = pair_set(semantic_dedup_multiprobe(spark, sf_dir))
+    mp_sizes = [
+        r["c"]
+        for r in kmeans_assignments(emb_e, k=_K, iters=_ITERS, n_probe=_N_PROBE)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    mp_cand = sum(s * (s - 1) // 2 for s in mp_sizes)
+    rows.append(
+        (
+            "near-dup pairs",
+            f"semantic_dedup_multiprobe (k={_K}, n_probe={_N_PROBE})",
+            len(mp_hits & truth),
+            len(truth),
+            mp_cand,
         )
     )
 
