@@ -33,6 +33,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
+    "dedup_minhash_incremental",
+    # semantic_dedup_multiprobe is NOT a headline row: at the oracle's
+    # fixed k=8 its pair bill is (n_probe*n/k)^2-ish — a small-k artifact
+    # (~106 s at native sf1) that would swamp the total; PERFORMANCE.md
+    # records it with the k-scaling analysis instead.
     "span_dedup_chunks",
     "bm25_topk",
     "simhash_near_pairs",

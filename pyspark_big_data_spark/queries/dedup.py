@@ -114,6 +114,106 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental contract: the batch is doc_id % _INCR_MOD == 0 (10% of the
+# corpus); the oracle is the FULL recompute restricted to pairs touching
+# a batch doc — i.e. incremental must find exactly the new pairs.
+_INCR_MOD = 10
+
+_INCR_ORACLE = f"""{_dd_minhash_cte()}
+SELECT c.id_a, c.id_b, ({_AGREE}) / {float(DD.NUM_HASHES)} AS est_jaccard
+FROM cand c
+JOIN sigs x ON x.doc_id = c.id_a
+JOIN sigs y ON y.doc_id = c.id_b
+WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+  AND (c.id_a % {_INCR_MOD} = 0 OR c.id_b % {_INCR_MOD} = 0)
+ORDER BY id_a, id_b
+"""
+
+
+def build_minhash_index(docs: DataFrame, index_dir: str) -> None:
+    """Persist the reusable dedup index for a corpus: MinHash signatures
+    plus long-form band keys, the band keys PARTITIONED BY band_no so an
+    incoming batch's band join prunes straight to the matching band
+    partitions (at 100 TB add bucketing on `band` within each partition
+    so the join is also co-located).
+
+    Building the index costs one pass over the corpus — the point is it
+    happens ONCE; every later batch reuses it instead of re-hashing the
+    whole corpus."""
+    sh = DD.shingles(docs)
+    sigs = DD.minhash_signatures(sh).cache()
+    sigs.write.mode("overwrite").parquet(f"{index_dir}/sigs")
+    DD.band_keys(sigs).write.mode("overwrite").partitionBy("band_no").parquet(
+        f"{index_dir}/bands"
+    )
+
+
+@register("dedup_minhash_incremental", oracle=_INCR_ORACLE, driver=False)
+def dedup_minhash_incremental(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """Incremental near-dup detection — the operational 100 TB shape:
+    a NEW BATCH of documents arrives against an already-indexed corpus,
+    and only the batch is hashed. Candidates come from joining the
+    batch's band keys against (persisted index ∪ batch): every new pair
+    (batch x corpus and batch x batch) is found, and no corpus x corpus
+    pair is ever recomputed. Work scales with |batch| x bucket overlap,
+    not |corpus|.
+
+    The testdata split is deterministic (doc_id % {_INCR_MOD} == 0 is
+    the batch); the oracle is the full-recompute pipeline restricted to
+    pairs touching a batch doc, so "incremental == full recompute on
+    the new pairs" is the oracled contract itself. Set-union equivalence
+    (old pairs ∪ incremental pairs == full pairs) is additionally pinned
+    in tests/test_operators.py."""
+    import tempfile
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="minhash_index_")
+        build_minhash_index(corpus, index_dir)
+
+    idx_sigs = spark.read.parquet(f"{index_dir}/sigs")
+    idx_bands = spark.read.parquet(f"{index_dir}/bands").select("doc_id", "band_no", "band")
+
+    batch_sigs = DD.minhash_signatures(DD.shingles(batch)).cache()
+    batch_bands = DD.band_keys(batch_sigs)
+
+    # batch bands vs (index ∪ batch) bands: equi-join on the band key;
+    # normalize to id_a < id_b and dedup (batch-batch pairs match twice)
+    all_bands = idx_bands.unionByName(batch_bands)
+    a = batch_bands.select(
+        F.col("doc_id").alias("id_x"), "band_no", "band"
+    )
+    b = all_bands.select(
+        F.col("doc_id").alias("id_y"),
+        F.col("band_no").alias("band_no_y"),
+        F.col("band").alias("band_y"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_no") == F.col("band_no_y"))
+            & (F.col("band") == F.col("band_y"))
+            & (F.col("id_x") != F.col("id_y")),
+        )
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sigs = idx_sigs.unionByName(batch_sigs)
+    return (
+        DD.estimated_jaccard(cand, all_sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
 _NGRAM_ORACLE = f"""{_dd_minhash_cte()},
 filtered AS (
     SELECT c.id_a, c.id_b

@@ -1,6 +1,8 @@
-"""Multimodal queries: metadata projection (oracled) and mapInPandas
-feature extraction (rows-only check: the Arrow batch path has no SQL
-twin by construction)."""
+"""Multimodal queries: metadata projection and mapInPandas feature
+extraction / resize / frame sampling — all oracled (the byte-stub
+decode is exact integer math over an ASCII corpus, so even the Arrow
+batch paths replay in SQL; the real-codec pillow tier is pytest-gated
+instead, tests/test_multimodal.py)."""
 
 from __future__ import annotations
 
@@ -33,10 +35,31 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_feature_extract", driver=False)  # rows-only: Arrow batch path
+# The byte-stub features are exact integer arithmetic over the utf-8
+# payload, and the corpus is pure ASCII (payload bytes == codepoints):
+# n_bytes and the mean byte replay in SQL exactly — sum-of-ints / count
+# is the identical double in both engines. The codec (pillow) tier,
+# when present, is covered by tests/test_multimodal.py instead; this
+# oracle pins the stub path the sandbox actually runs.
+_FEATURES_ORACLE = """
+WITH pos AS (
+    SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+    FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_bytes,
+       ROUND(CAST(SUM(unicode(substr(text, CAST(i AS INTEGER), 1))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_byte
+FROM pos GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_feature_extract", oracle=_FEATURES_ORACLE, driver=False)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = MM.attach_media(read_table(spark, sf_dir, "documents"))
-    feats = MM.extract_features(docs)
+    # decoder pinned to the byte-stub so the oracle contract is
+    # environment-independent (the pillow tier would emit pixel stats,
+    # which have no SQL twin — that path is pytest-gated instead)
+    feats = MM.extract_features(docs, decoder=MM._fake_features)
     return feats.select(
         "doc_id",
         "n_bytes",

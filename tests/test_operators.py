@@ -173,3 +173,42 @@ def test_star_contraction_equals_propagation(spark):
     a = {(r["id"], r["component"]) for r in connected_components(nodes, e, node_col="node").collect()}
     b = {(r["id"], r["component"]) for r in connected_components_star(nodes, e, node_col="node").collect()}
     assert a == b
+
+
+def test_incremental_dedup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """old-corpus pairs ∪ incremental pairs must equal the full-recompute
+    pair set exactly (and be disjoint): the incremental path finds every
+    pair touching the new batch and never re-emits a corpus-only pair.
+    Also exercises real index reuse: the second call consumes the index
+    built by the first without rebuilding."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.operators import dedup as DD
+    from pyspark_big_data_spark.queries.dedup import (
+        _EST_THRESHOLD,
+        _INCR_MOD,
+        build_minhash_index,
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    full = pairs(dedup_minhash_lsh(spark, sf_dir))
+
+    corpus = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % _INCR_MOD != 0)
+    sigs = DD.minhash_signatures(DD.shingles(corpus)).cache()
+    old = pairs(
+        DD.estimated_jaccard(DD.candidate_pairs(DD.band_keys(sigs)), sigs).filter(
+            F.col("est_jaccard") >= _EST_THRESHOLD
+        )
+    )
+
+    index_dir = str(tmp_path / "minhash_index")
+    build_minhash_index(corpus, index_dir)
+    incr = pairs(dedup_minhash_incremental(spark, sf_dir, index_dir=index_dir))
+
+    assert old | incr == full
+    assert old & incr == set()

@@ -21,9 +21,6 @@ def test_every_query_has_oracle_or_is_flagged():
     # Non-SQL-expressible ops may omit the oracle, but must be deliberate:
     # keep the allowlist here explicit and short.
     allowed_rows_only: set[str] = {
-        # Arrow mapInPandas path — no SQL twin by construction; the
-        # rows-only check plus tests/test_multimodal.py cover it.
-        "multimodal_feature_extract",
         # pyspark.ml LSH: JVM hash seeds have no DuckDB twin; recall vs
         # the exact oracled pipelines asserted in tests/test_ml_lsh.py.
         "dedup_minhash_ml",
