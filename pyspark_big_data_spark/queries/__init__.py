@@ -7,6 +7,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     clustering,
     corpus_ops,
     dedup,
+    embed_hash,
     event_windows,
     fingerprint,
     ml_lsh_queries,

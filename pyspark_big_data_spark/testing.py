@@ -48,6 +48,17 @@ def _canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = out[c].astype("int64")
         elif pd.api.types.is_float_dtype(out[c]):
             out[c] = out[c].astype("float64")
+        elif out[c].dtype == object:
+            # array cells (Spark -> ndarray, DuckDB -> ndarray/list):
+            # canonicalize to tuples of python scalars so they hash,
+            # sort, and compare by VALUE across engines
+            out[c] = out[c].map(
+                lambda v: tuple(v.tolist())
+                if isinstance(v, np.ndarray)
+                else tuple(v)
+                if isinstance(v, list)
+                else v
+            )
     exact_cols = [c for c in out.columns if not pd.api.types.is_float_dtype(out[c])]
     float_cols = [c for c in out.columns if pd.api.types.is_float_dtype(out[c])]
     key = pd.DataFrame(index=out.index)

@@ -31,6 +31,7 @@ _PYTHON_OK = {
 _NESTED_LOOP_OK = {
     "embedding_near_dup",
     "ann_topk_bruteforce",
+    "doc_embed_near_dup",  # guarded all-pairs witness over hashed doc vectors
 }
 
 # crossJoin(broadcast(one_row_aggregate)): the build side is exactly ONE

@@ -46,3 +46,23 @@ def test_bpe_token_count(spark):
     n = df.select(TX.bpe_token_count(F.col("text")).alias("n")).first()["n"]
     # ab, cd, ',', 1, 2, '!'
     assert n == 6
+
+
+def test_hashed_doc_vectors_are_bag_of_words(spark):
+    """Feature-hash embedding properties: deterministic, order-invariant
+    (bag of words), and duplicated tokens accumulate linearly."""
+    from pyspark_big_data_spark.queries.embed_hash import DIM, hashed_doc_vectors
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),          # permutation of 1
+            (3, "alpha beta gamma alpha beta gamma"),  # 1 doubled
+        ],
+        "doc_id long, text string",
+    )
+    vecs = {r["doc_id"]: list(r["embedding"]) for r in hashed_doc_vectors(df).collect()}
+    assert len(vecs[1]) == DIM
+    assert vecs[1] == vecs[2]                          # order-invariant
+    assert vecs[3] == [2 * v for v in vecs[1]]         # multiset-linear
+    assert any(v != 0 for v in vecs[1])
