@@ -251,6 +251,133 @@ def span_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring duplicate SPANS (Lee et al. "Deduplicating Training
+# Data Makes Language Models Better" shape): sliding k-gram duplicate
+# detection + per-doc interval merge -> the token ranges to CUT, not
+# just per-doc counts (the refinement over fixed-chunk span_dedup).
+# ---------------------------------------------------------------------------
+
+_DSPAN_K = 8  # k-gram width; duplicated runs >= k tokens are caught
+
+
+def _dup_span_oracle() -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(len(toks) - {_DSPAN_K - 1}, 0))) AS pos,
+           toks
+    FROM d
+),
+grams AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(list_slice(toks, pos, pos + {_DSPAN_K - 1}), ' ')) AS fp
+    FROM g
+),
+marked AS (
+    SELECT doc_id, pos,
+           (doc_id * {_SPAN_KEY_SCALE} + pos) AS k,
+           MIN(doc_id * {_SPAN_KEY_SCALE} + pos) OVER (PARTITION BY fp) AS min_k
+    FROM grams
+),
+dup AS (SELECT doc_id, pos FROM marked WHERE k <> min_k),
+islands AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > COALESCE(MAX(pos + {_DSPAN_K - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS new_island
+    FROM dup
+),
+numbered AS (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM islands
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_DSPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_DSPAN_K - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM numbered
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@register("dup_span_extract", oracle=_dup_span_oracle(), driver=False)
+def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans: every {_DSPAN_K}-token window
+    hashed at EVERY position (sliding, not strided — a duplicated run of
+    any length ≥ k is caught wherever it starts), global survivor keeps
+    the lexicographic-min (doc, pos) occurrence, and each doc's
+    non-survivor positions merge into maximal [span_start, span_end]
+    token intervals (overlapping/adjacent windows coalesce via the
+    classic running-max island scan). The output is the CUT LIST a
+    corpus-rewrite pass consumes — the operational product of Lee-et-al
+    style dedup, one level finer than span_dedup_chunks' counts.
+
+    Cost shape: k-gram generation is map-side (array slice per position,
+    ~L rows/doc like shingling); one shuffle keyed by the 16-byte gram
+    fingerprint (window MIN — skew on boilerplate grams is the hazard,
+    AQE skew handling applies); one shuffle keyed by doc_id for the
+    island merge. No stage is quadratic in anything."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    g = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (_DSPAN_K - 1), F.lit(0)))
+        ).alias("pos"),
+    )
+    grams = g.select(
+        "doc_id",
+        "pos",
+        F.md5(F.array_join(F.slice("toks", F.col("pos"), _DSPAN_K), " ")).alias("fp"),
+    )
+    key = F.col("doc_id") * _SPAN_KEY_SCALE + F.col("pos")
+    marked = grams.select(
+        "doc_id", "pos", key.alias("k"), F.min(key).over(Window.partitionBy("fp")).alias("min_k")
+    )
+    dup = marked.filter(F.col("k") != F.col("min_k")).select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + (_DSPAN_K - 1)).over(w_prev), F.lit(-1)) + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = islands.select("doc_id", "pos", F.sum("new_island").over(w_run).alias("island"))
+    return (
+        numbered.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (_DSPAN_K - 1)).cast("long").alias("span_end"),
+            (F.max("pos") + (_DSPAN_K - 1) - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
 

@@ -132,10 +132,15 @@ ORDER BY id_a, id_b
 
 def build_minhash_index(docs: DataFrame, index_dir: str) -> None:
     """Persist the reusable dedup index for a corpus: MinHash signatures
-    plus long-form band keys, the band keys PARTITIONED BY band_no so an
-    incoming batch's band join prunes straight to the matching band
-    partitions (at 100 TB add bucketing on `band` within each partition
-    so the join is also co-located).
+    plus long-form band keys, the band keys PARTITIONED BY band_no.
+
+    What the layout buys at 100 TB: the batch join's shuffle key is
+    (band_no, band), so a band_no-partitioned + band-bucketed index
+    (add .bucketBy on `band` when writing to a table catalog) lets the
+    probe join run per-band with a co-located build side instead of
+    re-shuffling the whole index every batch; plain partitionBy alone
+    gives per-band file layout (and pruning whenever a probe touches a
+    band subset), bucketing adds the shuffle elision.
 
     Building the index costs one pass over the corpus — the point is it
     happens ONCE; every later batch reuses it instead of re-hashing the

@@ -223,3 +223,37 @@ def test_bigram_fluency_matches_python_tokenization(spark, sf_dir):
         assert row["n_bigrams"] == len(toks) - 1
         assert row["mean_logp"] < 0  # smoothed probability is always < 1
     assert len(out) == n_expected
+
+
+def test_dup_span_extract_semantics(spark, tmp_path):
+    """A 12-token run duplicated across two docs must come back as ONE
+    merged span (all 5 overlapping 8-gram hits coalesce) covering
+    exactly the duplicated tokens in the non-survivor doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_big_data_spark.queries.corpus_ops import _DSPAN_K, dup_span_extract
+
+    run = " ".join(f"t{i}" for i in range(12))  # the duplicated run
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [f"{uniq_a} {run}", f"{run} {uniq_b}"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": pa.array([0, 0], type=pa.int64()),
+        }
+    )
+    sf = tmp_path / "mini"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+
+    spans = dup_span_extract(spark, str(sf)).collect()
+    # doc 1 wins the survivor race on every shared gram (doc_id*SCALE+pos);
+    # doc 2's grams at pos 1..5 are dups -> one island [1, 12]
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) for r in spans] == [
+        (2, 1, 12, 12)
+    ]
+    assert 12 - 1 + 1 >= _DSPAN_K

@@ -137,3 +137,58 @@ def test_stream_jsonl_ingestion_equals_batch(spark, sf_dir, tmp_path):
         for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == want
+
+
+def test_stream_corpus_ingest_equals_batch_pipeline(spark, sf_dir, tmp_path):
+    """Continuous-ingestion twin: replaying the documents table as JSONL
+    drops through quality-gate + watermarked exact dedup must keep
+    exactly the batch pipeline's survivor fingerprint set (the surviving
+    doc per fingerprint is arrival-order-dependent by definition, so the
+    fingerprint set is the contract)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.training_pipeline import curated_training_set
+    from pyspark_big_data_spark.streaming.corpus_ingest import ingest_corpus_stream
+    from pyspark_big_data_spark.streaming.streams import run_to_memory
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    # two shards + one corrupt line; ingest_ts within one watermark window
+    for shard in range(2):
+        with open(drop_dir / f"shard{shard}.jsonl", "w") as fh:
+            if shard == 0:
+                fh.write("{not json\n")
+            for r in docs[shard::2]:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "text": r["text"],
+                            "lang": r["lang"],
+                            "source": r["source"],
+                            "ingest_ts": "2024-01-01T00:00:01",
+                        }
+                    )
+                    + "\n"
+                )
+
+    out = run_to_memory(
+        ingest_corpus_stream(spark, str(drop_dir)), "corpus_ingest", output_mode="append"
+    )
+    stream_fps = {r["fp"] for r in out.select("fp").collect()}
+
+    batch = curated_training_set(spark, sf_dir)
+    batch_fps = {
+        r["fp"]
+        for r in read_table(spark, sf_dir, "documents")
+        .join(batch.select("doc_id"), "doc_id")
+        .select(TX.fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert stream_fps == batch_fps
+    assert len(out.columns) == 6
