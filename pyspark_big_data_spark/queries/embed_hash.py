@@ -27,7 +27,13 @@ from pyspark_big_data_spark.io import ensure_min_partitions, read_table
 from pyspark_big_data_spark.queries.registry import register
 
 DIM = 64
-_NEAR_COS = 0.60
+# Bag-of-words hashing measures token-DISTRIBUTION overlap, and this
+# corpus draws most tokens from one shared 31-word vocabulary — random
+# doc pairs already sit at cosine 0.6-0.8 (measured: 56k/4.2k/61 pairs
+# in the 0.6/0.8/0.9 bins at sf0.01). The near-dup band for actually
+# duplicated content is >= 0.9; on natural text (heavy-tailed vocab)
+# the background sits far lower and the same threshold is conservative.
+_NEAR_COS = 0.90
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -129,3 +135,72 @@ def doc_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --- semantic decontamination: embedding twin of decontaminate_vs_probes ---
+
+_SEM_TAU = 0.90  # same band as the near-dup threshold (see note above)
+
+_SEM_DECONTAM_ORACLE = f"""{_dd_embed_cte()},
+dv AS (SELECT doc_id, CAST(e AS DOUBLE[]) AS e FROM vecs),
+probes AS (SELECT doc_id, e FROM dv WHERE doc_id % {{M}} = 0),
+corpus AS (SELECT doc_id, e FROM dv WHERE doc_id % {{M}} <> 0),
+hits AS (
+    SELECT c.doc_id, p.doc_id AS probe_id, {_DD_COS.replace('a.', 'c.').replace('b.', 'p.')} AS cos
+    FROM corpus c JOIN probes p ON true
+    WHERE {_DD_COS.replace('a.', 'c.').replace('b.', 'p.')} >= {_SEM_TAU}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_probe_hits,
+       ROUND(MAX(cos), 6) AS max_cosine
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("decontaminate_semantic", driver=False)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus docs whose
+    hashed vector is cosine-≥ {_SEM_TAU} to ANY held-out probe doc —
+    catching paraphrase-ish contamination that exact n-gram containment
+    (decontaminate_vs_probes, same doc_id % split) misses once token
+    order or a few words change.
+
+    Plan: probes are a small fraction — broadcast their vectors; one
+    scan of the corpus side computes cosines against the broadcast
+    (no shuffle of the corpus, no self-join). At 100 TB the probe side
+    (benchmarks) stays tiny by definition, so this shape holds as-is.
+    """
+    from pyspark_big_data_spark.functions import vectors as V
+    from pyspark_big_data_spark.queries.corpus_ops import PROBE_MOD
+
+    emb = hashed_doc_vectors(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = emb.filter(F.col("doc_id") % PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    corpus = emb.filter(F.col("doc_id") % PROBE_MOD != 0)
+    cos = V.cosine(F.col("e"), F.col("pe"))
+    return (
+        corpus.crossJoin(F.broadcast(probes))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SEM_TAU)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe_hits"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# register the oracle with PROBE_MOD resolved (import-cycle-free: the
+# constant lives in corpus_ops, fetched lazily above for the query body)
+def _finalize_sem_oracle() -> None:
+    from pyspark_big_data_spark.queries.corpus_ops import PROBE_MOD
+    from pyspark_big_data_spark.queries.registry import ORACLES
+
+    ORACLES["decontaminate_semantic"] = _SEM_DECONTAM_ORACLE.format(M=PROBE_MOD)
+
+
+_finalize_sem_oracle()

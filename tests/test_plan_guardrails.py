@@ -32,6 +32,10 @@ _NESTED_LOOP_OK = {
     "embedding_near_dup",
     "ann_topk_bruteforce",
     "doc_embed_near_dup",  # guarded all-pairs witness over hashed doc vectors
+    # corpus x broadcast(probe vectors): the build side is the held-out
+    # benchmark set — small by definition, so the nested loop is a
+    # map-side scan against a broadcast, not an O(n^2) blowup
+    "decontaminate_semantic",
 }
 
 # crossJoin(broadcast(one_row_aggregate)): the build side is exactly ONE
