@@ -39,6 +39,8 @@ HEADLINE = [
     # (~106 s at native sf1) that would swamp the total; PERFORMANCE.md
     # records it with the k-scaling analysis instead.
     "span_dedup_chunks",
+    "dup_span_extract",
+    "doc_embed_hash",
     "bm25_topk",
     "simhash_near_pairs",
     "winnow_near_pairs",

@@ -192,3 +192,71 @@ def test_stream_corpus_ingest_equals_batch_pipeline(spark, sf_dir, tmp_path):
     }
     assert stream_fps == batch_fps
     assert len(out.columns) == 6
+
+
+def test_incremental_dedup_stream_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Replaying the corpus through the continuous-dedup loop in 3
+    micro-batches must produce EXACTLY the full-recompute pair set —
+    regardless of how documents are partitioned into batches — and the
+    index must end up covering every document once."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.dedup import dedup_minhash_lsh
+    from pyspark_big_data_spark.streaming.incremental_dedup import process_document_batch
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    for shard in range(3):
+        process_document_batch(
+            docs.filter(F.col("doc_id") % 3 == shard), index_dir, pairs_dir=pairs_dir
+        )
+
+    got = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {(r["id_a"], r["id_b"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert got == want
+
+    n_docs = docs.count()
+    assert spark.read.parquet(f"{index_dir}/sigs").count() == n_docs
+
+
+def test_incremental_dedup_stream_via_foreachbatch(spark, sf_dir, tmp_path):
+    """End-to-end through the Structured Streaming wiring: JSONL drops ->
+    foreachBatch incremental step -> pairs sink; the cumulative pair set
+    matches the batch-path replay on the same docs."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.streaming.incremental_dedup import run_dedup_stream
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    with open(drop_dir / "all.jsonl", "w") as fh:
+        for r in docs:
+            fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    q = run_dedup_stream(
+        spark,
+        str(drop_dir),
+        schema,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    from pyspark_big_data_spark.queries.dedup import dedup_minhash_lsh
+
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert got == want
