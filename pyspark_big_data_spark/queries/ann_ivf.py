@@ -173,12 +173,56 @@ def ann_topk_ivf_np(
     PERFORMANCE.md). No corpus shuffle at any point — the same property
     that makes IVF the scale path at 100 TB.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
     )
+    return _ivf_np_search(spark, emb, cell_col="label", probe_shards=probe_shards)
+
+
+@register("ann_topk_ivf_kmeans", driver=False)  # rows-only; recall via tools/recall_report.py
+def ann_topk_ivf_kmeans(
+    spark: SparkSession, sf_dir: str, probe_shards: int | None = None
+) -> DataFrame:
+    """The PRODUCTION IVF: cells come from k-means over the vectors
+    themselves (not the dataset's label column, which on this testdata
+    has no similarity structure). Planted near-duplicate neighbors land
+    in the same Lloyd cell with high probability, so the same NPROBE
+    scan fraction concentrates real neighbors instead of sampling cells
+    blindly — measured in the recall table (PERFORMANCE.md).
+
+    Assignment uses the BLAS broadcast-centroid tier (zero corpus
+    shuffle); the search reuses the shared IVF engine. Rows-only by
+    design: Lloyd float argmin has no bit-exact SQL twin at this tier
+    (the decimal-exact oracled path is kmeans_clusters), so correctness
+    is recall- and containment-gated in tests/test_similarity_np.py."""
+    from pyspark_big_data_spark.operators.kmeans import kmeans_assignments_np
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assign = kmeans_assignments_np(emb, k=10, iters=3)
+    with_cells = emb.join(assign, "vec_id").select("vec_id", "e", "cluster")
+    return _ivf_np_search(
+        spark, with_cells, cell_col="cluster", probe_shards=probe_shards, what="ann_topk_ivf_kmeans"
+    )
+
+
+def _ivf_np_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    cell_col: str,
+    probe_shards: int | None = None,
+    what: str = "ann_topk_ivf_np",
+) -> DataFrame:
+    """Shared BLAS IVF engine: centroids per ``cell_col``, probe->cell
+    ranking on the driver, one mapInPandas corpus scan per probe shard
+    (each batch searched only by the probes of its own cells)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_big_data_spark.queries.similarity import _probe_shards, guard_allpairs
+
+    emb = emb.select("vec_id", "e", F.col(cell_col).alias("label"))
     # centroids: cells x dim is tiny — aggregate distributed, collect
     cent_rows = (
         emb.select("label", F.posexplode("e").alias("pos0", "val"))
@@ -194,10 +238,8 @@ def ann_topk_ivf_np(
         cmat[lab_idx[r["label"]], r["pos0"]] = r["cval"]
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
-    from pyspark_big_data_spark.queries.similarity import _probe_shards, guard_allpairs
-
     probes_pd = guard_allpairs(
-        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_ivf_np probes"
+        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), f"{what} probes"
     ).toPandas()
     pids_all = probes_pd["vec_id"].to_numpy()
     pmat_all = np.stack(probes_pd["e"].to_numpy())

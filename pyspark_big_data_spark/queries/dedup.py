@@ -153,6 +153,67 @@ def build_minhash_index(docs: DataFrame, index_dir: str) -> None:
     )
 
 
+def build_minhash_index_table(
+    docs: DataFrame, table_prefix: str = "minhash_index", num_buckets: int = 16
+) -> None:
+    """Catalog-table tier of build_minhash_index: band keys saved
+    BUCKETED on the composite band key, so every later batch probe
+    joins against the index with NO shuffle on the index side — the
+    batch (small) shuffles to the index's bucketing, the index (the
+    100 TB side) is read bucket-aligned in place. ``bk`` fuses
+    (band_no, band) into one column because bucket pruning/alignment
+    follows the bucket column exactly."""
+    from pyspark_big_data_spark.operators.bucketing import write_bucketed
+
+    spark = docs.sparkSession
+    sigs = DD.minhash_signatures(DD.shingles(docs)).cache()
+    sigs.write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_sigs")
+    bands = DD.band_keys(sigs).withColumn("bk", F.concat_ws(":", "band_no", "band"))
+    write_bucketed(bands, f"{table_prefix}_bands", "bk", num_buckets=num_buckets)
+
+
+def batch_probe_candidates(batch_bands: DataFrame, idx_bands: DataFrame) -> DataFrame:
+    """Candidate (id_a < id_b) pairs of a batch against an index on the
+    fused band key — the join whose index side must stay shuffle-free
+    when idx_bands is a bucketed-table scan (plan-asserted in
+    tests/test_bucketing.py)."""
+    a = batch_bands.select(F.col("doc_id").alias("id_x"), "bk")
+    b = idx_bands.select(F.col("doc_id").alias("id_y"), F.col("bk").alias("bk_y"))
+    return (
+        a.join(b, (F.col("bk") == F.col("bk_y")) & (F.col("id_x") != F.col("id_y")))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def incremental_pairs_bucketed(
+    spark: SparkSession, batch: DataFrame, table_prefix: str = "minhash_index"
+) -> DataFrame:
+    """dedup_minhash_incremental against the BUCKETED catalog index:
+    batch x index runs with the index side shuffle-free (bucket-aligned
+    scan), batch x batch is a separate tiny self-join — so the big side
+    never re-shuffles, the exact property the layout is for."""
+    batch_sigs = DD.minhash_signatures(DD.shingles(batch)).cache()
+    batch_bands = DD.band_keys(batch_sigs).withColumn(
+        "bk", F.concat_ws(":", "band_no", "band")
+    )
+    idx_bands = spark.table(f"{table_prefix}_bands")
+    idx_sigs = spark.table(f"{table_prefix}_sigs")
+
+    cand = batch_probe_candidates(batch_bands, idx_bands).unionByName(
+        DD.candidate_pairs(batch_bands)
+    ).distinct()
+    all_sigs = idx_sigs.unionByName(batch_sigs)
+    return (
+        DD.estimated_jaccard(cand, all_sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("dedup_minhash_incremental", oracle=_INCR_ORACLE, driver=False)
 def dedup_minhash_incremental(
     spark: SparkSession, sf_dir: str, index_dir: str | None = None

@@ -32,3 +32,50 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_bucketed_minhash_index_probe_is_shuffle_free_on_index_side(spark, sf_dir):
+    """The incremental-dedup economics at 100 TB: the batch probe join
+    must read the bucketed band index WITHOUT an Exchange on the index
+    side (only the small batch shuffles), and the bucketed path must
+    produce exactly the plain incremental pair set."""
+    from pyspark_big_data_spark.queries.dedup import (
+        _INCR_MOD,
+        batch_probe_candidates,
+        build_minhash_index_table,
+        dedup_minhash_incremental,
+        incremental_pairs_bucketed,
+    )
+    from pyspark_big_data_spark.operators import dedup as DD
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        build_minhash_index_table(corpus, "t_mh_idx", num_buckets=8)
+
+        batch_bands = DD.band_keys(DD.minhash_signatures(DD.shingles(batch))).withColumn(
+            "bk", F.concat_ws(":", "band_no", "band")
+        )
+        cand = batch_probe_candidates(batch_bands, spark.table("t_mh_idx_bands"))
+        plan = physical_plan(cand)
+        assert "Bucketed: true" in plan, plan  # index scan is bucket-aligned
+        # Spark prints "Bucketed: false (reason)" when it decides to
+        # shuffle a bucketed table after all — demand it never does
+        assert "Bucketed: false" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in incremental_pairs_bucketed(spark, batch, "t_mh_idx").collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"]) for r in dedup_minhash_incremental(spark, sf_dir).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_mh_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS t_mh_idx_sigs")

@@ -64,3 +64,28 @@ def test_ivf_np_tier_matches_exact(spark, sf_dir):
     assert len(overlap) / len(exact) >= 0.95
     for key in overlap:
         assert abs(exact[key] - fast[key]) < 2e-6
+
+
+def test_ivf_kmeans_recall_beats_label_cells(spark, sf_dir):
+    """k-means cells must concentrate true neighbors better than the
+    structureless label cells at the same NPROBE: recall vs the exact
+    brute-force truth must be at least as high, and every emitted
+    neighbor edge must carry the true cosine (subset check on values)."""
+    from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf_kmeans, ann_topk_ivf_np
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    label_hits = {
+        (r["probe_id"], r["neighbor_id"]) for r in ann_topk_ivf_np(spark, sf_dir).collect()
+    }
+    km = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_ivf_kmeans(spark, sf_dir).collect()
+    }
+    km_recall = len(set(km) & set(exact)) / len(exact)
+    label_recall = len(label_hits & set(exact)) / len(exact)
+    assert km_recall >= label_recall
+    for key in set(km) & set(exact):
+        assert abs(km[key] - exact[key]) < 2e-6

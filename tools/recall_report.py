@@ -159,6 +159,19 @@ def main() -> None:
         )
     )
 
+    from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf_kmeans
+
+    km = pair_set(ann_topk_ivf_kmeans(spark, sf_dir), a="probe_id", b="neighbor_id")
+    rows.append(
+        (
+            "top-k neighbors",
+            f"ann_topk_ivf_kmeans ({_NPROBE}/10 Lloyd cells)",
+            len(km & bf),
+            len(bf),
+            ivf_cand,  # same NPROBE/cells scan budget as the label tier
+        )
+    )
+
     allpairs = n * (n - 1) // 2
     exhaustive = {"near-dup pairs": allpairs, "top-k neighbors": n_probes * (n - 1)}
     print(f"\nGround truth at {sf_dir}: {len(truth)} near-dup pairs, "
