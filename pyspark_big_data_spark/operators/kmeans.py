@@ -150,6 +150,7 @@ def kmeans_assignments_np(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    n_probe: int = 1,
 ) -> DataFrame:
     """BLAS fast tier of ``kmeans_assignments``: same smallest-id init,
     same Lloyd schedule, but each assignment pass is a mapInPandas argmin
@@ -175,9 +176,11 @@ def kmeans_assignments_np(
     for it in range(iters):
         b = spark.sparkContext.broadcast((cids, cmat))
 
+        final_n = n_probe if it == iters - 1 else 1
+
         # bind the broadcast by VALUE: `b` rebinds every loop iteration,
         # and the returned frame's closure must not chase the name
-        def assign(batches, _b=b):
+        def assign(batches, _b=b, _n=final_n):
             ids_c, m = _b.value
 
             for pdf in batches:
@@ -185,15 +188,29 @@ def kmeans_assignments_np(
                     continue
                 x = np.stack(pdf[vec_col].to_numpy())
                 d2 = ((x[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
-                # argmin takes the FIRST min index; ids_c ascending makes
-                # this the same (d2, cid) tie-break as the exact tier
-                best = np.argmin(d2, axis=1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].astype("int64"),
-                        "cluster": ids_c[best],
-                    }
-                )
+                if _n == 1:
+                    # argmin takes the FIRST min index; ids_c ascending
+                    # makes this the same (d2, cid) tie-break as the
+                    # exact tier
+                    best = np.argmin(d2, axis=1)
+                    yield pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].astype("int64"),
+                            "cluster": ids_c[best],
+                        }
+                    )
+                else:
+                    # soft final assignment: top-n cells per point
+                    # (stable sort == (d2, cid) tie-break, ids ascending)
+                    nn = min(_n, d2.shape[1])
+                    top = np.argsort(d2, axis=1, kind="stable")[:, :nn]
+                    ids = pdf[id_col].to_numpy().astype("int64")
+                    yield pd.DataFrame(
+                        {
+                            id_col: np.repeat(ids, nn),
+                            "cluster": ids_c[top].ravel(),
+                        }
+                    )
 
         assign_df = emb.mapInPandas(assign, schema=f"{id_col} long, cluster long")
         if it < iters - 1:

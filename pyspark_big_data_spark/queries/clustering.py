@@ -115,39 +115,42 @@ def semantic_dedup_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-cluster memory is O(size²) doubles — the same cluster-size knob
     (grow k with n) that bounds the pair bill bounds the matmul.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = _emb(spark, sf_dir)
     assign = KM.kmeans_assignments(emb, k=_K, iters=_ITERS)
     ann = emb.join(assign, "vec_id").select("vec_id", "e", "cluster")
-
-    def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        x = np.stack(pdf["e"].to_numpy())
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
-        s = x @ x.T
-        iu, ju = np.triu_indices(n, k=1)
-        cos = s[iu, ju]
-        keep = cos >= _COS_THRESHOLD
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cosine": np.round(cos[keep], 6),
-            }
-        )
-
     out = ann.groupBy("cluster").applyInPandas(
-        pairs_in_cluster, schema="id_a long, id_b long, cosine double"
+        _blas_pairs_in_cluster, schema="id_a long, id_b long, cosine double"
     )
     return out.orderBy("id_a", "id_b")
+
+
+def _blas_pairs_in_cluster(pdf):
+    """One cluster's near-dup pairs: normalize, X @ X.T, keep the upper
+    triangle over the threshold (shared by the hard and multi-probe
+    BLAS tiers)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+    ids = pdf["vec_id"].to_numpy()
+    x = np.stack(pdf["e"].to_numpy())
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    s = x @ x.T
+    iu, ju = np.triu_indices(n, k=1)
+    cos = s[iu, ju]
+    keep = cos >= _COS_THRESHOLD
+    a, b = ids[iu[keep]], ids[ju[keep]]
+    return pd.DataFrame(
+        {
+            "id_a": np.minimum(a, b),
+            "id_b": np.maximum(a, b),
+            "cosine": np.round(cos[keep], 6),
+        }
+    )
 
 
 _N_PROBE = 3  # cells per point in the soft assignment (recall knob)
@@ -220,4 +223,28 @@ def kmeans_clusters_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/kmeans.py::kmeans_assignments_np."""
     return KM.kmeans_assignments_np(_emb(spark, sf_dir), k=_K, iters=_ITERS).orderBy(
         "vec_id"
+    )
+
+
+@register("semantic_dedup_multiprobe_np", driver=False)  # fast tier; agreement-gated
+def semantic_dedup_multiprobe_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS fast tier of semantic_dedup_multiprobe — the tier that fixes
+    its sf1 artifact (the interpreted HOF pair stage measured ~106 s at
+    native sf1; see PERFORMANCE.md). BLAS end to end: the soft
+    assignment is the broadcast-centroid tier (zero corpus shuffle,
+    n_probe top cells per point) and each cell's pair stage is one
+    applyInPandas matmul. A pair
+    sharing several of its sides' n_probe cells is computed once per
+    shared cell with identical inputs, so the duplicate rows carry the
+    identical double and a groupBy min() dedups them exactly."""
+    emb = _emb(spark, sf_dir)
+    assign = KM.kmeans_assignments_np(emb, k=_K, iters=_ITERS, n_probe=_N_PROBE)
+    ann = emb.join(assign, "vec_id").select("vec_id", "e", "cluster")
+    out = ann.groupBy("cluster").applyInPandas(
+        _blas_pairs_in_cluster, schema="id_a long, id_b long, cosine double"
+    )
+    return (
+        out.groupBy("id_a", "id_b")
+        .agg(F.min("cosine").alias("cosine"))
+        .orderBy("id_a", "id_b")
     )

@@ -109,3 +109,27 @@ def test_multiprobe_recall_floor(spark, sf_dir):
     mp = {(r["id_a"], r["id_b"]) for r in semantic_dedup_multiprobe(spark, sf_dir).collect()}
     assert mp <= truth
     assert len(mp & truth) / len(truth) >= 0.9
+
+
+def test_multiprobe_np_tier_matches_exact(spark, sf_dir):
+    """The BLAS multi-probe tier must reproduce the oracled multi-probe
+    pair set (float summation order aside: near-total agreement, 6dp
+    cosine agreement on the overlap)."""
+    from pyspark_big_data_spark.queries.clustering import (
+        semantic_dedup_multiprobe,
+        semantic_dedup_multiprobe_np,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_multiprobe(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_dedup_multiprobe_np(spark, sf_dir).collect()
+    }
+    overlap = set(exact) & set(fast)
+    assert len(fast) == len(exact)
+    assert len(overlap) / len(exact) >= 0.98
+    for key in overlap:
+        assert abs(exact[key] - fast[key]) < 2e-6
