@@ -41,7 +41,12 @@ def test_every_query_has_oracle_or_is_flagged():
         # same float64-vs-decimal reasoning; agreement vs the oracled
         # exact tiers asserted in tests/test_clustering.py.
         "semantic_dedup_np",
+        "semantic_dedup_multiprobe_np",
         "kmeans_clusters_np",
+        # Lloyd float argmin cells have no bit-exact SQL twin at the
+        # BLAS tier; recall >= label-cell tier + cosine containment
+        # asserted in tests/test_similarity_np.py.
+        "ann_topk_ivf_kmeans",
         # xxhash64 production hash has no DuckDB twin; true-near-dup
         # recall vs the md5 tier asserted in tests/test_corpus_ops.py.
         "dedup_minhash_fast",

@@ -22,7 +22,9 @@ _PYTHON_OK = {
     "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
     "ann_topk_ivf_np",
     "semantic_dedup_np",  # BLAS fast tier: applyInPandas per cluster
+    "semantic_dedup_multiprobe_np",  # BLAS soft-assignment tier: same Arrow paths
     "kmeans_clusters_np",  # BLAS fast tier: broadcast-centroid mapInPandas
+    "ann_topk_ivf_kmeans",  # BLAS IVF over Lloyd cells: mapInPandas by design
 }
 
 # inequality-only self-join conditions legitimately plan as
