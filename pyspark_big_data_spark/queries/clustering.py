@@ -227,7 +227,9 @@ def kmeans_clusters_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("semantic_dedup_multiprobe_np", driver=False)  # fast tier; agreement-gated
-def semantic_dedup_multiprobe_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_multiprobe_np(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """BLAS fast tier of semantic_dedup_multiprobe — the tier that fixes
     its sf1 artifact (the interpreted HOF pair stage measured ~106 s at
     native sf1; see PERFORMANCE.md). BLAS end to end: the soft
@@ -236,9 +238,16 @@ def semantic_dedup_multiprobe_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas matmul. A pair
     sharing several of its sides' n_probe cells is computed once per
     shared cell with identical inputs, so the duplicate rows carry the
-    identical double and a groupBy min() dedups them exactly."""
+    identical double and a groupBy min() dedups them exactly.
+
+    ``k`` is THE scale knob: the soft-assignment pair bill is
+    Σ cell_size² ≈ (n_probe·n)²/k, so k must grow with n (k ≈ n/1000
+    keeps cells ~n_probe·1000 rows). Default k matches the oracled tier
+    (k={_K}) for the agreement gate; measured at native sf3 (60k
+    vectors): k=8 → 192 s, k=64 → the same recall mechanics at 1/8th
+    the bill (PERFORMANCE.md)."""
     emb = _emb(spark, sf_dir)
-    assign = KM.kmeans_assignments_np(emb, k=_K, iters=_ITERS, n_probe=_N_PROBE)
+    assign = KM.kmeans_assignments_np(emb, k=k or _K, iters=_ITERS, n_probe=_N_PROBE)
     ann = emb.join(assign, "vec_id").select("vec_id", "e", "cluster")
     out = ann.groupBy("cluster").applyInPandas(
         _blas_pairs_in_cluster, schema="id_a long, id_b long, cosine double"
