@@ -120,3 +120,22 @@ def test_frame_splitter_partition_properties(payload, frame_bytes, every):
     assert b"".join(frames) == payload
     kept = list(range(0, len(frames), every))
     assert kept[0] == 0 and all(b - a == every for a, b in zip(kept, kept[1:]))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.text(alphabet="abcde", min_size=1, max_size=6), min_size=1, max_size=20),
+    st.lists(st.text(alphabet="abcde", min_size=1, max_size=6), min_size=1, max_size=20),
+)
+def test_hashed_doc_vectors_are_additive(spark, toks_a, toks_b):
+    """Feature-hash embedding is linear over token multisets: the vector
+    of the concatenated document equals the sum of the parts' vectors
+    (integer arithmetic, so equality is exact)."""
+    from pyspark_big_data_spark.queries.embed_hash import hashed_doc_vectors
+
+    a, b = " ".join(toks_a), " ".join(toks_b)
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, f"{a} {b}")], "doc_id long, text string"
+    )
+    vecs = {r["doc_id"]: list(r["embedding"]) for r in hashed_doc_vectors(df).collect()}
+    assert vecs[3] == [x + y for x, y in zip(vecs[1], vecs[2])]
