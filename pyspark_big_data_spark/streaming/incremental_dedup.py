@@ -95,6 +95,7 @@ def run_dedup_stream(
     index_dir: str,
     pairs_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ):
     """Wire the incremental step into a Structured Streaming foreachBatch
     sink over a JSONL drop directory; availableNow-triggered so it also
@@ -109,9 +110,11 @@ def run_dedup_stream(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         process_document_batch(batch_df, index_dir, pairs_dir=pairs_dir)
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(schema)
-        .json(jsonl_dir)
+        reader.json(jsonl_dir)
         .writeStream.foreachBatch(step)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -260,3 +260,53 @@ def test_incremental_dedup_stream_via_foreachbatch(spark, sf_dir, tmp_path):
     got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
     want = {(r["id_a"], r["id_b"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_incremental_dedup_stream_multibatch_and_restart_idempotent(spark, sf_dir, tmp_path):
+    """Operational contract of the continuous-dedup loop: (1) with
+    maxFilesPerTrigger=1 each shard becomes its OWN micro-batch and the
+    cumulative pair set still equals the full recompute; (2) restarting
+    the stream against the same checkpoint reprocesses nothing — the
+    pair sink and index are unchanged (source-offset idempotence)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.dedup import dedup_minhash_lsh
+    from pyspark_big_data_spark.streaming.incremental_dedup import run_dedup_stream
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    for shard in range(3):
+        with open(drop_dir / f"s{shard}.jsonl", "w") as fh:
+            for r in docs[shard::3]:
+                fh.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    args = dict(
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    run_dedup_stream(spark, str(drop_dir), schema, **args).awaitTermination()
+
+    def pairs():
+        return sorted(
+            (r["id_a"], r["id_b"]) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        )
+
+    want = sorted((r["id_a"], r["id_b"]) for r in dedup_minhash_lsh(spark, sf_dir).collect())
+    first = pairs()
+    assert first == want
+    n_index = spark.read.parquet(str(tmp_path / "index") + "/sigs").count()
+    assert n_index == len(docs)
+
+    # restart against the same checkpoint: nothing new to process
+    run_dedup_stream(spark, str(drop_dir), schema, **args).awaitTermination()
+    assert pairs() == first
+    assert spark.read.parquet(str(tmp_path / "index") + "/sigs").count() == n_index
