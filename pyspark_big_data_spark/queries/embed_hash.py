@@ -204,3 +204,78 @@ def _finalize_sem_oracle() -> None:
 
 
 _finalize_sem_oracle()
+
+
+# --- bucketed near-dup over generated vectors: the SCALE twin of the
+# guarded all-pairs witness above ---
+
+def _lsh_oracle_over_doc_vectors() -> str:
+    """SRP-LSH band join replayed in SQL over the GENERATED doc vectors:
+    the embed CTE feeds the same hyperplane bucket SQL the embeddings-
+    table LSH oracle uses (shared constants — the two engines and the
+    two corpora cannot drift)."""
+    from pyspark_big_data_spark.queries.similarity import _LSH_TABLES, _dd_bucket
+
+    table_selects = "\n    UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS t, {_dd_bucket(planes)} AS bucket FROM dv"
+        for t, planes in enumerate(_LSH_TABLES)
+    )
+    return f"""{_dd_embed_cte()},
+dv AS (SELECT doc_id AS vec_id, CAST(e AS DOUBLE[]) AS e FROM vecs),
+tb AS (
+    {table_selects}
+), cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM tb x JOIN tb y
+      ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b, ROUND({_DD_COS}, 6) AS cosine
+FROM cand c
+JOIN dv a ON a.vec_id = c.id_a
+JOIN dv b ON b.vec_id = c.id_b
+WHERE {_DD_COS} >= {_NEAR_COS}
+ORDER BY id_a, id_b
+"""
+
+
+@register("doc_embed_lsh_near_dup", oracle=_lsh_oracle_over_doc_vectors(), driver=False)
+def doc_embed_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup over generated doc vectors at SCALE: SRP-LSH band
+    bucketing (the same OR-amplified tables as ann_lsh_bucketed) forms
+    candidates as an equi-join — Σ bucket², never n² — then one exact
+    cosine per candidate at ≥ {_NEAR_COS}. Completes the model-free
+    text → vector → bucketed-ANN pipeline end to end; the guarded
+    all-pairs twin (doc_embed_near_dup) is its exactness witness
+    (recall asserted in tests/test_text_functions.py)."""
+    from pyspark_big_data_spark.functions import vectors as V
+    from pyspark_big_data_spark.queries.similarity import _LSH_TABLES
+
+    emb = hashed_doc_vectors(read_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    buckets = F.array(*[V.simhash_bucket(F.col("e"), planes) for planes in _LSH_TABLES])
+    tabled = emb.select("vec_id", "e", F.posexplode(buckets).alias("t", "bucket"))
+    a = tabled.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "t", "bucket")
+    b = tabled.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("t").alias("t_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("t") == F.col("t_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
+    )
+    cos = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= _NEAR_COS)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -66,3 +66,19 @@ def test_hashed_doc_vectors_are_bag_of_words(spark):
     assert vecs[1] == vecs[2]                          # order-invariant
     assert vecs[3] == [2 * v for v in vecs[1]]         # multiset-linear
     assert any(v != 0 for v in vecs[1])
+
+
+def test_doc_embed_lsh_recall_vs_exact_witness(spark, sf_dir):
+    """The bucketed scale twin must recover ≥90% of the guarded
+    all-pairs witness's pair set (at cos ≥ 0.9 the 8×4 SRP config's
+    expected recall is ~99.8%) and never emit a pair the witness
+    doesn't have (exact cosine verify on candidates)."""
+    from pyspark_big_data_spark.queries.embed_hash import (
+        doc_embed_lsh_near_dup,
+        doc_embed_near_dup,
+    )
+
+    truth = {(r["id_a"], r["id_b"]) for r in doc_embed_near_dup(spark, sf_dir).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in doc_embed_lsh_near_dup(spark, sf_dir).collect()}
+    assert lsh <= truth
+    assert len(lsh & truth) / len(truth) >= 0.9
