@@ -41,6 +41,11 @@ HEADLINE = [
     "span_dedup_chunks",
     "dup_span_extract",
     "doc_embed_hash",
+    # doc_embed_lsh_near_dup is NOT a headline row: on this corpus the
+    # 0.9-cosine truth band is barely separated from the background, so
+    # holding recall costs ~40% of all-pairs in candidates (~100 s at
+    # sf0.1) — measured economics in its docstring/PERFORMANCE.md.
+    "semantic_dedup_multiprobe_np",
     "bm25_topk",
     "simhash_near_pairs",
     "winnow_near_pairs",

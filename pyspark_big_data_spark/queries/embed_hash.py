@@ -209,19 +209,68 @@ _finalize_sem_oracle()
 # --- bucketed near-dup over generated vectors: the SCALE twin of the
 # guarded all-pairs witness above ---
 
-def _lsh_oracle_over_doc_vectors() -> str:
-    """SRP-LSH band join replayed in SQL over the GENERATED doc vectors:
-    the embed CTE feeds the same hyperplane bucket SQL the embeddings-
-    table LSH oracle uses (shared constants — the two engines and the
-    two corpora cannot drift)."""
-    from pyspark_big_data_spark.queries.similarity import _LSH_TABLES, _dd_bucket
+def _plane_lit(plane) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]"
 
-    table_selects = "\n    UNION ALL ".join(
-        f"SELECT vec_id, e, {t} AS t, {_dd_bucket(planes)} AS bucket FROM dv"
-        for t, planes in enumerate(_LSH_TABLES)
-    )
+
+def _doc_lsh_tables():
+    """Hyperplane band tables for the DOC corpus: 6 planes × 16 tables,
+    tuned by measurement (numpy sweep over the real centered vectors):
+    recall vs the cos ≥ 0.9 witness is 0.93 at sf0.01 / 0.91 at sf0.1,
+    at a candidate bill of ~31-40% of all-pairs. That bill is the
+    honest ceiling for THIS corpus: its truth band (uncentered cosine
+    0.90-0.95 over a 31-word shared vocab) lands at LOW centered
+    cosines, so sign-LSH cannot separate it cheaply — tighter configs
+    (8 planes) drop recall to 0.77, looser ones raise the bill past
+    45%. On real model embeddings the separation is wide and the same
+    machinery (ann_lsh_bucketed) runs at a few percent of all-pairs;
+    this query's value is the mechanism (centering + banding +
+    oracle), with MinHash/SimHash remaining the text-side scale path."""
+    from pyspark_big_data_spark.functions import vectors as V
+
+    return [
+        V.random_hyperplanes(n_planes=6, dim=DIM, seed=f"pyspark-big-data-doc-lsh:t{t}")
+        for t in range(16)
+    ]
+
+
+_DOC_LSH_TABLES = _doc_lsh_tables()
+
+
+def _lsh_oracle_over_doc_vectors() -> str:
+    """SRP-LSH band join replayed in SQL over the GENERATED doc vectors,
+    with MEAN-CENTERED bucketing (hyperplane constants generated from
+    the same shared helper as the embeddings-table LSH, doc-corpus
+    seed/width — the two engines cannot drift).
+
+    Why centering: bag-of-words vectors are ANISOTROPIC — every doc
+    shares the common-token direction, so uncentered sign buckets
+    collapse (measured at sf0.1: max bucket 3,166 of 5,000 docs, 29.2M
+    candidate pairs ≈ 23% of all-pairs, 434 s). Bucketing on sign of
+    dot(e - mean, plane) = dot(e, plane) > dot(mean, plane) restores
+    near-balanced buckets. Determinism across engines: the mean is
+    exact-integer-sum / exact-count (identical IEEE doubles), and both
+    threshold and vector dots are the same sequential fold.
+    """
+    mean_list = "[" + ", ".join(
+        f"CAST(SUM(v{i}) AS DOUBLE) / COUNT(*)" for i in range(DIM)
+    ) + "]"
+    selects = []
+    for t, planes in enumerate(_DOC_LSH_TABLES):
+        terms = []
+        for pno, plane in enumerate(planes):
+            lit = _plane_lit(plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(e, {lit}) > "
+                f"list_dot_product(m.mvec, {lit}) THEN {1 << pno} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, e, {t} AS t, " + " + ".join(terms) + " AS bucket FROM dv, mean m"
+        )
+    table_selects = "\n    UNION ALL ".join(selects)
     return f"""{_dd_embed_cte()},
 dv AS (SELECT doc_id AS vec_id, CAST(e AS DOUBLE[]) AS e FROM vecs),
+mean AS (SELECT {mean_list} AS mvec FROM sums),
 tb AS (
     {table_selects}
 ), cand AS (
@@ -240,20 +289,47 @@ ORDER BY id_a, id_b
 
 @register("doc_embed_lsh_near_dup", oracle=_lsh_oracle_over_doc_vectors(), driver=False)
 def doc_embed_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup over generated doc vectors at SCALE: SRP-LSH band
-    bucketing (the same OR-amplified tables as ann_lsh_bucketed) forms
-    candidates as an equi-join — Σ bucket², never n² — then one exact
-    cosine per candidate at ≥ {_NEAR_COS}. Completes the model-free
-    text → vector → bucketed-ANN pipeline end to end; the guarded
-    all-pairs twin (doc_embed_near_dup) is its exactness witness
-    (recall asserted in tests/test_text_functions.py)."""
+    """Near-dup over generated doc vectors at SCALE: MEAN-CENTERED
+    SRP-LSH band bucketing (8 tables × 8 planes — finer than
+    ann_lsh_bucketed's 4 because the doc corpus is larger; planes grow
+    with log n) forms candidates as an equi-join — Σ bucket²,
+    never n² — then one exact cosine per candidate at ≥ {_NEAR_COS}.
+    Centering matters because bag-of-words vectors are anisotropic:
+    uncentered sign buckets collapse into one giant bucket (≈23% of
+    all-pairs as candidates at sf0.1, measured); sign of
+    dot(e - mean, plane) rebalances them. The mean is a bounded driver
+    round-trip (DIM exact integer sums — same class as q3's head(3)).
+    The guarded all-pairs twin (doc_embed_near_dup) is the exactness
+    witness (recall asserted in tests/test_text_functions.py)."""
     from pyspark_big_data_spark.functions import vectors as V
-    from pyspark_big_data_spark.queries.similarity import _LSH_TABLES
 
-    emb = hashed_doc_vectors(read_table(spark, sf_dir, "documents")).select(
+    long_vecs = hashed_doc_vectors(read_table(spark, sf_dir, "documents"))
+    stats = long_vecs.agg(
+        *[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(DIM)],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mean = [stats[f"s{i}"] / stats["n"] for i in range(DIM)]  # exact int / exact int
+
+    def thr(plane) -> float:
+        t = 0.0
+        for m, w in zip(mean, plane):  # sequential fold == list_dot_product
+            t += m * w
+        return t
+
+    def centered_bucket(planes):
+        bucket = F.lit(0).cast("long")
+        for pno, plane in enumerate(planes):
+            bit = F.when(
+                V.dot(F.col("e"), V.lit_vector(plane)) > F.lit(thr(plane)),
+                F.lit(1 << pno),
+            ).otherwise(F.lit(0))
+            bucket = bucket + bit.cast("long")
+        return bucket
+
+    emb = long_vecs.select(
         F.col("doc_id").alias("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
-    buckets = F.array(*[V.simhash_bucket(F.col("e"), planes) for planes in _LSH_TABLES])
+    buckets = F.array(*[centered_bucket(planes) for planes in _DOC_LSH_TABLES])
     tabled = emb.select("vec_id", "e", F.posexplode(buckets).alias("t", "bucket"))
     a = tabled.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "t", "bucket")
     b = tabled.select(
