@@ -198,3 +198,48 @@ def literal_dim(spark: SparkSession, rows: list[tuple], schema) -> DataFrame:
     autoBroadcastJoinThreshold; callers can force with F.broadcast().
     """
     return spark.createDataFrame(rows, schema=schema)
+
+
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Compare every table's on-disk schema against its canonical
+    StructType and classify each drift — the monitor version of the
+    lesson that cost a round: the testdata's events.ts silently flipped
+    from int64 TIMESTAMP(NANOS) to timestamp[us]/TIMESTAMP_NTZ and took
+    six green signals red. Returns one dict per drifted column:
+    {table, column, canonical, actual, handled} where handled=True means
+    read_table already normalizes this encoding (timestamp variants),
+    False means a breaking change a human must look at (missing column,
+    incompatible type).
+
+    Driver-side metadata only (parquet footers via the reader's schema
+    resolution — no data scan); safe to run at any corpus size.
+    """
+    report: list[dict] = []
+    for name, canonical in schemas.TABLES.items():
+        try:
+            actual_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        except Exception as exc:  # table missing entirely
+            report.append(
+                {"table": name, "column": "*", "canonical": "<table>",
+                 "actual": f"<unreadable: {type(exc).__name__}>", "handled": False}
+            )
+            continue
+        actual_by_name = {f.name: f.dataType for f in actual_schema.fields}
+        for field in canonical.fields:
+            actual = actual_by_name.get(field.name)
+            if actual is None:
+                report.append(
+                    {"table": name, "column": field.name,
+                     "canonical": field.dataType.simpleString(), "actual": "<missing>",
+                     "handled": False}
+                )
+            elif actual != field.dataType:
+                is_ts_variant = isinstance(
+                    field.dataType, (T.TimestampType, T.TimestampNTZType)
+                ) and isinstance(actual, (T.TimestampType, T.TimestampNTZType, T.LongType))
+                report.append(
+                    {"table": name, "column": field.name,
+                     "canonical": field.dataType.simpleString(),
+                     "actual": actual.simpleString(), "handled": is_ts_variant}
+                )
+    return report

@@ -79,3 +79,42 @@ def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
     pruned = back.filter(F.col("o_year") == 1996)
     assert pruned.count() == orders.filter(F.col("o_year") == 1996).count()
+
+
+def test_schema_drift_report_flags_only_handled_timestamp_variants(spark, sf_dir):
+    """On the current testdata every drift must be a timestamp-encoding
+    variant read_table already normalizes (handled=True) — if this test
+    starts failing after a testdata regeneration, a NEW breaking drift
+    arrived and read_table needs a look before anything else."""
+    from pyspark_big_data_spark.io import schema_drift_report
+
+    report = schema_drift_report(spark, sf_dir)
+    unhandled = [r for r in report if not r["handled"]]
+    assert unhandled == [], unhandled
+
+
+def test_schema_drift_report_catches_breaking_change(spark, tmp_path):
+    """A table with a missing column and a wrong-typed column must come
+    back handled=False; drifting timestamp encodings stay handled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_big_data_spark.io import schema_drift_report
+
+    # events with ts as plain STRING (breaking) and no props column
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": ["2024-01-01"],
+            "user_id": pa.array([1], type=pa.int64()),
+            "event_type": ["click"],
+            "value": pa.array([1.0], type=pa.float64()),
+        }
+    )
+    sf = tmp_path / "drifted"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "events.parquet"))
+    report = schema_drift_report(spark, str(sf))
+    ev = {(r["column"]): r for r in report if r["table"] == "events"}
+    assert ev["ts"]["handled"] is False  # string ts: NOT a known variant
+    assert ev["props"]["actual"] == "<missing>" and ev["props"]["handled"] is False
