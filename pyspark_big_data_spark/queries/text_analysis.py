@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark_big_data_spark.functions import text as TX
-from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.io import ensure_min_partitions, read_table
 from pyspark_big_data_spark.queries.registry import register
 
 # DuckDB-side normalized text + token list (single source for oracles)
@@ -159,4 +159,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .orderBy("keep_doc_id")
+    )
+
+
+_HH_SUPPORT = 0.02  # min corpus-wide token frequency to count as a heavy hitter
+
+_HH_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT t.tok AS token,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n), 6) AS freq
+FROM tok t, tot
+GROUP BY t.tok
+HAVING CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n) >= {_HH_SUPPORT}
+ORDER BY cnt DESC, token
+"""
+
+
+@register("vocab_heavy_hitters", oracle=_HH_ORACLE, driver=False)
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (corpus frequency ≥ {_HH_SUPPORT}) via the
+    candidate-then-verify pattern: a single-pass ``freqItems`` sketch
+    (Karp/Misra-Gries family — GUARANTEED superset of every item above
+    the support threshold) proposes candidates with no token shuffle at
+    all, then one scan counts ONLY candidate tokens exactly. The final
+    filter makes the output exact — which is why this sketch-backed
+    query still carries a full SQL oracle.
+
+    Scale contrast with ``vocab_stats`` (exact df/cf for the WHOLE
+    vocabulary): that pays a shuffle keyed by every distinct token —
+    right for tokenizer training; this answers "what dominates the
+    corpus" with a candidate set bounded by 1/support (≤50 here) and a
+    tiny broadcast-filtered aggregate. At 100 TB the sketch pass is
+    scan-speed and the exact pass aggregates ~50 keys."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = ensure_min_partitions(
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    ).cache()
+    # single-pass candidate sketch: one row, array of candidate tokens
+    cand = toks.stat.freqItems(["tok"], support=_HH_SUPPORT).collect()[0][0]
+    total = toks.count()
+    return (
+        toks.filter(F.col("tok").isin(list(cand)))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("freq", F.round(F.col("cnt").cast("double") / F.lit(total), 6))
+        .filter(F.col("cnt").cast("double") / F.lit(total) >= _HH_SUPPORT)
+        .orderBy(F.col("cnt").desc(), "token")
     )
