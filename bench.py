@@ -101,10 +101,11 @@ def main() -> None:
     hint_matrix = _hint_matrix(spark)
 
     total = round(sum(timings.values()), 3)
+    # Detailed line first (variants + hint matrix for the record) …
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -113,6 +114,21 @@ def main() -> None:
                 "sf": sf_num,
             }
         )
+    )
+    # … then the compact headline line LAST: the driver tail-captures
+    # stdout and parses the final JSON line, and the detailed line
+    # overflows that capture (BENCH_r04 recorded parsed: null).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -95,11 +95,14 @@ def kmeans_assignments(
 
 def kmeans_oracle_sql(
     k: int = 8, iters: int = 3, table: str = "embeddings", final_topn: int = 1
-) -> str:
+) -> tuple[str, str]:
     """Generated DuckDB replay of the exact same Lloyd path (shared
     constants, unrolled iterations) — the two engines cannot drift.
     ``final_topn`` mirrors ``kmeans_assignments(n_probe=...)``: the last
-    assignment CTE keeps the top-n cells per point instead of the argmin."""
+    assignment CTE keeps the top-n cells per point instead of the argmin.
+
+    Returns ``(sql_chain, final_cte_name)``: the WITH-chain text and the
+    name of the final assignment CTE a caller should SELECT from."""
     parts = [
         f"""WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}

@@ -325,13 +325,18 @@ def dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew handling applies); one shuffle keyed by doc_id for the
     island merge. No stage is quadratic in anything."""
     docs = read_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # Docs shorter than k tokens emit no windows. The filter is load-
+    # bearing, not an optimization: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0], step defaults to -1 when start > stop), and pos=0 then
+    # throws in slice (SQL arrays are 1-based) — whereas the oracle's
+    # generate_series(1, 0) is empty. Filter first so both are empty.
+    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _DSPAN_K
+    )
     g = d.select(
         "doc_id",
         "toks",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (_DSPAN_K - 1), F.lit(0)))
-        ).alias("pos"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (_DSPAN_K - 1))).alias("pos"),
     )
     grams = g.select(
         "doc_id",

@@ -213,8 +213,15 @@ def _plane_lit(plane) -> str:
     return "[" + ", ".join(repr(w) for w in plane) + "]"
 
 
+# Single source of truth for the doc-LSH shape — docstrings reference
+# these names so the tuning cannot drift from the code again.
+_N_DOC_LSH_PLANES = 6
+_N_DOC_LSH_TABLES = 16
+
+
 def _doc_lsh_tables():
-    """Hyperplane band tables for the DOC corpus: 6 planes × 16 tables,
+    """Hyperplane band tables for the DOC corpus: _N_DOC_LSH_PLANES (6)
+    planes × _N_DOC_LSH_TABLES (16) tables,
     tuned by measurement (numpy sweep over the real centered vectors):
     recall vs the cos ≥ 0.9 witness is 0.93 at sf0.01 / 0.91 at sf0.1,
     at a candidate bill of ~31-40% of all-pairs. That bill is the
@@ -229,8 +236,10 @@ def _doc_lsh_tables():
     from pyspark_big_data_spark.functions import vectors as V
 
     return [
-        V.random_hyperplanes(n_planes=6, dim=DIM, seed=f"pyspark-big-data-doc-lsh:t{t}")
-        for t in range(16)
+        V.random_hyperplanes(
+            n_planes=_N_DOC_LSH_PLANES, dim=DIM, seed=f"pyspark-big-data-doc-lsh:t{t}"
+        )
+        for t in range(_N_DOC_LSH_TABLES)
     ]
 
 
@@ -290,9 +299,11 @@ ORDER BY id_a, id_b
 @register("doc_embed_lsh_near_dup", oracle=_lsh_oracle_over_doc_vectors(), driver=False)
 def doc_embed_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup over generated doc vectors at SCALE: MEAN-CENTERED
-    SRP-LSH band bucketing (8 tables × 8 planes — finer than
-    ann_lsh_bucketed's 4 because the doc corpus is larger; planes grow
-    with log n) forms candidates as an equi-join — Σ bucket²,
+    SRP-LSH band bucketing ({_N_DOC_LSH_PLANES} planes ×
+    {_N_DOC_LSH_TABLES} tables, the measured tuning in _doc_lsh_tables —
+    more OR-amplification tables than ann_lsh_bucketed's 8×4 because
+    this corpus's truth band sits at low centered cosines) forms
+    candidates as an equi-join — Σ bucket²,
     never n² — then one exact cosine per candidate at ≥ {_NEAR_COS}.
     Centering matters because bag-of-words vectors are anisotropic:
     uncentered sign buckets collapse into one giant bucket (≈23% of

@@ -199,9 +199,19 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = ensure_min_partitions(
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
     ).cache()
-    # single-pass candidate sketch: one row, array of candidate tokens
-    cand = toks.stat.freqItems(["tok"], support=_HH_SUPPORT).collect()[0][0]
+    # Single-pass candidate sketch: one row, array of candidate tokens.
+    # Run the sketch slightly BELOW the support threshold: freqItems
+    # guarantees candidates only for frequency STRICTLY greater than its
+    # support, so a token sitting exactly at _HH_SUPPORT could be absent
+    # from the sketch while passing the oracle's >= filter. At 0.9×, the
+    # exact >= filter below is the only decider; the candidate bound
+    # grows only from 1/support to 1/(0.9*support).
+    cand = toks.stat.freqItems(["tok"], support=_HH_SUPPORT * 0.9).collect()[0][0]
     total = toks.count()
+    # Both in-function actions are done — release the exploded-token
+    # cache (the largest intermediate in this module) instead of leaking
+    # it for the session. The returned lazy plan recomputes from scan.
+    toks.unpersist()
     return (
         toks.filter(F.col("tok").isin(list(cand)))
         .groupBy(F.col("tok").alias("token"))

@@ -30,6 +30,19 @@ from pyspark_big_data_spark.operators import dedup as DD
 from pyspark_big_data_spark.queries.dedup import _EST_THRESHOLD
 
 
+def _index_exists(spark: SparkSession, path: str) -> bool:
+    """True iff `path` exists on whatever filesystem Spark resolves it to.
+
+    An explicit existence probe, not try/except around the read: a
+    corrupted or partially-written index must FAIL the batch, never be
+    silently treated as empty — the whole contract of this component is
+    "never miss an old x new pair"."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hadoop_path)
+
+
 def process_document_batch(
     batch: DataFrame, index_dir: str, pairs_dir: str | None = None
 ) -> DataFrame:
@@ -44,12 +57,14 @@ def process_document_batch(
     batch_sigs = DD.minhash_signatures(DD.shingles(batch)).cache()
     batch_bands = DD.band_keys(batch_sigs).cache()
 
-    try:
+    if _index_exists(spark, f"{index_dir}/sigs"):
+        # Read errors past this point (corrupt footer, truncated part
+        # file, missing bands dir) propagate and fail the batch.
         idx_sigs = spark.read.parquet(f"{index_dir}/sigs")
         idx_bands = spark.read.parquet(f"{index_dir}/bands").select("doc_id", "band_no", "band")
         all_bands = idx_bands.unionByName(batch_bands)
         all_sigs = idx_sigs.unionByName(batch_sigs)
-    except Exception:  # first batch: empty index
+    else:  # first batch: empty index
         all_bands = batch_bands
         all_sigs = batch_sigs
 
@@ -76,12 +91,14 @@ def process_document_batch(
         DD.estimated_jaccard(cand, all_sigs)
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
     )
-    # materialize pairs BEFORE the index append mutates the read path
+    # Materialize pairs BEFORE the index append mutates the read path —
+    # in BOTH branches. localCheckpoint truncates lineage, so the
+    # returned handle can never lazily re-read the mutated index (a
+    # cache could be evicted and silently recompute over batch-on-both-
+    # sides unions; a sink write materializes the sink, not the handle).
+    pairs = pairs.localCheckpoint(eager=True)
     if pairs_dir is not None:
         pairs.write.mode("append").parquet(pairs_dir)
-    else:
-        pairs = pairs.cache()
-        pairs.count()
 
     batch_sigs.write.mode("append").parquet(f"{index_dir}/sigs")
     batch_bands.write.mode("append").partitionBy("band_no").parquet(f"{index_dir}/bands")

@@ -257,3 +257,40 @@ def test_dup_span_extract_semantics(spark, tmp_path):
         (2, 1, 12, 12)
     ]
     assert 12 - 1 + 1 >= _DSPAN_K
+
+
+def test_dup_span_extract_short_and_empty_docs(spark, tmp_path):
+    """Docs with fewer than k tokens (incl. empty/whitespace-only text)
+    must emit NO windows and NO error: Spark's sequence(1, 0) descends
+    ([1, 0]) and pos=0 would throw in slice, so the short-doc guard is a
+    correctness requirement, not a micro-optimization. Long-doc results
+    must be unaffected by short docs in the same corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_big_data_spark.queries.corpus_ops import dup_span_extract
+
+    run = " ".join(f"t{i}" for i in range(12))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": [
+                run,  # survivor
+                run,  # full-doc dup -> one span
+                "just three tokens",  # < k: must not explode
+                "",  # empty
+                "   ",  # whitespace-only
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": pa.array([0] * 5, type=pa.int64()),
+        }
+    )
+    sf = tmp_path / "mini_short"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+
+    spans = dup_span_extract(spark, str(sf)).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) for r in spans] == [
+        (2, 1, 12, 12)
+    ]

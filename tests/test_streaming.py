@@ -310,3 +310,57 @@ def test_incremental_dedup_stream_multibatch_and_restart_idempotent(spark, sf_di
     run_dedup_stream(spark, str(drop_dir), schema, **args).awaitTermination()
     assert pairs() == first
     assert spark.read.parquet(str(tmp_path / "index") + "/sigs").count() == n_index
+
+
+def test_incremental_dedup_corrupted_index_fails_batch(spark, sf_dir, tmp_path):
+    """A corrupted (non-missing) index must FAIL the batch, never be
+    silently treated as empty: a swallowed read error here would drop
+    old x new duplicate pairs — the one thing this component exists to
+    never do. Only a genuinely absent path means 'first batch'."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.streaming.incremental_dedup import process_document_batch
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    process_document_batch(docs.filter(F.col("doc_id") % 3 == 0), index_dir)
+
+    # Corrupt every part file of the signature index in place.
+    sigs_dir = tmp_path / "index" / "sigs"
+    parts = list(sigs_dir.glob("part-*.parquet"))
+    assert parts, "expected parquet part files in the index"
+    for p in parts:
+        p.write_bytes(b"not a parquet file")
+
+    with pytest.raises(Exception):
+        process_document_batch(docs.filter(F.col("doc_id") % 3 == 1), index_dir)
+
+
+def test_incremental_dedup_returned_handle_is_materialized(spark, sf_dir, tmp_path):
+    """The DataFrame returned by process_document_batch (pairs_dir set)
+    must be usable AFTER the call without re-reading the now-mutated
+    index: re-collecting it post-append must equal the pairs-sink rows
+    for that batch, with no duplicated join output."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.streaming.incremental_dedup import process_document_batch
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    process_document_batch(docs.filter(F.col("doc_id") % 2 == 0), index_dir, pairs_dir=pairs_dir)
+    sink_before = spark.read.parquet(pairs_dir).count()
+    ret = process_document_batch(
+        docs.filter(F.col("doc_id") % 2 == 1), index_dir, pairs_dir=pairs_dir
+    )
+    batch2_sink = spark.read.parquet(pairs_dir).count() - sink_before
+
+    # Collected AFTER both appends landed — a lazy plan would re-join
+    # with batch-2 docs on both sides and inflate/duplicate rows.
+    got = sorted((r["id_a"], r["id_b"]) for r in ret.collect())
+    assert len(got) == batch2_sink
+    assert len(set(got)) == len(got)
