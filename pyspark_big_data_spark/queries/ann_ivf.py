@@ -154,7 +154,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_ivf_np")  # fast scale tier (driver rows-only; agreement-gated in pytest)
+@register("ann_topk_ivf_np", driver=False)  # fast scale tier; driver-verified via
+# ann_ivf_np_agreement (witness at the bottom of this module), agreement-gated in pytest
 def ann_topk_ivf_np(
     spark: SparkSession, sf_dir: str, probe_shards: int | None = None
 ) -> DataFrame:
@@ -298,4 +299,30 @@ def _ivf_np_search(
         .filter(F.col("rnk") <= _TOP_K)
         .select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
         .orderBy("probe_id", "rnk")
+    )
+
+
+_IVF_AGREE_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST({_TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) * {_TOP_K} AS BIGINT) AS n_agreeing
+FROM embeddings WHERE vec_id % {_PROBE_MOD} = 0
+"""
+
+
+@register("ann_ivf_np_agreement", oracle=_IVF_AGREE_ORACLE)
+def ann_ivf_np_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable witness for the BLAS IVF tier: every (probe,
+    rank) of ann_topk_ivf_np must carry the same cosine as the exact
+    decimal-aggregated tier, rank permutations within float-tied
+    cosines allowed (cosine-at-rank compare). Same cells, same NPROBE —
+    the only admissible divergence is summation-order noise below
+    similarity._AGREE_TOL; a flipped cell ranking or lost neighbor
+    shrinks n_agreeing below n_probes * k and the driver row goes red.
+    Methodology: cross-tier differential run with a trivially derivable
+    count oracle (/root/reference/README.md:131-140)."""
+    from pyspark_big_data_spark.queries.similarity import np_agreement_witness
+
+    return np_agreement_witness(
+        ann_topk_ivf(spark, sf_dir), ann_topk_ivf_np(spark, sf_dir), _TOP_K
     )

@@ -181,7 +181,8 @@ def _batch_topk_scan(emb: DataFrame, pids, pmat, k: int) -> DataFrame:
     return emb.mapInPandas(search, schema="probe_id long, neighbor_id long, cosine double")
 
 
-@register("ann_topk_bruteforce_np")  # fast scale tier (driver rows-only; recall-gated in pytest)
+@register("ann_topk_bruteforce_np", driver=False)  # fast scale tier; driver-verified via
+# ann_bruteforce_np_agreement (the witness below), recall-gated in pytest
 def ann_topk_bruteforce_np(
     spark: SparkSession, sf_dir: str, probe_shards: int | None = None
 ) -> DataFrame:
@@ -228,6 +229,62 @@ def ann_topk_bruteforce_np(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rnk")
         .orderBy("probe_id", "rnk")
+    )
+
+
+# Cosine tolerance for np-vs-exact agreement: BLAS vs sequential-fold
+# float summation differs in last ulps; after 6dp rounding any real
+# divergence is >= 1e-6, any summation-order artifact is < 2e-6.
+_AGREE_TOL = 2e-6
+
+_BF_AGREE_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST({_TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) * {_TOP_K} AS BIGINT) AS n_agreeing
+FROM embeddings WHERE vec_id % {_PROBE_MOD} = 0
+"""
+
+
+def np_agreement_witness(exact: DataFrame, fast: DataFrame, k: int) -> DataFrame:
+    """Cross-tier agreement witness: join the BLAS tier to the exact
+    oracled tier on (probe_id, rnk) and count rank positions whose
+    cosines agree within _AGREE_TOL. Comparing COSINE AT RANK (not
+    neighbor_id) deliberately treats rank permutations within float-tied
+    cosines as agreement — tied neighbors are interchangeable, exactly
+    the rule tests/test_similarity_np.py applies.
+
+    The single output row (n_probes, k, n_agreeing) has the trivially
+    derivable truth n_agreeing = n_probes * k, which makes the np scale
+    tiers verifiable by the external driver through a plain SQL oracle —
+    the reference's own cross-API-agreement methodology
+    (/root/reference/README.md:131-140, rdd/sql/df differential runs)
+    applied across execution tiers. An inner join means a dropped probe
+    or missing rank shrinks BOTH counts and goes red; a cosine
+    divergence shrinks only n_agreeing."""
+    ex = exact.select("probe_id", "rnk", F.col("cosine").alias("cos_exact"))
+    fa = fast.select("probe_id", "rnk", F.col("cosine").alias("cos_np"))
+    return (
+        fa.join(ex, ["probe_id", "rnk"])
+        .agg(
+            F.countDistinct("probe_id").cast("long").alias("n_probes"),
+            F.sum(
+                F.when(F.abs(F.col("cos_np") - F.col("cos_exact")) < _AGREE_TOL, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agreeing"),
+        )
+        .select("n_probes", F.lit(k).cast("long").alias("k"), "n_agreeing")
+    )
+
+
+@register("ann_bruteforce_np_agreement", oracle=_BF_AGREE_ORACLE)
+def ann_bruteforce_np_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable witness for the BLAS brute-force tier: every
+    (probe, rank) of ann_topk_bruteforce_np must carry the same cosine
+    as the exact oracled tier (rank permutations within float ties
+    allowed). See np_agreement_witness for the contract."""
+    return np_agreement_witness(
+        ann_topk_bruteforce(spark, sf_dir), ann_topk_bruteforce_np(spark, sf_dir), _TOP_K
     )
 
 

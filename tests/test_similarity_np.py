@@ -28,6 +28,28 @@ def test_np_tier_matches_exact_topk(spark, sf_dir):
         assert abs(exact[key] - fast[key]) < 2e-6
 
 
+def test_agreement_witness_catches_divergence(spark, sf_dir):
+    """The driver-facing witness must be a real detector, not a
+    tautology: fed two agreeing tiers it reports n_agreeing ==
+    n_probes * k; fed a tier with one perturbed cosine it must drop
+    below that — i.e. the oracle row would go red."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.queries.similarity import _TOP_K, np_agreement_witness
+
+    exact = ann_topk_bruteforce(spark, sf_dir)
+    good = np_agreement_witness(exact, ann_topk_bruteforce_np(spark, sf_dir), _TOP_K).collect()[0]
+    assert good["n_agreeing"] == good["n_probes"] * good["k"]
+
+    # perturb the rank-1 cosine of every probe well past the tolerance
+    perturbed = exact.withColumn(
+        "cosine", F.when(F.col("rnk") == 1, F.col("cosine") + 0.01).otherwise(F.col("cosine"))
+    )
+    bad = np_agreement_witness(perturbed, ann_topk_bruteforce_np(spark, sf_dir), _TOP_K).collect()[0]
+    assert bad["n_agreeing"] == good["n_probes"] * (good["k"] - 1)
+    assert bad["n_agreeing"] < bad["n_probes"] * bad["k"]
+
+
 def test_probe_sharding_is_exact(spark, sf_dir):
     """Sharding the probe matrix must not change results AT ALL: each
     probe's candidates come only from its own shard's scan, and the
