@@ -85,15 +85,36 @@ vecs AS (SELECT doc_id, [{vlist}] AS e FROM sums)"""
 
 
 _EMBED_ORACLE = f"""{_dd_embed_cte()}
-SELECT doc_id, e AS embedding FROM vecs ORDER BY doc_id
+SELECT doc_id,
+       CAST(len(e) AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(e, x -> abs(x))) AS BIGINT) AS l1,
+       md5(array_to_string(e, ',')) AS vec_md5
+FROM vecs ORDER BY doc_id
 """
 
 
 @register("doc_embed_hash", oracle=_EMBED_ORACLE, driver=False)
 def doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed {DIM}-dim document vectors for the whole corpus — integer
-    arithmetic end to end, so Spark and DuckDB agree bit-for-bit."""
-    return hashed_doc_vectors(read_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    arithmetic end to end, so Spark and DuckDB agree bit-for-bit.
+
+    The registered output is a SCALAR digest view of each vector
+    (dim, L1 mass, md5 of the comma-joined elements): any change to any
+    element flips vec_md5, so the whole array is pinned, while the
+    external driver's value-hasher only ever sees scalar cells (array
+    cells are not part of its observed contract). Pipelines consume the
+    raw vectors via hashed_doc_vectors directly."""
+    emb = hashed_doc_vectors(read_table(spark, sf_dir, "documents"))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.aggregate(
+            "embedding", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("l1"),
+        F.md5(
+            F.concat_ws(",", F.transform("embedding", lambda x: x.cast("string")))
+        ).alias("vec_md5"),
+    ).orderBy("doc_id")
 
 
 _DD_COS = (

@@ -29,6 +29,53 @@ ORACLES: dict[str, str] = {}
 # live here instead.
 DRIVER_EXCLUDED: set[str] = set()
 
+# ---------------------------------------------------------------------------
+# Per-round driver-surface ROTATION. Policy (adopted round 5): each
+# round, ~10-12 rows that have been externally green for 2+ rounds REST
+# (pytest still verifies them every run) and the same number of
+# pytest-only oracled queries take their CORRECTNESS slots — so every
+# oracled query eventually earns an external driver row, instead of 28
+# of them staying builder-verified forever. Keep operator-family
+# representation: never rest ALL queries exercising one §2 family.
+# History lives in this file so the judge can replay which rows were
+# externally verified in which round.
+#
+# r5 swap: in = never-driver-verified components (incremental dedup,
+# doc-embed/LSH, multiprobe SemDeDup, heavy-hitter vocab, sliding
+# window, dup-span cut lists, stub-oracled multimodal feature extract,
+# SQL/string-slice/bottom-rank reference variants); out = rows green in
+# r02-r04 whose families remain covered (exact/sketch text metrics,
+# second sampler, simhash/winnow fingerprint twins, tumbling window,
+# packing/mixture).
+ROTATE_IN: set[str] = {
+    "dedup_minhash_incremental",
+    "doc_embed_hash",
+    "doc_embed_lsh_near_dup",
+    "semantic_dedup_multiprobe",
+    "vocab_heavy_hitters",
+    "sliding_window_agg",
+    "dup_span_extract",
+    "multimodal_feature_extract",
+    "q4_avg_distance_sql_udf",
+    "q3_segment_profile_bottom",
+    "q1_top_months_string_slice",
+    "rollup_lineitem_status",
+}
+ROTATE_OUT: set[str] = {
+    "sample_stratified_quota",
+    "repetition_metrics",
+    "bigram_fluency",
+    "vocab_stats",
+    "dedup_simhash",
+    "doc_fingerprint_winnow",
+    "dedup_near_survivors",
+    "pack_sequences",
+    "mixture_upsample",
+    "tumbling_window_agg",
+    "text_lang_id",
+    "pii_scrub",
+}
+
 
 def register(name: str, oracle: str | None = None, driver: bool = True):
     """Decorator: add a query to the registry, optionally with its oracle.
@@ -51,11 +98,12 @@ def register(name: str, oracle: str | None = None, driver: bool = True):
 def driver_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """The capped driver surface: oracled queries first (registration
     order), rows-only entries last — so even a cap tighter than expected
-    drops the weakest-signal rows first."""
-    oracled = {n: f for n, f in REGISTRY.items() if n not in DRIVER_EXCLUDED and n in ORACLES}
-    rows_only = {
-        n: f for n, f in REGISTRY.items() if n not in DRIVER_EXCLUDED and n not in ORACLES
-    }
+    drops the weakest-signal rows first. The per-round ROTATE_IN /
+    ROTATE_OUT swap (see above) is applied on top of the registration-
+    time driver flags."""
+    excluded = (DRIVER_EXCLUDED - ROTATE_IN) | ROTATE_OUT
+    oracled = {n: f for n, f in REGISTRY.items() if n not in excluded and n in ORACLES}
+    rows_only = {n: f for n, f in REGISTRY.items() if n not in excluded and n not in ORACLES}
     queries = {**oracled, **rows_only}
     oracles = {n: ORACLES[n] for n in oracled}
     return queries, oracles
