@@ -64,6 +64,31 @@ def codec_available() -> bool:
     return _PILImage is not None
 
 
+def attach_ppm_media(df: DataFrame, id_col: str = "doc_id", batches: int = 32) -> DataFrame:
+    """Attach a deterministic REAL image (binary PPM) per row: width
+    8 + id % 9, height 8 + id % 7, grayscale pixel j has value
+    (id * 31 + j) % 256 in all three channels. Stand-in for an
+    object-store image fetch that still produces genuine decodable
+    images, with pixel content fully derivable in SQL (the oracle
+    contract for the real-decode queries)."""
+
+    def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches_iter:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                v = (d * 31 + np.arange(w * h, dtype=np.int64)) % 256
+                rgb = np.repeat(v.astype(np.uint8), 3).tobytes()
+                payloads.append(encode_ppm(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "media": payloads})
+
+    narrow = df.select(id_col).repartition(batches)
+    return narrow.mapInPandas(run, schema="doc_id long, media binary")
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to a PIL image (requires pillow)."""
     if _PILImage is None:
@@ -102,6 +127,84 @@ def _fake_features(payload: bytes) -> list[float]:
     for lo in range(0, 256, 48):
         feats.append(sum(1 for b in payload if lo <= b < lo + 48) / n)
     return feats[:FEATURE_DIM]
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PPM (P6) codec: a REAL image format this container can
+# decode without pillow. PPM is the simplest widely-understood raster
+# format (netpbm); supporting it makes the decode path exercise real
+# header parsing + pixel math end-to-end, with the byte-stub retained
+# for opaque/raw payloads. Integer arithmetic only — every derived
+# statistic has an exact SQL twin (the driver-oracle contract).
+# ---------------------------------------------------------------------------
+
+PPM_MAGIC = b"P6"
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary-PPM encode: 'P6\\n{w} {h}\\n255\\n' + raw RGB triplets."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"PPM payload needs {3 * width * height} bytes, got {len(rgb)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM: returns (width, height, rgb bytes).
+
+    Handles arbitrary header whitespace and '#' comments per the netpbm
+    spec; rejects truncated pixel data and non-255 maxval loudly — a
+    corrupt image must fail, never produce silent wrong features."""
+    if not payload.startswith(PPM_MAGIC):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    idx = 2
+    while len(fields) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":
+            while idx < len(payload) and payload[idx] != 0x0A:
+                idx += 1
+            continue
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        fields.append(int(payload[start:idx]))
+    idx += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    rgb = payload[idx : idx + 3 * w * h]
+    if len(rgb) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    return w, h, rgb
+
+
+def _ppm_features(payload: bytes) -> list[float]:
+    """Real decoded-pixel features for PPM payloads: dimensions + coarse
+    luminance histogram mass — the same FEATURE_DIM contract (and the
+    same integer ITU-R 601 luma PIL's convert('L') uses), computed by
+    the stdlib decoder so it runs in codec-less containers."""
+    w, h, rgb = decode_ppm(payload)
+    n = w * h
+    hist = [0] * 6
+    for j in range(n):
+        r, g, b = rgb[3 * j], rgb[3 * j + 1], rgb[3 * j + 2]
+        lum = (299 * r + 587 * g + 114 * b) // 1000
+        hist[min(lum // 48, 5)] += 1
+    return ([float(w), float(h)] + [c / n for c in hist])[:FEATURE_DIM]
+
+
+def _auto_features(payload: bytes) -> list[float]:
+    """Default decoder: REAL decode for payloads in a format this
+    environment can decode (PPM via stdlib always; other raster formats
+    via pillow when importable), byte-stub statistics for opaque/raw
+    payloads. PPM deliberately uses the stdlib path even when pillow is
+    present so the output is environment-independent (oracle-able)."""
+    if payload.startswith(PPM_MAGIC):
+        return _ppm_features(payload)
+    if codec_available() and payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
+        return _image_features(payload)
+    return _fake_features(payload)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -155,6 +258,33 @@ def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
     return buf.getvalue()
 
 
+def _ppm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real 2-D nearest-neighbor resize on decoded PPM pixels, re-encoded
+    as PPM. Pure integer index math — deterministic in every environment
+    and exactly replayable in SQL."""
+    w, h, rgb = decode_ppm(payload)
+    out = bytearray()
+    for y in range(height):
+        sy = (y * h) // height
+        for x in range(width):
+            sx = (x * w) // width
+            j = 3 * (sy * w + sx)
+            out += rgb[j : j + 3]
+    return encode_ppm(width, height, bytes(out))
+
+
+def _auto_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Default resizer: real pixel resize for PPM payloads (stdlib, even
+    with pillow present — keeps output environment-independent), pillow
+    for other raster formats when importable, byte-stream stub for
+    opaque/raw payloads."""
+    if payload.startswith(PPM_MAGIC):
+        return _ppm_resize(payload, width, height)
+    if codec_available() and payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"\xff\xd8\xff\xe1"):
+        return _pil_resize(payload, width, height)
+    return _stub_resize(payload, width, height)
+
+
 def resize_media(
     df: DataFrame,
     width: int = 32,
@@ -168,12 +298,13 @@ def resize_media(
     the metadata struct rewritten to match.
 
     Resolution order mirrors ``extract_features``: explicit ``resizer``
-    > real codec (pillow) > deterministic byte-stub. Output schema is
+    > format-sniffing default (_auto_resize: stdlib PPM pixels, pillow
+    raster formats, byte-stub for raw payloads). Output schema is
     identical on every path, so downstream plans never depend on which
     codec was present at runtime.
     """
     if resizer is None:
-        resizer = _pil_resize if codec_available() else _stub_resize
+        resizer = _auto_resize
 
     def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches_iter:
@@ -257,13 +388,14 @@ def extract_features(
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched; repartitioned so payload batches stay bounded.
-    ``decoder`` resolution: explicit callable > real codec features
-    (when pillow is importable) > deterministic byte-stub. All three
-    produce the same FEATURES_SCHEMA, so downstream plans are identical
-    with or without codecs installed.
+    ``decoder`` resolution: explicit callable > format-sniffing default
+    (_auto_features: real stdlib decode for PPM, pillow for other raster
+    formats, byte-stub for raw payloads). Every path produces the same
+    FEATURES_SCHEMA, so downstream plans are identical with or without
+    codecs installed.
     """
     if decoder is None:
-        decoder = _image_features if codec_available() else _fake_features
+        decoder = _auto_features
 
     def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches_iter:

@@ -111,6 +111,111 @@ ORDER BY f.doc_id, f.frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL-decode tier: genuine binary PPM images (stdlib-decodable, no
+# pillow needed) flow through the same extract_features / resize_media
+# Arrow paths, and every derived statistic is exact integer math over
+# the generated pixels — so the real decode is SQL-oracled, closing the
+# "only the byte-stub is ever exercised" gap without new dependencies.
+# Pixel contract (operators/multimodal.attach_ppm_media): w = 8+id%9,
+# h = 8+id%7, grayscale v(j) = (id*31 + j) % 256 in all channels.
+# ---------------------------------------------------------------------------
+
+_REAL_FEATURES_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+), lum AS (
+    SELECT doc_id, w, h, (doc_id * 31 + unnest(generate_series(0, w * h - 1))) % 256 AS v
+    FROM dims
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(w) AS DOUBLE) AS width,
+       CAST(ANY_VALUE(h) AS DOUBLE) AS height,
+       ROUND(CAST(SUM(CASE WHEN v // 48 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS b0,
+       ROUND(CAST(SUM(CASE WHEN v // 48 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS b1,
+       ROUND(CAST(SUM(CASE WHEN v // 48 = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS b2,
+       ROUND(CAST(SUM(CASE WHEN v // 48 = 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS b3,
+       ROUND(CAST(SUM(CASE WHEN v // 48 = 4 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS b4,
+       ROUND(CAST(SUM(CASE WHEN v // 48 >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS b5
+FROM lum GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_real_decode", oracle=_REAL_FEATURES_ORACLE, driver=False)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: binary PPM payloads through the
+    default (format-sniffing) decoder — header parse, dimension read,
+    per-pixel luminance histogram — all inside the Arrow batch path.
+    The grayscale pixels make luma == pixel value, so the histogram
+    replays exactly in SQL."""
+    docs = MM.attach_ppm_media(read_table(spark, sf_dir, "documents"))
+    feats = MM.extract_features(docs)  # default decoder: sniffs P6 -> real decode
+    sel = [
+        "doc_id",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+    ]
+    sel += [F.round(F.element_at("features", i + 3), 6).alias(f"b{i}") for i in range(6)]
+    return feats.select(*sel).orderBy("doc_id")
+
+
+_REAL_RESIZE_W = 8
+_REAL_RESIZE_H = 8
+# resized header 'P6\n8 8\n255\n' = 11 bytes + 3*64 raster = 203
+_REAL_RESIZE_ORACLE = f"""
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+), outpx AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, {_REAL_RESIZE_W * _REAL_RESIZE_H - 1})) AS j
+    FROM dims
+), src AS (
+    SELECT doc_id, j,
+           (doc_id * 31 + ((((j // {_REAL_RESIZE_W}) * h) // {_REAL_RESIZE_H}) * w
+                           + (((j % {_REAL_RESIZE_W}) * w) // {_REAL_RESIZE_W}))) % 256 AS v
+    FROM outpx
+)
+SELECT doc_id,
+       CAST(11 + 3 * {_REAL_RESIZE_W * _REAL_RESIZE_H} AS BIGINT) AS n_bytes,
+       CAST(3 * SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM(v * (j + 1)) AS BIGINT) AS pix_wsum
+FROM src GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_real_resize", oracle=_REAL_RESIZE_ORACLE, driver=False)
+def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize end-to-end: PPM decode -> 2-D nearest-neighbor
+    to {_REAL_RESIZE_W}x{_REAL_RESIZE_H} -> PPM re-encode, then pixel
+    statistics decoded back off the resized payload. pix_wsum weights
+    each output pixel by position, so a right-value-wrong-place resample
+    fails the oracle."""
+    import pandas as pd
+
+    docs = MM.attach_ppm_media(read_table(spark, sf_dir, "documents"))
+    rz = MM.resize_media(docs, width=_REAL_RESIZE_W, height=_REAL_RESIZE_H)
+
+    def stats(batches):
+        for pdf in batches:
+            n_bytes, sums, wsums = [], [], []
+            for payload in pdf["media"]:
+                b = bytes(payload)
+                w, h, rgb = MM.decode_ppm(b)
+                n_bytes.append(len(b))
+                sums.append(sum(rgb))
+                wsums.append(sum(rgb[3 * j] * (j + 1) for j in range(w * h)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                    "pix_wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    out = rz.mapInPandas(stats, schema="doc_id long, n_bytes long, pix_sum long, pix_wsum long")
+    return out.orderBy("doc_id")
+
+
 @register("multimodal_frame_sample", oracle=_FRAMES_ORACLE, driver=False)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-model frame sampling: fixed-size chunk frames, every 5th

@@ -63,17 +63,63 @@ def test_injected_decoder_drives_codec_path(spark, sf_dir):
         assert r["features"] == [float(r["n_bytes"])] * MM.FEATURE_DIM
 
 
-def test_image_features_shape_when_codec_present():
-    if not MM.codec_available():
-        pytest.skip("pillow not installed in this container")
-    import io
+def test_real_decode_features_via_ppm():
+    """The REAL decode path runs in every environment via the stdlib PPM
+    codec — no pillow, no skip. A known 2x2 image must produce exact
+    dimensions and luminance-bucket mass."""
+    # pixels: black, mid-gray 100, white, red
+    rgb = bytes([0, 0, 0, 100, 100, 100, 255, 255, 255, 255, 0, 0])
+    payload = MM.encode_ppm(2, 2, rgb)
+    feats = MM._auto_features(payload)  # default decoder must sniff P6
+    assert feats[:2] == [2.0, 2.0]
+    # luma: 0 -> bucket 0; 100 -> bucket 2; 255 -> bucket 5; red luma
+    # (299*255)//1000 = 76 -> bucket 1
+    assert feats[2:] == [0.25, 0.25, 0.25, 0.0, 0.0, 0.25]
+    assert len(feats) == MM.FEATURE_DIM
+    if MM.codec_available():  # pillow agrees on the same pixels (PNG form)
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    buf = io.BytesIO()
-    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
-    feats = MM._image_features(buf.getvalue())
-    assert len(feats) == MM.FEATURE_DIM and feats[0] == 8.0 and feats[1] == 8.0
+        img = Image.frombytes("RGB", (2, 2), rgb)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        assert MM._image_features(buf.getvalue()) == feats
+
+
+def test_ppm_codec_roundtrip_and_corruption():
+    rgb = bytes(range(27))  # 3x3
+    payload = MM.encode_ppm(3, 3, rgb)
+    assert MM.decode_ppm(payload) == (3, 3, rgb)
+    # comments + extra whitespace in the header are legal netpbm
+    commented = b"P6\n# made by a test\n 3\t3 # dims\n255\n" + rgb
+    assert MM.decode_ppm(commented) == (3, 3, rgb)
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_ppm(payload[:-1])
+    with pytest.raises(ValueError, match="P6"):
+        MM.decode_ppm(b"\x89PNG....")
+
+
+def test_ppm_resize_real_pixels():
+    """Nearest-neighbor on decoded pixels: 2x2 -> 1x1 keeps the top-left
+    pixel; 2x1 -> 4x1 repeats each source pixel twice."""
+    rgb = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    small = MM._ppm_resize(MM.encode_ppm(2, 2, rgb), 1, 1)
+    assert MM.decode_ppm(small) == (1, 1, bytes([10, 10, 10]))
+    wide = MM._ppm_resize(MM.encode_ppm(2, 1, rgb[:6]), 4, 1)
+    assert MM.decode_ppm(wide)[2] == bytes([10, 10, 10, 10, 10, 10, 20, 20, 20, 20, 20, 20])
+
+
+def test_attach_ppm_media_generates_decodable_images(spark, sf_dir):
+    docs = MM.attach_ppm_media(read_table(spark, sf_dir, "documents")).limit(10)
+    for r in docs.collect():
+        d = r["doc_id"]
+        w, h, rgb = MM.decode_ppm(bytes(r["media"]))
+        assert (w, h) == (8 + d % 9, 8 + d % 7)
+        # grayscale contract: v(j) = (id*31 + j) % 256 in all channels
+        for j in (0, w * h - 1):
+            v = (d * 31 + j) % 256
+            assert rgb[3 * j : 3 * j + 3] == bytes([v, v, v])
 
 
 def test_resize_media_stub_matches_python(spark, sf_dir):
