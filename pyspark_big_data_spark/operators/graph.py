@@ -86,6 +86,81 @@ def connected_components(
     return labels
 
 
+def merge_components_incremental(
+    cluster_map: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    node_col: str = "id",
+    comp_col: str = "component",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Incrementally maintain min-id connected components: fold a batch
+    of new nodes + new edges into a persisted (id, component) map
+    WITHOUT re-running CC over the full graph.
+
+    Contract: ``cluster_map`` holds every previously-seen node with
+    component = min reachable node id (exactly what
+    ``connected_components`` emits); ``new_nodes`` are ids not yet in
+    the map; ``new_edges`` endpoints are new nodes and/or mapped ids
+    (the incremental-dedup loop emits exactly old x new and new x new
+    pairs). Returns the updated full map.
+
+    Why it is exact: contracting each old endpoint to its component id
+    preserves connectivity, and because component ids ARE min doc ids,
+    the min-label of a merged component in the contracted graph equals
+    the min over all constituent docs — the same label a full recompute
+    assigns. So incremental == full recompute, which is what the
+    registered oracle checks.
+
+    Scale shape: CC runs only on the CONTRACTED graph (touched
+    components + batch nodes — bounded by batch neighborhood, never
+    corpus size); the map update is one broadcast join against the
+    relabeled roots (tiny) plus an append of the batch rows. At 100 TB
+    the map rewrite can be deferred by keeping the root-relabel table
+    and resolving reads through it, compacting offline."""
+    m = cluster_map.select(F.col(node_col).alias("id"), F.col(comp_col).alias("component"))
+    ma = m.select(F.col("id").alias("_a"), F.col("component").alias("_ca"))
+    mb = m.select(F.col("id").alias("_b"), F.col("component").alias("_cb"))
+    contracted = (
+        new_edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .join(ma, "_a", "left")
+        .join(mb, "_b", "left")
+        .select(
+            F.coalesce("_ca", F.col("_a")).alias("u"),
+            F.coalesce("_cb", F.col("_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    merge_nodes = (
+        new_nodes.select(F.col(node_col).alias("id"))
+        .unionByName(contracted.select(F.col("u").alias("id")))
+        .unionByName(contracted.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    merged = connected_components(
+        merge_nodes, contracted, node_col="id", src_col="u", dst_col="v"
+    )
+    # roots whose label changed: relabel the old map through a broadcast
+    relabel = merged.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("old_root"), F.col("component").alias("new_root")
+    )
+    updated_old = m.join(
+        F.broadcast(relabel), m["component"] == relabel["old_root"], "left"
+    ).select("id", F.coalesce("new_root", F.col("component")).alias("component"))
+    new_rows = (
+        new_nodes.select(F.col(node_col).alias("id"))
+        .join(
+            merged.select(F.col("id").alias("nid"), F.col("component").alias("ncomp")),
+            F.col("id") == F.col("nid"),
+            "left",
+        )
+        .select("id", F.coalesce("ncomp", F.col("id")).alias("component"))
+    )
+    return updated_old.unionByName(new_rows)
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., 'Connected Components in
     MapReduce and Beyond', Algorithm 2): every node connects its LARGER

@@ -381,6 +381,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("dedup_clusters_incremental", oracle=_CLUSTERS_ORACLE, driver=False)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster MAINTENANCE — the missing operational piece
+    after incremental pair detection: fold a new batch's pairs into a
+    persisted cluster map instead of re-running connected components
+    over the whole corpus.
+
+    Split mirrors dedup_minhash_incremental (batch = doc_id %
+    {_INCR_MOD} == 0): the 'old' map is CC over corpus-only pairs; the
+    batch contributes exactly the old x new and new x new pairs the
+    incremental loop emits; merge_components_incremental contracts old
+    endpoints to their cluster ids and runs CC only on the touched
+    subgraph (bounded by batch neighborhood, never corpus size). The
+    ORACLE is the full-recompute transitive closure over ALL pairs —
+    so 'incremental map == full recompute' is literally the oracled
+    contract, not a weaker self-consistency check."""
+    from pyspark_big_data_spark.operators.graph import (
+        connected_components,
+        merge_components_incremental,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(DD.shingles(docs)).cache()
+    pairs = (
+        DD.estimated_jaccard(DD.candidate_pairs(DD.band_keys(sigs)), sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    is_new = lambda c: c % _INCR_MOD == 0  # noqa: E731
+    old_docs = docs.filter(~is_new(F.col("doc_id"))).select("doc_id")
+    new_docs = docs.filter(is_new(F.col("doc_id"))).select("doc_id")
+    # band keys are per-doc, so corpus-subset pairs == full pairs
+    # restricted to old x old (same property the incremental query pins)
+    old_pairs = pairs.filter(~is_new(F.col("id_a")) & ~is_new(F.col("id_b")))
+    new_pairs = pairs.filter(is_new(F.col("id_a")) | is_new(F.col("id_b")))
+
+    old_map = connected_components(old_docs, old_pairs, node_col="doc_id")
+    updated = merge_components_incremental(
+        old_map, new_docs.select(F.col("doc_id").alias("id")), new_pairs
+    )
+    return updated.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 def _dd_simhash_cte() -> str:
     ht = _H60.format(e="tok")
     weights = ", ".join(

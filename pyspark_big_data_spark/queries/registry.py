@@ -48,6 +48,7 @@ DRIVER_EXCLUDED: set[str] = set()
 # second sampler, simhash/winnow fingerprint twins, tumbling window,
 # packing/mixture).
 ROTATE_IN: set[str] = {
+    "dedup_clusters_incremental",
     "dedup_minhash_incremental",
     "doc_embed_hash",
     "doc_embed_lsh_near_dup",
@@ -62,6 +63,7 @@ ROTATE_IN: set[str] = {
     "rollup_lineitem_status",
 }
 ROTATE_OUT: set[str] = {
+    "dedup_exact",
     "sample_stratified_quota",
     "repetition_metrics",
     "bigram_fluency",

@@ -105,6 +105,31 @@ def process_document_batch(
     return pairs
 
 
+def update_cluster_map(batch_ids: DataFrame, pairs: DataFrame, map_dir: str) -> DataFrame:
+    """Fold one batch into the persisted duplicate-cluster map: read the
+    (id, component) parquet at ``map_dir`` (absent = first batch), merge
+    via operators.graph.merge_components_incremental (CC only on the
+    contracted touched subgraph), overwrite the map, return it.
+
+    Pairs should be the batch's NEW pairs (old x new and new x new) —
+    exactly what process_document_batch returns — so chaining the two
+    per micro-batch maintains survivor-ready clusters continuously
+    without ever re-clustering the corpus. The merged frame is
+    localCheckpoint-ed before the overwrite so the write never races
+    its own read path."""
+    from pyspark_big_data_spark.operators.graph import merge_components_incremental
+
+    spark = batch_ids.sparkSession
+    ids = batch_ids.select(F.col(batch_ids.columns[0]).alias("id"))
+    if _index_exists(spark, map_dir):
+        cmap = spark.read.parquet(map_dir)
+    else:
+        cmap = spark.createDataFrame([], "id long, component long")
+    updated = merge_components_incremental(cmap, ids, pairs).localCheckpoint(eager=True)
+    updated.write.mode("overwrite").parquet(map_dir)
+    return updated
+
+
 def run_dedup_stream(
     spark: SparkSession,
     jsonl_dir: str,

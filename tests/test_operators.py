@@ -175,6 +175,68 @@ def test_star_contraction_equals_propagation(spark):
     assert a == b
 
 
+def test_merge_components_incremental_hand_graph(spark):
+    """The merge must handle every shape in one batch: a new doc
+    BRIDGING two existing clusters (their min ids must merge), a new
+    doc joining one cluster, a new-new pair forming a fresh cluster,
+    and a singleton new doc — while untouched clusters keep their
+    labels."""
+    from pyspark_big_data_spark.operators.graph import merge_components_incremental
+
+    # old map: cluster {1,2} (root 1), cluster {5,6} (root 5),
+    # untouched cluster {8,9} (root 8)
+    cmap = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (8, 8), (9, 8)], ["id", "component"]
+    )
+    new_nodes = spark.createDataFrame([(10,), (11,), (12,), (13,), (14,)], ["id"])
+    # 10 bridges clusters 1 and 5 (via members 2 and 6); 11-12 form a
+    # new pair; 13 joins cluster 8 via 9; 14 is a singleton
+    edges = spark.createDataFrame([(2, 10), (10, 6), (11, 12), (9, 13)], ["id_a", "id_b"])
+
+    got = {
+        (r["id"], r["component"])
+        for r in merge_components_incremental(cmap, new_nodes, edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (5, 1), (6, 1), (10, 1),  # merged bridge cluster
+        (8, 8), (9, 8), (13, 8),                   # grown cluster
+        (11, 11), (12, 11),                        # fresh new-new cluster
+        (14, 14),                                  # singleton
+    }
+
+
+def test_cluster_map_loop_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Operational loop contract: replaying the corpus in 3 micro-batches
+    through process_document_batch + update_cluster_map yields EXACTLY
+    the full-recompute cluster map (same labels, same clusters) — the
+    continuous version of dedup_clusters_incremental's oracle."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.dedup import dedup_clusters
+    from pyspark_big_data_spark.streaming.incremental_dedup import (
+        process_document_batch,
+        update_cluster_map,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    map_dir = str(tmp_path / "cmap")
+
+    for shard in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == shard)
+        new_pairs = process_document_batch(batch, index_dir)
+        update_cluster_map(batch.select("doc_id"), new_pairs, map_dir)
+
+    got = {
+        (r["id"], r["component"]) for r in spark.read.parquet(map_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"]) for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_incremental_dedup_equals_full_recompute(spark, sf_dir, tmp_path):
     """old-corpus pairs ∪ incremental pairs must equal the full-recompute
     pair set exactly (and be disjoint): the incremental path finds every
