@@ -31,6 +31,67 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` unrolled to a fixed-width arithmetic expression:
+    ``0.0 + a[0]*b[0] + a[1]*b[1] + …``.
+
+    Bit-identical to ``dot`` (and so to DuckDB's list_dot_product): the
+    leading 0.0 literal and left-associative ``+`` reproduce the HOF
+    fold's exact accumulation order. Requires the ACTUAL array length ==
+    ``dim`` (shorter arrays yield NULL via out-of-range getItem — the
+    caller owns the fixed-dim contract, e.g. the embeddings table).
+
+    CAUTION — measured JIT cliff (native sf1, 26M pairs, 64-dim): array
+    getItem generates enough bytecode per term that past ~32 terms the
+    whole generated method exceeds the JVM JIT's huge-method limit and
+    silently runs in the BYTECODE INTERPRETER: 64 terms → 52 s where 16
+    terms extrapolate to ~6 s, WORSE than the interpreted HOF fold
+    (14 s). Only use this form for dim <= 32; for wider vectors use
+    ``flatten_vec`` + ``dot_flat`` (7.9 s on the same workload) or the
+    HOF ``dot``."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def flatten_vec(df, vec_col: str, dim: int, prefix: str, keep: list[str]):
+    """Explode an array column into ``dim`` flat double columns
+    ``{prefix}0..{prefix}{dim-1}`` (plus ``keep`` passthrough columns).
+
+    The getItems are independent top-level expressions here, so codegen
+    splits them into small JIT-able methods; a later ``dot_flat`` over
+    the flat columns then reads plain doubles with no per-term bounds
+    checks — the combination that keeps a 64-term dot inside the JIT
+    (see dot_unrolled's cliff note)."""
+    return df.select(*keep, *[df[vec_col][i].alias(f"{prefix}{i}") for i in range(dim)])
+
+
+def dot_flat(prefix_a: str, prefix_b: str, dim: int) -> Column:
+    """Sequential-fold dot over two flat column families — the exact
+    accumulation order of ``dot``/list_dot_product, at codegen speed."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}")
+    return acc
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_unrolled(a, a, dim))
+
+
+def cosine_unrolled(
+    a: Column,
+    b: Column,
+    dim: int,
+    norm_a: Column | None = None,
+    norm_b: Column | None = None,
+) -> Column:
+    na = norm_unrolled(a, dim) if norm_a is None else norm_a
+    nb = norm_unrolled(b, dim) if norm_b is None else norm_b
+    return dot_unrolled(a, b, dim) / (na * nb)
+
+
 def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
     na = norm(a) if norm_a is None else norm_a
     nb = norm(b) if norm_b is None else norm_b

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pyspark_big_data_spark.functions import vectors as V
 from pyspark_big_data_spark.io import read_table
 from pyspark_big_data_spark.operators import kmeans as KM
 from pyspark_big_data_spark.queries.registry import register
@@ -33,6 +34,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+
+
+def _dim(emb: DataFrame) -> int:
+    """Fixed embedding width (one-row probe) for the unrolled codegen
+    cosine — bit-identical to the HOF fold, ~100x faster per pair."""
+    row = emb.select(F.size("e").alias("d")).first()
+    return row["d"] if row else 0
 
 
 @register("kmeans_clusters", oracle=_KMEANS_ORACLE)
@@ -68,37 +76,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-then-compare path, so parity is exact regardless.
     """
     emb = _emb(spark, sf_dir)
+    dim = _dim(emb)
     # n tiny rows; without the cache the whole Lloyd lineage runs once
     # per self-join side
     assign = KM.kmeans_assignments(emb, k=_K, iters=_ITERS).cache()
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    a = assign.select(F.col("vec_id").alias("id_a"), "cluster")
+    b = assign.select(F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"))
+    # pair ids first (narrow rows through the cluster equi-join), then
+    # attach vectors from flat-column BROADCAST sides — norms computed n
+    # times (not Σ cluster² times), dot at codegen speed (dot_flat)
+    cand = a.join(
+        b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    ea = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("id_a"), "e", V.norm(F.col("e")).alias("na")),
+        "e", dim, "_a", ["id_a", "na"],
     )
-    # norms hoisted BELOW the join (computed n times, not Σ cluster_size²
-    # times); sqrt(dot(x,x)) is the identical double either way, so the
-    # per-pair oracle arithmetic is unchanged
-    ann = emb.join(assign, "vec_id").select(
-        "vec_id", "e", "cluster", nrm(F.col("e")).alias("nn")
+    eb = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("id_b"), "e", V.norm(F.col("e")).alias("nb")),
+        "e", dim, "_b", ["id_b", "nb"],
     )
-    a = ann.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "cluster", F.col("nn").alias("na")
-    )
-    b = ann.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
-        F.col("cluster").alias("cluster_b"),
-        F.col("nn").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pairs = (
-        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+    cos = V.dot_flat("_a", "_b", dim) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= _COS_THRESHOLD)
-    )
-    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine")).orderBy(
-        "id_a", "id_b"
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -154,6 +159,21 @@ def _blas_pairs_in_cluster(pdf):
 
 
 _N_PROBE = 3  # cells per point in the soft assignment (recall knob)
+_CELL_TARGET = 300  # target rows per k-means cell in the k-schedule
+
+
+def _k_for(n: int) -> int:
+    """The multi-probe k-schedule: grow k with the corpus so cells stay
+    ~{_CELL_TARGET} rows and the Σ cell_size² candidate bill grows
+    LINEARLY with n instead of (n_probe·n)²/k. Returns _K for every
+    oracle-checked SF (n ≤ {_K}·{_CELL_TARGET} = 2400 — sf0.001/0.01
+    have 500 vectors, sf0.1 has 2000), so the registered k={_K} oracle
+    replays the schedule's own choice wherever the driver or pytest
+    compares; larger corpora (native sf1 = 20k → k=66, sf3 = 60k →
+    k=200) get the k ∝ n the 100 TB bill requires. Measured: the k=8
+    pin cost the oracled tier 105.9 s at native sf1 vs 15.7 s for the
+    np twin (PERFORMANCE.md)."""
+    return max(_K, n // _CELL_TARGET)
 
 _MP_CHAIN, _MP_FINAL = KM.kmeans_oracle_sql(k=_K, iters=_ITERS, final_topn=_N_PROBE)
 
@@ -188,9 +208,15 @@ def semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stages: soft Lloyd assignment (operators/kmeans.py, n_probe), pair
     candidates via the cell equi-join, DISTINCT (a pair sharing several
     cells is compared once), then one exact cosine per candidate.
+
+    k follows ``_k_for(n)``: the registered oracle replays k={_K}, which
+    IS the schedule's value at every oracle-checked SF; beyond that the
+    cell count grows with n so the pair bill stays linear.
     """
     emb = _emb(spark, sf_dir)
-    assign = KM.kmeans_assignments(emb, k=_K, iters=_ITERS, n_probe=_N_PROBE).cache()
+    # parquet row-count only — no vector scan
+    k = _k_for(read_table(spark, sf_dir, "embeddings").count())
+    assign = KM.kmeans_assignments(emb, k=k, iters=_ITERS, n_probe=_N_PROBE).cache()
     a = assign.select(F.col("vec_id").alias("id_a"), "cluster")
     b = assign.select(F.col("vec_id").alias("id_b"), F.col("cluster").alias("cluster_b"))
     cand = (
@@ -198,18 +224,25 @@ def semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    dim = _dim(emb)
+    # broadcast flat-column sides: without the hint the second attach
+    # shuffles Σ cell² candidate rows CARRYING the first side's vector
+    # (~1 KB/row); broadcast keeps the pair stream map-side and the
+    # only wide shuffle is the (id_a, id_b) DISTINCT. n×dim×8B must fit
+    # an executor — the np twin is the tier for corpora where it can't.
+    ea = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("id_a"), "e", V.norm(F.col("e")).alias("na")),
+        "e", dim, "_a", ["id_a", "na"],
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), nrm(F.col("e")).alias("na"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), nrm(F.col("e")).alias("nb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    eb = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("id_b"), "e", V.norm(F.col("e")).alias("nb")),
+        "e", dim, "_b", ["id_b", "nb"],
     )
+    cos = V.dot_flat("_a", "_b", dim) / (F.col("na") * F.col("nb"))
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        cand.join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= _COS_THRESHOLD)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
@@ -241,13 +274,16 @@ def semantic_dedup_multiprobe_np(
     identical double and a groupBy min() dedups them exactly.
 
     ``k`` is THE scale knob: the soft-assignment pair bill is
-    Σ cell_size² ≈ (n_probe·n)²/k, so k must grow with n (k ≈ n/1000
-    keeps cells ~n_probe·1000 rows). Default k matches the oracled tier
-    (k={_K}) for the agreement gate; measured at native sf3 (60k
-    vectors): k=8 → 192 s, k=64 → the same recall mechanics at 1/8th
-    the bill (PERFORMANCE.md)."""
+    Σ cell_size² ≈ (n_probe·n)²/k, so k must grow with n. Default
+    (k=None) follows the same ``_k_for(n)`` schedule as the oracled tier
+    — identical k at every agreement-gated SF (schedule floor = {_K}),
+    k ∝ n beyond; measured at native sf3 (60k vectors): k=8 → 192 s,
+    k=64 → the same recall mechanics at 1/8th the bill
+    (PERFORMANCE.md)."""
     emb = _emb(spark, sf_dir)
-    assign = KM.kmeans_assignments_np(emb, k=k or _K, iters=_ITERS, n_probe=_N_PROBE)
+    if k is None:
+        k = _k_for(read_table(spark, sf_dir, "embeddings").count())
+    assign = KM.kmeans_assignments_np(emb, k=k, iters=_ITERS, n_probe=_N_PROBE)
     ann = emb.join(assign, "vec_id").select("vec_id", "e", "cluster")
     out = ann.groupBy("cluster").applyInPandas(
         _blas_pairs_in_cluster, schema="id_a long, id_b long, cosine double"

@@ -111,6 +111,20 @@ def test_multiprobe_recall_floor(spark, sf_dir):
     assert len(mp & truth) / len(truth) >= 0.9
 
 
+def test_multiprobe_k_schedule():
+    """The schedule must return the oracle's k at every oracle-checked
+    SF (500 and 2000 vectors) and grow k ∝ n beyond, keeping cells near
+    _CELL_TARGET rows so the Σ cell² bill is linear in n."""
+    from pyspark_big_data_spark.queries.clustering import _CELL_TARGET, _k_for
+
+    assert _k_for(500) == _K  # sf0.001 / sf0.01
+    assert _k_for(2000) == _K  # sf0.1
+    assert _k_for(20_000) == 20_000 // _CELL_TARGET  # native sf1 → 66
+    assert _k_for(60_000) == 60_000 // _CELL_TARGET  # native sf3 → 200
+    # linearity: doubling n doubles k (within integer floor)
+    assert abs(_k_for(40_000) - 2 * _k_for(20_000)) <= 1
+
+
 def test_multiprobe_np_tier_matches_exact(spark, sf_dir):
     """The BLAS multi-probe tier must reproduce the oracled multi-probe
     pair set (float summation order aside: near-total agreement, 6dp

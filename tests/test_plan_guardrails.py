@@ -17,6 +17,8 @@ _PYTHON_OK = {
     "multimodal_feature_extract",
     "multimodal_resize",  # Arrow mapInPandas resample by design
     "multimodal_frame_sample",  # Arrow mapInPandas chunker by design
+    "multimodal_real_decode",  # stdlib PPM decode runs in Python by design
+    "multimodal_real_resize",
     "dedup_minhash_ml",  # ml models may stage through python/udf wrappers
     "ann_brp_lsh_ml",
     "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
@@ -25,6 +27,10 @@ _PYTHON_OK = {
     "semantic_dedup_multiprobe_np",  # BLAS soft-assignment tier: same Arrow paths
     "kmeans_clusters_np",  # BLAS fast tier: broadcast-centroid mapInPandas
     "ann_topk_ivf_kmeans",  # BLAS IVF over Lloyd cells: mapInPandas by design
+    # cross-tier agreement witnesses: each embeds its np tier's Arrow
+    # stage next to the exact tier's plan by construction
+    "ann_bruteforce_np_agreement",
+    "ann_ivf_np_agreement",
 }
 
 # inequality-only self-join conditions legitimately plan as
@@ -38,6 +44,16 @@ _NESTED_LOOP_OK = {
     # benchmark set — small by definition, so the nested loop is a
     # map-side scan against a broadcast, not an O(n^2) blowup
     "decontaminate_semantic",
+    # embeds ann_topk_bruteforce (above) as its exact reference side;
+    # the witness adds only an equi-join + count on top
+    "ann_bruteforce_np_agreement",
+    # exact-Lloyd phase 1: corpus × broadcast(k centroid ARRAYS) with an
+    # inline unrolled distance — build side is k rows by construction,
+    # a map-side fan-out, not a data×data cartesian (operators/kmeans.py)
+    "kmeans_clusters",
+    "semantic_dedup",
+    "semantic_dedup_np",
+    "semantic_dedup_multiprobe",
 }
 
 # crossJoin(broadcast(one_row_aggregate)): the build side is exactly ONE
