@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from pyspark_big_data_spark.functions import vectors as V
 from pyspark_big_data_spark.io import read_table
 from pyspark_big_data_spark.queries.registry import register
 
@@ -130,20 +131,35 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("probe_id"), F.col("c_label").alias("cell"))
     )
 
-    a = emb.select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
-    b = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ne"),
-        F.col("label").alias("n_cell"),  # renamed: self-join lineage makes 'label' ambiguous
+    # flat-column sides keep the per-candidate dot inside JIT-able
+    # codegen (functions/vectors.py::dot_unrolled cliff note); norms
+    # hoisted per row — identical doubles to the per-pair spelling
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    a = V.flatten_vec(
+        emb.select(
+            F.col("vec_id").alias("probe_id"), "e", V.norm(F.col("e")).alias("pn")
+        ),
+        "e", dim, "_p", ["probe_id", "pn"],
     )
-    dot = F.aggregate(F.zip_with("pe", "ne", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    b = V.flatten_vec(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "e",
+            V.norm(F.col("e")).alias("nn"),
+            # renamed: self-join lineage makes 'label' ambiguous
+            F.col("label").alias("n_cell"),
+        ),
+        "e", dim, "_n", ["neighbor_id", "nn", "n_cell"],
     )
     searched = (
         cells.join(F.broadcast(a), "probe_id")
         .join(b, (F.col("n_cell") == F.col("cell")) & (F.col("neighbor_id") != F.col("probe_id")))
-        .select("probe_id", "neighbor_id", (dot / (nrm(F.col("pe")) * nrm(F.col("ne")))).alias("cos"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (V.dot_flat("_p", "_n", dim) / (F.col("pn") * F.col("nn"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

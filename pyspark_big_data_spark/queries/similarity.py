@@ -101,10 +101,19 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array(F.col("embedding")).alias("e")
     )
-    with_norm = emb.withColumn("nrm", V.norm(F.col("e")))
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    # flat columns keep the per-pair dot inside JIT-able codegen (see
+    # functions/vectors.py::dot_unrolled's cliff note); norms computed
+    # once per row on the array form — identical doubles either way
+    with_norm = V.flatten_vec(
+        emb.withColumn("nrm", V.norm(F.col("e"))), "e", dim, "_x", ["vec_id", "nrm"]
+    )
     probes = guard_allpairs(
         with_norm.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
-            F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+            F.col("vec_id").alias("probe_id"),
+            F.col("nrm").alias("pn"),
+            *[F.col(f"_x{i}").alias(f"_p{i}") for i in range(dim)],
         ),
         "ann_topk_bruteforce probes",
     )
@@ -112,7 +121,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = with_norm.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id")).select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        (V.dot(F.col("pe"), F.col("e")) / (F.col("pn") * F.col("nrm"))).alias("cos"),
+        (V.dot_flat("_p", "_x", dim) / (F.col("pn") * F.col("nrm"))).alias("cos"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -310,9 +319,22 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "embedding_near_dup",
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    cos = V.cosine(F.col("ea"), F.col("eb"))
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    flat = V.flatten_vec(
+        emb.withColumn("nrm", V.norm(F.col("e"))), "e", dim, "_x", ["vec_id", "nrm"]
+    )
+    a = flat.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("nrm").alias("na"),
+        *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(dim)],
+    )
+    b = flat.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("nrm").alias("nb"),
+        *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(dim)],
+    )
+    cos = V.dot_flat("_a", "_b", dim) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cos)
@@ -354,25 +376,24 @@ ORDER BY id_a, id_b
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct candidate pairs from the OR-amplified band join (the
+    """Distinct candidate id pairs from the OR-amplified band join (the
     pre-verification stage whose volume IS the scale cost).
 
     Each vector gets one bucket id per band table (posexplode →
     (table, bucket) rows); candidates form via equi-join on
     (table, bucket) — a key-partitioned shuffle, never a cartesian —
-    then a groupBy dedups pairs that co-bucket in several tables
-    (keeping the embeddings via first(), no re-join)."""
+    then a groupBy dedups pairs that co-bucket in several tables.
+    Ids ONLY through the join and dedup shuffle (16 B/row); the caller
+    re-attaches vectors from a broadcast side, so Σ bucket² rows never
+    drag ~1 KB arrays through an exchange."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array(F.col("embedding")).alias("e")
     )
     buckets = F.array(*[V.simhash_bucket(F.col("e"), planes) for planes in _LSH_TABLES])
-    tabled = emb.select("vec_id", "e", F.posexplode(buckets).alias("t", "bucket"))
-    a = tabled.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), "t", "bucket"
-    )
+    tabled = emb.select("vec_id", F.posexplode(buckets).alias("t", "bucket"))
+    a = tabled.select(F.col("vec_id").alias("id_a"), "t", "bucket")
     b = tabled.select(
         F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
         F.col("t").alias("t_b"),
         F.col("bucket").alias("bucket_b"),
     )
@@ -383,8 +404,8 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -394,12 +415,29 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_LSH_N_TABLES band tables x _LSH_PLANES_PER_TABLE planes).
     Candidates only form within a (table, bucket) group — an equi-join,
     so cost is Σ bucket², never n² — then exact cosine verifies each
-    distinct candidate once. At 100 TB: planes/table grows with log(n)
-    to keep buckets bounded, tables grow to hold recall (the standard
-    LSH (r, b) trade; measured recall in PERFORMANCE.md)."""
-    cos = V.cosine(F.col("ea"), F.col("eb"))
+    distinct candidate once, against broadcast flat-column vector sides
+    (JIT-able dot, no array-laden shuffle). At 100 TB: planes/table
+    grows with log(n) to keep buckets bounded, tables grow to hold
+    recall (the standard LSH (r, b) trade; measured recall in
+    PERFORMANCE.md)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("e")
+    )
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    ea = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("id_a"), "e", V.norm(F.col("e")).alias("na")),
+        "e", dim, "_a", ["id_a", "na"],
+    )
+    eb = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("id_b"), "e", V.norm(F.col("e")).alias("nb")),
+        "e", dim, "_b", ["id_b", "nb"],
+    )
+    cos = V.dot_flat("_a", "_b", dim) / (F.col("na") * F.col("nb"))
     return (
         lsh_candidate_pairs(spark, sf_dir)
+        .join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") >= _LSH_CAND_COS)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
