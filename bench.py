@@ -98,6 +98,7 @@ def main() -> None:
         log(f"bench: {name}: {dt:.3f}s ({n} rows)")
 
     variants = _csv_vs_parquet_variant(spark, sf_dir)
+    variants.update(_incremental_steady_state_variant(spark, sf_dir))
     hint_matrix = _hint_matrix(spark)
 
     total = round(sum(timings.values()), 3)
@@ -131,6 +132,41 @@ def main() -> None:
         flush=True,
     )
     spark.stop()
+
+
+def _incremental_steady_state_variant(spark, sf_dir: str) -> dict[str, float]:
+    """Steady-state probe cost of dedup_minhash_incremental: the index
+    is built OUTSIDE the bracket (the operational state — it exists from
+    previous batches) and only the batch-probe is timed. The headline
+    entry keeps the in-bracket build so the two lines bound the real
+    cost from both sides."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.dedup import (
+        _INCR_MOD,
+        build_minhash_index,
+        dedup_minhash_incremental,
+    )
+
+    index_dir = tempfile.mkdtemp(prefix="minhash_steady_")
+    try:
+        docs = read_table(spark, sf_dir, "documents")
+        build_minhash_index(docs.filter(F.col("doc_id") % _INCR_MOD != 0), index_dir)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = dedup_minhash_incremental(spark, sf_dir, index_dir=index_dir).count()
+        dt = time.time() - t0
+        log(f"bench: minhash incremental steady-state: {dt:.3f}s ({n} rows)")
+        return {"minhash_incremental_steady_state_sec": round(dt, 3)}
+    except Exception as exc:  # noqa: BLE001 — variant must not sink the bench
+        log(f"bench: minhash incremental steady-state FAILED: {exc}")
+        return {}
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def _csv_vs_parquet_variant(spark, sf_dir: str) -> dict[str, float]:
