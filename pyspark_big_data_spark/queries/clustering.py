@@ -277,9 +277,8 @@ def semantic_dedup_multiprobe_np(
     Σ cell_size² ≈ (n_probe·n)²/k, so k must grow with n. Default
     (k=None) follows the same ``_k_for(n)`` schedule as the oracled tier
     — identical k at every agreement-gated SF (schedule floor = {_K}),
-    k ∝ n beyond; measured at native sf3 (60k vectors): k=8 → 192 s,
-    k=64 → the same recall mechanics at 1/8th the bill
-    (PERFORMANCE.md)."""
+    k ∝ n beyond; measured at native sf3 (60k vectors, k=200): 31.1 s
+    vs the oracled tier's 128.2 s (PERFORMANCE.md)."""
     emb = _emb(spark, sf_dir)
     if k is None:
         k = _k_for(read_table(spark, sf_dir, "embeddings").count())
