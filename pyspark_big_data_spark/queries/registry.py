@@ -76,6 +76,10 @@ ROTATE_OUT: set[str] = {
     "tumbling_window_agg",
     "text_lang_id",
     "pii_scrub",
+    # rested mid-r5 so the NEW ann_topk_ivf_incremental takes its slot
+    # (grouping-sets family stays covered by rollup_lineitem_status,
+    # itself rotated in this round)
+    "cube_status_priority",
 }
 
 
