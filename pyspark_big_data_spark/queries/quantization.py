@@ -1,0 +1,230 @@
+"""Int8 embedding quantization + quantized ANN with exact rescoring.
+
+The production memory/IO lever for a 100 TB vector corpus: symmetric
+per-vector absmax quantization stores each dimension in 1 byte instead
+of 8 (the index shrinks 8x, scans move 8x less data), candidate ranking
+runs on integer dot products, and only a small rescore pool per probe
+ever touches the full-precision vectors.
+
+Why this oracles EXACTLY (no float-order caveats anywhere):
+- the quantized values are integers produced by a deterministic
+  expression (floor(x/scale + 0.5)) evaluated identically by Spark and
+  DuckDB on identical doubles;
+- integer dot products of int8 values (|q| <= 127, dim 64) are exact in
+  a double accumulator regardless of summation order — the one kind of
+  "sum" that cannot drift between engines;
+- the approximate score dequantizes with one multiplication chain whose
+  order both sides spell identically.
+
+Scale notes: the candidate stage is corpus x broadcast(probes) on flat
+int columns (whole-stage codegen, JIT-safe — see
+functions/vectors.py::dot_unrolled's cliff note); the rescore pool is
+POOL x k rows per probe, attached to full-precision vectors from a
+broadcast side. No stage shuffles vector payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from pyspark_big_data_spark.functions import vectors as V
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+_Q = 127  # int8 symmetric range
+_PROBE_MOD = 50  # same probe sample as the other ANN tiers
+_TOP_K = 5
+_POOL = 3  # rescore pool: top POOL*k quantized candidates per probe
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def _scale(e: Column) -> Column:
+    """Per-vector absmax scale; all-zero vectors quantize to zeros via
+    the scale-1 guard (both engines spell the same CASE)."""
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    return F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(float(_Q)))
+
+
+def quantized_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, scale, q array<int>): symmetric int8 quantization.
+
+    floor(x/scale + 0.5) is half-up rounding spelled so Spark and
+    DuckDB agree exactly (ROUND half-even vs half-away differs between
+    engines; floor(+0.5) does not)."""
+    q = F.transform(
+        "e", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    return emb.withColumn("scale", _scale(F.col("e"))).select(
+        "vec_id", "scale", q.alias("q")
+    )
+
+
+_DD_QUANT_CTE = f"""
+v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sc AS (
+    SELECT vec_id, e,
+           CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0.0 THEN 1.0
+                ELSE list_max(list_transform(e, x -> abs(x))) / {float(_Q)!r}
+           END AS scale
+    FROM v
+), qv AS (
+    SELECT vec_id, e, scale,
+           list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+    FROM sc
+)"""
+
+_QUANTIZE_ORACLE = f"""
+WITH {_DD_QUANT_CTE}
+SELECT vec_id,
+       ROUND(scale, 9) AS scale9,
+       CAST(len(q) AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1,
+       md5(array_to_string(q, ',')) AS vec_md5
+FROM qv ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization of every embedding, emitted as the scalar
+    digest view (dim, L1 mass, md5 of the comma-joined ints — any
+    element change flips vec_md5) plus the rounded scale; pipelines
+    consume the raw ints via quantized_vectors directly. Same digest
+    convention as doc_embed_hash."""
+    qv = quantized_vectors(_emb(spark, sf_dir))
+    return qv.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale9"),
+        F.size("q").cast("long").alias("dim"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("l1"),
+        F.md5(F.concat_ws(",", F.transform("q", lambda x: x.cast("string")))).alias(
+            "vec_md5"
+        ),
+    ).orderBy("vec_id")
+
+
+_QANN_ORACLE = f"""
+WITH {_DD_QUANT_CTE},
+nrm AS (
+    SELECT vec_id, sqrt(list_dot_product(e, e)) AS nn FROM v
+), pool AS (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           CAST(list_dot_product(a.q, b.q) AS DOUBLE) * a.scale * b.scale
+               / (na.nn * nb.nn) AS approx,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(list_dot_product(a.q, b.q) AS DOUBLE) * a.scale * b.scale
+                            / (na.nn * nb.nn) DESC,
+                        b.vec_id ASC
+           ) AS pool_rnk
+    FROM (SELECT * FROM qv WHERE vec_id % {_PROBE_MOD} = 0) a
+    JOIN qv b ON b.vec_id <> a.vec_id
+    JOIN nrm na ON na.vec_id = a.vec_id
+    JOIN nrm nb ON nb.vec_id = b.vec_id
+), rescored AS (
+    SELECT p.probe_id, p.neighbor_id,
+           list_dot_product(a.e, b.e) / (na.nn * nb.nn) AS cos
+    FROM pool p
+    JOIN v a ON a.vec_id = p.probe_id
+    JOIN v b ON b.vec_id = p.neighbor_id
+    JOIN nrm na ON na.vec_id = p.probe_id
+    JOIN nrm nb ON nb.vec_id = p.neighbor_id
+    WHERE p.pool_rnk <= {_POOL * _TOP_K}
+)
+SELECT probe_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC
+       ) AS BIGINT) AS rnk
+FROM rescored
+QUALIFY rnk <= {_TOP_K}
+ORDER BY probe_id, rnk
+"""
+
+
+@register("ann_topk_quantized", oracle=_QANN_ORACLE)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN: rank ALL candidates per probe by the
+    dequantized int8 score (integer dot — exact, order-independent —
+    times the two scales, over the true norms), keep the top
+    {_POOL}*k pool, rescore ONLY the pool with full-precision cosine,
+    emit the exact top-k of the pool.
+
+    This is the classic quantized-index recipe (store int8, rescore
+    fp): the full-precision vectors are touched for {_POOL}*k rows per
+    probe instead of the whole corpus. Ranking and rescoring are both
+    deterministic in both engines, so the oracle is exact — no
+    agreement gate needed, unlike the BLAS tiers."""
+    emb = _emb(spark, sf_dir)
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    qv = quantized_vectors(emb).join(
+        emb.select("vec_id", V.norm(F.col("e")).alias("nn")), "vec_id"
+    )
+
+    corpus = V.flatten_vec(
+        qv.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q"),
+            F.col("scale").alias("n_scale"),
+            F.col("nn").alias("n_nrm"),
+        ),
+        "q", dim, "_n", ["neighbor_id", "n_scale", "n_nrm"],
+    )
+    probes = V.flatten_vec(
+        qv.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("q"),
+            F.col("scale").alias("p_scale"),
+            F.col("nn").alias("p_nrm"),
+        ),
+        "q", dim, "_p", ["probe_id", "p_scale", "p_nrm"],
+    )
+    # integer dot over flat int columns (codegen); the cast to double is
+    # exact (|dot| <= 64 * 127^2 << 2^53)
+    qdot = F.lit(0).cast("long")
+    for i in range(dim):
+        qdot = qdot + F.col(f"_p{i}") * F.col(f"_n{i}")
+    approx = (
+        qdot.cast("double")
+        * F.col("p_scale")
+        * F.col("n_scale")
+        / (F.col("p_nrm") * F.col("n_nrm"))
+    )
+    w_pool = Window.partitionBy("probe_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("approx", approx)
+        .select("probe_id", "neighbor_id", "approx")
+        .withColumn("pool_rnk", F.row_number().over(w_pool))
+        .filter(F.col("pool_rnk") <= _POOL * _TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+
+    # rescore pool with full-precision cosine from broadcast flat sides
+    fa = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("probe_id"), "e", V.norm(F.col("e")).alias("pa")),
+        "e", dim, "_a", ["probe_id", "pa"],
+    )
+    fb = V.flatten_vec(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "e", V.norm(F.col("e")).alias("pb")),
+        "e", dim, "_b", ["neighbor_id", "pb"],
+    )
+    cos = V.dot_flat("_a", "_b", dim) / (F.col("pa") * F.col("pb"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pool.join(F.broadcast(fa), "probe_id")
+        .join(F.broadcast(fb), "neighbor_id")
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+        .orderBy("probe_id", "rnk")
+    )

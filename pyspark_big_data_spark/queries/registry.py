@@ -80,6 +80,12 @@ ROTATE_OUT: set[str] = {
     # (grouping-sets family stays covered by rollup_lineitem_status,
     # itself rotated in this round)
     "cube_status_priority",
+    # rested mid-r5 so the NEW int8-quantization pair takes slots:
+    # exact-cosine semantics stay driver-covered by ann_topk_quantized's
+    # rescore stage + ann_lsh_bucketed; near-dup verify stays covered by
+    # dedup_minhash_lsh / simhash_near_pairs / winnow_near_pairs
+    "embedding_near_dup",
+    "ngram_jaccard_pairs",
 }
 
 

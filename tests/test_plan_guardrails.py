@@ -39,6 +39,8 @@ _PYTHON_OK = {
 _NESTED_LOOP_OK = {
     "embedding_near_dup",
     "ann_topk_bruteforce",
+    # corpus x broadcast(int8 probes): build side is the probe sample
+    "ann_topk_quantized",
     "doc_embed_near_dup",  # guarded all-pairs witness over hashed doc vectors
     # corpus x broadcast(probe vectors): the build side is the held-out
     # benchmark set — small by definition, so the nested loop is a

@@ -1,0 +1,68 @@
+"""Int8 quantization invariants beyond the DuckDB parity (which
+tests/test_oracle_parity.py covers for both registered queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.quantization import (
+    _Q,
+    _TOP_K,
+    ann_topk_quantized,
+    quantized_vectors,
+)
+from pyspark_big_data_spark.queries.similarity import ann_topk_bruteforce
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def test_quantization_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values must sit within scale/2 of the original —
+    the defining property of half-up absmax quantization — and every
+    quantized component within the int8 range."""
+    qv = quantized_vectors(_emb(spark, sf_dir))
+    oob = qv.select(F.size(F.filter(F.col("q"), lambda x: F.abs(x) > _Q)).alias("oob"))
+    assert oob.agg(F.sum("oob")).collect()[0][0] == 0
+
+    joined = qv.join(_emb(spark, sf_dir), "vec_id")
+    max_err = joined.select(
+        F.array_max(
+            F.zip_with(
+                "e", "q", lambda x, q: F.abs(x - q.cast("double") * F.col("scale"))
+            )
+        ).alias("err"),
+        (F.col("scale") / 2 + F.lit(1e-12)).alias("bound"),
+    )
+    assert max_err.filter(F.col("err") > F.col("bound")).count() == 0
+
+
+def test_quantized_ann_recall_vs_exact(spark, sf_dir):
+    """The int8-ranked, fp-rescored top-k must recover nearly all of
+    the exact brute-force top-k (int8 on 64 dims loses ~0.4% cosine
+    resolution; the 3k rescore pool absorbs almost every flip)."""
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    quant = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann_topk_quantized(spark, sf_dir).collect()
+    }
+    assert len(quant) == len(exact)
+    assert len(quant & exact) / len(exact) >= 0.9
+
+
+def test_quantized_ann_shape(spark, sf_dir):
+    out = ann_topk_quantized(spark, sf_dir)
+    rows = out.collect()
+    per_probe: dict = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], []).append(r["rnk"])
+        assert r["probe_id"] != r["neighbor_id"]
+    for rnks in per_probe.values():
+        assert sorted(rnks) == list(range(1, _TOP_K + 1))
