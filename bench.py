@@ -34,10 +34,6 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_fast",
     "dedup_minhash_incremental",
-    # semantic_dedup_multiprobe is NOT a headline row: at the oracle's
-    # fixed k=8 its pair bill is (n_probe*n/k)^2-ish — a small-k artifact
-    # (~106 s at native sf1) that would swamp the total; PERFORMANCE.md
-    # records it with the k-scaling analysis instead.
     "span_dedup_chunks",
     "dup_span_extract",
     "doc_embed_hash",
@@ -46,6 +42,12 @@ HEADLINE = [
     # holding recall costs ~40% of all-pairs in candidates (~100 s at
     # sf0.1) — measured economics in its docstring/PERFORMANCE.md.
     "semantic_dedup_multiprobe_np",
+    # the ORACLED multiprobe tier is benchmarked in PERFORMANCE.md
+    # ("Round 5: exact-tier rebuild": 456 s → 31 s at native sf1, 1.9x
+    # the np twin) but is not a headline row: its exact Lloyd carries
+    # ~15 s of data-independent plan/codegen overhead (many driver
+    # actions + wide flat-column stages) that would read as throughput
+    # at sf0.1 when it is a constant.
     "bm25_topk",
     "simhash_near_pairs",
     "winnow_near_pairs",
@@ -54,6 +56,8 @@ HEADLINE = [
     "ann_topk_bruteforce_np",
     "ann_topk_ivf",
     "ann_topk_ivf_np",
+    "ann_topk_ivf_incremental",
+    "ann_topk_quantized",
     "tumbling_window_agg",
     "session_window_agg",
     "asof_join_last_order",
