@@ -410,3 +410,169 @@ def extract_features(
 
     narrow = df.select(id_col, media_col).repartition(batches)
     return narrow.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib WAV (PCM16 mono) codec: the AUDIO modality's real decode
+# path, symmetric to the PPM tier for images. The `wave` module ships
+# with CPython, so header parse + sample math run in codec-less
+# containers; every derived statistic is integer arithmetic with an
+# exact SQL twin.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000  # synthetic fixture sample rate (PCM16 mono)
+
+
+def encode_wav(samples, rate: int = WAV_RATE) -> bytes:
+    """PCM16 mono WAV encode via the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM16 mono WAV: returns (rate, n_samples, int16 ndarray).
+
+    Rejects stereo/non-16-bit payloads loudly — corrupt audio must fail,
+    never produce silent wrong features (same contract as decode_ppm)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("only PCM16 mono WAV supported")
+        rate = w.getframerate()
+        n = w.getnframes()
+        samples = np.frombuffer(w.readframes(n), dtype="<i2")
+    return rate, n, samples
+
+
+def wav_samples_for(doc_id: int):
+    """The synthetic fixture waveform for a doc: n = 800 + id % 160
+    samples of ((id * 131 + t * 17) % 4096) - 2048 — a deterministic
+    sawtooth whose every statistic is derivable in SQL (the oracle
+    contract, like attach_ppm_media's pixels)."""
+    import numpy as np
+
+    d = int(doc_id)
+    n = 800 + d % 160
+    t = np.arange(n, dtype=np.int64)
+    return ((d * 131 + t * 17) % 4096) - 2048
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id", batches: int = 32) -> DataFrame:
+    """Attach a deterministic REAL audio clip (PCM16 mono WAV) per row —
+    the object-store-audio-fetch stand-in that still produces genuine
+    decodable WAV containers."""
+
+    def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches_iter:
+            payloads = [encode_wav(wav_samples_for(d)) for d in pdf[id_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "media": payloads})
+
+    narrow = df.select(id_col).repartition(batches)
+    return narrow.mapInPandas(run, schema="doc_id long, media binary")
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_cross", T.LongType()),
+    ]
+)
+
+
+def _wav_feature_row(payload: bytes) -> tuple:
+    """Integer-exact audio statistics off the decoded samples: energy
+    (sum of squares), peak amplitude, strict zero crossings."""
+    import numpy as np
+
+    rate, n, s = decode_wav(payload)
+    s64 = s.astype(np.int64)
+    sum_sq = int((s64 * s64).sum())
+    peak = int(np.abs(s64).max()) if n else 0
+    zc = int(((s64[:-1] * s64[1:]) < 0).sum()) if n > 1 else 0
+    return rate, n, 1000.0 * n / rate, sum_sq, peak, zc
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media", batches: int = 32
+) -> DataFrame:
+    """mapInPandas audio feature extraction: REAL WAV decode per payload
+    inside the Arrow batch (stdlib codec — runs everywhere)."""
+
+    def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches_iter:
+            rows = [_wav_feature_row(bytes(p)) for p in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "n_samples": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "duration_ms": pd.Series([r[2] for r in rows], dtype="float64"),
+                    "sum_sq": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "peak": pd.Series([r[4] for r in rows], dtype="int64"),
+                    "zero_cross": pd.Series([r[5] for r in rows], dtype="int64"),
+                }
+            )
+
+    narrow = df.select(id_col, media_col).repartition(batches)
+    return narrow.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """Nearest-neighbor integer resample to target_rate, re-encoded as
+    WAV — pure index math (out[j] = in[(j*n_in)//n_out]), deterministic
+    and SQL-replayable like _ppm_resize."""
+    rate, n, s = decode_wav(payload)
+    n_out = (n * target_rate) // rate
+    if n_out <= 0:
+        return encode_wav([], rate=target_rate)
+    idx = [(j * n) // n_out for j in range(n_out)]
+    return encode_wav(s[idx], rate=target_rate)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    batches: int = 32,
+) -> DataFrame:
+    """mapInPandas audio resample: decode -> integer nearest-neighbor
+    -> re-encode; one row per input, metadata refreshed from the real
+    output container."""
+
+    def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches_iter:
+            payloads = [resample_wav(bytes(p), target_rate) for p in pdf[media_col]]
+            meta = [decode_wav(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": payloads,
+                    "sample_rate": pd.Series([m[0] for m in meta], dtype="int64"),
+                    "n_samples": pd.Series([m[1] for m in meta], dtype="int64"),
+                }
+            )
+
+    narrow = df.select(id_col, media_col).repartition(batches)
+    return narrow.mapInPandas(
+        run, schema="doc_id long, media binary, sample_rate long, n_samples long"
+    )

@@ -225,3 +225,110 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select(
         "doc_id", "frame_idx", "n_frames", F.md5(F.col("frame")).alias("checksum")
     ).orderBy("doc_id", "frame_idx")
+
+
+# The audio fixture waveform is ((doc_id*131 + t*17) % 4096) - 2048 for
+# t in 0..n-1, n = 800 + doc_id % 160 (operators/multimodal.py::
+# wav_samples_for) — every statistic below replays in SQL over
+# generate_series with exact integer arithmetic; only duration_ms is a
+# double, and it is the same division in both engines.
+_AUDIO_FEATURES_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 800 + doc_id % 160 AS n FROM documents
+), smp AS (
+    SELECT doc_id, n, t,
+           (doc_id * 131 + t * 17) % 4096 - 2048 AS v,
+           CASE WHEN t + 1 < n
+                THEN (doc_id * 131 + (t + 1) * 17) % 4096 - 2048
+           END AS v_next
+    FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS t FROM dims)
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+       ROUND(1000.0 * ANY_VALUE(n) / 8000, 6) AS duration_ms,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN v * v_next < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+FROM smp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_audio_features", oracle=_AUDIO_FEATURES_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: PCM16 mono WAV payloads through the
+    stdlib wave codec inside the Arrow batch path — container parse,
+    sample extraction, integer energy/peak/zero-crossing statistics.
+    The audio twin of multimodal_real_decode (PPM images)."""
+    docs = MM.attach_wav_media(read_table(spark, sf_dir, "documents"))
+    feats = MM.extract_audio_features(docs)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        "sum_sq",
+        "peak",
+        "zero_cross",
+    ).orderBy("doc_id")
+
+
+_AUDIO_TARGET_RATE = 4000
+# out[j] = in[(j*n)//n_out], n_out = (n*4000)//8000 = n//2
+_AUDIO_RESAMPLE_ORACLE = f"""
+WITH dims AS (
+    SELECT doc_id, 800 + doc_id % 160 AS n,
+           (800 + doc_id % 160) * {_AUDIO_TARGET_RATE} // 8000 AS n_out
+    FROM documents
+), outs AS (
+    SELECT doc_id, n, n_out, j,
+           (doc_id * 131 + ((j * n) // n_out) * 17) % 4096 - 2048 AS v
+    FROM (SELECT doc_id, n, n_out, unnest(generate_series(0, n_out - 1)) AS j FROM dims)
+)
+SELECT doc_id,
+       CAST({_AUDIO_TARGET_RATE} AS BIGINT) AS sample_rate,
+       CAST(ANY_VALUE(n_out) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(v * (j + 1)) AS BIGINT) AS wsum
+FROM outs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_audio_resample", oracle=_AUDIO_RESAMPLE_ORACLE, driver=False)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample end-to-end: WAV decode -> integer
+    nearest-neighbor to {_AUDIO_TARGET_RATE} Hz -> WAV re-encode, then
+    statistics decoded back off the RESAMPLED payload. wsum weights each
+    output sample by position, so right-values-wrong-order fails the
+    oracle (same trick as multimodal_real_resize)."""
+    import pandas as pd
+
+    docs = MM.attach_wav_media(read_table(spark, sf_dir, "documents"))
+    rz = MM.resample_audio(docs, target_rate=_AUDIO_TARGET_RATE)
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rates, ns, sums, wsums = [], [], [], []
+            for payload in pdf["media"]:
+                rate, n, s = MM.decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                rates.append(rate)
+                ns.append(n)
+                sums.append(int((s64 * s64).sum()))
+                wsums.append(int((s64 * (np.arange(n, dtype=np.int64) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_sq": pd.Series(sums, dtype="int64"),
+                    "wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    out = rz.select("doc_id", "media").mapInPandas(
+        stats, schema="doc_id long, sample_rate long, n_samples long, sum_sq long, wsum long"
+    )
+    return out.orderBy("doc_id")

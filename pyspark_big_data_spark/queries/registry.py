@@ -86,6 +86,10 @@ ROTATE_OUT: set[str] = {
     # dedup_minhash_lsh / simhash_near_pairs / winnow_near_pairs
     "embedding_near_dup",
     "ngram_jaccard_pairs",
+    # rested mid-r5 so the NEW multimodal_audio_features (real stdlib
+    # WAV decode) takes its slot; the multimodal family stays covered
+    # by multimodal_feature_extract
+    "multimodal_metadata",
 }
 
 

@@ -186,3 +186,57 @@ def test_sample_frames_injected_splitter(spark, sf_dir):
     rows = MM.sample_frames(docs, every=1, splitter=two_halves).collect()
     assert all(r["n_frames"] == 2 for r in rows)
     assert sorted({r["frame_idx"] for r in rows}) == [0, 1]
+
+
+def test_wav_roundtrip_matches_fixture_formula():
+    import numpy as np
+
+    for d in (0, 7, 123, 4096):
+        s = MM.wav_samples_for(d)
+        rate, n, decoded = MM.decode_wav(MM.encode_wav(s))
+        assert rate == MM.WAV_RATE
+        assert n == 800 + d % 160
+        assert np.array_equal(decoded.astype(np.int64), s)
+
+
+def test_wav_rejects_non_pcm16_mono():
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo — must be rejected
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(32, dtype="<i2").tobytes())
+    with _pytest.raises(ValueError, match="PCM16 mono"):
+        MM.decode_wav(buf.getvalue())
+
+
+def test_resample_wav_index_math():
+    import numpy as np
+
+    s = MM.wav_samples_for(42)
+    n = len(s)
+    out = MM.resample_wav(MM.encode_wav(s), target_rate=4000)
+    rate, n_out, decoded = MM.decode_wav(out)
+    assert rate == 4000
+    assert n_out == (n * 4000) // 8000
+    expect = s[[(j * n) // n_out for j in range(n_out)]]
+    assert np.array_equal(decoded.astype(np.int64), expect)
+
+
+def test_audio_features_match_local_decode(spark, sf_dir):
+    import numpy as np
+
+    docs = MM.attach_wav_media(read_table(spark, sf_dir, "documents").limit(20))
+    rows = {r["doc_id"]: r for r in MM.extract_audio_features(docs).collect()}
+    assert len(rows) == 20
+    for doc_id, r in rows.items():
+        s = MM.wav_samples_for(doc_id).astype(np.int64)
+        assert r["sum_sq"] == int((s * s).sum())
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["zero_cross"] == int(((s[:-1] * s[1:]) < 0).sum())

@@ -19,6 +19,8 @@ _PYTHON_OK = {
     "multimodal_frame_sample",  # Arrow mapInPandas chunker by design
     "multimodal_real_decode",  # stdlib PPM decode runs in Python by design
     "multimodal_real_resize",
+    "multimodal_audio_features",  # stdlib WAV decode runs in Python by design
+    "multimodal_audio_resample",
     "dedup_minhash_ml",  # ml models may stage through python/udf wrappers
     "ann_brp_lsh_ml",
     "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
