@@ -148,12 +148,11 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
-    """Parse a binary PPM: returns (width, height, rgb bytes).
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header: returns (width, height, raster_offset).
 
     Handles arbitrary header whitespace and '#' comments per the netpbm
-    spec; rejects truncated pixel data and non-255 maxval loudly — a
-    corrupt image must fail, never produce silent wrong features."""
+    spec; rejects non-255 maxval loudly."""
     if not payload.startswith(PPM_MAGIC):
         raise ValueError("not a P6 PPM payload")
     fields: list[int] = []
@@ -173,6 +172,15 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
+    return w, h, idx
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM: returns (width, height, rgb bytes).
+
+    Rejects truncated pixel data loudly — a corrupt image must fail,
+    never produce silent wrong features."""
+    w, h, idx = _ppm_header(payload)
     rgb = payload[idx : idx + 3 * w * h]
     if len(rgb) != 3 * w * h:
         raise ValueError("truncated PPM raster")
@@ -576,3 +584,59 @@ def resample_audio(
     return narrow.mapInPandas(
         run, schema="doc_id long, media binary, sample_rate long, n_samples long"
     )
+
+
+# ---------------------------------------------------------------------------
+# PPM-stream "video" container: concatenated binary-PPM frames (the
+# motion-JPEG idea applied to the stdlib-decodable format). A REAL
+# demux — parse each P6 header, compute the frame length, slice —
+# rather than fixed-byte chunking, so the video path exercises genuine
+# container semantics end-to-end with no external demuxer.
+# ---------------------------------------------------------------------------
+
+
+def video_frame_count_for(doc_id: int) -> int:
+    """Fixture frame count: 3 + doc_id % 5 frames per clip."""
+    return 3 + int(doc_id) % 5
+
+
+def attach_ppm_video(df: DataFrame, id_col: str = "doc_id", batches: int = 32) -> DataFrame:
+    """Attach a deterministic REAL video clip per row: frame f is the
+    4x4 PPM whose grayscale pixel j has value
+    (doc_id * 31 + f * 97 + j) % 256 — frame content shifts every frame,
+    so frame-order statistics are SQL-derivable."""
+
+    def run(batches_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches_iter:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                frames = []
+                for f in range(video_frame_count_for(d)):
+                    v = (d * 31 + f * 97 + np.arange(16, dtype=np.int64)) % 256
+                    frames.append(encode_ppm(4, 4, np.repeat(v.astype(np.uint8), 3).tobytes()))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "media": payloads})
+
+    narrow = df.select(id_col).repartition(batches)
+    return narrow.mapInPandas(run, schema="doc_id long, media binary")
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """REAL demux of a concatenated-PPM stream: parse each frame's P6
+    header for its dimensions, slice exactly one raster, repeat.
+    Truncated or non-PPM trailing bytes fail loudly (decode_ppm's
+    contract) — a corrupt clip must never yield silent partial frames."""
+    frames: list[bytes] = []
+    idx = 0
+    while idx < len(payload):
+        rest = payload[idx:]
+        w, h, raster_off = _ppm_header(rest)
+        frame_len = raster_off + 3 * w * h
+        if len(rest) < frame_len:
+            raise ValueError("truncated PPM frame in stream")
+        frames.append(rest[:frame_len])
+        idx += frame_len
+    return frames or [b""]

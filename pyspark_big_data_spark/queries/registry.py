@@ -90,6 +90,10 @@ ROTATE_OUT: set[str] = {
     # WAV decode) takes its slot; the multimodal family stays covered
     # by multimodal_feature_extract
     "multimodal_metadata",
+    # rested mid-r5 so the NEW multimodal_video_frames (real PPM-stream
+    # demux) takes its slot; the C4-span family stays covered by
+    # dup_span_extract, rotated in this round
+    "span_dedup_chunks",
 }
 
 

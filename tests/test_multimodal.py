@@ -240,3 +240,31 @@ def test_audio_features_match_local_decode(spark, sf_dir):
         assert r["sum_sq"] == int((s * s).sum())
         assert r["peak"] == int(np.abs(s).max())
         assert r["zero_cross"] == int(((s[:-1] * s[1:]) < 0).sum())
+
+
+def test_split_ppm_stream_real_demux():
+    import numpy as np
+    import pytest as _pytest
+
+    # two frames of different sizes — byte-chunking cannot split this
+    f1 = MM.encode_ppm(3, 2, bytes(range(18)))
+    v = np.arange(48, dtype=np.uint8)
+    f2 = MM.encode_ppm(4, 4, v.tobytes())
+    frames = MM.split_ppm_stream(f1 + f2)
+    assert frames == [f1, f2]
+    # truncated second frame must fail, never emit a partial frame
+    with _pytest.raises(ValueError, match="truncated"):
+        MM.split_ppm_stream(f1 + f2[:-5])
+
+
+def test_attach_ppm_video_roundtrip(spark, sf_dir):
+    docs = MM.attach_ppm_video(read_table(spark, sf_dir, "documents").limit(10))
+    for r in docs.collect():
+        frames = MM.split_ppm_stream(bytes(r["media"]))
+        assert len(frames) == MM.video_frame_count_for(r["doc_id"])
+        for f, frame in enumerate(frames):
+            w, h, rgb = MM.decode_ppm(frame)
+            assert (w, h) == (4, 4)
+            d = r["doc_id"]
+            expect = [(d * 31 + f * 97 + j) % 256 for j in range(16)]
+            assert [rgb[3 * j] for j in range(16)] == expect

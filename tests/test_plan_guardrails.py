@@ -21,6 +21,7 @@ _PYTHON_OK = {
     "multimodal_real_resize",
     "multimodal_audio_features",  # stdlib WAV decode runs in Python by design
     "multimodal_audio_resample",
+    "multimodal_video_frames",  # PPM-stream demux + per-frame decode by design
     "dedup_minhash_ml",  # ml models may stage through python/udf wrappers
     "ann_brp_lsh_ml",
     "ann_topk_bruteforce_np",  # BLAS fast tiers: Arrow mapInPandas by design
