@@ -8,7 +8,7 @@ the two can't drift apart.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pyspark_big_data_spark.operators import dedup as DD
 from pyspark_big_data_spark.io import read_table
@@ -527,5 +527,65 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.filter(F.col("doc_id") == F.col("cluster_id"))
         .join(sizes, "cluster_id")
         .select("doc_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+_LONGEST_SURV_ORACLE = f"""{_dd_minhash_cte()},
+pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
+    WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+    WITH RECURSIVE walk(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.src, s.v FROM walk w JOIN sym s ON s.u = w.node
+    )
+    SELECT src, node FROM walk
+),
+labels AS (
+    SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+),
+sel AS (
+    SELECT l.cluster_id, d.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, d.doc_id ASC
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY l.cluster_id) AS n
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS cluster_size, CAST(n_chars AS BIGINT) AS n_chars
+FROM sel WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register("dedup_longest_survivors", oracle=_LONGEST_SURV_ORACLE, driver=False)
+def dedup_longest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-aware survivor selection: keep the LONGEST document of
+    each near-dup cluster (tie-break min doc_id) instead of the min-id
+    convention — the C4/RefinedWeb-style choice when duplicates differ
+    by truncation, so the canonical copy retains the most content.
+
+    Same plan shape as dedup_near_survivors (cluster labels + one
+    window over each cluster's members) — O(docs) output regardless of
+    duplication weight; the survivor rule is one ORDER BY away from any
+    other quality key (score column, recency, source priority)."""
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labels.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_size", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
