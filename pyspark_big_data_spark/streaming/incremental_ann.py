@@ -182,3 +182,39 @@ def process_vector_batch(
     ).parquet(f"{index_dir}/vectors")
     b.unpersist()
     return neighbors
+
+
+def run_ann_stream(
+    spark: SparkSession,
+    jsonl_dir: str,
+    schema,
+    index_dir: str,
+    neighbors_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Wire the incremental ANN step into a Structured Streaming
+    foreachBatch sink over a JSONL drop directory (one vector per line:
+    {"vec_id": ..., "e": [...]}); availableNow-triggered so it also
+    serves as a catch-up/backfill runner. Returns the StreamingQuery.
+
+    Same design as incremental_dedup.run_dedup_stream: the IVF index is
+    parquet partitioned by cell (offline-compactable), micro-batch size
+    is the file-source maxFilesPerTrigger knob, and the query shape
+    stays exactly process_vector_batch — search before append, so every
+    new vector sees the corpus plus every batch before it."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        out = process_vector_batch(batch_df, index_dir)
+        out.write.mode("append").parquet(neighbors_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.json(jsonl_dir)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -98,3 +98,50 @@ def test_missing_index_raises(spark, sf_dir):
     batch = _emb(spark, sf_dir).limit(5)
     with pytest.raises(ValueError, match="missing centroids"):
         process_vector_batch(batch, "/tmp/ivf_index_does_not_exist")
+
+
+def test_ann_stream_via_foreachbatch(spark, sf_dir, index_dir, tmp_path):
+    """End-to-end through Structured Streaming: JSONL vector drops ->
+    foreachBatch probe-then-append -> neighbors sink; one micro-batch
+    over the corpus-seeded index must reproduce the oracled incremental
+    query (cosine-at-rank within float tolerance)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from pyspark_big_data_spark.streaming.incremental_ann import run_ann_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("e", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    batch = _emb(spark, sf_dir).filter(F.col("vec_id") % _INCR_ANN_MOD == 0)
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    with open(drop_dir / "all.jsonl", "w") as fh:
+        for r in batch.select("vec_id", "e").collect():
+            fh.write(_json.dumps({"vec_id": r["vec_id"], "e": list(r["e"])}) + "\n")
+
+    q = run_ann_stream(
+        spark,
+        str(drop_dir),
+        schema,
+        index_dir=index_dir,
+        neighbors_dir=str(tmp_path / "neighbors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["probe_id"], r["rnk"]): r["cosine"]
+        for r in spark.read.parquet(str(tmp_path / "neighbors")).collect()
+    }
+    exact = {
+        (r["probe_id"], r["rnk"]): r["cosine"]
+        for r in ann_topk_ivf_incremental(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact)
+    agree = sum(1 for kk in exact if abs(got[kk] - exact[kk]) < _AGREE_TOL)
+    assert agree / len(exact) >= 0.98
