@@ -10,6 +10,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     embed_hash,
     event_windows,
     fingerprint,
+    hybrid_retrieval,
     ml_lsh_queries,
     multimodal_queries,
     q1_top_months,
@@ -24,6 +25,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     statistics,
     text_analysis,
     training_pipeline,
+    truncated_ann,
     window_functions,
 )
 from pyspark_big_data_spark.queries.registry import ORACLES, REGISTRY, driver_registry

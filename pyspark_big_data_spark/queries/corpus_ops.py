@@ -40,7 +40,11 @@ BM25_B = 0.75
 BM25_TOPK = 10
 
 
-def _bm25_oracle() -> str:
+def bm25_scored_cte() -> str:
+    """DuckDB CTE chain ending in ``scored(doc_id, dl, tf_*, score)`` —
+    every document's rounded BM25 score for the fixed term set. Shared
+    by the bm25_topk oracle and the hybrid-RRF oracle so the lexical
+    ranker cannot drift between the two."""
     tf_cols = ", ".join(
         f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
         for t in BM25_TERMS
@@ -79,7 +83,13 @@ stats AS (
 scored AS (
     SELECT doc_id, dl, {tf_out}, ROUND({score}, 6) AS score
     FROM per_doc, stats
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+{bm25_scored_cte()}
 SELECT doc_id, dl, {tf_out}, score
 FROM scored
 WHERE score > 0
@@ -101,6 +111,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(score, 6).
     """
     docs = read_table(spark, sf_dir, "documents")
+    return (
+        bm25_scored(docs)
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf_*, score): every document's rounded BM25 score
+    for the fixed BM25_TERMS query — the Spark twin of
+    bm25_scored_cte(), shared with the hybrid-RRF fusion."""
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
@@ -141,16 +163,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms_score.append(idf * tfc)
     # fixed left-to-right order, matching the oracle's parenthesization
     score = terms_score[0] + terms_score[1] + terms_score[2]
-    return (
-        joined.select(
-            "doc_id",
-            "dl",
-            *[F.col(f"tf_{t}") for t in BM25_TERMS],
-            F.round(score, 6).alias("score"),
-        )
-        .filter(F.col("score") > 0)
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOPK)
+    return joined.select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf_{t}") for t in BM25_TERMS],
+        F.round(score, 6).alias("score"),
     )
 
 

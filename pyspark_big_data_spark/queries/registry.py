@@ -48,6 +48,11 @@ DRIVER_EXCLUDED: set[str] = set()
 # second sampler, simhash/winnow fingerprint twins, tumbling window,
 # packing/mixture).
 ROTATE_IN: set[str] = {
+    # NEW mid-r5 operators, driver-verified the round they land:
+    # RRF fusion of the BM25 + hashed-vector rankers, and the
+    # Matryoshka-style prefix-dim ANN with exact rescoring
+    "hybrid_rrf_topk",
+    "ann_topk_truncated",
     "dedup_clusters_incremental",
     "dedup_minhash_incremental",
     "doc_embed_hash",
@@ -94,6 +99,14 @@ ROTATE_OUT: set[str] = {
     # demux) takes its slot; the C4-span family stays covered by
     # dup_span_extract, rotated in this round
     "span_dedup_chunks",
+    # rested mid-r5 so the NEW hybrid_rrf_topk takes its slot; the
+    # event-window family stays covered by sliding_window_agg (+ the
+    # tumbling/session twins in pytest)
+    "session_window_agg",
+    # rested mid-r5 so the NEW ann_topk_truncated takes its slot; the
+    # connected-components family stays covered by
+    # dedup_clusters_incremental, rotated in this round
+    "dedup_clusters",
 }
 
 

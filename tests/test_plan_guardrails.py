@@ -44,6 +44,8 @@ _NESTED_LOOP_OK = {
     "ann_topk_bruteforce",
     # corpus x broadcast(int8 probes): build side is the probe sample
     "ann_topk_quantized",
+    # corpus x broadcast(prefix-dim probes): same shape, prefix flat cols
+    "ann_topk_truncated",
     "doc_embed_near_dup",  # guarded all-pairs witness over hashed doc vectors
     # corpus x broadcast(probe vectors): the build side is the held-out
     # benchmark set — small by definition, so the nested loop is a
@@ -69,6 +71,8 @@ _NESTED_LOOP_OK = {
 _SCALAR_BROADCAST_OK = {
     "bm25_topk",
     "bigram_fluency",
+    # bm25_scored's 1-row stats attach + the 1-row probe-vector attach
+    "hybrid_rrf_topk",
 }
 
 
