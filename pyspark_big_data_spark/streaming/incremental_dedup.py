@@ -13,7 +13,9 @@ This is foreachBatch rather than a stateful streaming join on purpose:
 the dedup "state" (signatures + band keys) must outlive any watermark
 horizon — a duplicate may arrive months later — and as a parquet index
 it is shared with the BATCH incremental path, queryable, and compactable
-offline. Stream-native state stores bound state by time; a dedup index
+offline (tools/compact_index.py — run it between batches to undo the
+per-append small-file fragmentation; the swap is rename-based and
+crash-safe). Stream-native state stores bound state by time; a dedup index
 is bounded by corpus size only. (The watermark-bounded tier for
 recent-window dedup is streaming/corpus_ingest.py.)
 
