@@ -53,6 +53,7 @@ ROTATE_IN: set[str] = {
     # Matryoshka-style prefix-dim ANN with exact rescoring
     "hybrid_rrf_topk",
     "ann_topk_truncated",
+    "training_order_shuffle",
     "dedup_clusters_incremental",
     "dedup_minhash_incremental",
     "doc_embed_hash",
@@ -107,6 +108,9 @@ ROTATE_OUT: set[str] = {
     # connected-components family stays covered by
     # dedup_clusters_incremental, rotated in this round
     "dedup_clusters",
+    # rested mid-r5 so the NEW training_order_shuffle takes its slot;
+    # the running-window family stays covered by event_gaps_lag_lead
+    "running_customer_spend",
 }
 
 

@@ -80,3 +80,62 @@ def materialize_training_set(spark: SparkSession, sf_dir: str, out_path: str) ->
     curated = curated_training_set(spark, sf_dir)
     write_parquet(curated, out_path, partition_by=["lang"])
     return spark.read.parquet(out_path).count()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = 42
+_SHUF_SHARDS = 8  # at 100 TB: one shard per training-reader file group
+
+_SHUF_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('shuf:{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS key
+    FROM documents
+)
+SELECT doc_id,
+       CAST(key % {_SHUF_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY key % {_SHUF_SHARDS} ORDER BY key, doc_id
+       ) AS BIGINT) AS pos
+FROM k
+ORDER BY shard, pos
+"""
+
+
+@register("training_order_shuffle", oracle=_SHUF_ORACLE, driver=False)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle of the corpus into training shards — THE
+    final data-prep step before an LLM training run: every epoch reader
+    needs the same pseudo-random document order, independent of which
+    engine (or engine version) produced it.
+
+    Shape: a portable seeded hash gives each doc a shuffle key; shard =
+    key mod {_SHUF_SHARDS}; within-shard position is a window PARTITIONED
+    by shard — so there is no global sort and no global row numbering,
+    just one hash-partitioned exchange and a per-shard sort, which is
+    exactly how a writer lays out shuffled shards at 100 TB (shard ->
+    directory, pos -> order within the shard's files). A global
+    row_number would serialize the corpus through one task; the
+    shard/pos pair is the scalable spelling of the same total order
+    (reader interleaves shards round-robin).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    key = TX.hash48(
+        F.concat(F.lit(f"shuf:{_SHUF_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select("doc_id", key.alias("key"), (key % _SHUF_SHARDS).alias("shard"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
