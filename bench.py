@@ -58,6 +58,9 @@ HEADLINE = [
     "ann_topk_ivf_np",
     "ann_topk_ivf_incremental",
     "ann_topk_quantized",
+    "ann_topk_truncated",
+    "hybrid_rrf_topk",
+    "training_order_shuffle",
     "tumbling_window_agg",
     "session_window_agg",
     "asof_join_last_order",
