@@ -13,6 +13,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     hybrid_retrieval,
     ml_lsh_queries,
     multimodal_queries,
+    pca_reduce,
     q1_top_months,
     q2_time_bins,
     q3_segment_profile,

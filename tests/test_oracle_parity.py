@@ -47,6 +47,9 @@ def test_every_query_has_oracle_or_is_flagged():
         # BLAS tier; recall >= label-cell tier + cosine containment
         # asserted in tests/test_similarity_np.py.
         "ann_topk_ivf_kmeans",
+        # eigendecomposition has no DuckDB twin; pinned against a
+        # straight numpy PCA + algebraic invariants in tests/test_pca.py
+        "embedding_pca_project",
         # xxhash64 production hash has no DuckDB twin; true-near-dup
         # recall vs the md5 tier asserted in tests/test_corpus_ops.py.
         "dedup_minhash_fast",

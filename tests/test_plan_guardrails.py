@@ -29,6 +29,7 @@ _PYTHON_OK = {
     "semantic_dedup_np",  # BLAS fast tier: applyInPandas per cluster
     "semantic_dedup_multiprobe_np",  # BLAS soft-assignment tier: same Arrow paths
     "kmeans_clusters_np",  # BLAS fast tier: broadcast-centroid mapInPandas
+    "embedding_pca_project",  # partial-moments pass is Arrow mapInPandas by design
     "ann_topk_ivf_kmeans",  # BLAS IVF over Lloyd cells: mapInPandas by design
     # cross-tier agreement witnesses: each embeds its np tier's Arrow
     # stage next to the exact tier's plan by construction
