@@ -208,7 +208,13 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id")
     )
 
-    # rescore pool with full-precision cosine from broadcast flat sides
+    return rescore_pool(pool, emb, dim)
+
+
+def rescore_pool(pool: DataFrame, emb: DataFrame, dim: int) -> DataFrame:
+    """Full-precision rescore of a (probe_id, neighbor_id) candidate
+    pool from broadcast flat sides — shared by the oracled int8 tier
+    and its BLAS twin so the rescore semantics cannot drift."""
     fa = V.flatten_vec(
         emb.select(F.col("vec_id").alias("probe_id"), "e", V.norm(F.col("e")).alias("pa")),
         "e", dim, "_a", ["probe_id", "pa"],
@@ -228,3 +234,107 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+@register("ann_topk_quantized_np", driver=False)
+def ann_topk_quantized_np(
+    spark: SparkSession, sf_dir: str, probe_shards: int | None = None
+) -> DataFrame:
+    """BLAS twin of ann_topk_quantized: the int8 GEMM production path.
+
+    Same recipe — int8-quantize, rank all candidates per probe by the
+    dequantized integer dot, rescore the top {_POOL}*k pool at full
+    precision — but the candidate stage is an Arrow mapInPandas pass
+    doing an int32 GEMM per batch (batch_int8 @ probes_int8.T). This is
+    the tier whose arithmetic matches what a 100 TB deployment actually
+    runs: 1-byte-per-dim operands through integer matrix units, 8x the
+    memory bandwidth of the fp64 scan, with the fp vectors touched only
+    for POOL*k rows per probe. Quantization inside the pass is the SAME
+    floor(x/scale + 0.5) expression as quantized_vectors, evaluated by
+    numpy on the identical doubles — the int8 codes agree bit-for-bit
+    with the oracled tier (asserted in tests/test_quantization.py), so
+    the two tiers can only diverge on float-tied pool boundaries
+    (dequantize multiply order), which the agreement gate tolerates.
+
+    Probe sharding reuses the similarity-module policy: each shard's
+    int8 probe matrix rides its own broadcast, the corpus is scanned
+    per shard, and the exact global pool window runs over the tiny
+    per-batch candidate union.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_big_data_spark.queries.similarity import _probe_shards, guard_allpairs
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+
+    def _quant(x: "np.ndarray") -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+        """(q int8, scale, true_norm) — numpy replay of quantized_vectors."""
+        amax = np.abs(x).max(axis=1)
+        scale = np.where(amax == 0.0, 1.0, amax / float(_Q))
+        q = np.floor(x / scale[:, None] + 0.5).astype(np.int8)
+        nrm = np.linalg.norm(x, axis=1)
+        return q, scale, nrm
+
+    probes_pd = guard_allpairs(
+        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_quantized_np probes"
+    ).toPandas()
+    pids_all = probes_pd["vec_id"].to_numpy()
+    pmat = np.stack(probes_pd["e"].to_numpy())
+    pq_all, pscale_all, pnrm_all = _quant(pmat)
+
+    pool_n = _POOL * _TOP_K
+
+    def shard_scan(pids, pq, pscale, pnrm) -> DataFrame:
+        b = spark.sparkContext.broadcast((pids, pq, pscale, pnrm))
+
+        def scan(batches):
+            s_pids, s_pq, s_pscale, s_pnrm = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["e"].to_numpy())
+                q, scale, nrm = _quant(x)
+                # int8 GEMM in int32 accumulators; exact (dim 64, |q|<=127)
+                dots = q.astype(np.int32) @ s_pq.astype(np.int32).T
+                approx = (
+                    dots.astype(np.float64)
+                    * scale[:, None]
+                    * s_pscale[None, :]
+                    / (nrm[:, None] * s_pnrm[None, :])
+                )
+                ids = pdf["vec_id"].to_numpy()
+                approx[ids[:, None] == s_pids[None, :]] = -np.inf  # exclude self
+                kk = min(pool_n, approx.shape[0])
+                top = np.argpartition(-approx, kk - 1, axis=0)[:kk]
+                sc = np.take_along_axis(approx, top, axis=0)
+                keep = np.isfinite(sc).ravel(order="F")
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.repeat(s_pids, kk)[keep],
+                        "neighbor_id": ids[top].ravel(order="F")[keep],
+                        "approx": sc.ravel(order="F")[keep],
+                    }
+                )
+
+        return emb.mapInPandas(scan, schema="probe_id long, neighbor_id long, approx double")
+
+    cand = None
+    for lo_pids, _ in _probe_shards(pids_all, pmat, probe_shards):
+        mask = np.isin(pids_all, lo_pids)
+        shard = shard_scan(pids_all[mask], pq_all[mask], pscale_all[mask], pnrm_all[mask])
+        cand = shard if cand is None else cand.unionByName(shard)
+
+    w_pool = Window.partitionBy("probe_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        cand.withColumn("pool_rnk", F.row_number().over(w_pool))
+        .filter(F.col("pool_rnk") <= pool_n)
+        .select("probe_id", "neighbor_id")
+    )
+    return rescore_pool(pool, emb, dim)

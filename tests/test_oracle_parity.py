@@ -38,6 +38,11 @@ def test_every_query_has_oracle_or_is_flagged():
         # tests/test_similarity_np.py.
         "ann_topk_bruteforce_np",
         "ann_topk_ivf_np",
+        # int8-GEMM twin of the ORACLED ann_topk_quantized: identical
+        # int8 codes (numpy replays the same floor expression), pool
+        # boundaries can flip on dequantize-multiply order ulps only;
+        # agreement gate in tests/test_quantization.py.
+        "ann_topk_quantized_np",
         # same float64-vs-decimal reasoning; agreement vs the oracled
         # exact tiers asserted in tests/test_clustering.py.
         "semantic_dedup_np",

@@ -66,3 +66,43 @@ def test_quantized_ann_shape(spark, sf_dir):
         assert r["probe_id"] != r["neighbor_id"]
     for rnks in per_probe.values():
         assert sorted(rnks) == list(range(1, _TOP_K + 1))
+
+
+def test_int8_gemm_tier_matches_oracled_tier(spark, sf_dir):
+    """ann_topk_quantized_np shares the oracled tier's exact int8 codes
+    (same floor expression on the same doubles), so the two tiers can
+    only diverge where the dequantize-multiply order flips a pool
+    boundary tie — demand near-total agreement and 6dp cosine equality
+    on the overlap."""
+    from pyspark_big_data_spark.queries.quantization import (
+        ann_topk_quantized,
+        ann_topk_quantized_np,
+    )
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_quantized(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_quantized_np(spark, sf_dir).collect()
+    }
+    assert len(fast) == len(exact)
+    overlap = set(exact) & set(fast)
+    assert len(overlap) / len(exact) >= 0.98
+    for key in overlap:
+        assert abs(exact[key] - fast[key]) < 2e-6
+
+
+def test_int8_gemm_probe_sharding_is_exact(spark, sf_dir):
+    """Sharding the int8 probe matrix must not change the result set:
+    candidates per probe come only from that probe's shard scan and the
+    global pool window runs over the union."""
+    from pyspark_big_data_spark.queries.quantization import ann_topk_quantized_np
+
+    def rows(df):
+        return {(r["probe_id"], r["neighbor_id"], r["rnk"]) for r in df.collect()}
+
+    assert rows(ann_topk_quantized_np(spark, sf_dir, probe_shards=1)) == rows(
+        ann_topk_quantized_np(spark, sf_dir, probe_shards=3)
+    )
