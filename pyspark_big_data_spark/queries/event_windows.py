@@ -147,3 +147,65 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (attribution) join: clicks -> purchases within the horizon
+# ---------------------------------------------------------------------------
+
+_ATTR_HORIZON_MIN = 60
+
+_ATTR_ORACLE = f"""
+WITH c AS (
+    SELECT event_id AS click_id, user_id, ts AS cts
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS pts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, p.purchase_id, c.user_id,
+       CAST((epoch_us(p.pts) - epoch_us(c.cts)) // 1000000 AS BIGINT) AS gap_s
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.pts >= c.cts
+ AND p.pts <= c.cts + INTERVAL {_ATTR_HORIZON_MIN} MINUTE
+ORDER BY click_id, purchase_id
+"""
+
+
+@register("click_purchase_attribution", oracle=_ATTR_ORACLE, driver=False)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every purchase within {_ATTR_HORIZON_MIN} minutes
+    after a click by the same user — the classic attribution shape, and
+    the BATCH twin of the stream-stream join in
+    streaming/stream_join.py (same condition, watermark-bounded state
+    there; stream == batch asserted in tests/test_streaming.py).
+
+    Shape: equi-join on user_id with a time-range residual — one
+    shuffle on a high-cardinality key, the range predicate evaluated on
+    the co-located pairs. Gap math in integer microseconds (the
+    event_gaps_lag_lead convention), so both engines agree exactly."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+    )
+    us = F.unix_micros
+    joined = c.join(
+        p,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (us(F.col("pts")) <= us(F.col("cts")) + _ATTR_HORIZON_MIN * 60 * 1_000_000),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.floor((us(F.col("pts")) - us(F.col("cts"))) / F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_s"),
+    ).orderBy("click_id", "purchase_id")

@@ -54,6 +54,7 @@ ROTATE_IN: set[str] = {
     "hybrid_rrf_topk",
     "ann_topk_truncated",
     "training_order_shuffle",
+    "click_purchase_attribution",
     "dedup_clusters_incremental",
     "dedup_minhash_incremental",
     "doc_embed_hash",
@@ -111,6 +112,11 @@ ROTATE_OUT: set[str] = {
     # rested mid-r5 so the NEW training_order_shuffle takes its slot;
     # the running-window family stays covered by event_gaps_lag_lead
     "running_customer_spend",
+    # rested mid-r5 so the NEW click_purchase_attribution (interval /
+    # attribution join, the stream-stream join's batch twin) takes its
+    # slot; the temporal-join family stays covered by
+    # range_join_open_windows + click_purchase_attribution itself
+    "asof_join_last_order",
 }
 
 
