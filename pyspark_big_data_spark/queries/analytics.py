@@ -248,3 +248,37 @@ def order_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+ORDER BY c.c_custkey
+"""
+
+
+@register("customers_without_orders", oracle=_ANTI_ORACLE, driver=False)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO orders in 1996: NOT EXISTS decorrelates to a
+    LEFT ANTI join — the complement of order_priority_semi_join's
+    family. Anti joins share the semi join's scale property (the probe
+    side never duplicates rows); the build side here is the 1996
+    o_custkey set, and the date filter pushes to the orders scan."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+        )
+    ).select("o_custkey")
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
