@@ -66,3 +66,27 @@ def attribution_stream(
         .cast("long")
         .alias("gap_s"),
     )
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> None:
+    """Drive the attribution join into a checkpointed parquet sink with
+    an availableNow trigger. Restart-idempotent: re-running with the
+    same checkpoint replays nothing (the file source's processed-files
+    log lives in the checkpoint), so the sink never accumulates
+    duplicate pairs — asserted in tests/test_streaming.py."""
+    q = (
+        attribution_stream(spark, sf_dir, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

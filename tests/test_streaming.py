@@ -389,3 +389,25 @@ def test_stream_stream_attribution_join_equals_batch(spark, sf_dir):
     }
     assert got == want
     assert want  # non-degenerate: attributions exist in the fixture
+
+
+def test_stream_stream_attribution_restart_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the checkpointed attribution stream must not re-emit
+    pairs: the processed-files log in the checkpoint makes the replay a
+    no-op, so the sink matches the batch result after ANY number of
+    restarts."""
+    from pyspark_big_data_spark.queries.event_windows import click_purchase_attribution
+    from pyspark_big_data_spark.streaming.stream_join import run_attribution_stream
+
+    out, ckpt = str(tmp_path / "attr_out"), str(tmp_path / "attr_ckpt")
+    run_attribution_stream(spark, sf_dir, out, ckpt)
+    run_attribution_stream(spark, sf_dir, out, ckpt)  # restart: no-op
+
+    got = {
+        (r["click_id"], r["purchase_id"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in click_purchase_attribution(spark, sf_dir).collect()
+    }
+    assert got == want
