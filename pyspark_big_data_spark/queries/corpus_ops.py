@@ -1012,3 +1012,66 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping document chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # stride < W -> (W - stride)-token overlap between chunks
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), spans AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(
+               0,
+               CAST(ceil(greatest(len(toks) - {CHUNK_W}, 0) * 1.0 / {CHUNK_STRIDE}) AS BIGINT)
+           )) AS chunk_no
+    FROM toks
+)
+SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(len(list_slice(toks, chunk_no * {CHUNK_STRIDE} + 1,
+                           chunk_no * {CHUNK_STRIDE} + {CHUNK_W})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+           list_slice(toks, chunk_no * {CHUNK_STRIDE} + 1,
+                      chunk_no * {CHUNK_STRIDE} + {CHUNK_W}), ' ')) AS chunk_md5
+FROM spans
+ORDER BY doc_id, chunk_no
+"""
+
+
+@register("doc_chunk_overlap", oracle=_CHUNK_ORACLE, driver=False)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {CHUNK_W}-token chunks at stride {CHUNK_STRIDE} —
+    the RAG ingestion shape (overlap keeps sentences that straddle a
+    boundary retrievable from both sides), distinct from pack_sequences
+    (training packing: disjoint, budget-exact) and span_dedup_chunks
+    (disjoint fingerprint spans). Chunk text is emitted as an md5 digest
+    so the oracle pins every token of every chunk without shipping text.
+
+    Shape: one tokenize + one map-side explode of chunk indices per doc
+    (ceil((len-W)/stride)+1 chunks, always >= 1 so empty docs still get
+    their chunk row); no shuffle at all — the sort is presentation-only.
+    """
+    toks = read_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    )
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("toks") - CHUNK_W, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+        ).cast("long")
+        + 1
+    )
+    spans = toks.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_no") * CHUNK_STRIDE + 1, CHUNK_W)
+    return spans.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_no")

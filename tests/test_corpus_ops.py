@@ -294,3 +294,41 @@ def test_dup_span_extract_short_and_empty_docs(spark, tmp_path):
     assert [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) for r in spans] == [
         (2, 1, 12, 12)
     ]
+
+
+def test_doc_chunk_overlap_properties(spark, sf_dir):
+    """Chunks tile each doc with the configured overlap: chunk_no is
+    contiguous from 0, every chunk except possibly the last is full
+    width, consecutive full chunks overlap by W - stride tokens, and
+    every token position is covered."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.corpus_ops import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        doc_chunk_overlap,
+    )
+
+    rows = doc_chunk_overlap(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(TX.tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    assert set(by_doc) == set(lens)  # every doc chunks, even short ones
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_no"])
+        assert [c["chunk_no"] for c in chunks] == list(range(len(chunks)))
+        n = lens[doc_id]
+        # last chunk ends at the last token; full coverage with stride
+        last = chunks[-1]
+        assert last["chunk_no"] * CHUNK_STRIDE + last["n_tokens"] == n
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == CHUNK_W  # only the tail may be short
