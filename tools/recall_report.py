@@ -172,6 +172,34 @@ def main() -> None:
         )
     )
 
+    # --- compressed-candidate tiers: full scan, cheaper bytes/row ---
+    from pyspark_big_data_spark.queries.quantization import ann_topk_quantized
+    from pyspark_big_data_spark.queries.truncated_ann import (
+        _TRUNC_DIM as _TD,
+        ann_topk_truncated,
+    )
+
+    qz = pair_set(ann_topk_quantized(spark, sf_dir), a="probe_id", b="neighbor_id")
+    rows.append(
+        (
+            "top-k neighbors",
+            "ann_topk_quantized (int8 scan, 1/8 bytes, fp rescore 3k/probe)",
+            len(qz & bf),
+            len(bf),
+            n_probes * (n - 1),
+        )
+    )
+    tr = pair_set(ann_topk_truncated(spark, sf_dir), a="probe_id", b="neighbor_id")
+    rows.append(
+        (
+            "top-k neighbors",
+            f"ann_topk_truncated (prefix {_TD}, 1/2 bytes, fp rescore 6k/probe)",
+            len(tr & bf),
+            len(bf),
+            n_probes * (n - 1),
+        )
+    )
+
     allpairs = n * (n - 1) // 2
     exhaustive = {"near-dup pairs": allpairs, "top-k neighbors": n_probes * (n - 1)}
     print(f"\nGround truth at {sf_dir}: {len(truth)} near-dup pairs, "
