@@ -338,3 +338,127 @@ def ann_topk_quantized_np(
         .select("probe_id", "neighbor_id")
     )
     return rescore_pool(pool, emb, dim)
+
+
+@register("ann_topk_ivf_quantized", driver=False)
+def ann_topk_ivf_quantized(
+    spark: SparkSession, sf_dir: str, probe_shards: int | None = None
+) -> DataFrame:
+    """IVF x int8: the two orthogonal ANN cost levers composed — cells
+    cut the CANDIDATE COUNT (each probe scans its top-NPROBE cells
+    only), int8 cuts the BYTES PER CANDIDATE (1/8), and the
+    full-precision vectors are touched only for the {_POOL}*k rescore
+    pool per probe. This is the production index layout (FAISS
+    IVF+scalar-quantizer shape) expressed as one mapInPandas scan:
+    per Arrow batch, per cell present in the batch, int8-quantize the
+    rows (the shared floor expression) and int32-GEMM them against the
+    int8 probe matrix of that cell's probes.
+
+    Rows-only: recall-gated against the fp IVF tier over the SAME cells
+    (tests/test_quantization.py) — int8 at dim 64 is near-lossless, so
+    the gate is tight (>=98%).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_big_data_spark.queries.ann_ivf import _NPROBE
+    from pyspark_big_data_spark.queries.similarity import _probe_shards, guard_allpairs
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+
+    def _quant(x):
+        amax = np.abs(x).max(axis=1)
+        scale = np.where(amax == 0.0, 1.0, amax / float(_Q))
+        q = np.floor(x / scale[:, None] + 0.5).astype(np.int8)
+        return q, scale, np.linalg.norm(x, axis=1)
+
+    # centroids: cells x dim is tiny — aggregate distributed, collect
+    cent_rows = (
+        emb.select("label", F.posexplode("e").alias("pos0", "val"))
+        .groupBy("label", "pos0")
+        .agg(F.avg("val").alias("cval"))
+        .collect()
+    )
+    labels = sorted({r["label"] for r in cent_rows})
+    cmat = np.zeros((len(labels), dim))
+    lab_idx = {lab: i for i, lab in enumerate(labels)}
+    for r in cent_rows:
+        cmat[lab_idx[r["label"]], r["pos0"]] = r["cval"]
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    probes_pd = guard_allpairs(
+        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_ivf_quantized probes"
+    ).toPandas()
+    pids_all = probes_pd["vec_id"].to_numpy()
+    pmat_all = np.stack(probes_pd["e"].to_numpy())
+    pq_all, pscale_all, pnrm_all = _quant(pmat_all)
+    punit = pmat_all / pnrm_all[:, None]
+    pool_n = _POOL * _TOP_K
+
+    def shard_scan(idx) -> DataFrame:
+        pids, pq, pscale, pnrm = pids_all[idx], pq_all[idx], pscale_all[idx], pnrm_all[idx]
+        # rank cells per probe on the fp unit vectors (tiny matmul)
+        ccos = punit[idx] @ cmat.T
+        order = np.argsort(-ccos, axis=1, kind="stable")[:, :_NPROBE]
+        per_cell: dict = {}
+        for pi, cells in enumerate(order):
+            for ci in cells:
+                per_cell.setdefault(labels[ci], []).append(pi)
+        cell_probes = {
+            lab: (pids[i], pq[i], pscale[i], pnrm[i]) for lab, i in per_cell.items()
+        }
+        b = spark.sparkContext.broadcast(cell_probes)
+
+        def search(batches):
+            cp = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for lab, grp in pdf.groupby("label"):
+                    if lab not in cp:
+                        continue
+                    s_pids, s_pq, s_pscale, s_pnrm = cp[lab]
+                    x = np.stack(grp["e"].to_numpy())
+                    q, scale, nrm = _quant(x)
+                    dots = q.astype(np.int32) @ s_pq.astype(np.int32).T
+                    approx = (
+                        dots.astype(np.float64)
+                        * scale[:, None]
+                        * s_pscale[None, :]
+                        / (nrm[:, None] * s_pnrm[None, :])
+                    )
+                    ids = grp["vec_id"].to_numpy()
+                    approx[ids[:, None] == s_pids[None, :]] = -np.inf
+                    kk = min(pool_n, approx.shape[0])
+                    top = np.argpartition(-approx, kk - 1, axis=0)[:kk]
+                    sc = np.take_along_axis(approx, top, axis=0)
+                    keep = np.isfinite(sc).ravel(order="F")
+                    yield pd.DataFrame(
+                        {
+                            "probe_id": np.repeat(s_pids, kk)[keep],
+                            "neighbor_id": ids[top].ravel(order="F")[keep],
+                            "approx": sc.ravel(order="F")[keep],
+                        }
+                    )
+
+        return emb.mapInPandas(search, schema="probe_id long, neighbor_id long, approx double")
+
+    cand = None
+    for s_pids, _ in _probe_shards(pids_all, pmat_all, probe_shards):
+        idx = np.isin(pids_all, s_pids)
+        shard = shard_scan(idx)
+        cand = shard if cand is None else cand.unionByName(shard)
+
+    w_pool = Window.partitionBy("probe_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        cand.withColumn("pool_rnk", F.row_number().over(w_pool))
+        .filter(F.col("pool_rnk") <= pool_n)
+        .select("probe_id", "neighbor_id")
+    )
+    return rescore_pool(pool, emb.select("vec_id", "e"), dim)

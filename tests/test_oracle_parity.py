@@ -43,6 +43,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # boundaries can flip on dequantize-multiply order ulps only;
         # agreement gate in tests/test_quantization.py.
         "ann_topk_quantized_np",
+        # IVF x int8 composition: cell membership + int8 GEMM have no
+        # bit-exact SQL twin; recall-gated vs the fp IVF tier over the
+        # same cells in tests/test_quantization.py.
+        "ann_topk_ivf_quantized",
         # same float64-vs-decimal reasoning; agreement vs the oracled
         # exact tiers asserted in tests/test_clustering.py.
         "semantic_dedup_np",

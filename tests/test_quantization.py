@@ -106,3 +106,53 @@ def test_int8_gemm_probe_sharding_is_exact(spark, sf_dir):
     assert rows(ann_topk_quantized_np(spark, sf_dir, probe_shards=1)) == rows(
         ann_topk_quantized_np(spark, sf_dir, probe_shards=3)
     )
+
+
+def test_ivf_quantized_matches_fp_ivf_tier(spark, sf_dir):
+    """The IVF x int8 composition searches the SAME top-NPROBE cells as
+    the fp IVF tiers, and int8 at dim 64 is near-lossless — so its
+    top-k should agree with ann_topk_ivf_np almost exactly (pool
+    boundary ties aside)."""
+    from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf_np
+    from pyspark_big_data_spark.queries.quantization import ann_topk_ivf_quantized
+
+    fp = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann_topk_ivf_np(spark, sf_dir).collect()
+    }
+    q8 = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann_topk_ivf_quantized(spark, sf_dir).collect()
+    }
+    assert len(q8) == len(fp)
+    assert len(q8 & fp) / len(fp) >= 0.98
+
+
+def test_ivf_quantized_is_subset_of_probed_cells(spark, sf_dir):
+    """No neighbor may come from a cell the probe did not rank in its
+    top NPROBE — the candidate-count guarantee the composition exists
+    for."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.ann_ivf import _NPROBE
+    from pyspark_big_data_spark.queries.quantization import ann_topk_ivf_quantized
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    rows = emb.collect()
+    vec = {r["vec_id"]: np.array(r["e"]) for r in rows}
+    cell = {r["vec_id"]: r["label"] for r in rows}
+    labels = sorted({r["label"] for r in rows})
+    cmat = np.stack(
+        [np.mean([vec[v] for v in vec if cell[v] == lab], axis=0) for lab in labels]
+    )
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    for r in ann_topk_ivf_quantized(spark, sf_dir).collect():
+        p = vec[r["probe_id"]] / np.linalg.norm(vec[r["probe_id"]])
+        ranked = np.argsort(-(p @ cmat.T), kind="stable")[:_NPROBE]
+        allowed = {labels[i] for i in ranked}
+        assert cell[r["neighbor_id"]] in allowed
