@@ -58,6 +58,8 @@ HEADLINE = [
     "ann_topk_ivf_np",
     "ann_topk_ivf_incremental",
     "ann_topk_quantized",
+    "ann_topk_quantized_np",
+    "ann_topk_ivf_quantized",
     "ann_topk_truncated",
     "hybrid_rrf_topk",
     "training_order_shuffle",
