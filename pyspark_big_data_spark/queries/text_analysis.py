@@ -220,3 +220,69 @@ def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt").cast("double") / F.lit(total) >= _HH_SUPPORT)
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-weight logistic quality classifier
+# ---------------------------------------------------------------------------
+
+# The "fasttext-style quality model" shape with a transparent stand-in:
+# a logistic regression over the engineered features, weights fixed in
+# code (a trained model would broadcast its weights the same way). The
+# operator shape — feature columns -> one linear form -> sigmoid ->
+# thresholded keep flag — is exactly what model-scored corpus filtering
+# runs at 100 TB, and it stays whole-stage-codegen JVM column math.
+_QC_BIAS = -2.0
+_QC_W_LOGWORDS = 0.8  # longer docs are likelier to be real prose
+_QC_W_STOP = 6.0  # stopword density ~ fluency
+_QC_W_PUNCT = -12.0  # punctuation soup ~ boilerplate/markup
+_QC_W_WLEN = -0.15  # very long "words" ~ junk tokens
+_QC_KEEP = 0.5
+
+_QC_ORACLE = f"""
+SELECT doc_id,
+       ROUND(score, 6) AS score,
+       CAST(ROUND(score, 6) >= {_QC_KEEP} AS BOOLEAN) AS keep
+FROM (
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-({_QC_BIAS}
+               + {_QC_W_LOGWORDS} * ln(1.0 + CAST(n_words AS DOUBLE))
+               + {_QC_W_STOP} * stop_ratio
+               + {_QC_W_PUNCT} * pratio
+               + {_QC_W_WLEN} * avg_wlen))) AS score
+    FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS avg_wlen,
+               CAST({_dd_marker_count('en')} AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+               CAST(length(text) - length(regexp_replace(text, '{TX.PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS pratio
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )
+)
+ORDER BY doc_id
+"""
+
+
+@register("quality_classifier_score", oracle=_QC_ORACLE, driver=False)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score + keep flag per document (see the weight
+    block above). The keep comparison runs on the ROUNDED score in both
+    engines, so the flag is deterministic cross-engine even at the
+    threshold; ln/exp ulp drift is absorbed by round(score, 6)."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_words = TX.word_count(F.col("text")).cast("long")
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_LOGWORDS) * F.log(F.lit(1.0) + n_words.cast("double"))
+        + F.lit(_QC_W_STOP) * TX.stopword_ratio(F.col("text"))
+        + F.lit(_QC_W_PUNCT) * TX.punct_ratio(F.col("text"))
+        + F.lit(_QC_W_WLEN) * TX.avg_word_len(F.col("text"))
+    )
+    score6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        score6.alias("score"),
+        (score6 >= F.lit(_QC_KEEP)).alias("keep"),
+    ).orderBy("doc_id")
