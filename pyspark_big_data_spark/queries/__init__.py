@@ -10,6 +10,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     embed_hash,
     event_windows,
     fingerprint,
+    graph_rank,
     hybrid_retrieval,
     ml_lsh_queries,
     multimodal_queries,

@@ -123,6 +123,11 @@ ROTATE_OUT: set[str] = {
     # slot; the temporal-join family stays covered by
     # range_join_open_windows + click_purchase_attribution itself
     "asof_join_last_order",
+    # rested mid-r5 (green r2-r4) so the NEW trade_pagerank (iterative
+    # PageRank with the generated unrolled oracle) takes its slot; the
+    # decontamination family stays pytest-oracled (decontaminate_vs_
+    # probes + decontaminate_semantic both sweep-verified at sf0.01)
+    "decontaminate_vs_probes",
 }
 
 
