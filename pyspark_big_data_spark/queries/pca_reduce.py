@@ -115,3 +115,79 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = dim_row["d"] if dim_row else 64
     out, _, _ = pca_project(emb, dim)
     return out.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental PCA: persisted mergeable moments
+# ---------------------------------------------------------------------------
+#
+# The moments (n, colsum, X^T X) are EXACTLY mergeable — the property
+# the batch pass above already exploits per Arrow batch. Persisting
+# them gives the incremental story the dedup/ANN indexes have: each
+# arriving batch folds its partials into a tiny parquet artifact
+# (1 row: two numbers + dim + dim^2 doubles), and components re-derive
+# from the artifact in O(dim^3) on the driver WITHOUT rescanning the
+# corpus. At 100 TB the corpus is never re-read to refresh a
+# projection; only new data is touched.
+
+
+def _moments_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hp)
+
+
+def update_moments(batch: DataFrame, dim: int, path: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Fold one batch of (vec_id, e) into the persisted moments at
+    ``path`` (absent = first batch); returns the UPDATED (mean, cov, n).
+
+    The fold is numerically exact w.r.t. batching: partial sums add, so
+    any split of the corpus into batches yields the same moments up to
+    float addition order (asserted in tests/test_pca.py)."""
+    spark = batch.sparkSession
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.asarray(list(pdf["e"]), dtype=np.float64)
+            if x.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "m2": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = batch.select("e").mapInPandas(
+        partials, schema="n long, s array<double>, m2 array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0) if rows else np.zeros(dim)
+    m2 = (
+        np.sum([np.array(r["m2"]).reshape(dim, dim) for r in rows], axis=0)
+        if rows
+        else np.zeros((dim, dim))
+    )
+
+    if _moments_exists(spark, path):
+        prev = spark.read.parquet(path).collect()[0]
+        n += prev["n"]
+        s = s + np.array(prev["s"])
+        m2 = m2 + np.array(prev["m2"]).reshape(dim, dim)
+
+    row = [(int(n), [float(v) for v in s], [float(v) for v in m2.ravel()])]
+    upd = spark.createDataFrame(row, "n long, s array<double>, m2 array<double>")
+    tmp = path.rstrip("/") + ".tmp"
+    upd.coalesce(1).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(Path(path), True)
+    if not fs.rename(Path(tmp), Path(path)):
+        raise RuntimeError(f"moments update failed: could not move {tmp} into place")
+
+    mean = s / n
+    cov = m2 / n - np.outer(mean, mean)
+    return mean, cov, n

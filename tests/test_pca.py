@@ -90,3 +90,43 @@ def test_distributed_moments_match_numpy(spark, sf_dir):
     assert n == x.shape[0]
     assert np.allclose(mu, x.mean(axis=0), atol=1e-10)
     assert np.allclose(cov, np.cov(x.T, bias=True), atol=1e-8)
+
+
+def test_incremental_moments_equal_full_pass(spark, sf_dir, tmp_path):
+    """Folding the corpus through update_moments in 3 batches must
+    yield the same (mean, cov, n) as the single full pass — the
+    mergeable-moments property the incremental path exists for. Also:
+    re-deriving components from the persisted artifact matches."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.queries.pca_reduce import (
+        _R,
+        corpus_mean_cov,
+        principal_components,
+        update_moments,
+    )
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.first()["e"])
+    path = str(tmp_path / "moments")
+
+    for shard in range(3):
+        mean_i, cov_i, n_i = update_moments(
+            emb.filter(F.col("vec_id") % 3 == shard), dim, path
+        )
+
+    mean_f, cov_f, n_f = corpus_mean_cov(emb, dim)
+    assert n_i == n_f
+    assert np.allclose(mean_i, mean_f, atol=1e-10)
+    assert np.allclose(cov_i, cov_f, atol=1e-8)
+
+    # persisted artifact re-derives the same components
+    row = spark.read.parquet(path).collect()[0]
+    n = row["n"]
+    s = np.array(row["s"])
+    m2 = np.array(row["m2"]).reshape(dim, dim)
+    cov_p = m2 / n - np.outer(s / n, s / n)
+    _, comps_p = principal_components(cov_p, _R)
+    _, comps_f = principal_components(cov_f, _R)
+    assert np.allclose(np.abs(comps_p), np.abs(comps_f), atol=1e-7)
