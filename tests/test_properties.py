@@ -139,3 +139,62 @@ def test_hashed_doc_vectors_are_additive(spark, toks_a, toks_b):
     )
     vecs = {r["doc_id"]: list(r["embedding"]) for r in hashed_doc_vectors(df).collect()}
     assert vecs[3] == [x + y for x, y in zip(vecs[1], vecs[2])]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=200),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_chunker_matches_python_model(spark, texts):
+    """doc_chunk_overlap's chunk math vs an independent Python model on
+    arbitrary generated text (empty docs, whitespace runs, short docs —
+    the cases fixture corpora miss)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.queries.corpus_ops import CHUNK_STRIDE, CHUNK_W
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    toks_df = df.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("toks") - CHUNK_W, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+        ).cast("long")
+        + 1
+    )
+    spans = toks_df.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_no") * CHUNK_STRIDE + 1, CHUNK_W)
+    got = {
+        (r["doc_id"], r["chunk_no"]): (r["n"], r["md5"])
+        for r in spans.select(
+            "doc_id",
+            "chunk_no",
+            F.size(chunk).alias("n"),
+            F.md5(F.concat_ws(" ", chunk)).alias("md5"),
+        ).collect()
+    }
+
+    # independent Python model (normalize + split the same way)
+    import math
+    import re
+
+    want = {}
+    for doc_id, text in enumerate(texts):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        nc = math.ceil(max(len(toks) - CHUNK_W, 0) / CHUNK_STRIDE) + 1
+        for c in range(nc):
+            piece = toks[c * CHUNK_STRIDE : c * CHUNK_STRIDE + CHUNK_W]
+            want[(doc_id, c)] = (
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    assert got == want
