@@ -170,3 +170,85 @@ def ann_topk_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+@register("ann_topk_truncated_np", driver=False)
+def ann_topk_truncated_np(
+    spark: SparkSession, sf_dir: str, probe_shards: int | None = None
+) -> DataFrame:
+    """BLAS twin of ann_topk_truncated: slice the prefix before the
+    GEMM, per-batch top-pool, exact global pool window, full-precision
+    rescore — the scale path for prefix search (the oracled tier's
+    codegen BNL is the differential witness; measured 224.9 s at native
+    sf3 vs seconds here). Same pool-boundary-ulps caveat as the other
+    BLAS tiers: agreement-gated in tests/test_truncated_ann.py."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_big_data_spark.queries.similarity import _probe_shards, guard_allpairs
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else _DIM
+    td = _TRUNC_DIM
+    pool_n = _POOL * _TOP_K
+
+    probes_pd = guard_allpairs(
+        emb.filter(F.col("vec_id") % _PROBE_MOD == 0), "ann_topk_truncated_np probes"
+    ).toPandas()
+    pids_all = probes_pd["vec_id"].to_numpy()
+    pmat_all = np.stack(probes_pd["e"].to_numpy())
+
+    def _prefix_unit(x):
+        t = x[:, :td]
+        nrm = np.linalg.norm(t, axis=1)
+        nrm = np.where(nrm == 0.0, 1.0, nrm)
+        return t / nrm[:, None]
+
+    pu_all = _prefix_unit(pmat_all)
+
+    def shard_scan(pids, pu) -> DataFrame:
+        b = spark.sparkContext.broadcast((pids, pu))
+
+        def scan(batches):
+            s_pids, s_pu = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["e"].to_numpy())
+                coarse = _prefix_unit(x) @ s_pu.T
+                ids = pdf["vec_id"].to_numpy()
+                coarse[ids[:, None] == s_pids[None, :]] = -np.inf
+                kk = min(pool_n, coarse.shape[0])
+                top = np.argpartition(-coarse, kk - 1, axis=0)[:kk]
+                sc = np.take_along_axis(coarse, top, axis=0)
+                keep = np.isfinite(sc).ravel(order="F")
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.repeat(s_pids, kk)[keep],
+                        "neighbor_id": ids[top].ravel(order="F")[keep],
+                        "coarse": sc.ravel(order="F")[keep],
+                    }
+                )
+
+        return emb.mapInPandas(scan, schema="probe_id long, neighbor_id long, coarse double")
+
+    cand = None
+    for s_pids, _ in _probe_shards(pids_all, pmat_all, probe_shards):
+        mask = np.isin(pids_all, s_pids)
+        shard = shard_scan(pids_all[mask], pu_all[mask])
+        cand = shard if cand is None else cand.unionByName(shard)
+
+    w_pool = Window.partitionBy("probe_id").orderBy(
+        F.col("coarse").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        cand.withColumn("pool_rnk", F.row_number().over(w_pool))
+        .filter(F.col("pool_rnk") <= pool_n)
+        .select("probe_id", "neighbor_id")
+    )
+    from pyspark_big_data_spark.queries.quantization import rescore_pool
+
+    return rescore_pool(pool, emb, dim)

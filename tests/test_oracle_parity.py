@@ -47,6 +47,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # bit-exact SQL twin; recall-gated vs the fp IVF tier over the
         # same cells in tests/test_quantization.py.
         "ann_topk_ivf_quantized",
+        # prefix-GEMM twin of the ORACLED ann_topk_truncated; same
+        # float-order reasoning, agreement gate in
+        # tests/test_truncated_ann.py.
+        "ann_topk_truncated_np",
         # same float64-vs-decimal reasoning; agreement vs the oracled
         # exact tiers asserted in tests/test_clustering.py.
         "semantic_dedup_np",

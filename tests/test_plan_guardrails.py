@@ -28,6 +28,7 @@ _PYTHON_OK = {
     "ann_topk_ivf_np",
     "ann_topk_quantized_np",  # int8-GEMM candidate stage: Arrow mapInPandas by design
     "ann_topk_ivf_quantized",  # IVF x int8 composition: same Arrow scan by design
+    "ann_topk_truncated_np",  # prefix-GEMM candidate stage: Arrow mapInPandas by design
     "semantic_dedup_np",  # BLAS fast tier: applyInPandas per cluster
     "semantic_dedup_multiprobe_np",  # BLAS soft-assignment tier: same Arrow paths
     "kmeans_clusters_np",  # BLAS fast tier: broadcast-centroid mapInPandas

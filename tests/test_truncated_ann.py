@@ -57,3 +57,24 @@ def test_wider_prefix_does_not_hurt_pool_recall(spark, sf_dir):
     assert len(full) >= len(narrow)
     # full-width pool of POOL*k > k candidates must contain the top-k
     assert len(full) == len(exact)
+
+
+def test_truncated_np_tier_matches_oracled_tier(spark, sf_dir):
+    """The prefix-GEMM twin shares the oracled tier's semantics (same
+    prefix, same pool size, same rescore); divergence is limited to
+    float-tied pool boundaries."""
+    from pyspark_big_data_spark.queries.truncated_ann import ann_topk_truncated_np
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_truncated(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["probe_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_truncated_np(spark, sf_dir).collect()
+    }
+    assert len(fast) == len(exact)
+    overlap = set(exact) & set(fast)
+    assert len(overlap) / len(exact) >= 0.98
+    for key in overlap:
+        assert abs(exact[key] - fast[key]) < 2e-6
