@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_topk_quantized_np",
     "ann_topk_ivf_quantized",
     "ann_topk_truncated",
+    "ann_topk_truncated_np",
     "hybrid_rrf_topk",
     "training_order_shuffle",
     "tumbling_window_agg",

@@ -88,3 +88,45 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         assert "WholeStageCodegen" in plan and "Found 0" not in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir):
+    """The 100 TB semi-join-reduction story: at engine defaults the
+    selective dim side broadcasts (no filter needed); when the build
+    side exceeds the broadcast threshold, Catalyst injects a runtime
+    bloom filter (might_contain) on the fact scan so the shuffle only
+    carries candidate keys. Both behaviors pinned."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.testing import physical_plan
+
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    j = l.join(sel, l["l_orderkey"] == sel["o_orderkey"]).groupBy().count()
+
+    # (a) defaults: broadcast, no bloom filter
+    assert "BroadcastHashJoin" in physical_plan(j)
+
+    # (b) forced shuffle join: bloom filter appears
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        j2 = l.join(sel, l["l_orderkey"] == sel["o_orderkey"]).groupBy().count()
+        plan = physical_plan(j2)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
