@@ -411,3 +411,29 @@ def test_stream_stream_attribution_restart_idempotent(spark, sf_dir, tmp_path):
         for r in click_purchase_attribution(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rate_source_smoke(spark):
+    """Source-matrix breadth: the rate-micro-batch source (deterministic
+    rows per batch) drives the same transformation surface as the file
+    sources — no fixture files needed."""
+    df = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("numPartitions", 2)
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy((F.col("value") % 5).alias("bucket")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_rate_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["bucket"]: r["count"] for r in spark.table("t_rate_smoke").collect()}
+    assert sum(rows.values()) == 50
+    assert set(rows) == set(range(5))
