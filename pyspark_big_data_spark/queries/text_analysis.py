@@ -286,3 +286,19 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score6.alias("score"),
         (score6 >= F.lit(_QC_KEEP)).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register("bpe_merges_learned", driver=False)
+def bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 learned BPE merges over the corpus (operators/bpe.py):
+    tokenizer TRAINING as a registered query. Rows-only — the greedy
+    merge fold has no DuckDB lambda twin; the pytest oracle is exact
+    merge-sequence agreement with an independent pure-Python Sennrich
+    implementation (tests/test_bpe.py)."""
+    from pyspark_big_data_spark.operators.bpe import learn_merges
+
+    merges = learn_merges(read_table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["cnt"]) for m in merges],
+        "rank long, left string, right string, cnt long",
+    ).orderBy("rank")
