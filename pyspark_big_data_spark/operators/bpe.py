@@ -113,3 +113,39 @@ def learn_merges(docs: DataFrame, n_merges: int, text_col: str = "text") -> list
             "word", "freq", merge_pair(F.col("syms"), r["left"], r["right"]).alias("syms")
         ).localCheckpoint(eager=True)
     return out
+
+
+def apply_merges(vocab: DataFrame, merges: list[dict]) -> DataFrame:
+    """Apply a learned merge list to a word-symbol table, in merge
+    order (each merge is one vocab-sized fold pass — N chained column
+    expressions, no corpus touch)."""
+    syms = F.col("syms")
+    for m in merges:
+        syms = merge_pair(syms, m["left"], m["right"])
+    return vocab.select("word", "freq", syms.alias("syms"))
+
+
+def bpe_tokenize(docs: DataFrame, merges: list[dict], text_col: str = "text") -> DataFrame:
+    """(doc_id, subwords array<string>): tokenize the corpus with the
+    trained merges. The merge chain runs once per DISTINCT word (the
+    vocab table), then a broadcast join maps each document's words to
+    their subword arrays and flattens — the corpus itself is touched by
+    one tokenize + one join, never by the merge folds."""
+    vocab = apply_merges(word_symbol_table(docs, text_col), merges).select("word", "syms")
+    words = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col(text_col))).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("syms")))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("subwords")
+        )
+    )

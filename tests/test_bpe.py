@@ -88,3 +88,40 @@ def test_word_symbol_table_weights(spark, sf_dir):
     assert all(r["syms"][-1] == "</w>" for r in vocab)
     assert all(len(r["syms"]) == len(r["word"]) + 1 for r in vocab)
     assert all(r["freq"] >= 1 for r in vocab)
+
+
+def test_bpe_tokenize_matches_python_apply(spark, sf_dir):
+    """Distributed apply (vocab folds + broadcast join) == the Python
+    reference's per-word greedy application, doc by doc."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.operators.bpe import bpe_tokenize
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    merges = _py_learn([r for r in texts.values()], _N)
+
+    got = {
+        r["doc_id"]: r["subwords"]
+        for r in bpe_tokenize(docs, merges).collect()
+    }
+
+    def py_word(w):
+        syms = list(w) + ["</w>"]
+        for m in merges:
+            left, right, merged = m["left"], m["right"], m["left"] + m["right"]
+            i, new = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return syms
+
+    for doc_id, text in texts.items():
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        want = [s for w in norm.split(" ") if w for s in py_word(w)]
+        assert got.get(doc_id, []) == want, f"doc {doc_id}"
