@@ -239,11 +239,11 @@ _QC_W_PUNCT = -12.0  # punctuation soup ~ boilerplate/markup
 _QC_W_WLEN = -0.15  # very long "words" ~ junk tokens
 _QC_KEEP = 0.5
 
-_QC_ORACLE = f"""
-SELECT doc_id,
-       ROUND(score, 6) AS score,
-       CAST(ROUND(score, 6) >= {_QC_KEEP} AS BOOLEAN) AS keep
-FROM (
+def qc_scored_sql() -> str:
+    """DuckDB sub-select producing (doc_id, score) — the classifier's
+    unrounded logistic score per document. Shared by the classifier
+    oracle and the curriculum oracle so the score cannot drift."""
+    return f"""(
     SELECT doc_id,
            1.0 / (1.0 + exp(-({_QC_BIAS}
                + {_QC_W_LOGWORDS} * ln(1.0 + CAST(n_words AS DOUBLE))
@@ -260,9 +260,30 @@ FROM (
                    / greatest(length(text), 1) AS pratio
         FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     )
-)
+)"""
+
+
+_QC_ORACLE = f"""
+SELECT doc_id,
+       ROUND(score, 6) AS score,
+       CAST(ROUND(score, 6) >= {_QC_KEEP} AS BOOLEAN) AS keep
+FROM {qc_scored_sql()}
 ORDER BY doc_id
 """
+
+
+def qc_score6(text_col) -> F.Column:
+    """Spark twin of qc_scored_sql(), rounded to 6dp — the shared
+    classifier score column."""
+    n_words = TX.word_count(text_col).cast("long")
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_LOGWORDS) * F.log(F.lit(1.0) + n_words.cast("double"))
+        + F.lit(_QC_W_STOP) * TX.stopword_ratio(text_col)
+        + F.lit(_QC_W_PUNCT) * TX.punct_ratio(text_col)
+        + F.lit(_QC_W_WLEN) * TX.avg_word_len(text_col)
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
 
 
 @register("quality_classifier_score", oracle=_QC_ORACLE, driver=False)
@@ -272,15 +293,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the flag is deterministic cross-engine even at the
     threshold; ln/exp ulp drift is absorbed by round(score, 6)."""
     docs = read_table(spark, sf_dir, "documents")
-    n_words = TX.word_count(F.col("text")).cast("long")
-    z = (
-        F.lit(_QC_BIAS)
-        + F.lit(_QC_W_LOGWORDS) * F.log(F.lit(1.0) + n_words.cast("double"))
-        + F.lit(_QC_W_STOP) * TX.stopword_ratio(F.col("text"))
-        + F.lit(_QC_W_PUNCT) * TX.punct_ratio(F.col("text"))
-        + F.lit(_QC_W_WLEN) * TX.avg_word_len(F.col("text"))
-    )
-    score6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    score6 = qc_score6(F.col("text"))
     return docs.select(
         "doc_id",
         score6.alias("score"),

@@ -139,3 +139,71 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: quality-descending within shuffled shards
+# ---------------------------------------------------------------------------
+
+_CURR_BINS = 10  # quality deciles; coarse bins keep intra-bin order random
+
+
+def _curriculum_oracle() -> str:
+    from pyspark_big_data_spark.queries.text_analysis import qc_scored_sql
+
+    return f"""
+WITH q AS (
+    SELECT doc_id, ROUND(score, 6) AS score6 FROM {qc_scored_sql()}
+), k AS (
+    SELECT doc_id, score6,
+           CAST(floor(score6 * {_CURR_BINS}) AS BIGINT) AS quality_bin,
+           ('0x' || substr(md5('shuf:{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               AS key
+    FROM q
+)
+SELECT doc_id, CAST(key % {_SHUF_SHARDS} AS BIGINT) AS shard, quality_bin,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY key % {_SHUF_SHARDS}
+           ORDER BY quality_bin DESC, key ASC, doc_id ASC
+       ) AS BIGINT) AS pos
+FROM k
+ORDER BY shard, pos
+"""
+
+
+@register("training_order_curriculum", oracle=_curriculum_oracle(), driver=False)
+def training_order_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum variant of training_order_shuffle: documents land in
+    the same hash shards, but within each shard the reader sees quality
+    DECILES from best to worst, with the seeded-hash order breaking
+    ties inside a decile — easy-to-hard curriculum with preserved
+    within-bin randomness. Same scalable shard/pos shape (no global
+    sort); the quality decile comes from the shared classifier score,
+    floored on the ROUNDED value so both engines bin identically."""
+    from pyspark_big_data_spark.queries.text_analysis import qc_score6
+
+    docs = read_table(spark, sf_dir, "documents")
+    key = TX.hash48(
+        F.concat(F.lit(f"shuf:{_SHUF_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    qbin = F.floor(qc_score6(F.col("text")) * _CURR_BINS).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        key.alias("key"),
+        (key % _SHUF_SHARDS).alias("shard"),
+        qbin.alias("quality_bin"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.col("quality_bin").desc(), F.col("key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            "quality_bin",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

@@ -42,3 +42,24 @@ def test_shuffle_actually_shuffles(spark, sf_dir):
     out = training_order_shuffle(spark, sf_dir).collect()
     shard0 = [r["doc_id"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"])) if r["shard"] == 0]
     assert shard0 != sorted(shard0)
+
+
+def test_curriculum_quality_monotone_within_shard(spark, sf_dir):
+    """Within every shard, quality_bin must be non-increasing along pos
+    — the defining curriculum property — while shard membership matches
+    the plain shuffle exactly (same hash key)."""
+    from pyspark_big_data_spark.queries.training_pipeline import (
+        training_order_curriculum,
+    )
+
+    rows = training_order_curriculum(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        bins = [r["quality_bin"] for r in rs]
+        assert bins == sorted(bins, reverse=True)
+
+    plain = {r["doc_id"]: r["shard"] for r in training_order_shuffle(spark, sf_dir).collect()}
+    assert {r["doc_id"]: r["shard"] for r in rows} == plain
