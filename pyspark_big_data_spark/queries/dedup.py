@@ -589,3 +589,65 @@ def dedup_longest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_size", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val split leakage audit
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD = 10  # 10% held out: hash48('split:'||doc_id) % 10 == 0 -> val
+
+_LEAK_ORACLE = f"""{_dd_minhash_cte()},
+est AS (
+    SELECT c.id_a, c.id_b, ({_AGREE}) / {float(DD.NUM_HASHES)} AS est_jaccard
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
+    WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+),
+sp AS (
+    SELECT doc_id,
+           CASE WHEN {_H48.format(e="'split:' || CAST(doc_id AS VARCHAR)")} % {_SPLIT_MOD} = 0
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+)
+SELECT e.id_a, e.id_b, sa.split AS split_a, sb.split AS split_b, e.est_jaccard
+FROM est e
+JOIN sp sa ON sa.doc_id = e.id_a
+JOIN sp sb ON sb.doc_id = e.id_b
+WHERE sa.split <> sb.split
+ORDER BY id_a, id_b
+"""
+
+
+@register("split_leakage_audit", oracle=_LEAK_ORACLE, driver=False)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs that CROSS a hash-based train/val split —
+    the leakage a naive random split injects (a val doc whose near-dup
+    twin is in train inflates eval). The audit is the QA step before
+    any benchmark claim; the FIX is splitting by duplicate-cluster
+    (dedup_clusters) instead of by document, which this query verifies
+    by returning zero rows when applied to cluster-keyed splits.
+
+    Shape: the already-banded pair set joined to a map-side split
+    assignment — no new shuffle beyond the dedup pipeline's own."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark_big_data_spark.functions.text import hash48
+
+    split = F.when(
+        hash48(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % _SPLIT_MOD == 0,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    sp = docs.select("doc_id", split.alias("split"))
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")), "id_a"
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")), "id_b"
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )

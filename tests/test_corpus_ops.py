@@ -332,3 +332,39 @@ def test_doc_chunk_overlap_properties(spark, sf_dir):
         assert last["chunk_no"] * CHUNK_STRIDE + last["n_tokens"] == n
         for c in chunks[:-1]:
             assert c["n_tokens"] == CHUNK_W  # only the tail may be short
+
+
+def test_cluster_keyed_split_has_zero_leakage(spark, sf_dir):
+    """The audit's promised fix: splitting by duplicate-CLUSTER instead
+    of by document puts every near-dup pair on one side, so zero pairs
+    cross. (The doc-keyed split leaks by construction — also asserted,
+    so the audit is a real detector.)"""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.functions.text import hash48
+    from pyspark_big_data_spark.queries.dedup import (
+        _SPLIT_MOD,
+        dedup_clusters,
+        dedup_minhash_lsh,
+        split_leakage_audit,
+    )
+
+    # doc-keyed split: leaks on this corpus (non-degenerate detector)
+    assert split_leakage_audit(spark, sf_dir).count() > 0
+
+    # cluster-keyed split: every doc inherits its component's split
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    comp = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    split = F.when(
+        hash48(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))) % _SPLIT_MOD
+        == 0,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    sp = comp.select("doc_id", split.alias("split"))
+    crossed = (
+        pairs.join(sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed == 0
