@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "span_dedup_chunks",
     "dup_span_extract",
+    "doc_chunk_overlap",
     "doc_embed_hash",
     # doc_embed_lsh_near_dup is NOT a headline row: on this corpus the
     # 0.9-cosine truth band is barely separated from the background, so
@@ -64,6 +65,7 @@ HEADLINE = [
     "ann_topk_truncated_np",
     "hybrid_rrf_topk",
     "training_order_shuffle",
+    "training_order_curriculum",
     "tumbling_window_agg",
     "session_window_agg",
     "asof_join_last_order",

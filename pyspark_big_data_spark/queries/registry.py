@@ -49,10 +49,10 @@ DRIVER_EXCLUDED: set[str] = set()
 # packing/mixture).
 
 # r6 rotation queue (oracled, pytest-green, not yet driver-verified):
-# doc_chunk_overlap, customers_without_orders, click-family SQL twins
-# (q1_top_months_per_year_sql, q2_event_time_bins_sql), dedup_minhash's
-# rested rows, plus the rows-only agreement-gated tiers' witnesses if
-# any are added. Keep swapping ~10/round per the policy above.
+# doc_chunk_overlap, customers_without_orders, quality_classifier_score,
+# training_order_curriculum, split_leakage_audit, the SQL twins
+# (q1_top_months_per_year_sql, q2_event_time_bins_sql), and the rested
+# long-green rows. Keep swapping ~10/round per the policy above.
 ROTATE_IN: set[str] = {
     # NEW mid-r5 operators, driver-verified the round they land:
     # RRF fusion of the BM25 + hashed-vector rankers, and the
