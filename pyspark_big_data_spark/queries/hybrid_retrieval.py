@@ -164,3 +164,80 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rerank stage: exact token-set Jaccard over the fused candidates
+# ---------------------------------------------------------------------------
+#
+# The third stage of the standard retrieval stack (retrieve -> fuse ->
+# rerank): an expensive exact scorer applied ONLY to the fused top-K.
+# The deterministic stand-in for a cross-encoder is exact token-SET
+# Jaccard against the probe document — integer arithmetic, so the
+# oracle is exact; a learned cross-encoder would slot into the same
+# ≤K-rows-per-query seam (broadcast the candidate texts, score in an
+# Arrow batch). The scale property is the seam itself: whatever the
+# scorer costs, it runs on K rows, not the corpus.
+
+
+def _rerank_oracle() -> str:
+    return f"""
+WITH fused_out AS ({_rrf_oracle().strip().rstrip()}
+),
+tok AS (
+    SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS ts
+    FROM documents
+),
+scored AS (
+    SELECT f.doc_id, f.rnk AS rrf_rnk,
+           CAST(len(list_intersect(t.ts, p.ts)) AS BIGINT) AS n_shared,
+           CAST(len(list_distinct(list_concat(t.ts, p.ts))) AS BIGINT) AS n_union
+    FROM fused_out f
+    JOIN tok t ON t.doc_id = f.doc_id
+    JOIN tok p ON p.doc_id = {_PROBE_DOC}
+)
+SELECT doc_id, rrf_rnk, n_shared, n_union,
+       ROUND(CAST(n_shared AS DOUBLE) / n_union, 6) AS jaccard,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(n_shared AS DOUBLE) / n_union DESC, doc_id ASC
+       ) AS BIGINT) AS rnk
+FROM scored
+ORDER BY rnk
+"""
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register("hybrid_rerank_topk", oracle=_rerank_oracle(), driver=False)
+def hybrid_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank the RRF top-{_FINAL_K} by exact token-set Jaccard against
+    the probe document (see the stage comment above). The scorer sees
+    {_FINAL_K} rows per query — the rerank seam, not a corpus pass."""
+    from pyspark_big_data_spark.queries.embed_hash import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    fused = hybrid_rrf_topk(spark, sf_dir).select("doc_id", F.col("rnk").alias("rrf_rnk"))
+    tok = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalize_text(F.col("text")), " ")).alias("ts"),
+    )
+    probe = tok.filter(F.col("doc_id") == _PROBE_DOC).select(F.col("ts").alias("pts"))
+    scored = (
+        fused.join(tok, "doc_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            "rrf_rnk",
+            F.size(F.array_intersect("ts", "pts")).cast("long").alias("n_shared"),
+            F.size(F.array_distinct(F.concat("ts", "pts"))).cast("long").alias("n_union"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / F.col("n_union")
+    w = Window.orderBy(jac.desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("jaccard", F.round(jac, 6))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("doc_id", "rrf_rnk", "n_shared", "n_union", "jaccard", "rnk")
+        .orderBy("rnk")
+    )

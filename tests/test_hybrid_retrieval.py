@@ -49,3 +49,18 @@ def test_rrf_both_lists_beat_single_list_at_equal_ranks(spark, sf_dir):
             s_rank = s["lex_rnk"] if s["lex_rnk"] is not None else s["den_rnk"]
             if max(b["lex_rnk"], b["den_rnk"]) <= s_rank:
                 assert b["rrf_score"] > s["rrf_score"]
+
+
+def test_rerank_is_a_permutation_of_the_fused_set(spark, sf_dir):
+    """Rerank never adds or drops candidates — it reorders the fused
+    top-K by the exact Jaccard scorer."""
+    from pyspark_big_data_spark.queries.hybrid_retrieval import hybrid_rerank_topk
+
+    fused = {r["doc_id"] for r in hybrid_rrf_topk(spark, sf_dir).collect()}
+    rer = hybrid_rerank_topk(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rer} == fused
+    jacs = [r["jaccard"] for r in sorted(rer, key=lambda r: r["rnk"])]
+    assert jacs == sorted(jacs, reverse=True)
+    for r in rer:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_shared"] <= r["n_union"]

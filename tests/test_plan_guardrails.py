@@ -77,6 +77,8 @@ _SCALAR_BROADCAST_OK = {
     "bigram_fluency",
     # bm25_scored's 1-row stats attach + the 1-row probe-vector attach
     "hybrid_rrf_topk",
+    # embeds hybrid_rrf_topk (above) + a 1-row probe-token-set attach
+    "hybrid_rerank_topk",
     # node-count + dangling-mass 1-row attaches, once per iteration
     "trade_pagerank",
 }
