@@ -61,6 +61,13 @@ ROTATE_IN: set[str] = {
     "ann_topk_truncated",
     "training_order_shuffle",
     "click_purchase_attribution",
+    # late-r5 additions, driver-verified the round they land:
+    "hybrid_rerank_topk",
+    "doc_chunk_overlap",
+    "customers_without_orders",
+    "quality_classifier_score",
+    "training_order_curriculum",
+    "split_leakage_audit",
     "dedup_clusters_incremental",
     "dedup_minhash_incremental",
     "doc_embed_hash",
@@ -128,6 +135,22 @@ ROTATE_OUT: set[str] = {
     # decontamination family stays pytest-oracled (decontaminate_vs_
     # probes + decontaminate_semantic both sweep-verified at sf0.01)
     "decontaminate_vs_probes",
+    # rested late-r5 for the six newest queries, each long-green and
+    # each with its family still externally covered:
+    # bm25 scoring is EMBEDDED in hybrid_rrf_topk/hybrid_rerank_topk
+    "bm25_topk",
+    # the minhash pair pipeline is EMBEDDED in split_leakage_audit
+    # (and dedup_minhash_incremental stays on the surface)
+    "dedup_minhash_lsh",
+    # quality family -> quality_classifier_score (same features)
+    "text_quality_scores",
+    # Lloyd pipeline stays externally exercised via semantic_dedup_
+    # multiprobe (same kmeans_assignments core)
+    "kmeans_clusters",
+    "semantic_dedup",
+    # regexp-cleaning family stays covered by composite_key_join's
+    # module + the crime-query parity suite
+    "clean_formatted_currency",
 }
 
 
