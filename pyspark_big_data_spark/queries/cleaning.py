@@ -129,3 +129,53 @@ def distinct_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_OVERLAP_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+@register("user_overlap_exact", oracle=_OVERLAP_ORACLE, driver=False)
+def user_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact |users(click) ∩ users(purchase)| — the ground truth for
+    the sketch tier below (and the INTERSECT set-op in aggregate
+    form)."""
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.intersect(b).agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+
+
+@register("user_overlap_sketch", driver=False)
+def user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra estimate of the same overlap: HLL supports only
+    UNION, so intersection comes from inclusion-exclusion —
+    |A∩B| ≈ est(A) + est(B) − est(A ∪ B) — computed entirely from two
+    per-segment sketches and one hll_union. This is the 100 TB recipe
+    for audience-overlap questions: per-segment sketches are built once
+    (mergeable, tiny) and ANY pairwise overlap is answered from the
+    sketch store without re-touching the event log. Error compounds
+    (three estimates), so the pytest gate allows the published-HLL
+    relative-error envelope vs the exact twin."""
+    ev = read_table(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    a = sk.filter(F.col("event_type") == "click").select(F.col("sk").alias("sk_a"))
+    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("sk_b"))
+    both = a.crossJoin(F.broadcast(b))  # 1 row x 1 row scalar attach
+    return both.select(
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+        )
+        .cast("long")
+        .alias("n_overlap_est")
+    )

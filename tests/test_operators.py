@@ -274,3 +274,18 @@ def test_incremental_dedup_equals_full_recompute(spark, sf_dir, tmp_path):
 
     assert old | incr == full
     assert old & incr == set()
+
+
+def test_hll_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
+    """The sketch overlap must sit inside the compounded HLL error
+    envelope around the exact intersection (3 estimates at ~2% relative
+    standard error each -> allow 10% + small absolute slack)."""
+    from pyspark_big_data_spark.queries.cleaning import (
+        user_overlap_exact,
+        user_overlap_sketch,
+    )
+
+    exact = user_overlap_exact(spark, sf_dir).collect()[0][0]
+    est = user_overlap_sketch(spark, sf_dir).collect()[0][0]
+    assert exact > 0
+    assert abs(est - exact) <= max(3, 0.10 * exact)

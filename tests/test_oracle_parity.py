@@ -60,6 +60,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # BLAS tier; recall >= label-cell tier + cosine containment
         # asserted in tests/test_similarity_np.py.
         "ann_topk_ivf_kmeans",
+        # HLL binaries are engine-specific; inclusion-exclusion
+        # accuracy vs the oracled exact twin (user_overlap_exact) is
+        # gated in tests/test_operators.py.
+        "user_overlap_sketch",
         # greedy BPE merge fold has no DuckDB lambda twin; merge
         # sequence pinned exactly vs a pure-Python Sennrich reference
         # in tests/test_bpe.py.

@@ -81,6 +81,8 @@ _SCALAR_BROADCAST_OK = {
     "hybrid_rerank_topk",
     # node-count + dangling-mass 1-row attaches, once per iteration
     "trade_pagerank",
+    # two 1-row sketch frames joined for the inclusion-exclusion
+    "user_overlap_sketch",
 }
 
 
