@@ -209,3 +209,82 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_s"),
     ).orderBy("click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-entity anomaly detection: expanding-window z-score on prior history
+# ---------------------------------------------------------------------------
+
+_ANOM_MIN_PRIOR = 8  # score only after this much per-user history
+_ANOM_Z = 3.0  # |z| threshold vs the user's own prior distribution
+
+_ANOM_ORACLE = f"""
+WITH w AS (
+    SELECT event_id, user_id, value,
+           COUNT(value) OVER pw AS n_prior,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER pw AS DOUBLE) AS s_prior,
+           CAST(SUM(CAST(value * value AS DECIMAL(30,8))) OVER pw AS DOUBLE)
+               AS q_prior
+    FROM events
+    WINDOW pw AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+), scored AS (
+    SELECT event_id, user_id, value, n_prior,
+           (value - s_prior / n_prior)
+             / sqrt((q_prior - s_prior * s_prior / n_prior) / (n_prior - 1))
+               AS z
+    FROM w WHERE n_prior >= {_ANOM_MIN_PRIOR}
+)
+SELECT event_id, user_id, value, n_prior, ROUND(z, 6) AS z
+FROM scored WHERE abs(z) > {_ANOM_Z}
+ORDER BY user_id, event_id
+"""
+
+
+@register("event_value_anomalies", oracle=_ANOM_ORACLE, driver=False)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: flag events whose value sits more
+    than {_ANOM_Z} sample standard deviations from that user's OWN
+    prior history (expanding window over earlier events only — no
+    lookahead leak), once at least {_ANOM_MIN_PRIOR} prior events
+    exist.
+
+    Cross-engine exactness: the window sums Σx and Σx² go through the
+    DECIMAL(30,8) order-independent path (functions/aggregates.py
+    policy), then mean/variance/sqrt run in IEEE double on identical
+    inputs — so Spark and DuckDB agree bit-for-bit and the flag
+    boundary cannot flip between engines.
+
+    Shape at 100 TB: ONE shuffle keyed by user_id (high cardinality,
+    balanced); the expanding frame is computed in a single pass per
+    partition group. The streaming twin
+    (streaming/anomaly.py::streaming_anomalies) carries (n, Σx, Σx²)
+    per user in state and scores each arriving event against history
+    at that moment — same math, unbounded stream."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = "decimal(30,8)"
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(pw).alias("n_prior"),
+        F.sum(F.col("value").cast(dec)).over(pw).cast("double").alias("s_prior"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).over(pw).cast("double").alias("q_prior"),
+    ).filter(F.col("n_prior") >= _ANOM_MIN_PRIOR)
+    n = F.col("n_prior")
+    mean = F.col("s_prior") / n
+    var = (F.col("q_prior") - F.col("s_prior") * F.col("s_prior") / n) / (n - F.lit(1))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        w.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > _ANOM_Z)
+        .select("event_id", "user_id", "value", "n_prior", F.round("z", 6).alias("z"))
+        .orderBy("user_id", "event_id")
+    )

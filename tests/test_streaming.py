@@ -437,3 +437,48 @@ def test_rate_source_smoke(spark):
     rows = {r["bucket"]: r["count"] for r in spark.table("t_rate_smoke").collect()}
     assert sum(rows.values()) == 50
     assert set(rows) == set(range(5))
+
+
+def test_streaming_anomalies_equal_batch_bitwise(spark, sf_dir, tmp_path):
+    """Stateful z-score stream == batch expanding-window twin, bit-for-bit:
+    events are dropped as 3 CHRONOLOGICAL parquet shards (the contract —
+    cross-batch late data is the documented trade), each its own
+    micro-batch; the integer-scaled decimal state must reproduce the
+    batch DECIMAL(30,8) sums exactly, so event ids, n_prior AND the
+    rounded z values all match."""
+    import os
+
+    from pyspark_big_data_spark.queries.event_windows import event_value_anomalies
+    from pyspark_big_data_spark.streaming.anomaly import streaming_anomalies
+    from pyspark_big_data_spark.streaming.streams import run_to_memory
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = events.orderBy("ts", "event_id").collect()
+    drop_dir = tmp_path / "evdrops"
+    drop_dir.mkdir()
+    cut = len(rows) // 3
+    for shard, lo in enumerate(range(0, len(rows), cut + 1)):
+        path = str(drop_dir / f"d{shard}.parquet")
+        spark.createDataFrame(rows[lo : lo + cut + 1], events.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        # file-source ordering is by modification time: pin it explicitly
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_000_000 + shard, 1_000_000 + shard))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(drop_dir))
+    )
+    got = run_to_memory(streaming_anomalies(stream), "t_anom", output_mode="append")
+    stream_rows = sorted(
+        (r["event_id"], r["user_id"], r["value"], r["n_prior"], r["z"])
+        for r in got.collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user_id"], r["value"], r["n_prior"], r["z"])
+        for r in event_value_anomalies(spark, sf_dir).collect()
+    )
+    assert stream_rows == want
