@@ -3,6 +3,7 @@
 from pyspark_big_data_spark.queries import (  # noqa: F401
     analytics,
     ann_ivf,
+    behavior,
     cleaning,
     clustering,
     corpus_ops,

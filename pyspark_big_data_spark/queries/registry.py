@@ -151,6 +151,22 @@ ROTATE_OUT: set[str] = {
     # regexp-cleaning family stays covered by composite_key_join's
     # module + the crime-query parity suite
     "clean_formatted_currency",
+    # rested late-r5 so the NEW behavior-analytics family (funnel_
+    # conversion, cohort_retention, event_transition_matrix,
+    # timeseries_gapfill) takes four slots, each rested row's family
+    # still externally covered:
+    # winnowing stays covered by simhash_near_pairs (fingerprint
+    # near-pairs) + the pytest-oracled winnow twins
+    "winnow_near_pairs",
+    # lag/lead-window family stays covered by event_transition_matrix
+    # (lag) + timeseries_gapfill (running last) + session windows
+    "event_gaps_lag_lead",
+    # reference-q1 family stays covered by q1_top_months_string_slice
+    # (same query + the substring-sugar parity pins)
+    "q1_top_months_per_year",
+    # reference-q4 family stays covered by q4_avg_distance_sql_udf
+    # (same haversine pipeline through the SQL-registered-UDF surface)
+    "q4_avg_distance",
 }
 
 
