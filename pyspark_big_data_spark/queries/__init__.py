@@ -13,6 +13,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     fingerprint,
     graph_rank,
     hybrid_retrieval,
+    linkage,
     ml_lsh_queries,
     multimodal_queries,
     pca_reduce,

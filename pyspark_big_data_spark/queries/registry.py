@@ -167,6 +167,11 @@ ROTATE_OUT: set[str] = {
     # reference-q4 family stays covered by q4_avg_distance_sql_udf
     # (same haversine pipeline through the SQL-registered-UDF surface)
     "q4_avg_distance",
+    # rested late-r5 so the NEW fuzzy_name_links (blocked edit-distance
+    # record linkage) takes its slot; the temporal-join family stays
+    # covered by click_purchase_attribution (asof/range twins remain
+    # pytest-oracled)
+    "range_join_open_windows",
 }
 
 
