@@ -8,6 +8,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     clustering,
     corpus_ops,
     dedup,
+    dimension,
     embed_hash,
     event_windows,
     fingerprint,

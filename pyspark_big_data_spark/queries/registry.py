@@ -172,6 +172,14 @@ ROTATE_OUT: set[str] = {
     # covered by click_purchase_attribution (asof/range twins remain
     # pytest-oracled)
     "range_join_open_windows",
+    # rested late-r5 so the NEW scd2_customer_priority / table_profile
+    # take slots: the wide-multi-aggregate family stays covered by
+    # table_profile's 28-stat single-pass agg (+ q4's avg/count), and
+    # the join family keeps q3/q4 joins, semi/anti joins, the fuzzy
+    # blocked self-join, and click_purchase_attribution on-surface
+    # (composite_key_join stays pinned by the crime-parity suite)
+    "pricing_summary",
+    "composite_key_join",
 }
 
 
