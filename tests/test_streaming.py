@@ -482,3 +482,67 @@ def test_streaming_anomalies_equal_batch_bitwise(spark, sf_dir, tmp_path):
         for r in event_value_anomalies(spark, sf_dir).collect()
     )
     assert stream_rows == want
+
+
+def test_streaming_heavy_hitters_space_saving(spark, sf_dir, tmp_path):
+    """Sharded SpaceSaving sketches over a replayed token stream:
+    (a) every token whose true count exceeds its shard's
+        stream_len/CAPACITY guarantee threshold is present;
+    (b) every reported count respects the cnt - err <= true bound;
+    (c) never-evicted entries (err == 0) never overcount."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.io import read_table, write_jsonl
+    from pyspark_big_data_spark.streaming import heavy_hitters as HH
+    from pyspark_big_data_spark.streaming.streams import run_to_memory
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "hh_drop")
+    write_jsonl(docs, path, shards=3)
+
+    # one file per micro-batch so sketch state must carry across batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    got = run_to_memory(
+        HH.streaming_heavy_hitters(stream), "t_hh", output_mode="update"
+    ).collect()
+    # update mode re-emits the full shard sketch each batch: the latest
+    # emission per (shard, tok) is the max-cnt row (counts are monotone
+    # while a token stays resident; a re-entering token inherits >= its
+    # prior count)
+    final: dict[tuple[int, str], tuple[int, int]] = {}
+    for r in got:
+        k = (r["shard"], r["tok"])
+        if k not in final or r["cnt"] > final[k][0]:
+            final[k] = (r["cnt"], r["err"])
+
+    true_counts = {
+        (r["shard"], r["tok"]): r["cnt"]
+        for r in docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .select("tok", (F.abs(F.xxhash64("tok")) % HH.N_SHARDS).cast("int").alias("shard"))
+        .groupBy("shard", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    shard_len: dict[int, int] = {}
+    for (shard, _), c in true_counts.items():
+        shard_len[shard] = shard_len.get(shard, 0) + c
+
+    # (a) SpaceSaving containment guarantee, per shard
+    missed = [
+        (s, t, c)
+        for (s, t), c in true_counts.items()
+        if c > shard_len[s] / HH.CAPACITY and (s, t) not in final
+    ]
+    assert not missed, f"guaranteed heavy hitters missing from sketch: {missed[:5]}"
+
+    # (b) error bound; (c) exactness of never-evicted entries
+    for (s, t), (cnt, err) in final.items():
+        true = true_counts.get((s, t), 0)
+        assert cnt - err <= true, f"{t}: cnt={cnt} err={err} true={true}"
+        if err == 0:
+            assert cnt <= true, f"{t}: exact entry overcounts (cnt={cnt} true={true})"
