@@ -70,6 +70,14 @@ HEADLINE = [
     "session_window_agg",
     "asof_join_last_order",
     "running_customer_spend",
+    # late-r5 additions: behavior analytics, record linkage, dimension ops
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transition_matrix",
+    "timeseries_gapfill",
+    "fuzzy_name_links",
+    "scd2_customer_priority",
+    "table_profile",
 ]
 
 

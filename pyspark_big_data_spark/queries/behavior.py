@@ -189,6 +189,75 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session path analysis: ordered event-type sequences per session
+# ---------------------------------------------------------------------------
+
+_PATH_GAP_MIN = 30
+
+_PATHS_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_PATH_GAP_MIN} MINUTES
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+), paths AS (
+    SELECT user_id, sid,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+    FROM numbered GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+"""
+
+
+@register("session_paths", oracle=_PATHS_ORACLE)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the ordered event-type sequence inside each
+    {_PATH_GAP_MIN}-minute-gap session, counted across all sessions —
+    the 'what do users actually do' report behind funnel design.
+
+    The ordered array aggregate is spelled engine-portably: collect the
+    (ts, event_id, type) structs, ``array_sort`` (struct comparison =
+    field order, so the sort key is exactly the session's event order),
+    then project the type and join with '>'. Sessionization reuses the
+    lag + cumulative-sum pattern of ``session_window_agg``; everything
+    shares one user-keyed shuffle, and paths are bounded by session
+    length, never stream length."""
+    ev = read_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.expr(f"INTERVAL {_PATH_GAP_MIN} MINUTES")
+    prev_ts = F.lag("ts").over(w_order)
+    new_session = (prev_ts.isNull() | (F.col("ts").cast("timestamp") - prev_ts > gap)).cast(
+        "long"
+    )
+    paths = (
+        ev.withColumn("sid", F.sum(new_session).over(w_cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias(
+                "seq"
+            )
+        )
+        .select(
+            F.concat_ws(">", F.transform("seq", lambda x: x["event_type"])).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series gap-fill: per-user hourly grid, LOCF-filled
 # ---------------------------------------------------------------------------
 

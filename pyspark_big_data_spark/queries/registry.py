@@ -180,6 +180,11 @@ ROTATE_OUT: set[str] = {
     # (composite_key_join stays pinned by the crime-parity suite)
     "pricing_summary",
     "composite_key_join",
+    # rested late-r5 so the NEW session_paths (ordered-array path
+    # analysis) takes its slot; the two-phase head/isin + hinted-join
+    # family stays covered by q3_segment_profile_bottom on-surface and
+    # by the bench hint matrix every round
+    "q3_segment_profile_top",
 }
 
 
