@@ -144,24 +144,44 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARCHAR cast: integers print bare, doubles keep their shortest
     round-trip form."""
     li = read_table(spark, sf_dir, "lineitem")
+    # Pass 1 (wide): nulls + min/max for every column in one aggregate.
+    # Distinct counts are deliberately NOT in this pass: N countDistinct
+    # aggregates in one agg make Catalyst Expand the input N-fold
+    # (measured 15 s vs 0.6 s at sf0.1).
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _PROFILE_COLS
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    base = wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, min_val, max_val)"
+        )
+    )
+    # Pass 2 (long): unpivot to (col_name, value) and count distincts
+    # two-phase — distinct pairs first (map-side combined), then a
+    # 7-key count. One shuffle keyed by (col, value); stringified
+    # doubles keep their shortest round-trip form, so the pair distinct
+    # equals the typed distinct.
+    val_stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS)
+    distincts = (
+        li.select(
+            F.expr(f"stack({len(_PROFILE_COLS)}, {val_stack}) AS (col_name, val)")
+        )
+        .filter(F.col("val").isNotNull())
+        .distinct()
+        .groupBy("col_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
     return (
-        wide.select(
-            F.expr(
-                f"stack({len(_PROFILE_COLS)}, {stack_args}) "
-                "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
-            )
-        )
+        base.join(distincts, "col_name")
+        .select("col_name", "n_nulls", "n_distinct", "min_val", "max_val")
         .orderBy("col_name")
     )

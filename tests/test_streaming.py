@@ -546,3 +546,62 @@ def test_streaming_heavy_hitters_space_saving(spark, sf_dir, tmp_path):
         assert cnt - err <= true, f"{t}: cnt={cnt} err={err} true={true}"
         if err == 0:
             assert cnt <= true, f"{t}: exact entry overcounts (cnt={cnt} true={true})"
+
+
+def test_scd2_incremental_equals_batch_derivation(spark, sf_dir, tmp_path):
+    """Replaying orders in date-ordered batches through the SCD2
+    maintenance loop yields the dimension the one-shot batch query
+    derives — row-for-row, including closed-interval stamps and
+    is_current flags."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.dimension import scd2_customer_priority
+    from pyspark_big_data_spark.streaming import scd2_maintain as SM
+
+    orders = read_table(spark, sf_dir, "orders")
+    # three date-ordered batches split at fixed calendar cuts
+    dim_dir = str(tmp_path / "scd2_dim")
+    splits = [
+        orders.filter(F.col("o_orderdate") < "1995-01-01"),
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        ),
+        orders.filter(F.col("o_orderdate") >= "1997-01-01"),
+    ]
+    for batch in splits:
+        SM.process_order_batch(batch, dim_dir)
+
+    got = {
+        tuple(r)
+        for r in SM.scd2_report(spark, dim_dir)
+        .select("c_custkey", "version", "priority", "valid_from", "valid_to", "is_current", "n_orders")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in scd2_customer_priority(spark, sf_dir)
+        .select("c_custkey", "version", "priority", "valid_from", "valid_to", "is_current", "n_orders")
+        .collect()
+    }
+    assert got == want
+
+
+def test_scd2_stream_foreachbatch_runs(spark, sf_dir, tmp_path):
+    """End-to-end foreachBatch wiring: orders landed as parquet drops,
+    streamed with availableNow into the maintenance loop."""
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.streaming import scd2_maintain as SM
+
+    orders = read_table(spark, sf_dir, "orders")
+    drop_dir = str(tmp_path / "order_drops")
+    orders.coalesce(2).write.mode("overwrite").parquet(drop_dir)
+    dim_dir = str(tmp_path / "scd2_dim_stream")
+    stream = spark.readStream.schema(orders.schema).parquet(drop_dir)
+    q = SM.run_scd2_stream(stream, dim_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    report = SM.scd2_report(spark, dim_dir)
+    # one open version per customer with >= 1 order
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert report.filter("is_current = 1").count() == n_cust
+    assert report.groupBy("c_custkey", "version").count().filter("count > 1").count() == 0
