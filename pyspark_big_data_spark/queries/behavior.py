@@ -350,3 +350,49 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-window (RANGE frame) rolling aggregate
+# ---------------------------------------------------------------------------
+
+_ROLL_WINDOW_S = 3600
+_ROLL_USER_MOD = 30  # sample users to bound the per-event output
+
+_ROLLING_ORACLE = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER tw AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER tw AS DOUBLE) AS sum_1h
+FROM events
+WHERE user_id % {_ROLL_USER_MOD} = 0
+WINDOW tw AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL {_ROLL_WINDOW_S} SECONDS PRECEDING
+                        AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@register("rolling_1h_user_value", oracle=_ROLLING_ORACLE)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count + decimal-exact sum per event —
+    the RANGE frame (time-valued bounds; peers join the frame by VALUE,
+    not row position), distinct from every ROWS frame elsewhere in the
+    engine. Spark's rangeBetween needs a numeric ordering column, so
+    the frame orders by epoch seconds with [-{_ROLL_WINDOW_S}, 0] bounds —
+    exactly DuckDB's INTERVAL RANGE frame over ts, both ends inclusive
+    and tied timestamps sharing one frame. One user-keyed shuffle; the
+    user sample bounds the per-event OUTPUT, not the window math."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % _ROLL_USER_MOD == 0
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000))
+        .rangeBetween(-_ROLL_WINDOW_S, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(tw).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(30,8)")).over(tw).cast("double").alias("sum_1h"),
+    ).orderBy("user_id", "event_id")

@@ -111,6 +111,92 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time lookup against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_PIT_DATES = ["1994-01-01", "1996-01-01", "1998-01-01"]
+
+_PIT_ORACLE = f"""
+WITH ordered AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           LAG(o_orderpriority) OVER w AS prev_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), marked AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           SUM(CASE WHEN prev_priority IS NULL
+                      OR prev_priority <> o_orderpriority THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS version
+    FROM ordered
+), versions AS (
+    SELECT o_custkey AS c_custkey, version, o_orderpriority AS priority,
+           MIN(o_orderdate) AS valid_from
+    FROM marked GROUP BY 1, 2, 3
+), dim AS (
+    SELECT c_custkey, priority, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY version)
+               AS valid_to
+    FROM versions
+), probes AS (
+    SELECT unnest(['{"','".join(_PIT_DATES)}']) AS as_of
+)
+SELECT p.as_of, d.priority, COUNT(*) AS n_customers
+FROM probes p JOIN dim d
+  ON d.valid_from <= CAST(p.as_of AS TIMESTAMP)
+ AND (d.valid_to IS NULL OR d.valid_to > CAST(p.as_of AS TIMESTAMP))
+GROUP BY 1, 2
+ORDER BY as_of, priority
+"""
+
+
+@register("scd2_point_in_time", oracle=_PIT_ORACLE)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal 'as of') lookup: how many customers
+    were in each priority state at each probe date — the query shape an
+    SCD2 dimension exists to answer. The dimension is derived inline
+    (same logic as scd2_customer_priority, typed timestamps); the probe
+    side is a literal broadcast frame, so the lookup is one broadcast
+    range join against half-open [valid_from, valid_to) intervals —
+    per-customer interval counts are tiny and non-overlapping, so the
+    match is at most one version per (probe, customer)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = (
+        F.lag("o_orderpriority").over(w).isNull()
+        | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority"))
+    ).cast("long")
+    versions = (
+        orders.withColumn("version", F.sum(changed).over(w_cum))
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            "version",
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.min("o_orderdate").alias("valid_from"))
+    )
+    w_ver = Window.partitionBy("c_custkey").orderBy("version")
+    dim = versions.select(
+        "c_custkey", "priority", "valid_from", F.lead("valid_from").over(w_ver).alias("valid_to")
+    )
+    probes = spark.createDataFrame([(d,) for d in _PIT_DATES], ["as_of"]).select(
+        "as_of", F.col("as_of").cast("timestamp").alias("as_of_ts")
+    )
+    return (
+        dim.join(
+            F.broadcast(probes),
+            (F.col("valid_from") <= F.col("as_of_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("as_of_ts"))),
+        )
+        .groupBy("as_of", "priority")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("as_of", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Single-pass table profile
 # ---------------------------------------------------------------------------
 

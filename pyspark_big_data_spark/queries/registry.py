@@ -185,6 +185,13 @@ ROTATE_OUT: set[str] = {
     # family stays covered by q3_segment_profile_bottom on-surface and
     # by the bench hint matrix every round
     "q3_segment_profile_top",
+    # rested late-r5 so the NEW scd2_point_in_time / rolling_1h_user_
+    # value take slots: the broadcast-dim-join family stays covered by
+    # q4_avg_distance_sql_udf (same nation broadcast, plan-asserted in
+    # pytest), and the LSH-bucket family by doc_embed_lsh_near_dup +
+    # simhash_near_pairs on-surface
+    "revenue_by_nation",
+    "ann_lsh_bucketed",
 }
 
 
