@@ -605,3 +605,54 @@ def test_scd2_stream_foreachbatch_runs(spark, sf_dir, tmp_path):
     n_cust = orders.select("o_custkey").distinct().count()
     assert report.filter("is_current = 1").count() == n_cust
     assert report.groupBy("c_custkey", "version").count().filter("count > 1").count() == 0
+
+
+def test_ivm_incremental_equals_direct_aggregate(spark, sf_dir, tmp_path):
+    """Folding lineitem in 3 arbitrary hash batches through the IVM loop
+    reproduces revenue_by_nation's one-shot aggregate bit-for-bit
+    (decimal-exact running sums make batching invisible)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.analytics import revenue_by_nation
+    from pyspark_big_data_spark.streaming import ivm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    view_dir = str(tmp_path / "rev_view")
+    for i in range(3):
+        ivm.fold_revenue_batch(
+            li.filter(F.abs(F.xxhash64("l_orderkey")) % 3 == i), view_dir, sf_dir
+        )
+
+    got = [tuple(r) for r in ivm.revenue_report(spark, view_dir).collect()]
+    want = [
+        tuple(r)
+        for r in revenue_by_nation(spark, sf_dir)
+        .select("n_name", "revenue", "n_items")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_ivm_stream_foreachbatch_runs(spark, sf_dir, tmp_path):
+    """End-to-end wiring: lineitem landed as parquet drops, streamed
+    with availableNow through the IVM fold."""
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.analytics import revenue_by_nation
+    from pyspark_big_data_spark.streaming import ivm
+
+    li = read_table(spark, sf_dir, "lineitem")
+    drop_dir = str(tmp_path / "li_drops")
+    li.coalesce(2).write.mode("overwrite").parquet(drop_dir)
+    view_dir = str(tmp_path / "rev_view_stream")
+    stream = spark.readStream.schema(li.schema).parquet(drop_dir)
+    q = ivm.run_ivm_stream(stream, view_dir, sf_dir, str(tmp_path / "ivm_ckpt"))
+    q.awaitTermination()
+    got = [tuple(r) for r in ivm.revenue_report(spark, view_dir).collect()]
+    want = [
+        tuple(r)
+        for r in revenue_by_nation(spark, sf_dir)
+        .select("n_name", "revenue", "n_items")
+        .collect()
+    ]
+    assert got == want
