@@ -49,10 +49,14 @@ DRIVER_EXCLUDED: set[str] = set()
 # packing/mixture).
 
 # r6 rotation queue (oracled, pytest-green, not yet driver-verified):
-# doc_chunk_overlap, customers_without_orders, quality_classifier_score,
-# training_order_curriculum, split_leakage_audit, the SQL twins
-# (q1_top_months_per_year_sql, q2_event_time_bins_sql), and the rested
-# long-green rows. Keep swapping ~10/round per the policy above.
+# the SQL twins (q1_top_months_per_year_sql, q2_event_time_bins_sql),
+# stats_by_returnflag, nation_rank_dense_ntile, unpivot_lineitem_metrics,
+# orders_per_customer_array, customer_set_ops, user_overlap_exact,
+# distinct_users_by_type, json_props_extract variants, bigram_fluency,
+# dedup_longest_survivors, decontaminate_semantic, doc_embed_near_dup,
+# embedding_near_dup, multimodal_real_decode/_resize,
+# multimodal_audio_resample, plus the rested long-green rows. Keep
+# swapping ~10/round per the policy above.
 ROTATE_IN: set[str] = {
     # NEW mid-r5 operators, driver-verified the round they land:
     # RRF fusion of the BM25 + hashed-vector rankers, and the
