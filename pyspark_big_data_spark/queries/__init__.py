@@ -22,6 +22,7 @@ from pyspark_big_data_spark.queries import (  # noqa: F401
     q2_time_bins,
     q3_segment_profile,
     q4_distance,
+    quality,
     quantization,
     range_join,
     reshaping,

@@ -1,0 +1,237 @@
+"""Data-quality and change-capture utilities: equi-width histogram,
+referential-integrity audit, and snapshot diff (CDC extract).
+
+Three more engine utilities a warehouse team runs daily, each a pure
+DataFrame plan:
+
+- ``price_histogram``: fixed-bin distribution sketch of a measure —
+  one map-side bucket expression + a bins-sized aggregate.
+- ``referential_integrity_audit``: orphan counts for every declared
+  FK relation in one report — each relation is a left-anti join
+  (broadcast when the parent key set is small), unioned into a
+  relation-keyed summary. Clean testdata audits to zero orphans; the
+  zeros are the assertion, not a degenerate case.
+- ``snapshot_diff``: given two versions of a keyed table, emit every
+  key's change class (I/U/D) — the read-side complement to
+  operators/upsert.py's MERGE and streaming/ivm.py's folds. Change
+  detection compares an md5 over the canonically-stringified non-key
+  columns, so any column drift flags U without column-by-column plans.
+  The 'new' snapshot here is derived deterministically from customer
+  (drops, balance updates, key-shifted inserts) so both engines
+  construct identical versions.
+
+Scale notes: the histogram and audit are single-shuffle aggregates;
+the diff is one full-outer join on the key — at 100 TB you partition
+both snapshots the same way (bucketing) and the join is co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25_000.0
+_HIST_BINS = 20  # [0, 500k) in 25k bins; out-of-range clamps to edge bins
+
+_HIST_ORACLE = f"""
+SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / {_HIST_WIDTH}), 0),
+                  {_HIST_BINS - 1}) AS BIGINT) AS bin,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS bin_min,
+       ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register("price_histogram", oracle=_HIST_ORACLE)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: {_HIST_BINS} bins of
+    {_HIST_WIDTH:.0f}, outliers clamped into the edge bins. One
+    codegen bucket expression + a bins-sized aggregate — the
+    stats-collection primitive behind optimizer histograms."""
+    orders = read_table(spark, sf_dir, "orders")
+    bin_col = (
+        F.least(
+            F.greatest(F.floor(F.col("o_totalprice") / _HIST_WIDTH), F.lit(0)),
+            F.lit(_HIST_BINS - 1),
+        )
+    ).cast("long")
+    return (
+        orders.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_RI_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem) AS n_child,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'events.user_id -> customer',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id))
+ORDER BY relation
+"""
+
+
+@register("referential_integrity_audit", oracle=_RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan report for every declared FK relation: child rows whose
+    parent key is absent, via left-anti joins unioned into one summary.
+    On clean testdata every n_orphans is 0 — the audit PROVES it rather
+    than assuming it. Each anti-join shuffles on its own key (or
+    broadcasts the parent's key projection when small)."""
+    rels = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for label, child, ckey, parent, pkey in rels:
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent).select(F.col(pkey).alias(ckey)).distinct()
+        orphans = c.join(p, ckey, "left_anti")
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(label).alias("relation"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC extract between two table versions)
+# ---------------------------------------------------------------------------
+
+# deterministic 'new' snapshot derivation from customer:
+#   DELETE  where c_custkey % 17 == 3
+#   UPDATE  c_acctbal + 100 where c_custkey % 13 == 1 (and not deleted)
+#   INSERT  key-shifted clones (c_custkey + 1_000_000) where c_custkey % 29 == 5
+_DIFF_ROWHASH = "md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR), " \
+    "CAST(ROUND(c_acctbal, 2) AS VARCHAR), c_mktsegment))"
+
+_DIFF_ORACLE = f"""
+WITH old_snap AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+), new_snap AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 13 = 1 THEN c_acctbal + 100 ELSE c_acctbal END
+               AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 17 <> 3
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 29 = 5
+), o AS (
+    SELECT c_custkey, {_DIFF_ROWHASH} AS h FROM old_snap
+), n AS (
+    SELECT c_custkey, {_DIFF_ROWHASH} AS h FROM new_snap
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'I'
+            WHEN n.c_custkey IS NULL THEN 'D'
+            ELSE 'U' END AS change
+FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL OR o.h <> n.h
+ORDER BY c_custkey
+"""
+
+
+def _row_hash(df: DataFrame) -> DataFrame:
+    return df.select(
+        "c_custkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+                F.round("c_acctbal", 2).cast("string"),
+                F.col("c_mktsegment"),
+            )
+        ).alias("h"),
+    )
+
+
+@register("snapshot_diff", oracle=_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extract between two snapshots of a keyed table: one
+    full-outer join on the key, rows classified I (new key), D (gone
+    key), or U (same key, md5 row-hash drift over canonically
+    stringified non-key columns). The 'new' snapshot is derived
+    deterministically (drops / balance updates / key-shifted inserts)
+    so the oracle constructs the identical pair. At 100 TB both
+    snapshots share a bucketed layout and the join is co-located;
+    unchanged keys (the vast majority) never leave the joined
+    partition."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    old_snap = cust
+    updated = cust.filter(F.col("c_custkey") % 17 != 3).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 13 == 1, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 29 == 5).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    new_snap = updated.unionByName(inserts)
+
+    o = _row_hash(old_snap).select(
+        F.col("c_custkey").alias("o_key"), F.col("h").alias("o_h")
+    )
+    n = _row_hash(new_snap).select(
+        F.col("c_custkey").alias("n_key"), F.col("h").alias("n_h")
+    )
+    joined = o.join(n, F.col("o_key") == F.col("n_key"), "full_outer")
+    return (
+        joined.filter(
+            F.col("o_key").isNull()
+            | F.col("n_key").isNull()
+            | (F.col("o_h") != F.col("n_h"))
+        )
+        .select(
+            F.coalesce("o_key", "n_key").alias("c_custkey"),
+            F.when(F.col("o_key").isNull(), "I")
+            .when(F.col("n_key").isNull(), "D")
+            .otherwise("U")
+            .alias("change"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -196,6 +196,17 @@ ROTATE_OUT: set[str] = {
     # simhash_near_pairs on-surface
     "revenue_by_nation",
     "ann_lsh_bucketed",
+    # rested late-r5 so the NEW quality trio (price_histogram,
+    # referential_integrity_audit, snapshot_diff) takes slots:
+    # the union family stays covered by the audit's per-relation union
+    # + funnel_conversion's unionByName; training_set_select is still
+    # executed externally EVERY round by the driver's entry() smoke
+    # check (it is the flagship query) and stays pytest-oracled; the
+    # int8 family stays covered by ann_topk_quantized (same floor-
+    # quantization inside its candidate stage)
+    "union_priority_counts",
+    "training_set_select",
+    "embedding_quantize_int8",
 }
 
 
