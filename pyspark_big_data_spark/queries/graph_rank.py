@@ -149,3 +149,116 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") % 2 == 1).alias("is_supplier"),
         F.round("pr", 12).alias("pagerank"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection) over the same trade graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def lpa_oracle_sql(iters: int = _LPA_ITERS) -> str:
+    """Unrolled fixed-iteration synchronous label propagation in DuckDB,
+    mirroring the DataFrame loop expression by expression. All-integer
+    arithmetic: votes are counts, the winner is (max count, min label) —
+    no float anywhere, so the oracle is trivially exact."""
+    parts = [
+        """WITH e AS (
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), und AS (
+    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+), lp0 AS (
+    SELECT DISTINCT src AS node, src AS lbl FROM und
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p = f"lp{t - 1}"
+        parts.append(
+            f""", v{t} AS (
+    SELECT und.dst AS node, l.lbl AS lbl, COUNT(*) AS cnt
+    FROM und JOIN {p} l ON l.node = und.src
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT node, lbl, 1 FROM {p}
+), a{t} AS (
+    SELECT node, lbl, SUM(cnt) AS cnt FROM v{t} GROUP BY 1, 2
+), lp{t} AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM a{t}
+    ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node,
+       CAST(node % 2 = 1 AS BOOLEAN) AS is_supplier,
+       lbl AS community,
+       COUNT(*) OVER (PARTITION BY lbl) AS community_size
+FROM lp{iters}
+ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+@register("trade_communities", oracle=lpa_oracle_sql())
+def trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_LPA_ITERS}-iteration synchronous label propagation over the
+    undirected trade graph: each node adopts the most frequent label
+    among its neighbors plus its own (tie-break: smallest label) —
+    community detection as the third member of the iterative family
+    next to PageRank and connected components.
+
+    Everything is INTEGER arithmetic (vote counts, id labels), so
+    Spark and the generated unrolled DuckDB oracle agree exactly with
+    no decimal plumbing. Per iteration: one edges equi-join + one
+    (node, label) count + one per-node argmax window — all keyed on
+    node ids, AQE-balanced; labels localCheckpoint per iteration like
+    the PageRank loop. Synchronous updates + fixed iterations keep the
+    notorious LPA nondeterminism out entirely."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") * 2).alias("src"), "o_orderkey"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    e = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select("src", "dst")
+        .distinct()
+    )
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    lp = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(_LPA_ITERS):
+        nbr = (
+            und.join(lp.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        votes = nbr.unionByName(lp.select("node", "lbl", F.lit(1).alias("cnt")))
+        agg = votes.groupBy("node", "lbl").agg(F.sum("cnt").alias("cnt"))
+        w = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+        lp = (
+            agg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return lp.select(
+        "node",
+        (F.col("node") % 2 == 1).alias("is_supplier"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(W.partitionBy("lbl")).alias("community_size"),
+    ).orderBy("node")

@@ -207,6 +207,12 @@ ROTATE_OUT: set[str] = {
     "union_priority_counts",
     "training_set_select",
     "embedding_quantize_int8",
+    # rested late-r5 so the NEW trade_communities (label-propagation
+    # community detection) takes its slot; the seeded-hash-sampling
+    # family stays covered by training_order_shuffle +
+    # training_order_curriculum (same deterministic-hash mechanism),
+    # sample_stratified_quota stays pytest-oracled
+    "sample_hash_bucket",
 }
 
 
