@@ -282,3 +282,100 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+_GSETS_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment),
+                        (o_orderstatus, c_mktsegment), ())
+ORDER BY status, segment
+"""
+
+
+@register("grouping_sets_status_segment", oracle=_GSETS_ORACLE)
+def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the DataFrame API
+    (``df.groupingSets`` — the Spark 4 native form, no SQL detour):
+    per-status, per-segment, the cross, and the grand total in ONE
+    Expand-based aggregate pass instead of four scans. Completes the
+    hypertable-rollup family next to CUBE (cube_status_priority) and
+    ROLLUP (rollup_lineitem_status)."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+    return (
+        joined.groupingSets(
+            [["o_orderstatus"], ["c_mktsegment"], ["o_orderstatus", "c_mktsegment"], []],
+            "o_orderstatus",
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_orders",
+        )
+        .orderBy("status", "segment")
+    )
+
+
+_NULLSAFE_ORACLE = """
+WITH coded AS (
+    SELECT user_id % 10 AS bucket,
+           NULLIF(event_type, 'error') AS code,
+           CASE WHEN EXTRACT(DAY FROM ts) <= 15 THEN 1 ELSE 2 END AS half
+    FROM events
+), a AS (
+    SELECT bucket, code, COUNT(*) AS n_first
+    FROM coded WHERE half = 1 GROUP BY 1, 2
+), b AS (
+    SELECT bucket, code, COUNT(*) AS n_second
+    FROM coded WHERE half = 2 GROUP BY 1, 2
+)
+SELECT a.bucket AS bucket, COALESCE(a.code, 'NULL') AS code,
+       a.n_first, b.n_second
+FROM a JOIN b ON a.bucket = b.bucket AND a.code IS NOT DISTINCT FROM b.code
+ORDER BY a.bucket, code
+"""
+
+
+@register("null_safe_code_join", oracle=_NULLSAFE_ORACLE)
+def null_safe_code_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``eqNullSafe`` / IS NOT DISTINCT FROM):
+    month-half event counts matched on (bucket, code) where code is
+    deliberately NULL for error events — a plain ``=`` would silently
+    drop every NULL-code group, the classic three-valued-logic join
+    bug. The null-safe key keeps them matched in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    coded = ev.select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("code"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+    )
+    a = (
+        coded.filter(F.col("half") == 1)
+        .groupBy("bucket", "code")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    b = (
+        coded.filter(F.col("half") == 2)
+        .groupBy(F.col("bucket").alias("b_bucket"), F.col("code").alias("b_code"))
+        .agg(F.count(F.lit(1)).alias("n_second"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("b_bucket"))
+            & F.col("code").eqNullSafe(F.col("b_code")),
+        )
+        .select(
+            "bucket",
+            F.coalesce("code", F.lit("NULL")).alias("code"),
+            "n_first",
+            "n_second",
+        )
+        .orderBy("bucket", "code")
+    )

@@ -213,6 +213,14 @@ ROTATE_OUT: set[str] = {
     # training_order_curriculum (same deterministic-hash mechanism),
     # sample_stratified_quota stays pytest-oracled
     "sample_hash_bucket",
+    # rested late-r5 so the NEW grouping_sets_status_segment /
+    # null_safe_code_join take slots: the semi/anti-join family stays
+    # covered by customers_without_orders + referential_integrity_
+    # audit's four anti-joins; the Expand-reshape family stays covered
+    # by grouping_sets_status_segment + rollup_lineitem_status
+    # (pivot/unpivot twins stay pytest-oracled)
+    "order_priority_semi_join",
+    "pivot_segment_by_nation",
 }
 
 
