@@ -125,3 +125,24 @@ def stream_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFr
     """
     ensure_session_confs(spark)
     return spark.readStream.schema(schema).json(path)
+
+
+def enriched_events(events: DataFrame, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT state of the static customer side (Spark re-reads /
+    re-plans the static side per batch — so a dimension maintained by
+    another loop, e.g. scd2_maintain, is picked up as it changes).
+    Broadcast by size; no stream state at all, unlike stream-stream
+    joins. Emits one (segment, event) row per matched event."""
+    spark = events.sparkSession
+    ensure_session_confs(spark)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    observed = events.observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,8)")).cast("double").alias("sum_value"),
+    )
+    return observed.join(dim, "user_id").select("event_id", "user_id", "c_mktsegment", "value")

