@@ -65,6 +65,10 @@ _NESTED_LOOP_OK = {
     "semantic_dedup",
     "semantic_dedup_np",
     "semantic_dedup_multiprobe",
+    # SCD2 dim x broadcast(3 literal probe dates) with an interval
+    # condition: build side is a constant-size literal frame, a
+    # map-side interval test, not a data x data product
+    "scd2_point_in_time",
 }
 
 # crossJoin(broadcast(one_row_aggregate)): the build side is exactly ONE
@@ -83,6 +87,8 @@ _SCALAR_BROADCAST_OK = {
     "trade_pagerank",
     # two 1-row sketch frames joined for the inclusion-exclusion
     "user_overlap_sketch",
+    # per-relation (1-row child count) x (1-row orphan count) attaches
+    "referential_integrity_audit",
 }
 
 
