@@ -118,6 +118,7 @@ def main() -> None:
         log(f"bench: {name}: {dt:.3f}s ({n} rows)")
 
     variants = _csv_vs_parquet_variant(spark, sf_dir)
+    variants.update(_codec_variant(spark, sf_dir))
     variants.update(_incremental_steady_state_variant(spark, sf_dir))
     hint_matrix = _hint_matrix(spark)
 
@@ -233,6 +234,49 @@ def _csv_vs_parquet_variant(spark, sf_dir: str) -> dict[str, float]:
         return out
     except Exception as exc:  # noqa: BLE001
         log(f"bench: csv variant FAILED: {exc}")
+        return {}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _codec_variant(spark, sf_dir: str) -> dict[str, float]:
+    """Parquet codec economics on lineitem: bytes on disk + cold scan
+    seconds for snappy (Spark's default: fast, larger) vs zstd
+    (smaller, slightly more CPU). At 100 TB the storage-bill difference
+    dominates; the measurement keeps the trade-off honest per round."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_codec_")
+    out: dict[str, float] = {}
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        for codec in ("snappy", "zstd"):
+            path = f"{tmp}/{codec}"
+            li.write.option("compression", codec).mode("overwrite").parquet(path)
+            size = sum(
+                f.stat().st_size
+                for f in __import__("pathlib").Path(path).rglob("*.parquet")
+            )
+            spark.catalog.clearCache()
+            t0 = time.time()
+            spark.read.parquet(path).agg(
+                F.count(F.lit(1)), F.sum("l_extendedprice")
+            ).collect()
+            out[f"lineitem_{codec}_mb"] = round(size / 1e6, 1)
+            out[f"lineitem_{codec}_scan_sec"] = round(time.time() - t0, 3)
+        if out.get("lineitem_zstd_mb"):
+            out["snappy_over_zstd_size_ratio"] = round(
+                out["lineitem_snappy_mb"] / out["lineitem_zstd_mb"], 2
+            )
+        log(f"bench: codec variant {out}")
+        return out
+    except Exception as exc:  # noqa: BLE001
+        log(f"bench: codec variant FAILED: {exc}")
         return {}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
