@@ -379,3 +379,55 @@ def null_safe_code_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "code")
     )
+
+
+_LATEST_ORDER_ORACLE = """
+SELECT o_custkey AS custkey,
+       o_orderdate AS last_orderdate,
+       o_orderkey AS last_orderkey,
+       o_totalprice AS last_totalprice,
+       o_orderstatus AS last_status
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) AS rn
+    FROM orders
+)
+WHERE rn = 1
+ORDER BY custkey
+"""
+
+
+@register("latest_order_per_customer", oracle=_LATEST_ORDER_ORACLE, driver=False)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group WITHOUT a window sort: max over an ordered struct.
+
+    ``max(struct(ts, key, payload...))`` is an ordinary aggregate, so it
+    gets map-side partial aggregation (each input partition collapses to
+    at most one row per group BEFORE the exchange) — unlike the
+    row_number window, which must shuffle every row of the fact table
+    and sort each partition. At 100 TB with a bounded group count this
+    is the difference between shuffling ~n_groups rows and shuffling the
+    whole table; it is also the canonical CDC "latest record wins"
+    compaction shape (operators/upsert.py uses the same idea keyed on
+    batch ordinal). The struct's field order IS the comparison order:
+    event time first, unique key as the deterministic tie-break, payload
+    fields after (never reached, key is unique). Oracle: the equivalent
+    row_number()=1 query — two independent plans, one result.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice", "o_orderstatus")
+        ).alias("m")
+    )
+    return (
+        m.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("m.o_orderdate").alias("last_orderdate"),
+            F.col("m.o_orderkey").alias("last_orderkey"),
+            F.col("m.o_totalprice").alias("last_totalprice"),
+            F.col("m.o_orderstatus").alias("last_status"),
+        )
+        .orderBy("custkey")
+    )

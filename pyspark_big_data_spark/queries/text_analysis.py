@@ -315,3 +315,101 @@ def bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rank"], m["left"], m["right"], m["cnt"]) for m in merges],
         "rank long, left string, right string, cnt long",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate template detection + corpus datasheet
+# ---------------------------------------------------------------------------
+
+_BP_PREFIX_TOKENS = 6  # leading tokens that define a "template" prefix
+
+_BP_ORACLE = f"""
+SELECT md5(array_to_string(list_slice(toks, 1, {_BP_PREFIX_TOKENS}), ' ')) AS prefix_fp,
+       ANY_VALUE(array_to_string(list_slice(toks, 1, {_BP_PREFIX_TOKENS}), ' ')) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS example_doc_id
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix_fp
+"""
+
+
+@register("boilerplate_prefixes", oracle=_BP_ORACLE, driver=False)
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection: documents sharing their first
+    {_BP_PREFIX_TOKENS} normalized tokens are flagged as instances of a
+    shared template (web pipelines use this to strip mirrored headers,
+    navigation chrome, and license preambles that exact-dedup misses
+    because the page BODY differs).
+
+    Shape: one map-side prefix fingerprint per doc, one hash-groupBy on
+    the 32-hex fp — identical cost profile to exact dedup, scales the
+    same way. The HAVING >= 2 filter keeps output proportional to the
+    number of templates, not documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(TX.tokens(F.col("text")), 1, _BP_PREFIX_TOKENS), " ")
+    return (
+        docs.select(F.md5(prefix).alias("prefix_fp"), prefix.alias("prefix"), "doc_id")
+        .groupBy("prefix_fp")
+        .agg(
+            F.any_value("prefix").alias("prefix"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix_fp")
+    )
+
+
+_DATASHEET_ORACLE = f"""
+SELECT source,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_unique_texts,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(norm)) AS BIGINT) AS dup_docs,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM (SELECT doc_id, source, lang, n_chars, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@register("corpus_datasheet", oracle=_DATASHEET_ORACLE, driver=False)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per (source, lang) slice: doc/token
+    volumes, exact-duplicate rate, and id-range provenance — the table
+    every training-data release publishes as its datasheet.
+
+    Scale notes: one shuffle keyed by the (source, lang) slice;
+    COUNT(DISTINCT fp) expands to Spark's two-phase distinct aggregate
+    (partial distinct within partitions before the exchange), so the
+    dup-rate column does not force fingerprints through a second
+    full-table shuffle. At 100 TB this runs at scan speed and emits
+    O(slices) rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "doc_id",
+            "n_chars",
+            fp.alias("fp"),
+            TX.word_count(F.col("text")).cast("long").alias("n_words"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.countDistinct("fp").alias("n_unique_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -130,3 +130,67 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """The 100 TB partition-elimination story beyond STATIC pruning
+    (test_partitioned_write_prunes), pinned in both flavors:
+
+    (a) when the dim-side filter is ON the join key, Catalyst constraint
+        propagation infers a STATIC partition filter on the fact scan —
+        no runtime subquery needed at all;
+    (b) when the filter is on a dim attribute NOT derivable from the
+        join key (the TPC-DS date-dim shape), Catalyst must inject a
+        dynamicpruning subquery on the fact scan so only the partitions
+        surviving the dim filter are read. On a date-partitioned 100 TB
+        fact this is the difference between scanning 3 partitions and
+        3000."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "orders_by_priority")
+    o = read_table(spark, sf_dir, "orders")
+    o.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+
+    # (a) filter on the join key itself -> static inference, no DPP
+    dim_keyed = (
+        o.select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumnRenamed("o_orderpriority", "p")
+    )
+    j_static = fact.join(dim_keyed, fact["o_orderpriority"] == dim_keyed["p"]).groupBy().count()
+    plan_static = physical_plan(j_static)
+    assert "PartitionFilters: [(o_orderpriority" in plan_static.replace("isnotnull(o_orderpriority", "").replace(
+        "dynamicpruning", ""
+    ) or "= 1-URGENT" in plan_static, plan_static
+
+    # (b) filter on a literal dim attribute -> runtime DPP subquery
+    prios = sorted(r[0] for r in o.select("o_orderpriority").distinct().collect())
+    dim = spark.createDataFrame(
+        [(p, "hot" if p[0] in "12" else "cold") for p in prios], "p string, tier string"
+    )
+    joined = (
+        fact.join(dim, fact["o_orderpriority"] == dim["p"])
+        .filter(F.col("tier") == "hot")
+        .groupBy()
+        .count()
+    )
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is right: only the 'hot' partitions contributed
+    hot = [p for p in prios if p[0] in "12"]
+    expected = o.filter(F.col("o_orderpriority").isin(hot)).count()
+    assert joined.collect()[0][0] == expected
+
+
+def test_latest_order_maxby_has_no_window_sort(spark, sf_dir):
+    """Top-1-per-group via max(struct) must plan as a partial+final
+    aggregate — no Window operator, no per-partition Sort of the fact
+    table (the whole point vs row_number)."""
+    from pyspark_big_data_spark.queries.analytics import latest_order_per_customer
+
+    df = latest_order_per_customer(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, plan
