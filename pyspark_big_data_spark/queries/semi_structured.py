@@ -86,3 +86,30 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register("json_props_variant", oracle=_JSON_ORACLE, driver=False)
+def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregation through Spark 4's VARIANT type: one
+    ``try_parse_json`` into the binary variant encoding, then typed
+    ``try_variant_get`` path extraction.
+
+    Why it exists at 100 TB: VARIANT parses the JSON ONCE into a
+    columnar binary form; repeated path extraction is then a binary
+    probe, not a re-parse — versus get_json_object, which re-parses the
+    string per call site. For payloads queried by several downstream
+    fields this is the modern semi-structured plan (and it shreds into
+    Parquet in newer table formats). Oracle: identical aggregate via
+    DuckDB json_extract — three independent parse paths, one result
+    (get_json_object / from_json / variant)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .select("event_type", (F.col("k") % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .orderBy("event_type", "k_bucket")
+    )
