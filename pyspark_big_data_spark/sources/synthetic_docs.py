@@ -23,7 +23,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _SCHEMA_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -81,8 +86,42 @@ class SyntheticDocsReader(DataSourceReader):
             yield _make_doc(partition.seed, doc_id)
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch half of the source: ``spark.readStream.format(
+    "synth_docs")`` emits ``batch_size`` docs per trigger, offset =
+    next doc_id to generate.
+
+    Offset semantics are the whole contract here: ``initialOffset`` ->
+    {"next": 0}; each ``read`` advances by batch_size; a RESTART from a
+    checkpointed offset regenerates the exact same remaining stream
+    (rows are pure functions of doc_id), which is what makes the source
+    replayable — the property Structured Streaming's exactly-once story
+    is built on. ``readBetweenOffsets`` re-derives any range on recovery.
+    """
+
+    def __init__(self, options: dict):
+        self.batch_size = int(options.get("batch_size", 100))
+        self.max_docs = int(options.get("n_docs", 1000))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.max_docs)
+        end = {"next": hi}
+        return iter([_make_doc(self.seed, i) for i in range(lo, hi)]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            [_make_doc(self.seed, i) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+
 class SyntheticDocsDataSource(DataSource):
-    """``spark.read.format("synth_docs").option("n_docs", N)``."""
+    """``spark.read.format("synth_docs").option("n_docs", N)`` (batch)
+    or ``spark.readStream.format("synth_docs")`` (micro-batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -93,6 +132,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register_synth_docs(spark) -> None:

@@ -56,3 +56,33 @@ def test_composes_with_engine_operators(spark):
     assert sum(r["n"] for r in by_src) == 500
     assert {r["source"] for r in by_src} <= {"web", "wiki", "code", "news"}
     assert df.filter(F.col("n_chars") > 0).count() == 500
+
+
+def test_stream_reader_micro_batches(spark, tmp_path):
+    """Micro-batch read of the synthetic source: availableNow drains the
+    bounded stream in batch_size steps; the union of all micro-batches
+    must equal the batch read exactly (replayable-offset contract)."""
+    register_synth_docs(spark)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("synth_docs")
+        .option("n_docs", 250)
+        .option("batch_size", 100)
+        .option("seed", 7)
+        .load()
+    )
+    # Python stream sources don't support Trigger.AvailableNow (Spark
+    # falls back to ONE batch) — drain with processAllAvailable instead:
+    # offsets stop advancing once n_docs is reached, so it terminates.
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out_dir).orderBy("doc_id").collect()
+    want = _read(spark, n_docs=250, n_parts=2, seed=7).orderBy("doc_id").collect()
+    assert got == want
