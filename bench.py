@@ -78,6 +78,13 @@ HEADLINE = [
     "fuzzy_name_links",
     "scd2_customer_priority",
     "table_profile",
+    # end-of-r5 additions: CMS sketch, max-struct top-1, datasheet,
+    # template detection, VARIANT parse path
+    "token_freq_cms",
+    "latest_order_per_customer",
+    "corpus_datasheet",
+    "boilerplate_prefixes",
+    "json_props_variant",
 ]
 
 

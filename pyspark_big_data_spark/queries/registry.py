@@ -85,6 +85,15 @@ ROTATE_IN: set[str] = {
     "q3_segment_profile_bottom",
     "q1_top_months_string_slice",
     "rollup_lineitem_status",
+    # NEW end-of-r5 operators, driver-verified the round they land
+    # (each takes the slot of a long-green row rested below; the other
+    # two end-of-r5 queries — latest_order_per_customer and
+    # boilerplate_prefixes — stay pytest-oracled and head the r6 queue,
+    # because only three on-surface rows are both long-green AND
+    # family-redundant enough to rest):
+    "token_freq_cms",
+    "corpus_datasheet",
+    "json_props_variant",
 }
 ROTATE_OUT: set[str] = {
     "dedup_exact",
@@ -221,6 +230,18 @@ ROTATE_OUT: set[str] = {
     # (pivot/unpivot twins stay pytest-oracled)
     "order_priority_semi_join",
     "pivot_segment_by_nation",
+    # rested end-of-r5 so the NEW token_freq_cms / corpus_datasheet /
+    # json_props_variant take slots:
+    # fingerprint near-pair family stays covered on-surface by
+    # doc_embed_lsh_near_dup + split_leakage_audit (simhash twins stay
+    # pytest-oracled; green r2-r4)
+    "simhash_near_pairs",
+    # distributional family stays covered by price_histogram +
+    # table_profile's quartile columns (green r2-r4)
+    "price_percentiles",
+    # json_props_variant runs the IDENTICAL oracle through the variant
+    # parse path — a strict replacement (green r3-r4)
+    "json_props_extract",
 }
 
 
