@@ -1,0 +1,155 @@
+"""Triangle counting / clustering-coefficient audit of the near-dup
+pair graph — degree-ordered edge orientation (the distributed triangle
+algorithm of Suri & Vassilvitskii WWW'11, "Counting triangles and the
+curse of the last reducer").
+
+Why this query exists in a dedup pipeline: duplicate-cluster resolution
+(dedup_clusters) merges near-dup PAIRS transitively into components.
+That is safe when components are cliquish (A~B, B~C and A~C all hold)
+and risky when they are chains (A~B~C with A never verified against C —
+the "semantic drift" failure of transitive dedup). The per-document
+clustering coefficient 2T/(d(d-1)) measures exactly this: 1.0 means
+every pair inside the neighborhood was independently detected, low
+values flag chain-merged clusters to re-verify before dropping docs.
+
+Algorithm (all-integer, deterministic):
+- edges = the MinHash-LSH near-dup pairs (same pipeline as
+  dedup_minhash_lsh, md5-portable so the oracle replays it);
+- orient every edge from its (degree, id)-smaller endpoint to the
+  larger — each triangle then has EXACTLY one node with two out-edges
+  in it, so counting (u->v, u->w, v->w with v π-smaller than w) counts
+  each triangle once;
+- wedges are an equi-join of oriented edges on src, closure is an
+  equi-join against the oriented edge set.
+
+Scale design (100 TB): degree-ordering is the entire point — the wedge
+bill is Σ outdeg², and orienting toward higher degree caps every
+outdeg at O(sqrt(|E|)) (a high-degree hub gets IN-edges, never a huge
+out-fan). That kills the "last reducer" skew that a naive
+lowest-id orientation leaves on Zipf-degree graphs. Everything is
+equi-joins on node ids; the near-dup edge set is output-sized
+(bounded by the LSH bill already paid by dedup_minhash_lsh).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+import pyspark_big_data_spark.operators.dedup as DD
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.dedup import _AGREE, _dd_minhash_cte, _EST_THRESHOLD
+from pyspark_big_data_spark.queries.registry import register
+
+_TRI_ORACLE = f"""{_dd_minhash_cte()},
+pairs AS (
+    SELECT c.id_a AS u, c.id_b AS v
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
+    WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= {_EST_THRESHOLD}
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tn AS (SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri UNION ALL SELECT c AS id FROM tri),
+tcnt AS (SELECT id, COUNT(*) AS t FROM tn GROUP BY id),
+dn AS (SELECT u AS id FROM pairs UNION ALL SELECT v AS id FROM pairs),
+deg AS (SELECT id, COUNT(*) AS d FROM dn GROUP BY id)
+SELECT deg.id AS doc_id,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN ROUND(2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0 END AS clust_coeff
+FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+ORDER BY doc_id
+"""
+
+
+def count_triangles(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """(a, b, c) triangle triples of an undirected simple edge list
+    (each edge once, src < dst), via degree-ordered orientation."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient from (deg, id)-smaller endpoint to larger
+    ed = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    u_first = ku < kv
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, kv).otherwise(ku).alias("dst_key"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst_key") < F.col("y.dst_key"))
+        .select(
+            F.col("x.src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("y.dst").alias("c"),
+        )
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return wedges.join(closer, ["b", "c"])
+
+
+@register("dedup_triangle_audit", oracle=_TRI_ORACLE, driver=False)
+def dedup_triangle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document degree, triangle count, and clustering coefficient
+    over the MinHash near-dup pair graph (module docstring: the
+    transitive-merge safety audit). Oracle: DuckDB replays the pair
+    pipeline and counts triangles by the canonical a<b<c triple join —
+    an INDEPENDENT triangle algorithm, so agreement checks both the
+    orientation argument and the closure join."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(DD.shingles(docs)).cache()
+    edges = (
+        DD.estimated_jaccard(DD.candidate_pairs(DD.band_keys(sigs)), sigs)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select("id_a", "id_b")
+    ).cache()
+    tri = count_triangles(edges)
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(F.col("t"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clust_coeff"),
+        )
+        .orderBy("doc_id")
+    )
