@@ -413,3 +413,60 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis exponential keys)
+# ---------------------------------------------------------------------------
+
+_WS_K = 64  # sample size
+_WS_DENOM = float(2**48 + 1)  # hash48 -> u in (0,1): (h+1)/(2^48+1)
+
+
+def _ws_oracle() -> str:
+    from pyspark_big_data_spark.functions.text import hash48_sql_duckdb
+
+    h = hash48_sql_duckdb("'ws:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       ROUND(score, 6) AS weight,
+       ROUND(ln(({h} + 1) / {_WS_DENOM}) / ROUND(score, 6), 9) AS sample_key
+FROM {qc_scored_sql()}
+ORDER BY sample_key DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+@register("weighted_sample_quality", oracle=_ws_oracle(), driver=False)
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample without replacement via the
+    Efraimidis–Spirakis one-pass scheme: per-doc key = ln(u) / w with u
+    a seeded-hash uniform and w the quality-classifier score; the top-k
+    keys ARE a weighted sample without replacement (E-S 2006, via the
+    max of u^(1/w) formulation — ln is monotone, so ranking ln(u)/w
+    descending is identical and numerically tamer).
+
+    This completes the deterministic sampling family: uniform
+    (sample_hash_bucket), stratified (sample_stratified_quota), and now
+    importance-weighted — the "sample good documents more" selection a
+    curriculum/mixture pipeline actually runs.
+
+    Scale notes: key generation is map-side column math; top-k is
+    TakeOrderedAndProject (no global sort, partial top-k per partition
+    before the single k-row exchange). Reproducible across engines,
+    partitionings, and reruns — unlike rand()-keyed reservoirs.
+    Cross-engine float note: keys are ROUND(…, 9); the shared rounding
+    absorbs ln() last-ulp drift exactly as the corpus_ops oracles do."""
+    from pyspark_big_data_spark.functions.text import hash48
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = qc_score6(F.col("text"))
+    u = (hash48(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 1) / F.lit(
+        _WS_DENOM
+    )
+    key = F.round(F.log(u) / w, 9)
+    return (
+        docs.select("doc_id", w.alias("weight"), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_WS_K)
+    )

@@ -194,3 +194,12 @@ def test_latest_order_maxby_has_no_window_sort(spark, sf_dir):
     plan = physical_plan(df)
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    partial top-k, single k-row exchange) — never a global Sort."""
+    from pyspark_big_data_spark.queries.text_analysis import weighted_sample_quality
+
+    plan = physical_plan(weighted_sample_quality(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
