@@ -431,3 +431,68 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+_VOLUME_ORACLE = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+       {dsum_sql("l.l_extendedprice * (1.0 - l.l_discount)", "volume")},
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name <> nc.n_name
+  AND ns.n_name IN ('NATION_1', 'NATION_7', 'NATION_13')
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+@register("nation_volume_shipping", oracle=_VOLUME_ORACLE, driver=False)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped join topology: TWO independent dimension branches
+    (supplier->nation and customer->orders->nation) meeting on the
+    lineitem fact, with a cross-branch inequality (supp <> cust nation)
+    that can only apply AFTER both branches attach.
+
+    Scale notes vs the Q5 shape (revenue_by_nation): Q5 is one linear
+    dim chain; here the planner must pick an order for two branch
+    attachments. supplier x nation broadcasts onto lineitem (no fact
+    shuffle), then the orders/customer branch joins key-partitioned;
+    the IN-filter on the SUPPLIER branch prunes most fact rows before
+    the expensive branch. The <> predicate is a residual filter, never
+    a join explosion — both attachments stay equi-joins."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    supp_dim = F.broadcast(
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_name").isin("NATION_1", "NATION_7", "NATION_13"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(supp_dim, lineitem["l_suppkey"] == supp_dim["s_suppkey"])
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_dim, orders["o_custkey"] == cust_dim["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(dsum(volume, "volume"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )

@@ -203,3 +203,15 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
 
     plan = physical_plan(weighted_sample_quality(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q7_two_branch_topology_broadcasts_dims(spark, sf_dir):
+    """Both nation branches must attach by broadcast (no fact shuffle
+    for the dims); the cross-branch <> predicate is a residual filter,
+    never a join explosion."""
+    from pyspark_big_data_spark.queries.analytics import nation_volume_shipping
+
+    df = nation_volume_shipping(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
