@@ -215,3 +215,40 @@ def test_q7_two_branch_topology_broadcasts_dims(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB hot-key story WITHOUT manual salting: AQE's
+    OptimizeSkewedJoin must detect the oversized shuffle partition at
+    runtime and split it (SortMergeJoin(skew=true) + AQEShuffleRead
+    skewed in the executed plan). operators/joins.py::salted_join is
+    the manual fallback; this pins that the automatic path engages."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of left rows share one key -> one hot shuffle partition
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0][0] == 400_000  # inner join keeps every left row
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
