@@ -288,3 +288,95 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", "n_prior", F.round("z", 6).alias("z"))
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: linear-by-recency credit split
+# ---------------------------------------------------------------------------
+
+_MTA_ORACLE = f"""
+WITH c AS (
+    SELECT event_id AS click_id, user_id, ts AS cts
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS pts, value
+    FROM events WHERE event_type = 'purchase'
+), touches AS (
+    SELECT p.purchase_id, c.click_id, c.user_id, p.value,
+           row_number() OVER (
+               PARTITION BY p.purchase_id ORDER BY c.cts, c.click_id
+           ) AS touch_rank,
+           COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.pts >= c.cts
+     AND p.pts <= c.cts + INTERVAL {_ATTR_HORIZON_MIN} MINUTE
+)
+SELECT purchase_id, click_id, user_id,
+       CAST(touch_rank AS BIGINT) AS touch_rank,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       ROUND(value * touch_rank * 2.0 / (n_touches * (n_touches + 1)), 9) AS credit
+FROM touches
+ORDER BY purchase_id, touch_rank
+"""
+
+
+@register("multi_touch_attribution", oracle=_MTA_ORACLE, driver=False)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-by-recency multi-touch attribution on top of the
+    click->purchase interval join: each purchase's value is split
+    across ALL clicks in its lookback window with weight proportional
+    to recency rank (most recent touch gets n/(n(n+1)/2) of the value,
+    oldest gets 1/...). Credits per purchase sum back to the purchase
+    value by construction — the conservation law a reporting pipeline
+    reconciles on.
+
+    Scale notes: the interval join is the click_purchase_attribution
+    shape (user-keyed equi-join + time residual); ranking is a window
+    over purchase_id — bounded by touches-per-purchase, never a global
+    sort. Credit arithmetic is value * rank * 2 / (n * (n+1)) in the
+    same operation order in both engines, rounded to 9dp."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    us = F.unix_micros
+    touches = c.join(
+        p,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (us(F.col("pts")) - us(F.col("cts")) <= _ATTR_HORIZON_MIN * 60 * 1_000_000),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("cts", "click_id")
+    wc = Window.partitionBy("purchase_id")
+    return (
+        touches.select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).alias("touch_rank"),
+            F.count(F.lit(1)).over(wc).alias("n_touches"),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.col("touch_rank").cast("long").alias("touch_rank"),
+            F.col("n_touches").cast("long").alias("n_touches"),
+            F.round(
+                F.col("value")
+                * F.col("touch_rank")
+                * F.lit(2.0)
+                / (F.col("n_touches") * (F.col("n_touches") + 1)),
+                9,
+            ).alias("credit"),
+        )
+        .orderBy("purchase_id", "touch_rank")
+    )

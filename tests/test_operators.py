@@ -289,3 +289,27 @@ def test_hll_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
     est = user_overlap_sketch(spark, sf_dir).collect()[0][0]
     assert exact > 0
     assert abs(est - exact) <= max(3, 0.10 * exact)
+
+
+def test_multi_touch_credits_conserve_value(spark, sf_dir):
+    """Per purchase, the linear-by-recency credits must sum back to the
+    purchase value (the reconciliation law): sum over ranks of
+    v*r*2/(n(n+1)) == v exactly up to the 9dp per-credit rounding."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.queries.event_windows import multi_touch_attribution
+
+    mta = multi_touch_attribution(spark, sf_dir)
+    per_purchase = (
+        mta.groupBy("purchase_id")
+        .agg(F.sum("credit").alias("total_credit"), F.max("n_touches").alias("n"))
+    )
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("purchase_id"), "value"
+    )
+    joined = per_purchase.join(ev, "purchase_id").collect()
+    assert joined, "no attributed purchases in fixture"
+    for r in joined:
+        # each of n credits rounds at 9dp -> worst-case n * 5e-10 drift
+        assert abs(r["total_credit"] - r["value"]) <= r["n"] * 5e-10 + 1e-12, r
