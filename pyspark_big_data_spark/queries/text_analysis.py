@@ -470,3 +470,66 @@ def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(_WS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (gibberish / encoding-noise detector)
+# ---------------------------------------------------------------------------
+
+_ENT_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+ch AS (
+    SELECT doc_id,
+           substr(norm, unnest(generate_series(1, length(norm))), 1) AS ch
+    FROM d
+),
+cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+cn AS (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cc)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_chars_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       ROUND(CAST(-SUM(CAST((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)
+                            AS DECIMAL(38,18))) AS DOUBLE), 6) AS entropy_bits
+FROM cn
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("char_entropy_quality", oracle=_ENT_ORACLE, driver=False)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    quality dimension the length/stopword/punctuation trio misses:
+    natural language sits in a narrow entropy band (~4 bits/char for
+    English), while base64 blobs / minified code / key-mash gibberish
+    run high and repeated-character padding runs low. The standard
+    cheap pre-filter before model-scored quality.
+
+    Shape: char explode is map-side (same as shingling), one
+    (doc, char)-keyed aggregate + a doc-partitioned window for the
+    total. Cross-engine float note: per-class p*log2(p) doubles are
+    summed through DECIMAL(38,18) and rounded at the END to 6dp —
+    the bigram_fluency determinism recipe."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(
+        docs.select("doc_id", TX.normalize_text(F.col("text")).alias("norm"))
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.length("norm")))
+    ch = d.select("doc_id", pos.alias("i"), "norm").select(
+        "doc_id", F.substring(F.col("norm"), F.col("i"), 1).alias("ch")
+    )
+    from pyspark.sql import Window
+
+    cc = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    cn = cc.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    p = F.col("c").cast("double") / F.col("n")
+    term = (p * F.log2(p)).cast("decimal(38,18)")
+    return (
+        cn.groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_chars_norm"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round((-F.sum(term)).cast("double"), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
