@@ -48,15 +48,19 @@ DRIVER_EXCLUDED: set[str] = set()
 # second sampler, simhash/winnow fingerprint twins, tumbling window,
 # packing/mixture).
 
-# r6 rotation queue (oracled, pytest-green, not yet driver-verified):
-# the SQL twins (q1_top_months_per_year_sql, q2_event_time_bins_sql),
-# stats_by_returnflag, nation_rank_dense_ntile, unpivot_lineitem_metrics,
-# orders_per_customer_array, customer_set_ops, user_overlap_exact,
-# distinct_users_by_type, json_props_extract variants, bigram_fluency,
-# dedup_longest_survivors, decontaminate_semantic, doc_embed_near_dup,
-# embedding_near_dup, multimodal_real_decode/_resize,
-# multimodal_audio_resample, plus the rested long-green rows. Keep
-# swapping ~10/round per the policy above.
+# r6 rotation queue (oracled, pytest-green, not yet driver-verified) —
+# HEAD OF QUEUE: the end-of-r5 additions that missed the r5 surface
+# (latest_order_per_customer, boilerplate_prefixes,
+# jaccard_prefix_pairs, dedup_triangle_audit, weighted_sample_quality,
+# nation_volume_shipping, multi_touch_attribution,
+# char_entropy_quality); then the SQL twins (q1_top_months_per_year_sql,
+# q2_event_time_bins_sql), stats_by_returnflag, nation_rank_dense_ntile,
+# unpivot_lineitem_metrics, orders_per_customer_array, customer_set_ops,
+# user_overlap_exact, distinct_users_by_type, json_props_typed,
+# bigram_fluency, dedup_longest_survivors, decontaminate_semantic,
+# doc_embed_near_dup, embedding_near_dup, multimodal_real_decode/
+# _resize, multimodal_audio_resample, plus the rested long-green rows.
+# Keep swapping ~10/round per the policy above.
 ROTATE_IN: set[str] = {
     # NEW mid-r5 operators, driver-verified the round they land:
     # RRF fusion of the BM25 + hashed-vector rankers, and the
