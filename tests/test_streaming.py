@@ -685,3 +685,72 @@ def test_stream_static_enrichment_with_observe(spark, sf_dir):
     assert {(r["c_mktsegment"], r["n"]) for r in got.collect()} == {
         (r["c_mktsegment"], r["n"]) for r in batch.collect()
     }
+
+
+def test_watermark_drops_late_events_beyond_delay(spark, tmp_path):
+    """Pins the watermark CONTRACT, not just stream==batch agreement:
+    an event arriving after the watermark passed its window's end is
+    DROPPED (its finalized window count excludes it), while in-order
+    data keeps flowing. Batch boundaries are controlled by dropping one
+    parquet file per micro-batch (maxFilesPerTrigger=1 +
+    processAllAvailable between drops)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from pyspark_big_data_spark.streaming.streams import tumbling_counts
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    sch = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    drops = tmp_path / "drops"
+    drops.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(str(drops / name))
+
+    # batch 1: three in-window events + one at 12:30 that will advance
+    # the 1-hour watermark to 11:30 (past the 10:00 window's end)
+    drop("b1", [(t(10, 5), "click", 1.0), (t(10, 20), "click", 1.0),
+                (t(10, 40), "click", 1.0), (t(12, 30), "click", 1.0)])
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(drops))
+    )
+    q = (
+        tumbling_counts(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the already-finalized 10:00 window
+        # (must be dropped) + an in-order event at 12:40
+        drop("b2", [(t(10, 15), "click", 1.0), (t(12, 40), "click", 1.0)])
+        q.processAllAvailable()
+        # batch 3: advance the watermark past 13:00 to flush the 12:00 window
+        drop("b3", [(t(15, 0), "click", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r["window_start"]: r["cnt"] for r in spark.sql(
+        "SELECT window_start, cnt FROM late_drop_test"
+    ).collect()}
+    # 10:00 window finalized WITHOUT the late 10:15 arrival
+    assert rows.get("2024-01-01 10:00:00") == 3, rows
+    # in-order events kept flowing: 12:00 window has both 12:30 and 12:40
+    assert rows.get("2024-01-01 12:00:00") == 2, rows
