@@ -139,3 +139,95 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("l_returnflag", "metric")
+
+
+_ZSCORE_ORACLE = f"""
+WITH m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           {_s_sql("value")} AS sx,
+           {_s_sql("value * value")} AS sxx
+    FROM events
+    GROUP BY event_type
+)
+SELECT e.event_id,
+       e.event_type,
+       e.value,
+       ROUND((e.value - m.sx / m.n)
+             / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6) AS zscore
+FROM events e JOIN m ON m.event_type = e.event_type
+ORDER BY e.event_id
+"""
+
+
+@register("value_zscore_by_type", oracle=_ZSCORE_ORACLE, driver=False)
+def value_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization — the feature-engineering
+    standardization step (per-slice mean/std, then broadcast back onto
+    the rows). Two-pass shape: the per-group moments are ONE partial
+    aggregate (decimal-exact sums, so the stats are partitioning-
+    independent), broadcast onto the fact as a tiny dim — at 100 TB
+    this is a scan + a |groups|-row broadcast join, the same plan
+    z-scoring a training feature runs. (A Window.partitionBy twin would
+    shuffle the whole fact by group — deliberately avoided.)"""
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _s(F.col("value")).alias("sx"),
+        _s(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_COPURCHASE_TOP = 20
+
+_COPURCHASE_ORACLE = f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+    FROM lineitem
+)
+SELECT a.part AS part_a,
+       b.part AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM op a JOIN op b ON a.ok = b.ok AND a.part < b.part
+GROUP BY part_a, part_b
+ORDER BY support DESC, part_a, part_b
+LIMIT {_COPURCHASE_TOP}
+"""
+
+
+@register("copurchase_part_pairs", oracle=_COPURCHASE_ORACLE, driver=False)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_COPURCHASE_TOP} co-purchased part pairs by support — the
+    first level of frequent-itemset mining (A-priori L2 on basket
+    data), and the input to 'bought-together' recommenders.
+
+    Scale notes: the within-basket self-join is keyed on the ORDER —
+    the pair bill is Σ per-basket items², bounded by basket size (a
+    handful), never corpus²; the pair aggregate is one shuffle on the
+    pair key and the top-N is TakeOrderedAndProject. The degenerate
+    version of this query (join on the ITEM, i.e. 'any shared part')
+    is the Σ df² blowup the prefix-filter and LSH modules exist to
+    avoid — basket-keyed is the safe orientation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")).distinct()
+    a = op.select("ok", F.col("part").alias("part_a"))
+    b = op.select(F.col("ok").alias("ok_b"), F.col("part").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(_COPURCHASE_TOP)
+    )
