@@ -496,3 +496,48 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(volume, "volume"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+_ABOVE_AVG_ORACLE = """
+WITH ca AS (
+    SELECT o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS cust_avg
+    FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, ca.cust_avg
+FROM orders o JOIN ca ON ca.o_custkey = o.o_custkey
+WHERE o.o_totalprice > ca.cust_avg
+ORDER BY o.o_orderkey
+"""
+
+
+@register("orders_above_customer_avg", oracle=_ABOVE_AVG_ORACLE, driver=False)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: each order
+    compared against ITS customer's average price. Catalyst must
+    DECORRELATE this into one aggregate + one join (RewriteCorrelated
+    ScalarSubquery) — executing the subquery per outer row, the naive
+    reading, would be n_orders aggregate scans. The plan test pins the
+    decorrelated shape; the oracle spells the decorrelation by hand, so
+    agreement also confirms the rewrite preserved semantics.
+
+    Determinism: the correlated average is a decimal-exact sum/count
+    rounded to 6dp in BOTH engines before the comparison, so boundary
+    rows cannot flip on summation order."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               (SELECT ROUND(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+                             / COUNT(*), 6)
+                FROM orders_corr_v o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+        FROM orders_corr_v o
+        WHERE o.o_totalprice >
+              (SELECT ROUND(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+                            / COUNT(*), 6)
+               FROM orders_corr_v o2
+               WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+        """
+    )

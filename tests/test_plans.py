@@ -252,3 +252,13 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated scalar subquery must rewrite to aggregate+join —
+    no per-outer-row subquery execution nodes in the physical plan."""
+    from pyspark_big_data_spark.queries.analytics import orders_above_customer_avg
+
+    plan = physical_plan(orders_above_customer_avg(spark, sf_dir))
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan and "Join" in plan, plan
