@@ -53,7 +53,8 @@ DRIVER_EXCLUDED: set[str] = set()
 # (latest_order_per_customer, boilerplate_prefixes,
 # jaccard_prefix_pairs, dedup_triangle_audit, weighted_sample_quality,
 # nation_volume_shipping, multi_touch_attribution,
-# char_entropy_quality); then the SQL twins (q1_top_months_per_year_sql,
+# char_entropy_quality, ann_topk_pq, value_zscore_by_type,
+# copurchase_part_pairs, orders_above_customer_avg); then the SQL twins (q1_top_months_per_year_sql,
 # q2_event_time_bins_sql), stats_by_returnflag, nation_rank_dense_ntile,
 # unpivot_lineitem_metrics, orders_per_customer_array, customer_set_ops,
 # user_overlap_exact, distinct_users_by_type, json_props_typed,
