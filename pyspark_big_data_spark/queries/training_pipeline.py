@@ -76,10 +76,61 @@ def training_set_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def materialize_training_set(spark: SparkSession, sf_dir: str, out_path: str) -> int:
     """Write the curated set partitioned by lang (partition-pruned reads
-    downstream); returns the row count written."""
+    downstream) plus a ``_MANIFEST.json`` release card; returns the row
+    count written."""
     curated = curated_training_set(spark, sf_dir)
     write_parquet(curated, out_path, partition_by=["lang"])
+    write_release_manifest(spark, out_path)
     return spark.read.parquet(out_path).count()
+
+
+def write_release_manifest(spark: SparkSession, out_path: str) -> dict:
+    """Emit ``{out_path}/_MANIFEST.json``: per-lang row/token counts and
+    an ORDER-INDEPENDENT content fingerprint (decimal-exact sum of
+    per-row md5-48 hashes), so two materializations are comparable by
+    manifest alone — the release card a training run records next to
+    its data. Deliberately timestamp-free: the manifest is a pure
+    function of the content, so re-materializing identical data yields
+    a byte-identical manifest (asserted in tests)."""
+    import json
+
+    from pyspark_big_data_spark.functions.text import hash48
+
+    df = spark.read.parquet(out_path)
+    row_fp = hash48(F.concat_ws("|", *[F.col(c).cast("string") for c in sorted(df.columns)]))
+    stats = (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.sum(row_fp.cast("decimal(38,0)")).cast("string").alias("content_fp"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    manifest = {
+        "format": "parquet/lang-partitioned",
+        "columns": sorted(df.columns),
+        "total_docs": int(sum(r["n_docs"] for r in stats)),
+        "total_tokens": int(sum(r["n_tokens"] for r in stats)),
+        "per_lang": {
+            r["lang"]: {
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+                "content_fp": r["content_fp"],
+            }
+            for r in stats
+        },
+    }
+    payload = json.dumps(manifest, sort_keys=True, indent=1)
+    from pyspark_big_data_spark.operators.upsert import _fs
+
+    fs, _, jvm = _fs(spark, out_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(Path(f"{out_path}/_MANIFEST.json"), True)
+    out.write(bytearray(payload.encode()))
+    out.close()
+    return manifest
 
 
 # ---------------------------------------------------------------------------
