@@ -118,3 +118,47 @@ def test_schema_drift_report_catches_breaking_change(spark, tmp_path):
     ev = {(r["column"]): r for r in report if r["table"] == "events"}
     assert ev["ts"]["handled"] is False  # string ts: NOT a known variant
     assert ev["props"]["actual"] == "<missing>" and ev["props"]["handled"] is False
+
+
+def test_corrupt_shard_handling_both_modes(spark, sf_dir, tmp_path):
+    """100 TB operational reality: shards get truncated by failed
+    writes. Pin BOTH behaviors: default read FAILS LOUDLY on a corrupt
+    shard (silent data loss would be worse), and
+    spark.sql.files.ignoreCorruptFiles=true degrades to the readable
+    shards for triage scans."""
+    import glob
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.io import read_table
+
+    out = str(tmp_path / "sharded")
+    read_table(spark, sf_dir, "nation").repartition(4).write.parquet(out)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2
+    # truncate one shard mid-body: unreadable footer. Also remove the
+    # local-FS .crc sidecar — otherwise Hadoop raises ChecksumException
+    # at the FS layer BEFORE parquet corruption handling can engage
+    # (ignoreCorruptFiles only covers data-format corruption).
+    with open(files[0], "r+b") as f:
+        f.truncate(max(8, os.path.getsize(files[0]) // 2))
+    crc = os.path.join(os.path.dirname(files[0]), "." + os.path.basename(files[0]) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    with pytest.raises(Exception, match="[Cc]orrupt|[Pp]arquet|footer|magic"):
+        spark.read.parquet(out).count()
+
+    saved = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        # explicit schema (the engine's policy anyway): schema inference
+        # may itself land on the corrupt footer
+        sch = read_table(spark, sf_dir, "nation").schema
+        n = spark.read.schema(sch).parquet(out).agg(F.count(F.lit(1))).first()[0]
+        assert 0 < n < 25  # survivors only: fewer than the full 25 nations
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
