@@ -122,7 +122,12 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     found EXACTLY via prefix filtering (module docstring). The DuckDB
     oracle is the unfiltered all-pairs computation — agreement IS the
     no-miss theorem, checked end to end."""
-    docs = read_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def prefix_filter_pairs(docs: DataFrame) -> DataFrame:
+    """The prefix-filtered similarity join over any (doc_id, text)
+    frame (property-tested on random corpora in tests/test_setsim.py)."""
     pref = prefix_shingle_sets(docs).cache()
     posting = pref.select("doc_id", "n", F.explode("prefix").alias("s"))
     # candidate join = prefix-token equi-join + PPJoin length filter:
