@@ -262,3 +262,21 @@ def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     plan = physical_plan(orders_above_customer_avg(spark, sf_dir))
     assert "Subquery" not in plan, plan
     assert "HashAggregate" in plan and "Join" in plan, plan
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark):
+    """spark.sql.files.maxPartitionBytes is the scan-sizing knob the
+    100 TB notes lean on: shrinking it must split the same file into
+    more input partitions (smaller per-task memory footprint), growing
+    it must coalesce. Pinned against the sf0.1 lineitem file."""
+    path = "/root/testdata/sf0.1/lineitem.parquet"
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+        small = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
+        big = spark.read.parquet(path).rdd.getNumPartitions()
+        assert small > big >= 1, (small, big)
+        assert small >= 8, small  # ~19MB file at 1m splits -> many tasks
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
