@@ -65,6 +65,11 @@ _NESTED_LOOP_OK = {
     "semantic_dedup",
     "semantic_dedup_np",
     "semantic_dedup_multiprobe",
+    # embed the SAME exact-Lloyd phase-1 (corpus × broadcast(K=64
+    # sub-centroids) per subspace) via pq_codes_and_books — build side
+    # is K rows by construction, identical to kmeans_clusters above
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
     # SCD2 dim x broadcast(3 literal probe dates) with an interval
     # condition: build side is a constant-size literal frame, a
     # map-side interval test, not a data x data product
