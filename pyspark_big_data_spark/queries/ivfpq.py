@@ -8,7 +8,7 @@ Composes the engine's two quantization layers the way FAISS does:
   ``r = x - centroid(cell)`` rather than on x itself. That is the load-
   bearing trick: residuals concentrate near 0 with far less variance
   than raw vectors, so the same codebook budget quantizes them much
-  more finely (measured below);
+  more finely (numbers in tests/test_ivfpq.py's docstring);
 - query time: the probe's ADC tables are built per PROBED CELL from
   the probe's own residual against that cell's centroid — the table
   depends on (probe, cell), which is why IVFPQ cannot precompute one
@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark_big_data_spark.io import read_table
 from pyspark_big_data_spark.operators.kmeans import long_form
 from pyspark_big_data_spark.queries.pq import (
-    _M,
     _POOL,
     _SUB,
     _TOP_K,
