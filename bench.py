@@ -85,6 +85,11 @@ HEADLINE = [
     "corpus_datasheet",
     "boilerplate_prefixes",
     "json_props_variant",
+    # continuation-session additions: contrastive mining + cluster-keyed
+    # split (the dedup pipeline's cost plus one map-side hash)
+    "contrastive_triplets",
+    "split_assign_leakage_free",
+    "ab_test_readout",
 ]
 
 

@@ -328,7 +328,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTERS_ORACLE = f"""{_dd_minhash_cte()},
+# Shared CTE chain ending in `clusters(doc_id, cluster_id)` — the
+# transitive closure of the near-dup pair graph. Reused by the cluster
+# labeling oracle and the cluster-keyed split-assignment oracle so the
+# two can't drift.
+_CLOSURE_CTES = f"""{_dd_minhash_cte()},
 pairs AS (
     SELECT c.id_a, c.id_b
     FROM cand c
@@ -344,12 +348,17 @@ reach AS (
         SELECT w.src, s.v FROM walk w JOIN sym s ON s.u = w.node
     )
     SELECT src, node FROM walk
+),
+clusters AS (
+    SELECT src AS doc_id, MIN(node) AS cluster_id
+    FROM reach
+    GROUP BY src
 )
-SELECT src AS doc_id, MIN(node) AS cluster_id
-FROM reach
-GROUP BY src
-ORDER BY doc_id
 """
+
+_CLUSTERS_ORACLE = (
+    _CLOSURE_CTES + "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
+)
 
 
 @register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
@@ -651,3 +660,46 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free split ASSIGNMENT (the constructive fix the audit points at)
+# ---------------------------------------------------------------------------
+
+_SPLIT_ASSIGN_ORACLE = _CLOSURE_CTES + f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN {_H48.format(e="'split:' || CAST(cluster_id AS VARCHAR)")} % {_SPLIT_MOD} = 0
+            THEN 'val' ELSE 'train' END AS split
+FROM clusters
+ORDER BY doc_id
+"""
+
+
+@register("split_assign_leakage_free", oracle=_SPLIT_ASSIGN_ORACLE, driver=False)
+def split_assign_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-keyed train/val split assignment — the FIX for the
+    leakage ``split_leakage_audit`` measures: hash the duplicate-
+    CLUSTER representative (not the document), so every member of a
+    near-dup cluster lands in the same split and zero near-dup pairs
+    can cross the boundary (tests/test_split_contrastive.py re-runs the
+    audit's crossing filter against this assignment and asserts zero).
+
+    Same seed string and modulus as the audit: a singleton document's
+    cluster_id is its own doc_id, so untouched docs keep the exact
+    split the naive assignment gave them — only duplicate-cluster
+    members move (onto their representative's split).
+
+    Shape: the dedup pipeline's own shuffles plus one map-side hash —
+    assignment is a pure function of (seed, cluster_id), reproducible
+    across engines, runs, and incremental reruns. At 100 TB the
+    cluster map is the persisted table ``dedup_clusters_incremental``
+    maintains; assignment stays a map-side projection over it."""
+    from pyspark_big_data_spark.functions.text import hash48
+
+    labels = dedup_clusters(spark, sf_dir)
+    split = F.when(
+        hash48(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))) % _SPLIT_MOD
+        == 0,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return labels.select("doc_id", "cluster_id", split.alias("split")).orderBy("doc_id")

@@ -231,3 +231,87 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(_COPURCHASE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (Welch's t-test)
+# ---------------------------------------------------------------------------
+
+_AB_SEED = "exp1:"  # deterministic arm assignment: hash48(seed||user) % 2
+
+_AB_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           (('0x' || substr(md5('{_AB_SEED}' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT) % 2 AS arm,
+           {_s_sql("value")} AS y
+    FROM events
+    GROUP BY user_id
+), m AS (
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           {_s_sql("CASE WHEN arm = 0 THEN y ELSE 0 END")} AS sa,
+           {_s_sql("CASE WHEN arm = 0 THEN y * y ELSE 0 END")} AS saa,
+           {_s_sql("CASE WHEN arm = 1 THEN y ELSE 0 END")} AS sb,
+           {_s_sql("CASE WHEN arm = 1 THEN y * y ELSE 0 END")} AS sbb
+    FROM u
+)
+SELECT n_a, n_b,
+       ROUND(sa / n_a, 6) AS mean_a,
+       ROUND(sb / n_b, 6) AS mean_b,
+       ROUND(sa / n_a - sb / n_b, 6) AS lift,
+       ROUND((sa / n_a - sb / n_b)
+             / sqrt(((saa - sa * sa / n_a) / (n_a - 1)) / n_a
+                    + ((sbb - sb * sb / n_b) / (n_b - 1)) / n_b), 6) AS t_stat,
+       ROUND(pow(((saa - sa * sa / n_a) / (n_a - 1)) / n_a
+                 + ((sbb - sb * sb / n_b) / (n_b - 1)) / n_b, 2)
+             / (pow(((saa - sa * sa / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
+                + pow(((sbb - sb * sb / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1)), 6) AS welch_df
+FROM m
+"""
+
+
+@register("ab_test_readout", oracle=_AB_ORACLE, driver=False)
+def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-bucket arm assignment,
+    USER-level analysis units (per-user value total first, so
+    within-user event correlation can't shrink the variance — the
+    classic event-level-t-test mistake), then Welch's unequal-variance
+    t statistic and Welch-Satterthwaite df from decimal-exact moments.
+
+    Shape: one shuffle keyed by user (the per-user metric), then a
+    2-group conditional aggregate with map-side partial combine — the
+    readout is a single row regardless of corpus size. Arm assignment
+    is the same engine-portable seeded hash the samplers use, so a
+    re-run, an engine swap, or an incremental extension of the event
+    log cannot reshuffle users between arms."""
+    from pyspark_big_data_spark.functions.text import hash48
+
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(_s(F.col("value")).alias("y")).select(
+        (hash48(F.concat(F.lit(_AB_SEED), F.col("user_id").cast("string"))) % 2).alias("arm"),
+        "y",
+    )
+    m = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        _s(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sa"),
+        _s(F.when(F.col("arm") == 0, F.col("y") * F.col("y")).otherwise(0)).alias("saa"),
+        _s(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("sb"),
+        _s(F.when(F.col("arm") == 1, F.col("y") * F.col("y")).otherwise(0)).alias("sbb"),
+    )
+    n_a, n_b, sa, saa, sb, sbb = (F.col(c) for c in ["n_a", "n_b", "sa", "saa", "sb", "sbb"])
+    va_n = ((saa - sa * sa / n_a) / (n_a - 1)) / n_a  # Var_a / n_a
+    vb_n = ((sbb - sb * sb / n_b) / (n_b - 1)) / n_b
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(sa / n_a, 6).alias("mean_a"),
+        F.round(sb / n_b, 6).alias("mean_b"),
+        F.round(sa / n_a - sb / n_b, 6).alias("lift"),
+        F.round((sa / n_a - sb / n_b) / F.sqrt(va_n + vb_n), 6).alias("t_stat"),
+        F.round(
+            F.pow(va_n + vb_n, 2)
+            / (F.pow(va_n, 2) / (n_a - 1) + F.pow(vb_n, 2) / (n_b - 1)),
+            6,
+        ).alias("welch_df"),
+    )

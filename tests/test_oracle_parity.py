@@ -51,6 +51,10 @@ def test_every_query_has_oracle_or_is_flagged():
         # float-order reasoning, agreement gate in
         # tests/test_truncated_ann.py.
         "ann_topk_truncated_np",
+        # residual-encoded IVFPQ: k-means codebooks + ADC float sums
+        # have no bit-exact SQL twin; membership vs the fp IVF tier and
+        # recall-vs-exact floors gated in tests/test_ivfpq.py.
+        "ann_topk_ivfpq",
         # same float64-vs-decimal reasoning; agreement vs the oracled
         # exact tiers asserted in tests/test_clustering.py.
         "semantic_dedup_np",

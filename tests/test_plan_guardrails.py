@@ -51,6 +51,9 @@ _NESTED_LOOP_OK = {
     # corpus x broadcast(prefix-dim probes): same shape, prefix flat cols
     "ann_topk_truncated",
     "doc_embed_near_dup",  # guarded all-pairs witness over hashed doc vectors
+    # corpus x broadcast(guarded anchor sample): same shape as
+    # ann_topk_bruteforce — anchors are the broadcast build side
+    "contrastive_triplets",
     # corpus x broadcast(probe vectors): the build side is the held-out
     # benchmark set — small by definition, so the nested loop is a
     # map-side scan against a broadcast, not an O(n^2) blowup
