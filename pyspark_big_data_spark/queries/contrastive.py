@@ -35,6 +35,7 @@ from pyspark_big_data_spark.queries.similarity import (
     _DD_COS,
     _DD_V,
     _PROBE_MOD,
+    _TOP_K,
     guard_allpairs,
 )
 
@@ -132,3 +133,98 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "positive_id", "pos_cos", "negative_id", "neg_cos", "neg_rnk")
         .orderBy("anchor_id", "neg_rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed mining over a ranked top-k frame (the production shape)
+# ---------------------------------------------------------------------------
+
+
+def mine_triplets_from_topk(
+    neighbors: DataFrame, tau: float = _NEG_TAU, n_neg: int = _N_NEG
+) -> DataFrame:
+    """Derive (anchor, positive, hard-negative) triplets from ANY ranked
+    top-k neighbor frame ``(probe_id, neighbor_id, cosine, rnk)`` — the
+    output contract shared by ann_topk_bruteforce, the IVF tiers, and
+    streaming/incremental_ann.process_vector_batch. Production mining
+    is exactly this: take the index's top-k, rank 1 is the positive,
+    the first ``n_neg`` ranks whose cosine sits below ``tau`` are the
+    hard negatives. Pure column algebra over a frame that is already
+    bounded (probes x k rows), so it composes with the continuous ANN
+    loop at zero extra scan cost — mine each micro-batch's neighbor
+    output as it lands and the hard-negative set refreshes with the
+    index (the ANCE loop).
+
+    Windowed mining is exact where it matters: whenever the window
+    yields the full ``n_neg`` quota, those ARE the globally top-ranked
+    sub-tau negatives (anything outside the window ranks below every
+    in-window item under the same (cos desc, id asc) comparator) —
+    asserted against the full-ranking miner in
+    tests/test_split_contrastive.py."""
+    pos = neighbors.filter(F.col("rnk") == 1).select(
+        F.col("probe_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("rnk").asc())
+    neg = (
+        neighbors.filter((F.col("rnk") > 1) & (F.col("cosine") < tau))
+        .withColumn("neg_rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rnk") <= n_neg)
+        .select(
+            F.col("probe_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cos"),
+            "neg_rnk",
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select("anchor_id", "positive_id", "pos_cos", "negative_id", "neg_cos", "neg_rnk")
+        .orderBy("anchor_id", "neg_rnk")
+    )
+
+
+_TOPK_TRIPLETS_ORACLE = f"""
+WITH v AS ({_DD_V}),
+pairs AS (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, {_DD_COS} AS cos
+    FROM (SELECT * FROM v WHERE vec_id % {_PROBE_MOD} = 0) a
+    JOIN v b ON b.vec_id <> a.vec_id
+), ranked AS (
+    SELECT probe_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC
+           ) AS rnk
+    FROM pairs
+), topk AS (
+    SELECT * FROM ranked WHERE rnk <= {_TOP_K}
+), pos AS (
+    SELECT probe_id AS anchor_id, neighbor_id AS positive_id, cosine AS pos_cos
+    FROM topk WHERE rnk = 1
+), neg AS (
+    SELECT probe_id AS anchor_id, neighbor_id AS negative_id, cosine AS neg_cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY rnk ASC
+           ) AS BIGINT) AS neg_rnk
+    FROM topk WHERE rnk > 1 AND cosine < {_NEG_TAU}
+)
+SELECT p.anchor_id AS anchor_id, p.positive_id, p.pos_cos,
+       n.negative_id, n.neg_cos, n.neg_rnk
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+WHERE n.neg_rnk <= {_N_NEG}
+ORDER BY anchor_id, neg_rnk
+"""
+
+
+@register("contrastive_triplets_topk", oracle=_TOPK_TRIPLETS_ORACLE, driver=False)
+def contrastive_triplets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed triplet mining from the exact top-{_TOP_K} ANN output —
+    the shape a production loop runs (mine from the index's top-k, not
+    from a full ranking). Negatives threshold on the ROUNDED cosine the
+    top-k contract carries, mirrored exactly in the oracle. At 100 TB
+    the input swaps to the IVF/quantized tiers or the continuous loop's
+    per-batch neighbor output; this derivation is unchanged."""
+    from pyspark_big_data_spark.queries.similarity import ann_topk_bruteforce
+
+    return mine_triplets_from_topk(ann_topk_bruteforce(spark, sf_dir))

@@ -54,6 +54,9 @@ _NESTED_LOOP_OK = {
     # corpus x broadcast(guarded anchor sample): same shape as
     # ann_topk_bruteforce — anchors are the broadcast build side
     "contrastive_triplets",
+    # embeds ann_topk_bruteforce (above) as its top-k input; the miner
+    # adds only bounded window/join algebra on top
+    "contrastive_triplets_topk",
     # corpus x broadcast(probe vectors): the build side is the held-out
     # benchmark set — small by definition, so the nested loop is a
     # map-side scan against a broadcast, not an O(n^2) blowup

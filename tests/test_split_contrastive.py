@@ -66,3 +66,57 @@ def test_triplet_invariants(spark, sf_dir):
         assert r.pos_cos >= r.neg_cos  # positive is the rank-1 neighbor
         assert 1 <= r.neg_rnk <= _N_NEG
     assert max(per_anchor.values()) <= _N_NEG
+
+
+def test_windowed_mining_equals_exact_on_full_quota_anchors(spark, sf_dir):
+    """Where the top-k window yields the full negative quota, the
+    windowed miner's triplets are IDENTICAL to the full-ranking
+    miner's (the windowed items precede anything outside the window
+    under the same (cos desc, id asc) comparator)."""
+    from pyspark_big_data_spark.queries.contrastive import contrastive_triplets_topk
+
+    exact = {
+        (r.anchor_id, r.neg_rnk): (r.positive_id, r.pos_cos, r.negative_id, r.neg_cos)
+        for r in contrastive_triplets(spark, sf_dir).collect()
+    }
+    windowed = contrastive_triplets_topk(spark, sf_dir).collect()
+    assert windowed, "windowed miner found nothing on the fixture"
+    per_anchor: dict[int, int] = {}
+    for r in windowed:
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    full_quota = {a for a, n in per_anchor.items() if n == _N_NEG}
+    assert full_quota, "no anchor filled its quota inside the window"
+    for r in windowed:
+        if r.anchor_id in full_quota:
+            assert exact[(r.anchor_id, r.neg_rnk)] == (
+                r.positive_id,
+                r.pos_cos,
+                r.negative_id,
+                r.neg_cos,
+            )
+
+
+def test_mine_triplets_from_topk_edge_cases(spark):
+    """Hand-built ranked frame: sub-tau positives still pair, anchors
+    with no sub-tau window items emit nothing, quota truncates."""
+    from pyspark_big_data_spark.queries.contrastive import mine_triplets_from_topk
+
+    rows = [
+        # anchor 1: positive above tau, 4 negatives below tau -> quota 3
+        (1, 10, 0.95, 1), (1, 11, 0.30, 2), (1, 12, 0.20, 3),
+        (1, 13, 0.10, 4), (1, 14, 0.05, 5),
+        # anchor 2: ALL window items above tau -> no negatives, no rows
+        (2, 20, 0.99, 1), (2, 21, 0.90, 2), (2, 22, 0.85, 3),
+        # anchor 3: positive itself below tau -> still the positive;
+        # one eligible negative
+        (3, 30, 0.25, 1), (3, 31, 0.15, 2),
+    ]
+    nb = spark.createDataFrame(rows, ["probe_id", "neighbor_id", "cosine", "rnk"])
+    got = {
+        (r.anchor_id, r.neg_rnk): (r.positive_id, r.negative_id)
+        for r in mine_triplets_from_topk(nb).collect()
+    }
+    assert got == {
+        (1, 1): (10, 11), (1, 2): (10, 12), (1, 3): (10, 13),
+        (3, 1): (30, 31),
+    }
