@@ -443,3 +443,63 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall witness: the LSH tier's recall, measured as an oracled query
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH v AS ({_DD_V}),
+truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_DD_COS} >= {_NEAR_DUP_COS}
+),
+tb AS (
+    {_LSH_TABLE_SELECTS}
+), cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM tb x JOIN tb y
+      ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+hit AS (
+    SELECT t.id_a FROM truth t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 6) AS recall
+"""
+
+
+@register("lsh_recall_witness", oracle=_RECALL_ORACLE, driver=False)
+def lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tier's RECALL as a first-class oracled query: candidate
+    pairs from the OR-amplified band join, truth pairs from the guarded
+    exact all-pairs baseline, one row (n_truth, n_candidates, n_hit,
+    recall). Promotes the offline recall report
+    (tools/recall_report.py, PERFORMANCE.md table) into the
+    differential-verification surface — the recall KNOB (tables x
+    planes) is now externally checkable, not just quoted in docs.
+
+    Shape: the truth side is the O(n^2) exactness baseline, so this
+    witness is input-size guarded like every all-pairs plan here; at
+    scale recall is estimated on a guarded hash-sample of vectors
+    (same query over sample_hash_bucket's deterministic slice). The
+    candidate side is ids-only through the band equi-join; the final
+    assembly joins three one-row aggregates."""
+    truth = embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    counts = truth.join(cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return counts.crossJoin(F.broadcast(n_cand)).select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6).alias("recall"),
+    )

@@ -57,6 +57,8 @@ _NESTED_LOOP_OK = {
     # embeds ann_topk_bruteforce (above) as its top-k input; the miner
     # adds only bounded window/join algebra on top
     "contrastive_triplets_topk",
+    # embeds embedding_near_dup (above) as its guarded truth side
+    "lsh_recall_witness",
     # corpus x broadcast(probe vectors): the build side is the held-out
     # benchmark set — small by definition, so the nested loop is a
     # map-side scan against a broadcast, not an O(n^2) blowup
@@ -100,6 +102,8 @@ _SCALAR_BROADCAST_OK = {
     "user_overlap_sketch",
     # per-relation (1-row child count) x (1-row orphan count) attaches
     "referential_integrity_audit",
+    # (1-row truth/hit counts) x (1-row candidate count) attach
+    "lsh_recall_witness",
 }
 
 
