@@ -128,8 +128,10 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_rnk",
         )
     )
+    # pos is bounded at one row per anchor — broadcast it so the
+    # assembly never sort-merges two anchor-keyed frames
     return (
-        pos.join(neg, "anchor_id")
+        F.broadcast(pos).join(neg, "anchor_id")
         .select("anchor_id", "positive_id", "pos_cos", "negative_id", "neg_cos", "neg_rnk")
         .orderBy("anchor_id", "neg_rnk")
     )
@@ -178,8 +180,9 @@ def mine_triplets_from_topk(
             "neg_rnk",
         )
     )
+    # same bounded-build-side reasoning as the full-ranking miner
     return (
-        pos.join(neg, "anchor_id")
+        F.broadcast(pos).join(neg, "anchor_id")
         .select("anchor_id", "positive_id", "pos_cos", "negative_id", "neg_cos", "neg_rnk")
         .orderBy("anchor_id", "neg_rnk")
     )

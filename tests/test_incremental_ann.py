@@ -145,3 +145,31 @@ def test_ann_stream_via_foreachbatch(spark, sf_dir, index_dir, tmp_path):
     assert set(got) == set(exact)
     agree = sum(1 for kk in exact if abs(got[kk] - exact[kk]) < _AGREE_TOL)
     assert agree / len(exact) >= 0.98
+
+
+def test_batch_output_mines_triplets(spark, sf_dir, index_dir):
+    """The ANCE loop concretely: the miner consumes the loop's per-batch
+    neighbor output directly (same ranked-frame contract), and agrees
+    with mining over the oracled incremental query's output — so
+    hard-negative refresh costs nothing beyond the ANN search the batch
+    already ran."""
+    from pyspark_big_data_spark.queries.contrastive import mine_triplets_from_topk
+
+    batch = _emb(spark, sf_dir).filter(F.col("vec_id") % _INCR_ANN_MOD == 0)
+    loop_t = {
+        (r["anchor_id"], r["neg_rnk"]): (r["pos_cos"], r["neg_cos"])
+        for r in mine_triplets_from_topk(process_vector_batch(batch, index_dir)).collect()
+    }
+    exact_t = {
+        (r["anchor_id"], r["neg_rnk"]): (r["pos_cos"], r["neg_cos"])
+        for r in mine_triplets_from_topk(ann_topk_ivf_incremental(spark, sf_dir)).collect()
+    }
+    assert loop_t, "no triplets mined from the loop's batch output"
+    assert set(loop_t) == set(exact_t)
+    agree = sum(
+        1
+        for kk in exact_t
+        if abs(loop_t[kk][0] - exact_t[kk][0]) < _AGREE_TOL
+        and abs(loop_t[kk][1] - exact_t[kk][1]) < _AGREE_TOL
+    )
+    assert agree / len(exact_t) >= 0.98
