@@ -90,6 +90,7 @@ HEADLINE = [
     "contrastive_triplets",
     "split_assign_leakage_free",
     "ab_test_readout",
+    "user_erasure_audit",
 ]
 
 

@@ -46,6 +46,9 @@ def upsert_parquet(
             f"upsert updates contain {dup} duplicate key(s) — ambiguous merge"
         )
 
+    # a prior swap on this path leaves a stale cached file listing in
+    # the session; drop it so repeated merges in one session work
+    spark.catalog.refreshByPath(path)
     existing = spark.read.parquet(path)
     if set(existing.columns) != set(updates.columns):
         raise ValueError(
@@ -80,3 +83,54 @@ def upsert_parquet(
         "inserted": n_updates - (n_before - n_survivors),
         "total": n_survivors + n_updates,
     }
+
+
+def erase_keys_parquet(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: str,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Right-to-be-forgotten delete: remove every row whose ``key`` is
+    in ``keys`` and rewrite the dataset through the same crash-safe
+    rename swap as ``upsert_parquet``. Returns {"erased": n, "kept": n}.
+
+    Idempotent by construction (erasing already-absent keys is a
+    no-op rewrite), which is what a compliance replay needs — enabled
+    by the refreshByPath below: the rename swap invalidates Spark's
+    cached file listing for ``path``, so a same-session re-read must
+    drop it or fail on the swapped-out files. At 100 TB the same
+    economics note as upsert applies: partition the dataset by a
+    coarse key prefix and rewrite only touched partitions; a lakehouse
+    table format's deletion vectors would plug in at this seam.
+
+    Caller contract: ``keys`` must not be a live plan over ``path``
+    itself ACROSS calls — a DataFrame created before a swap pins the
+    pre-swap file listing and fails on replay. Pass a materialized
+    manifest (collected keys / separate dataset); within a single call
+    keys derived from ``path`` are fine (fully consumed before the
+    swap)."""
+    spark.catalog.refreshByPath(path)
+    existing = spark.read.parquet(path)
+    n_before = existing.count()
+    survivors = existing.join(keys.select(key).distinct(), key, "left_anti")
+    n_kept = survivors.count()
+
+    tmp = path.rstrip("/") + ".erase_tmp"
+    old = path.rstrip("/") + ".erase_old"
+    writer = survivors.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").parquet(tmp)
+
+    fs, hpath, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(hpath, Path(old)):
+        raise RuntimeError(f"erase swap failed: could not move {path} aside")
+    if not fs.rename(Path(tmp), hpath):
+        fs.rename(Path(old), hpath)  # roll back: dataset stays usable
+        raise RuntimeError(f"erase swap failed: could not move {tmp} into place")
+    fs.delete(Path(old), True)
+
+    return {"erased": n_before - n_kept, "kept": n_kept}

@@ -235,3 +235,78 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: erasure cascade audit
+# ---------------------------------------------------------------------------
+
+_ERASE_MOD = 100  # probe erasure set: customers with c_custkey % 100 == 0
+
+_ERASURE_ORACLE = f"""
+WITH probe AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+probe_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM probe))
+SELECT * FROM (
+    SELECT 'customer' AS relation,
+           CAST((SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT c_custkey FROM probe)) AS BIGINT) AS n_erase,
+           CAST((SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM probe)) AS BIGINT) AS n_keep
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM probe)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM probe_orders)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM probe_orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'events',
+           CAST((SELECT COUNT(*) FROM events WHERE user_id IN (SELECT c_custkey FROM probe)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT c_custkey FROM probe)) AS BIGINT)
+)
+ORDER BY relation
+"""
+
+
+@register("user_erasure_audit", oracle=_ERASURE_ORACLE, driver=False)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a probe erasure set of
+    customers, count the rows each relation would lose under the FULL
+    FK cascade — customer -> orders -> lineitem (transitively via the
+    order keys) and customer -> events (user activity). The audit is
+    the dry-run a compliance pipeline reviews before the destructive
+    pass; the destructive pass itself is
+    operators/upsert.py::erase_keys_parquet per relation (crash-safe
+    rename swap, idempotent on replay), tested in tests/test_upsert.py.
+
+    Shape: each relation contributes one semi-join count + one
+    anti-join count against the (broadcastable by construction) probe
+    key set; the lineitem leg cascades through the probe orders' keys —
+    also erasure-sized, so every join here broadcasts. Output is
+    4 relation-keyed rows at any corpus size."""
+    probe = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % _ERASE_MOD == 0
+    ).select("c_custkey")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    probe_orders = orders.join(
+        F.broadcast(probe), orders.o_custkey == probe.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    def leg(name: str, df: DataFrame, col: str, keys: DataFrame, kcol: str) -> DataFrame:
+        erase = df.join(F.broadcast(keys), df[col] == keys[kcol], "left_semi")
+        keep = df.join(F.broadcast(keys), df[col] == keys[kcol], "left_anti")
+        return (
+            erase.agg(F.count(F.lit(1)).cast("long").alias("n_erase"))
+            .crossJoin(keep.agg(F.count(F.lit(1)).cast("long").alias("n_keep")))
+            .select(F.lit(name).alias("relation"), "n_erase", "n_keep")
+        )
+
+    return (
+        leg("customer", cust, "c_custkey", probe, "c_custkey")
+        .unionByName(leg("orders", orders, "o_custkey", probe, "c_custkey"))
+        .unionByName(leg("lineitem", li, "l_orderkey", probe_orders, "o_orderkey"))
+        .unionByName(leg("events", ev, "user_id", probe, "c_custkey"))
+        .orderBy("relation")
+    )

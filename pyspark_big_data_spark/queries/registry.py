@@ -52,6 +52,7 @@ DRIVER_EXCLUDED: set[str] = set()
 # HEAD OF QUEUE: the end-of-r5 additions that missed the r5 surface
 # (contrastive_triplets, contrastive_triplets_topk,
 # split_assign_leakage_free, ab_test_readout, lsh_recall_witness,
+# user_erasure_audit,
 # latest_order_per_customer, boilerplate_prefixes,
 # jaccard_prefix_pairs, dedup_triangle_audit, weighted_sample_quality,
 # nation_volume_shipping, multi_touch_attribution,

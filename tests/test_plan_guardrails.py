@@ -104,6 +104,8 @@ _SCALAR_BROADCAST_OK = {
     "referential_integrity_audit",
     # (1-row truth/hit counts) x (1-row candidate count) attach
     "lsh_recall_witness",
+    # per-relation (1-row erase count) x (1-row keep count) attaches
+    "user_erasure_audit",
 }
 
 

@@ -94,3 +94,33 @@ def test_upsert_swap_rolls_back_on_failure(spark, sf_dir, tmp_path, monkeypatch)
         upsert_parquet(spark, path, upd, "c_custkey")
     monkeypatch.setattr(U, "_fs", real_fs)
     assert spark.read.parquet(path).count() == rows
+
+
+def test_erase_keys_removes_and_is_idempotent(spark, sf_dir, tmp_path):
+    from pyspark_big_data_spark.operators.upsert import erase_keys_parquet
+
+    path = _seed(spark, sf_dir, tmp_path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    # materialized key manifest (not a live plan over `path`): a lazy
+    # frame over the dataset being rewritten would pin the pre-swap
+    # file listing and fail on replay — the operator docstring's
+    # caller contract
+    key_rows = [
+        (r.c_custkey,)
+        for r in before.filter(F.col("c_custkey") % 100 == 0).select("c_custkey").collect()
+    ]
+    keys = spark.createDataFrame(key_rows, ["c_custkey"])
+    n_keys = len(key_rows)
+    assert n_keys > 0
+
+    stats = erase_keys_parquet(spark, path, keys, "c_custkey")
+    assert stats == {"erased": n_keys, "kept": n_before - n_keys}
+    after = spark.read.parquet(path)
+    assert after.count() == n_before - n_keys
+    assert after.filter(F.col("c_custkey") % 100 == 0).count() == 0
+
+    # compliance replay: erasing the same keys again is a no-op
+    stats2 = erase_keys_parquet(spark, path, keys, "c_custkey")
+    assert stats2 == {"erased": 0, "kept": n_before - n_keys}
+    assert spark.read.parquet(path).count() == n_before - n_keys
