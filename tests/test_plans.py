@@ -280,3 +280,25 @@ def test_max_partition_bytes_controls_scan_parallelism(spark):
         assert small >= 8, small  # ~19MB file at 1m splits -> many tasks
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+
+
+def test_ab_readout_is_pure_aggregate_plan(spark, sf_dir):
+    """The A/B readout must stay a two-level aggregate: no window, no
+    join — a regression here (e.g. a windowed rewrite) would turn a
+    single-row readout into a corpus-wide sort."""
+    from pyspark_big_data_spark.queries.statistics import ab_test_readout
+
+    df = ab_test_readout(spark, sf_dir)
+    assert_plan_lacks(df, "Window", "Join")
+    assert_plan_contains(df, "HashAggregate")
+
+
+def test_erasure_audit_joins_all_broadcast(spark, sf_dir):
+    """Every cascade leg probes a broadcast key set — a SortMergeJoin
+    appearing here means a corpus-sized shuffle snuck into what must
+    stay map-side semi/anti probes."""
+    from pyspark_big_data_spark.queries.quality import user_erasure_audit
+
+    df = user_erasure_audit(spark, sf_dir)
+    assert_plan_lacks(df, "SortMergeJoin", "ShuffledHashJoin")
+    assert_plan_contains(df, "BroadcastHashJoin")
