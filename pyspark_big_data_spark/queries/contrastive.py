@@ -14,11 +14,13 @@ Embedding-model training (retrieval/rerankers, SimCSE/DPR-style) needs
 
 This is the batch-mining shape of the hard-negative step in DPR
 (Karpukhin et al. 2020) / ANCE: mine with the current index, train,
-re-mine. The oracled tier is the exact differential witness; at 100 TB
-the candidate generation swaps to the ANN tiers (ann_topk_ivf /
-ann_lsh_bucketed) with this module's ranking/threshold rules unchanged —
-anchors broadcast, the corpus streams once, and the per-anchor state is
-a bounded top-(1+_N_NEG) heap either way.
+re-mine. The oracled exact tier is the differential witness; the
+registered ``contrastive_triplets_ivf`` IS the 100 TB swap (candidates
+from the IVF cells, same ranking/threshold rules), and
+``mine_triplets_from_topk`` runs the identical derivation over the
+continuous ANN loop's per-batch output — anchors broadcast, the corpus
+streams once, and the per-anchor state is a bounded top-(1+_N_NEG)
+heap in every tier.
 
 No reference-repo counterpart (the reference has no vector ops at all);
 the probe/broadcast scan shape follows queries/similarity.py.
@@ -231,3 +233,44 @@ def contrastive_triplets_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_big_data_spark.queries.similarity import ann_topk_bruteforce
 
     return mine_triplets_from_topk(ann_topk_bruteforce(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# IVF-composed mining: the 100 TB candidate-generation shape, oracled
+# ---------------------------------------------------------------------------
+
+def _ivf_triplets_oracle() -> str:
+    from pyspark_big_data_spark.queries.ann_ivf import _IVF_ORACLE
+
+    return f"""
+WITH topk AS ({_IVF_ORACLE}),
+pos AS (
+    SELECT probe_id AS anchor_id, neighbor_id AS positive_id, cosine AS pos_cos
+    FROM topk WHERE rnk = 1
+), neg AS (
+    SELECT probe_id AS anchor_id, neighbor_id AS negative_id, cosine AS neg_cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY rnk ASC
+           ) AS BIGINT) AS neg_rnk
+    FROM topk WHERE rnk > 1 AND cosine < {_NEG_TAU}
+)
+SELECT p.anchor_id AS anchor_id, p.positive_id, p.pos_cos,
+       n.negative_id, n.neg_cos, n.neg_rnk
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+WHERE n.neg_rnk <= {_N_NEG}
+ORDER BY anchor_id, neg_rnk
+"""
+
+
+@register("contrastive_triplets_ivf", oracle=_ivf_triplets_oracle(), driver=False)
+def contrastive_triplets_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining composed with the IVF ANN tier — the shape that
+    actually runs at 100 TB: candidates come from the probed cells (a
+    cell equi-join with broadcast centroids, never a corpus scan per
+    anchor), and the miner is the same bounded derivation. Oracle wraps
+    the IVF tier's full generated SQL (decimal-exact centroids, cell
+    assignment, QUALIFY top-k) in a CTE and mines from it — the whole
+    composition is differentially verified, not just the final step."""
+    from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf
+
+    return mine_triplets_from_topk(ann_topk_ivf(spark, sf_dir))
