@@ -703,3 +703,44 @@ def split_assign_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("val"),
     ).otherwise(F.lit("train"))
     return labels.select("doc_id", "cluster_id", split.alias("split")).orderBy("doc_id")
+
+
+_SOFT_WEIGHTS_ORACLE = _CLOSURE_CTES + """
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       ROUND(CAST(1.0 AS DOUBLE) / COUNT(*) OVER (PARTITION BY cluster_id), 6)
+           AS weight
+FROM clusters ORDER BY doc_id
+"""
+
+
+@register("dedup_soft_weights", oracle=_SOFT_WEIGHTS_ORACLE, driver=False)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep
+    every document and down-weight each by 1/|cluster| so a cluster of
+    n near-dups contributes exactly one document's worth of sampling
+    mass (SlimPajama-style weighting; the soft alternative to
+    ``dedup_near_survivors``). Trainers that sample by weight see the
+    same effective mixture as hard dedup without losing the intra-
+    cluster variation.
+
+    Invariant (pinned in tests/test_split_contrastive.py): the weights
+    sum to the number of clusters, i.e. the corpus mass after
+    weighting == the corpus mass after hard dedup.
+
+    Shape: the dedup pipeline's shuffles plus ONE extra cluster-keyed
+    window (count over cluster_id) — no join, no second corpus scan.
+    At 100 TB the cluster map is the persisted table
+    ``dedup_clusters_incremental`` maintains, so steady-state weighting
+    is a single window over that map, never a recompute. Oracle reuses
+    the shared recursive-closure CTE chain so Spark and SQL cannot
+    drift on cluster membership."""
+    labels = dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    size = F.count(F.lit(1)).over(w)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("weight"),
+    ).orderBy("doc_id")

@@ -120,3 +120,28 @@ def test_mine_triplets_from_topk_edge_cases(spark):
         (1, 1): (10, 11), (1, 2): (10, 12), (1, 3): (10, 13),
         (3, 1): (30, 31),
     }
+
+
+def test_soft_dedup_weights_mass_equals_hard_dedup(spark, sf_dir):
+    """The soft-dedup contract: per-doc weights are 1/|cluster|, so the
+    total weighted mass equals the hard-dedup survivor count (one
+    document's worth per duplicate cluster), every weight is in (0, 1],
+    and weight is constant within a cluster."""
+    from pyspark_big_data_spark.queries.dedup import dedup_soft_weights
+
+    w = dedup_soft_weights(spark, sf_dir)
+    agg = w.agg(
+        F.sum(F.lit(1.0) / F.col("cluster_size")).alias("mass"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.min("weight").alias("wmin"),
+        F.max("weight").alias("wmax"),
+    ).collect()[0]
+    assert abs(agg.mass - agg.n_clusters) < 1e-6
+    assert 0.0 < agg.wmin and agg.wmax <= 1.0
+    n_mixed = (
+        w.groupBy("cluster_id")
+        .agg(F.countDistinct("weight").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_mixed == 0
