@@ -51,7 +51,7 @@ DRIVER_EXCLUDED: set[str] = set()
 # r6 rotation queue (oracled, pytest-green, not yet driver-verified) —
 # HEAD OF QUEUE: the end-of-r5 additions that missed the r5 surface
 # (contrastive_triplets, contrastive_triplets_topk,
-# contrastive_triplets_ivf, dedup_soft_weights,
+# contrastive_triplets_ivf, dedup_soft_weights, percentiles_by_priority,
 # split_assign_leakage_free, ab_test_readout, lsh_recall_witness,
 # user_erasure_audit,
 # latest_order_per_customer, boilerplate_prefixes,

@@ -315,3 +315,39 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+_GRP_PCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("percentiles_by_priority", oracle=_GRP_PCT_ORACLE, driver=False)
+def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-GROUP percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, linear interpolation): the grouped companion to
+    the global `price_percentiles`. One hash-aggregate keyed by the
+    group column; per-group state is the group's value multiset, fine
+    while groups are driver-of-magnitude smaller than the table (5
+    priorities here). At 100 TB with heavy groups the swap is
+    `percentile_approx` (bounded-memory Greenwald-Khanna sketch, same
+    call shape, mergeable across partitions) — its error bound is
+    gated against the exact path in tests/test_operators.py."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
