@@ -1,0 +1,423 @@
+"""Driver-verifiable agreement witnesses for the rows-only scale tiers.
+
+Round 5 introduced the pattern (``ann_bruteforce_np_agreement`` /
+``ann_ivf_np_agreement``): a Spark-side join of a fast (BLAS / sketch)
+tier against its ORACLED exact twin, reduced to a one-row digest whose
+truth is trivially derivable in ANSI SQL — so the external differential
+driver can verify tiers whose raw outputs have no DuckDB twin (float
+summation order, engine-specific sketch binaries). This module extends
+the pattern to every remaining ANN / clustering / sketch scale tier,
+reproducing the reference's cross-API-agreement methodology
+(/root/reference/README.md:131-140, rdd/sql/df differential runs)
+across execution tiers.
+
+Digest contract: each witness emits ``(n_exact, gate_ok)`` (or a named
+count + ``gate_ok``). ``n_exact`` is recomputed INDEPENDENTLY by DuckDB
+from the exact tier's full oracle SQL — so the oracle re-verifies the
+exact tier while pinning the digest row — and ``gate_ok`` is pinned to
+the literal 1: any agreement break (dropped rows, cosine divergence
+past tolerance, cluster flips past the gate) flips it to 0 and the
+driver row goes red on the value hash.
+
+Gate levels mirror the pytest gates exactly (tests/test_quantization.py,
+test_truncated_ann.py, test_clustering.py, test_ivfpq.py,
+test_operators.py): tolerance tiers demand >=98% key overlap and
+<2e-6 cosine agreement on the overlap (BLAS-vs-fold float summation can
+only flip pool-boundary ties); equality tiers demand >=98% identical
+assignments; the IVFPQ tier is recall/membership-gated (its routing
+ceiling is documented in queries/ivfpq.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.registry import register
+
+# pool-boundary / summation-order tolerance — same constant as
+# similarity._AGREE_TOL (6dp-rounded outputs: real divergence >= 1e-6,
+# order artifact < 2e-6)
+_TOL = 2e-6
+_MIN_OVERLAP = 0.98
+
+
+def _digest(n_exact: Column, gate: Column, n_name: str = "n_exact") -> list[Column]:
+    return [n_exact.cast("long").alias(n_name), gate.cast("long").alias("gate_ok")]
+
+
+def tolerance_agreement_digest(
+    exact: DataFrame,
+    fast: DataFrame,
+    keys: list[str],
+    val: str = "cosine",
+    tol: float = _TOL,
+    min_overlap: float = _MIN_OVERLAP,
+    require_count_eq: bool = True,
+    n_name: str = "n_exact",
+) -> DataFrame:
+    """One-row (n_exact, gate_ok) digest of fast-vs-exact agreement.
+
+    Full-outer join on ``keys`` so rows missing from EITHER side count
+    against the overlap; the gate holds iff (a) the fast tier emitted
+    the same row count (when ``require_count_eq`` — top-k contracts fix
+    the count; threshold-pair contracts don't), (b) key overlap covers
+    ``min_overlap`` of the larger side, and (c) every overlapping key's
+    value agrees within ``tol``. Single aggregation — the witness adds
+    one join + one 1-row agg on top of the two tiers' own plans."""
+    ex = exact.select(*keys, F.col(val).alias("_v_exact"))
+    fa = fast.select(*keys, F.col(val).alias("_v_fast"))
+    both = F.col("_v_exact").isNotNull() & F.col("_v_fast").isNotNull()
+    agg = (
+        ex.join(fa, keys, "full_outer")
+        .agg(
+            F.count("_v_exact").alias("n_exact"),
+            F.count("_v_fast").alias("n_fast"),
+            F.sum(F.when(both, 1).otherwise(0)).alias("n_overlap"),
+            F.max(F.when(both, F.abs(F.col("_v_exact") - F.col("_v_fast")))).alias(
+                "max_diff"
+            ),
+        )
+    )
+    ok_counts = (
+        (F.col("n_fast") == F.col("n_exact")) if require_count_eq else F.lit(True)
+    )
+    denom = F.greatest(F.col("n_exact"), F.col("n_fast"))
+    ok_overlap = F.col("n_overlap") >= (F.lit(min_overlap) * denom)
+    ok_vals = F.col("max_diff").isNull() | (F.col("max_diff") < tol)
+    gate = F.when(ok_counts & ok_overlap & ok_vals, 1).otherwise(0)
+    return agg.select(*_digest(F.col("n_exact"), gate, n_name))
+
+
+def _wrap_count_oracle(inner_sql: str, n_name: str = "n_exact") -> str:
+    """The witness oracle: DuckDB independently recomputes the exact
+    tier's full pipeline and counts its rows; gate_ok is pinned to 1."""
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS {n_name},"
+        f" CAST(1 AS BIGINT) AS gate_ok FROM ({inner_sql})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8-GEMM tier vs the oracled int8 tier
+# ---------------------------------------------------------------------------
+
+
+def _quant_oracle() -> str:
+    from pyspark_big_data_spark.queries.quantization import _QANN_ORACLE
+
+    return _wrap_count_oracle(_QANN_ORACLE)
+
+
+@register("ann_quantized_np_agreement", oracle=_quant_oracle())
+def ann_quantized_np_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for ann_topk_quantized_np (the int8-GEMM
+    production path): its top-k must match the oracled int8 tier on
+    >=98% of (probe, neighbor) keys with 6dp-cosine agreement —
+    divergence is possible only where the dequantize multiply order
+    flips a pool-boundary tie (same gate as
+    tests/test_quantization.py::test_int8_gemm_tier_matches_oracled_tier)."""
+    from pyspark_big_data_spark.queries.quantization import (
+        ann_topk_quantized,
+        ann_topk_quantized_np,
+    )
+
+    return tolerance_agreement_digest(
+        ann_topk_quantized(spark, sf_dir),
+        ann_topk_quantized_np(spark, sf_dir),
+        keys=["probe_id", "neighbor_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-dim BLAS tier vs the oracled truncated tier
+# ---------------------------------------------------------------------------
+
+
+def _trunc_oracle() -> str:
+    from pyspark_big_data_spark.queries.truncated_ann import _TANN_ORACLE
+
+    return _wrap_count_oracle(_TANN_ORACLE)
+
+
+@register("ann_truncated_np_agreement", oracle=_trunc_oracle())
+def ann_truncated_np_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for ann_topk_truncated_np (prefix-dim GEMM +
+    full-precision rescore): >=98% key overlap with the oracled
+    truncated tier, 6dp cosine agreement on the overlap (gate of
+    tests/test_truncated_ann.py)."""
+    from pyspark_big_data_spark.queries.truncated_ann import (
+        ann_topk_truncated,
+        ann_topk_truncated_np,
+    )
+
+    return tolerance_agreement_digest(
+        ann_topk_truncated(spark, sf_dir),
+        ann_topk_truncated_np(spark, sf_dir),
+        keys=["probe_id", "neighbor_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF x int8 composition vs the oracled fp IVF tier
+# ---------------------------------------------------------------------------
+
+
+def _ivfq_oracle() -> str:
+    from pyspark_big_data_spark.queries.ann_ivf import _IVF_ORACLE
+
+    return _wrap_count_oracle(_IVF_ORACLE)
+
+
+@register("ann_ivf_quantized_agreement", oracle=_ivfq_oracle())
+def ann_ivf_quantized_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for ann_topk_ivf_quantized (the FAISS IVF+SQ
+    composition): it searches the SAME top-NPROBE cells as the oracled
+    fp IVF tier and int8 at dim 64 is near-lossless, so its top-k must
+    overlap the fp tier's on >=98% of keys with 6dp cosine agreement
+    (gate of tests/test_quantization.py::test_ivf_quantized_matches_
+    fp_ivf_tier, anchored here to the ORACLED tier so the chain ends at
+    DuckDB)."""
+    from pyspark_big_data_spark.queries.ann_ivf import ann_topk_ivf
+    from pyspark_big_data_spark.queries.quantization import ann_topk_ivf_quantized
+
+    return tolerance_agreement_digest(
+        ann_topk_ivf(spark, sf_dir),
+        ann_topk_ivf_quantized(spark, sf_dir),
+        keys=["probe_id", "neighbor_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means BLAS tier vs the oracled decimal-exact tier
+# ---------------------------------------------------------------------------
+
+_KMEANS_WITNESS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(1 AS BIGINT) AS gate_ok
+FROM embeddings
+"""
+
+
+@register("kmeans_np_agreement", oracle=_KMEANS_WITNESS_ORACLE)
+def kmeans_np_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for kmeans_clusters_np (broadcast-centroid
+    mapInPandas Lloyd): every vector must be assigned in both tiers and
+    >=98% of assignments must be identical — double-vs-decimal distance
+    sums can flip only near-tied argmins (gate of
+    tests/test_clustering.py::test_kmeans_np_tier_agrees_with_exact)."""
+    from pyspark_big_data_spark.queries.clustering import (
+        kmeans_clusters,
+        kmeans_clusters_np,
+    )
+
+    ex = kmeans_clusters(spark, sf_dir).select("vec_id", F.col("cluster").alias("_c_exact"))
+    fa = kmeans_clusters_np(spark, sf_dir).select(
+        "vec_id", F.col("cluster").alias("_c_fast")
+    )
+    both = F.col("_c_exact").isNotNull() & F.col("_c_fast").isNotNull()
+    agg = ex.join(fa, ["vec_id"], "full_outer").agg(
+        F.count("_c_exact").alias("n_exact"),
+        F.count("_c_fast").alias("n_fast"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when(both & (F.col("_c_exact") == F.col("_c_fast")), 1).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    gate = F.when(
+        (F.col("n_fast") == F.col("n_exact"))
+        & (F.col("n_both") == F.col("n_exact"))
+        & (F.col("n_agree") >= F.lit(_MIN_OVERLAP) * F.col("n_exact")),
+        1,
+    ).otherwise(0)
+    return agg.select(*_digest(F.col("n_exact"), gate, "n_vectors"))
+
+
+# ---------------------------------------------------------------------------
+# multi-probe SemDeDup BLAS tier vs the oracled multi-probe tier
+# ---------------------------------------------------------------------------
+
+
+def _mp_oracle() -> str:
+    from pyspark_big_data_spark.queries.clustering import _MULTIPROBE_ORACLE
+
+    return _wrap_count_oracle(_MULTIPROBE_ORACLE, n_name="n_pairs")
+
+
+@register("semantic_multiprobe_np_agreement", oracle=_mp_oracle())
+def semantic_multiprobe_np_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for semantic_dedup_multiprobe_np (soft-assign +
+    per-cell matmul): >=98% pair overlap with the oracled multi-probe
+    tier, 6dp cosine agreement on the overlap. Threshold-pair contract
+    — BLAS summation can flip pairs whose cosine ties the threshold to
+    ~1e-12, so exact count equality is NOT required (gate of
+    tests/test_clustering.py::test_multiprobe_np_tier_matches_exact)."""
+    from pyspark_big_data_spark.queries.clustering import (
+        semantic_dedup_multiprobe,
+        semantic_dedup_multiprobe_np,
+    )
+
+    return tolerance_agreement_digest(
+        semantic_dedup_multiprobe(spark, sf_dir),
+        semantic_dedup_multiprobe_np(spark, sf_dir),
+        keys=["id_a", "id_b"],
+        require_count_eq=False,
+        n_name="n_pairs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: recall-floor + cell-count witness (routing-bounded by design)
+# ---------------------------------------------------------------------------
+
+# Routing-bounded recall floors (queries/ivfpq.py docstring): label cells
+# carry no similarity structure on this synthetic data, so the ceiling is
+# ~NPROBE/num_cells (measured 0.62 at sf0.01, residual-PQ retains 0.58);
+# at 500 vectors the K=64 codebook is additionally starved (measured
+# 0.30). The floor switches at the corpus size where the tier becomes
+# representative — same split as tests/test_ivfpq.py.
+_IVFPQ_FLOOR_SMALL = 0.25
+_IVFPQ_FLOOR = 0.45
+_IVFPQ_REPRESENTATIVE_N = 2000
+
+
+def _ivfpq_witness_oracle() -> str:
+    from pyspark_big_data_spark.queries.ivfpq import _PROBE_MOD
+
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, CAST(1 AS BIGINT) AS gate_ok
+FROM embeddings WHERE vec_id % {_PROBE_MOD} = 0
+"""
+
+
+@register("ann_ivfpq_witness", oracle=_ivfpq_witness_oracle())
+def ann_ivfpq_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for ann_topk_ivfpq (residual-PQ over IVF cells —
+    the FAISS IVFPQ shape): gate = (a) every probe answered with exactly
+    k neighbors, (b) no probe's neighbors span more than NPROBE distinct
+    cells (the candidate-count guarantee the composition exists for),
+    (c) recall@k vs exact L2 holds the routing-bounded floor
+    ({_IVFPQ_FLOOR} past {_IVFPQ_REPRESENTATIVE_N} vectors,
+    {_IVFPQ_FLOOR_SMALL} below — codebook-starved, see
+    tests/test_ivfpq.py). The exact-L2 truth is computed Spark-side as
+    a guarded corpus x broadcast(probes) scan — independent of every
+    IVFPQ stage."""
+    from pyspark_big_data_spark.functions import vectors as V
+    from pyspark_big_data_spark.queries.ivfpq import (
+        _NPROBE,
+        _PROBE_MOD,
+        _TOP_K,
+        ann_topk_ivfpq,
+    )
+    from pyspark_big_data_spark.queries.similarity import guard_allpairs
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    n_row = emb.count()
+    floor = _IVFPQ_FLOOR if n_row >= _IVFPQ_REPRESENTATIVE_N else _IVFPQ_FLOOR_SMALL
+
+    # exact L2 truth: corpus x broadcast(probes) over flat codegen
+    # columns, per-probe top-k window (ties -> smaller id, matching the
+    # lexsort convention in tests/test_ivfpq.py)
+    flat = V.flatten_vec(emb.select("vec_id", "e"), "e", dim, "_x", ["vec_id"])
+    probes = guard_allpairs(
+        flat.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+            F.col("vec_id").alias("probe_id"),
+            *[F.col(f"_x{i}").alias(f"_p{i}") for i in range(dim)],
+        ),
+        "ann_ivfpq_witness probes",
+    )
+    d2 = F.lit(0.0)
+    for i in range(dim):
+        diff = F.col(f"_x{i}") - F.col(f"_p{i}")
+        d2 = d2 + diff * diff
+    w = Window.partitionBy("probe_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        flat.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("probe_id", F.col("vec_id").alias("_nb_exact"))
+    )
+
+    got = ann_topk_ivfpq(spark, sf_dir).select(
+        "probe_id", F.col("vec_id").alias("_nb_got")
+    )
+    labels = emb.select(F.col("vec_id").alias("_nb_got"), "label")
+
+    per_probe = (
+        got.join(F.broadcast(labels), "_nb_got")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.countDistinct("label").alias("n_cells"),
+        )
+    )
+    hits = (
+        got.join(
+            exact,
+            (got["probe_id"] == exact["probe_id"])
+            & (F.col("_nb_got") == F.col("_nb_exact")),
+        )
+        .groupBy(got["probe_id"].alias("probe_id"))
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    agg = (
+        per_probe.join(hits, "probe_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.when(F.col("n_nbrs") == _TOP_K, 0).otherwise(1)).alias("bad_k"),
+            F.sum(F.when(F.col("n_cells") <= _NPROBE, 0).otherwise(1)).alias("bad_cells"),
+            (
+                F.sum(F.coalesce(F.col("n_hit"), F.lit(0)))
+                / (F.count(F.lit(1)) * F.lit(float(_TOP_K)))
+            ).alias("recall"),
+        )
+    )
+    gate = F.when(
+        (F.col("bad_k") == 0)
+        & (F.col("bad_cells") == 0)
+        & (F.col("recall") >= F.lit(floor)),
+        1,
+    ).otherwise(0)
+    return agg.select(*_digest(F.col("n_probes"), gate, "n_probes"))
+
+
+# ---------------------------------------------------------------------------
+# HLL overlap sketch vs the oracled exact intersection
+# ---------------------------------------------------------------------------
+
+
+def _overlap_oracle() -> str:
+    from pyspark_big_data_spark.queries.cleaning import _OVERLAP_ORACLE
+
+    return (
+        "SELECT CAST(n_overlap AS BIGINT) AS n_overlap,"
+        f" CAST(1 AS BIGINT) AS gate_ok FROM ({_OVERLAP_ORACLE})"
+    )
+
+
+@register("user_overlap_sketch_witness", oracle=_overlap_oracle())
+def user_overlap_sketch_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for user_overlap_sketch (HLL inclusion-exclusion):
+    the estimate must sit inside the compounded HLL error envelope
+    around the exact intersection — |est - exact| <= max(3, 10% exact),
+    three ~2%-RSE estimates compounding (gate of tests/test_operators.py
+    ::test_hll_overlap_inclusion_exclusion_accuracy). n_overlap is the
+    EXACT intersection, independently recomputed by DuckDB."""
+    from pyspark_big_data_spark.queries.cleaning import (
+        user_overlap_exact,
+        user_overlap_sketch,
+    )
+
+    ex = user_overlap_exact(spark, sf_dir)
+    est = user_overlap_sketch(spark, sf_dir)
+    j = ex.crossJoin(F.broadcast(est))
+    gate = F.when(
+        F.abs(F.col("n_overlap_est") - F.col("n_overlap"))
+        <= F.greatest(F.lit(3.0), F.lit(0.10) * F.col("n_overlap")),
+        1,
+    ).otherwise(0)
+    return j.select(*_digest(F.col("n_overlap"), gate, "n_overlap"))
