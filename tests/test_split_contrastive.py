@@ -145,3 +145,22 @@ def test_soft_dedup_weights_mass_equals_hard_dedup(spark, sf_dir):
         .count()
     )
     assert n_mixed == 0
+
+
+def test_split_from_map_equals_full_chain_and_is_projection(spark, sf_dir):
+    """The steady-state assignment (projection over the persisted
+    cluster map) must equal the full-chain recompute row for row, and
+    its plan must be join-free and shuffle-light (one scan + hash —
+    the 100 TB shape the query exists to demonstrate)."""
+    from pyspark_big_data_spark.queries.dedup import (
+        split_assign_from_map,
+        split_assign_leakage_free,
+    )
+    from pyspark_big_data_spark.testing import physical_plan
+
+    steady = split_assign_from_map(spark, sf_dir)
+    full = split_assign_leakage_free(spark, sf_dir)
+    assert sorted(map(tuple, steady.collect())) == sorted(map(tuple, full.collect()))
+    plan = physical_plan(steady)
+    for node in ("Join", "HashAggregate", "BroadcastExchange"):
+        assert node not in plan, f"steady-state plan should be a projection: {node}"
