@@ -18,16 +18,19 @@ Determinism is the whole design:
 - argmin tie-break on (distance, cid).
 
 Scale notes: centroids are k x dim rows — broadcast; each iteration is
-two shuffles (argmin groupBy, recompute groupBy) over the long-form
-(id, pos, val) frame, which is cached once. Empty clusters simply drop
-out (both engines derive them from identical assignments, so parity
-holds); production k-means++ recovery strategies are orthogonal.
+a shuffle-free phase-1 pre-cut (mapInPandas quadratic-form distances
+against the broadcast centroid matrix, emitting ~final_n candidate
+cells per point) followed by a decimal-exact phase-2 re-rank over the
+candidates only — the shuffled row count is O(n · final_n), never
+O(n · k), so the k ∝ n cell schedule (queries/clustering.py::_k_for)
+cannot blow the exchange. Empty clusters simply drop out (both engines
+derive them from identical assignments, so parity holds); production
+k-means++ recovery strategies are orthogonal.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
 
 _DEC = "decimal(38,18)"
 
@@ -77,84 +80,53 @@ def kmeans_assignments(
     """
     spark = emb.sparkSession
     pv = long_form(emb, id_col, vec_col).cache()
-    dim_row = emb.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"] if dim_row else 0
+    ev = emb.select(id_col, vec_col)
 
-    def _land(cent_frame: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _land(cent_frame: DataFrame):
         """Materialize the k×dim centroids on the driver (the same
         bounded round-trip the BLAS tier makes each iteration) and
-        rebuild them as a LOCAL long-form relation plus a FLAT-COLUMN
-        twin (cid, _c0.._c{dim-1}) for the phase-1 distance. Python
+        rebuild them as a LOCAL long-form relation for phase 2, plus
+        the (cids, matrix) pair the phase-1 pre-cut broadcasts. Python
         floats are IEEE doubles, so the round-trip is bit-exact; without
         it each iteration's plan re-expands the previous iterations'
-        lineage once per centroid reference (~3^iters recomputes).
+        lineage once per centroid reference (~3^iters recomputes)."""
+        import numpy as np
 
-        Flat columns, not arrays: per-element array getItem costs
-        enough generated bytecode that a 64-term distance expression
-        blows the JVM's JIT method limit and silently drops to the
-        bytecode interpreter (~10x slower) — measured, see
-        functions/vectors.py. Flat double columns compile lean."""
         rows = cent_frame.collect()
         local = spark.createDataFrame(rows, cent_frame.schema)
         byc: dict = {}
         for r in rows:
             byc.setdefault(r["cid"], {})[r["pos"]] = r["cval"]
-        flat_rows = [
-            tuple([cid] + [d[p] for p in range(1, dim + 1)]) for cid, d in sorted(byc.items())
-        ]
-        flat_schema = StructType(
-            [cent_frame.schema["cid"]]
-            + [StructField(f"_c{i}", DoubleType()) for i in range(dim)]
-        )
-        flat = spark.createDataFrame(flat_rows, flat_schema)
-        return local, flat
+        cids = np.array(sorted(byc), dtype="int64")
+        dims = sorted(next(iter(byc.values()))) if byc else []
+        cmat = np.array([[byc[c][p] for p in dims] for c in cids], dtype="float64")
+        return local, cids, cmat
 
     seeds = emb.select(F.col(id_col).alias("cid")).orderBy("cid").limit(k)
-    cent, cent_flat = _land(
+    cent, cids, cmat = _land(
         pv.join(F.broadcast(seeds), pv[id_col] == seeds["cid"]).select(
             "cid", "pos", F.col("val").alias("cval")
         )
-    )
-
-    # the corpus as flat columns too (64 independent getItems at the
-    # scan are splittable into small methods; one 64-term expression
-    # over them is not — so flatten first, compute distances after)
-    ef = emb.select(
-        F.col(id_col), *[F.col(vec_col)[i].alias(f"_x{i}") for i in range(dim)]
     )
 
     best = None
     for it in range(iters):
         final_n = n_probe if it == iters - 1 else 1
         d2 = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
-        # Phase 1 (n×k rows, double codegen): every point against the k
-        # BROADCAST centroids — a deliberate broadcast fan-out whose
-        # build side is k rows, never a data×data cartesian (spelled as
-        # a constant-key BroadcastHashJoin so the whole stage stays in
-        # codegen). Rank by plain-double d2 and keep everything within
-        # _TIE_EPS of the top-n cutoff.
-        d2_dbl = F.lit(0.0)
-        for i in range(dim):
-            diff = F.col(f"_x{i}") - F.col(f"_c{i}")
-            d2_dbl = d2_dbl + diff * diff
-        dist_dbl = (
-            ef.withColumn("_one", F.lit(1))
-            .join(F.broadcast(cent_flat.withColumn("_one", F.lit(1))), "_one")
-            .select(id_col, "cid", d2_dbl.alias("d2_dbl"))
-        )
-        # tie cutoff via a second window over the SAME partitioning —
-        # one exchange, one pass over dist_dbl, no self-join recompute
-        wd = Window.partitionBy(id_col).orderBy(F.col("d2_dbl").asc(), F.col("cid").asc())
-        wp = Window.partitionBy(id_col)
-        cand = (
-            dist_dbl.withColumn("rn", F.row_number().over(wd))
-            .withColumn(
-                "dn",
-                F.max(F.when(F.col("rn") <= final_n, F.col("d2_dbl"))).over(wp),
-            )
-            .filter(F.col("d2_dbl") <= F.col("dn") + F.lit(_TIE_EPS))
-            .select(id_col, "cid")
-        )
+        # Phase 1 — the PRE-CUT: one Arrow mapInPandas pass over the
+        # corpus against the broadcast (k x dim) centroid matrix, each
+        # batch a (batch x k) quadratic-form distance, emitting only the
+        # (id, cid) candidates within _TIE_EPS of the per-point top-n
+        # cutoff. ZERO shuffle and no n×k row materialization — the
+        # previous spelling (broadcast fan-out join + two rank windows
+        # over n×k rows) exchanged 12M rows per iteration at native sf3
+        # under the k ∝ n schedule and dominated the oracled tier's
+        # wall time (measured: see PERFORMANCE.md round-6 table).
+        # Superset-exactness: phase-1 float error (quadratic form,
+        # ~1e-13 absolute at these magnitudes) is three orders under
+        # the _TIE_EPS margin, so the true decimal top-n always
+        # survives into phase 2, which alone decides.
+        cand = _phase1_candidates(ev, id_col, vec_col, cids, cmat, final_n)
         # Phase 2 (candidates only — ~final_n per vec): decimal-exact
         # re-sum, then the decisive (d2, cid) ranking. Bit-identical to
         # ranking the full decimal matrix because the true decimal
@@ -169,12 +141,50 @@ def kmeans_assignments(
         ranked = dist.withColumn("rn", F.row_number().over(w))
         best = ranked.filter(F.col("rn") <= final_n).select(id_col, "cid")
         if it < iters - 1:
-            cent, cent_flat = _land(
+            cent, cids, cmat = _land(
                 pv.join(best, id_col)
                 .groupBy("cid", "pos")
                 .agg((_dsum_exact(F.col("val")) / F.count("val")).alias("cval"))
             )
     return best.select(F.col(id_col), F.col("cid").alias("cluster"))
+
+
+def _phase1_candidates(
+    ev: DataFrame, id_col: str, vec_col: str, cids, cmat, final_n: int
+) -> DataFrame:
+    """The phase-1 pre-cut: (id, cid) candidate pairs whose plain-double
+    distance is within _TIE_EPS of the point's top-``final_n`` cutoff.
+
+    One mapInPandas scan, centroids on the broadcast: per Arrow batch
+    the distance matrix is the (batch x k) quadratic form
+    ``|x|^2 + |c|^2 - 2 x·c`` (never the (batch x k x dim) diff tensor —
+    at k=200 that would be ~1 GB per 10k-row batch), the cutoff is a
+    per-row ``np.partition``, and only rows inside the margin are
+    emitted (~final_n per point). The decimal-exact phase 2 re-sums and
+    ranks ONLY these candidates, so engine-level exactness is decided
+    there — this pass only needs the superset property, which the
+    _TIE_EPS margin guarantees against both codegen-fold and BLAS
+    summation error (see the margin note above)."""
+    import numpy as np
+    import pandas as pd
+
+    b = ev.sparkSession.sparkContext.broadcast((cids, cmat))
+
+    def scan(batches, _n=final_n):
+        ids_c, m = b.value
+        m2 = (m * m).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            d2 = (x * x).sum(axis=1)[:, None] + m2[None, :] - 2.0 * (x @ m.T)
+            kk = min(_n, d2.shape[1])
+            cut = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+            rows, cols = np.nonzero(d2 <= (cut[:, None] + _TIE_EPS))
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({id_col: ids[rows], "cid": ids_c[cols]})
+
+    return ev.mapInPandas(scan, schema=f"{id_col} long, cid long")
 
 
 def kmeans_oracle_sql(
