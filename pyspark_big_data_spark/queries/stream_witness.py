@@ -1,0 +1,98 @@
+"""Streaming replay witness: the first CORRECTNESS-surface row whose
+Spark side actually RUNS a Structured Streaming loop.
+
+Stream==batch agreement for the incremental dedup pipeline has been
+pytest-only since round 3 (tests/test_streaming.py's 3-batch replay) —
+inherent to a batch ``queries()`` contract. This query externalizes it:
+it replays the corpus through the real availableNow foreachBatch loop
+(streaming/incremental_dedup.py — JSONL drop dir, one file per
+micro-batch, persisted band index, pairs sink) INSIDE the query
+function, then reduces "streamed pair set == full-recompute pair set"
+to a one-row digest the DuckDB oracle can pin: n_full is independently
+recomputed from the full MinHash pipeline SQL, and n_stream/n_agreeing
+must equal it — a dropped, duplicated, or extra pair anywhere in the
+micro-batch replay flips the row red.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.dedup import _MINHASH_ORACLE, dedup_minhash_lsh
+from pyspark_big_data_spark.queries.registry import register
+
+_REPLAY_BATCHES = 3
+
+_REPLAY_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+       CAST(COUNT(*) AS BIGINT) AS n_stream,
+       CAST(COUNT(*) AS BIGINT) AS n_agreeing
+FROM ({_MINHASH_ORACLE})
+"""
+
+
+def replay_corpus_through_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the documents table into a JSONL directory as
+    {_REPLAY_BATCHES} files, run the availableNow incremental-dedup
+    stream over it (maxFilesPerTrigger=1 → one micro-batch per file),
+    and return the accumulated pairs sink. Fresh temp state per call —
+    the witness must exercise the cold-start index path too."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_big_data_spark.streaming.incremental_dedup import run_dedup_stream
+
+    root = tempfile.mkdtemp(prefix="dedup_replay_")
+    drop_dir = f"{root}/drop"
+    os.makedirs(drop_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(_REPLAY_BATCHES):
+        stage = f"{root}/stage{i}"
+        docs.filter(F.col("doc_id") % _REPLAY_BATCHES == i).coalesce(1).write.mode(
+            "overwrite"
+        ).json(stage)
+        (part,) = glob.glob(f"{stage}/part-*.json")
+        shutil.move(part, f"{drop_dir}/batch{i}.json")
+    q = run_dedup_stream(
+        spark,
+        drop_dir,
+        docs.schema,
+        index_dir=f"{root}/index",
+        pairs_dir=f"{root}/pairs",
+        checkpoint_dir=f"{root}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/pairs")
+
+
+@register("streaming_dedup_replay_witness", oracle=_REPLAY_ORACLE)
+def streaming_dedup_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row digest (n_full, n_stream, n_agreeing) of the micro-batch
+    replay against the full recompute. Agreement = identical (id_a,
+    id_b) key AND identical estimator value (both sides are the same
+    md5 signature arithmetic, so est_jaccard must match exactly — the
+    1e-9 tolerance only absorbs the 16-way division's representation).
+    The streamed set must be exactly the full set: any batch
+    partitioning of the corpus yields old x new plus new x new pairs
+    covering every pair once (the determinism contract of
+    streaming/incremental_dedup.py, here driver-verified)."""
+    stream_pairs = replay_corpus_through_stream(spark, sf_dir).select(
+        "id_a", "id_b", F.col("est_jaccard").alias("_est_stream")
+    )
+    full_pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        "id_a", "id_b", F.col("est_jaccard").alias("_est_full")
+    )
+    both = F.col("_est_full").isNotNull() & F.col("_est_stream").isNotNull()
+    agree = both & (F.abs(F.col("_est_full") - F.col("_est_stream")) < 1e-9)
+    return (
+        full_pairs.join(stream_pairs, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_est_full").cast("long").alias("n_full"),
+            F.count("_est_stream").cast("long").alias("n_stream"),
+            F.sum(F.when(agree, 1).otherwise(0)).cast("long").alias("n_agreeing"),
+        )
+    )

@@ -754,3 +754,19 @@ def test_watermark_drops_late_events_beyond_delay(spark, tmp_path):
     assert rows.get("2024-01-01 10:00:00") == 3, rows
     # in-order events kept flowing: 12:00 window has both 12:30 and 12:40
     assert rows.get("2024-01-01 12:00:00") == 2, rows
+
+
+def test_streaming_replay_witness_digest(spark, sf_dir):
+    """The driver-surface digest of the micro-batch replay: all three
+    counts equal (streamed set == full recompute, estimator-exact) and
+    the oracle is registered so the row is driver-verifiable."""
+    from pyspark_big_data_spark.queries import ORACLES
+    from pyspark_big_data_spark.queries.stream_witness import (
+        streaming_dedup_replay_witness,
+    )
+
+    row = streaming_dedup_replay_witness(spark, sf_dir).collect()[0]
+    assert row["n_full"] > 0
+    assert row["n_stream"] == row["n_full"]
+    assert row["n_agreeing"] == row["n_full"]
+    assert "streaming_dedup_replay_witness" in ORACLES
