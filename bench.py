@@ -20,6 +20,13 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# BRACKET ORDER IS PINNED (round 6): existing entries keep their
+# position and new queries are APPENDED, so BENCH_r{N} is comparable
+# query-for-query with BENCH_r{N-1} without archaeology — in-bracket
+# JIT/cache warmup means a query's wall time depends on what ran before
+# it (measured ~2x swing on 1-3 s ANN rows when the bracket reshuffled
+# between r4 and r5). tools/bench_compare.py diffs two bench JSONs; its
+# output is committed per round as BENCH_COMPARE_r{N}.md.
 HEADLINE = [
     "q1_top_months_per_year",
     "q2_event_time_bins",
@@ -96,6 +103,14 @@ HEADLINE = [
     "split_assign_from_map",
     "ab_test_readout",
     "user_erasure_audit",
+    # round-6 additions (appended; see bracket-order note above):
+    # IVF-composed triplet mining, soft dedup weights, product
+    # quantization, and the planted-cluster SRP witness (the measured
+    # recall-at-bill demonstration, Spark side only)
+    "contrastive_triplets_ivf",
+    "dedup_soft_weights",
+    "ann_topk_pq",
+    "planted_lsh_recall_witness",
 ]
 
 
@@ -151,6 +166,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "bracket": "pinned-append-only",  # see HEADLINE note
                 "variants": variants,
                 "hint_matrix": hint_matrix,
                 "sf": sf_num,

@@ -48,63 +48,128 @@ DRIVER_EXCLUDED: set[str] = set()
 # second sampler, simhash/winnow fingerprint twins, tumbling window,
 # packing/mixture).
 
-# r6 rotation queue (oracled, pytest-green, not yet driver-verified) —
-# HEAD OF QUEUE: the end-of-r5 additions that missed the r5 surface
-# (contrastive_triplets, contrastive_triplets_topk,
-# contrastive_triplets_ivf, dedup_soft_weights, percentiles_by_priority,
-# split_assign_leakage_free, ab_test_readout, lsh_recall_witness,
-# user_erasure_audit,
-# latest_order_per_customer, boilerplate_prefixes,
-# jaccard_prefix_pairs, dedup_triangle_audit, weighted_sample_quality,
-# nation_volume_shipping, multi_touch_attribution,
-# char_entropy_quality, ann_topk_pq, value_zscore_by_type,
-# copurchase_part_pairs, orders_above_customer_avg); then the SQL twins (q1_top_months_per_year_sql,
-# q2_event_time_bins_sql), stats_by_returnflag, nation_rank_dense_ntile,
-# unpivot_lineitem_metrics, orders_per_customer_array, customer_set_ops,
-# user_overlap_exact, distinct_users_by_type, json_props_typed,
-# bigram_fluency, dedup_longest_survivors, decontaminate_semantic,
-# doc_embed_near_dup, embedding_near_dup, multimodal_real_decode/
-# _resize, multimodal_audio_resample, plus the rested long-green rows.
-# Keep swapping ~10/round per the policy above.
+# r6 swap (this round): 20 in / 20 out. In = the 9 NEW witness/fixture
+# queries registered this round (agreement witnesses for every
+# remaining rows-only ANN/clustering/sketch tier, the planted-cluster
+# SRP recall witness, the streaming replay witness — all driver=True at
+# registration, so they take slots automatically) + 11 queue-head
+# oracled queries that have never had a CORRECTNESS row (listed in
+# ROTATE_IN below). Out = 20 r5-green rows, each with its operator
+# family still externally covered (per-row notes in ROTATE_OUT).
+# Policy amendment (r6, per the round-5 verdict's queue-draining
+# directive): a row green for ONE round may rest when its family
+# remains covered — the 2-round convention yielded too few slots
+# against a 30+ entry queue.
+#
+# r7 rotation queue (oracled, pytest-green, not yet driver-verified) —
+# HEAD: split_assign_leakage_free (the full-chain twin of the r6
+# split_assign_from_map row; same oracle, recompute path),
+# contrastive_triplets_topk, latest_order_per_customer,
+# boilerplate_prefixes, lsh_recall_witness, dedup_triangle_audit,
+# nation_volume_shipping, char_entropy_quality, value_zscore_by_type,
+# copurchase_part_pairs, orders_above_customer_avg; then the SQL twins
+# (q1_top_months_per_year_sql, q2_event_time_bins_sql),
+# stats_by_returnflag, nation_rank_dense_ntile,
+# unpivot_lineitem_metrics, orders_per_customer_array,
+# customer_set_ops, user_overlap_exact, distinct_users_by_type,
+# json_props_typed, bigram_fluency, dedup_longest_survivors,
+# decontaminate_semantic, doc_embed_near_dup, embedding_near_dup,
+# multimodal_real_decode/_resize, multimodal_audio_resample, plus the
+# rested long-green rows. Keep swapping ~10-20/round.
 ROTATE_IN: set[str] = {
-    # NEW mid-r5 operators, driver-verified the round they land:
-    # RRF fusion of the BM25 + hashed-vector rankers, and the
-    # Matryoshka-style prefix-dim ANN with exact rescoring
+    # --- carried from r5 (still on-surface, registered driver=False):
     "hybrid_rrf_topk",
     "ann_topk_truncated",
-    "training_order_shuffle",
     "click_purchase_attribution",
-    # late-r5 additions, driver-verified the round they land:
-    "hybrid_rerank_topk",
     "doc_chunk_overlap",
-    "customers_without_orders",
     "quality_classifier_score",
     "training_order_curriculum",
     "split_leakage_audit",
     "dedup_clusters_incremental",
     "dedup_minhash_incremental",
     "doc_embed_hash",
-    "doc_embed_lsh_near_dup",
-    "semantic_dedup_multiprobe",
-    "vocab_heavy_hitters",
     "sliding_window_agg",
     "dup_span_extract",
-    "multimodal_feature_extract",
     "q4_avg_distance_sql_udf",
     "q3_segment_profile_bottom",
-    "q1_top_months_string_slice",
     "rollup_lineitem_status",
-    # NEW end-of-r5 operators, driver-verified the round they land
-    # (each takes the slot of a long-green row rested below; the other
-    # two end-of-r5 queries — latest_order_per_customer and
-    # boilerplate_prefixes — stay pytest-oracled and head the r6 queue,
-    # because only three on-surface rows are both long-green AND
-    # family-redundant enough to rest):
     "token_freq_cms",
-    "corpus_datasheet",
     "json_props_variant",
+    # --- r6 queue drain: oracled, never driver-verified until now.
+    # Steady-state split assignment over the persisted cluster map (the
+    # r5 verdict's #3 ask; its full-chain twin split_assign_leakage_free
+    # keeps the same oracle and heads the r7 queue):
+    "split_assign_from_map",
+    # contrastive mining trio head: the exact miner + the IVF-composed
+    # 100 TB candidate path (oracle wraps the IVF tier's generated SQL)
+    "contrastive_triplets",
+    "contrastive_triplets_ivf",
+    # product quantization: the bit-exact ADC oracle
+    "ann_topk_pq",
+    # soft dedup weights: full-chain closure + one cluster window (also
+    # keeps the recursive-closure oracle family on-surface now that the
+    # r6 surface reads the split from the persisted map)
+    "dedup_soft_weights",
+    # Welch A/B readout, erasure cascade audit, prefix-filtered exact
+    # Jaccard, grouped exact percentiles, positional multi-touch
+    # attribution, weighted quality sampling
+    "ab_test_readout",
+    "user_erasure_audit",
+    "jaccard_prefix_pairs",
+    "percentiles_by_priority",
+    "multi_touch_attribution",
+    "weighted_sample_quality",
 }
 ROTATE_OUT: set[str] = {
+    # --- rested in r6 (green r5; family coverage noted per row):
+    # multiprobe SemDeDup -> semantic_multiprobe_np_agreement, whose
+    # oracle replays the full multiprobe SQL for its count
+    "semantic_dedup_multiprobe",
+    # r5's two np agreement rows -> superseded by the r6 witness family
+    # (7 rows); their oracles are replayed inside the quantized/IVF
+    # witness oracles
+    "ann_bruteforce_np_agreement",
+    "ann_ivf_np_agreement",
+    # doc-vector SRP tier -> planted_lsh_recall_witness (same banding
+    # mechanism on input that can demonstrate the sub-10% bill; the BOW
+    # ceiling is documented, the embedder digest doc_embed_hash stays)
+    "doc_embed_lsh_near_dup",
+    # behavior family keeps event_transition_matrix,
+    # click_purchase_attribution, sliding_window_agg on-surface plus
+    # multi_touch_attribution rotating in
+    "funnel_conversion",
+    "cohort_retention",
+    "session_paths",
+    "timeseries_gapfill",
+    "rolling_1h_user_value",
+    # SCD2 family keeps scd2_point_in_time
+    "scd2_customer_priority",
+    # graph family keeps trade_pagerank (LPA stays pytest-oracled)
+    "trade_communities",
+    # retrieval-fusion family keeps hybrid_rrf_topk (rerank embeds the
+    # same two rankers + the exact rescore)
+    "hybrid_rerank_topk",
+    # multimodal family keeps the two REAL stdlib codec rows
+    "multimodal_feature_extract",
+    # reference family keeps q3_segment_profile_bottom +
+    # q4_avg_distance_sql_udf on-surface, plus the bench hint matrix
+    # every round
+    "q1_top_months_string_slice",
+    "q2_event_time_bins",
+    # distribution family -> percentiles_by_priority (exact grouped
+    # percentiles) + table_profile's quartile columns
+    "price_histogram",
+    # seeded-hash ordering family keeps training_order_curriculum;
+    # weighted_sample_quality rotates the sampling mechanism in
+    "training_order_shuffle",
+    # sketch family keeps token_freq_cms (cell-for-cell CMS oracle)
+    "vocab_heavy_hitters",
+    # wide-profile family keeps table_profile
+    "corpus_datasheet",
+    # semi/anti-join family keeps referential_integrity_audit's four
+    # anti-joins
+    "customers_without_orders",
+    # --- r5 and earlier rests below (history preserved):
     "dedup_exact",
     "sample_stratified_quota",
     "repetition_metrics",
