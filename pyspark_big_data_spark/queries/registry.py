@@ -62,8 +62,11 @@ DRIVER_EXCLUDED: set[str] = set()
 # against a 30+ entry queue.
 #
 # r7 rotation queue (oracled, pytest-green, not yet driver-verified) —
-# HEAD: split_assign_leakage_free (the full-chain twin of the r6
-# split_assign_from_map row; same oracle, recompute path),
+# HEAD: the three late-r6 witnesses (minhash_fast_tier_witness,
+# pca_project_witness, hll_distinct_witness — they externalize the
+# last unwitnessed rows-only tiers), split_assign_leakage_free (the
+# full-chain twin of the r6 split_assign_from_map row; same oracle,
+# recompute path),
 # contrastive_triplets_topk, latest_order_per_customer,
 # boilerplate_prefixes, lsh_recall_witness, dedup_triangle_audit,
 # nation_volume_shipping, char_entropy_quality, value_zscore_by_type,

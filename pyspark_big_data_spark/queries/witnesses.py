@@ -399,6 +399,154 @@ def _overlap_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# r7-queue witnesses (driver=False: the r6 surface is full at 50; these
+# externalize the last unwitnessed rows-only tiers and head the queue)
+# ---------------------------------------------------------------------------
+
+
+def _fast_minhash_oracle() -> str:
+    from pyspark_big_data_spark.operators import dedup as DD
+    from pyspark_big_data_spark.queries.dedup import _AGREE, _dd_minhash_cte
+
+    return f"""{_dd_minhash_cte()},
+filtered AS (
+    SELECT c.id_a, c.id_b FROM cand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
+    WHERE ({_AGREE}) / {float(DD.NUM_HASHES)} >= 0.5
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+    SELECT f.id_a, f.id_b, COUNT(*) AS n_inter
+    FROM filtered f
+    JOIN dsh x ON x.doc_id = f.id_a
+    JOIN dsh y ON y.doc_id = f.id_b AND y.s = x.s
+    GROUP BY f.id_a, f.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS gate_ok
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+"""
+
+
+@register("minhash_fast_tier_witness", oracle=_fast_minhash_oracle(), driver=False)
+def minhash_fast_tier_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for dedup_minhash_fast (the xxhash64 production
+    tier, which has no DuckDB twin by construction): it must recover
+    >=90% of the TRUE near-dups — exact shingle Jaccard >= 0.8, truth
+    set independently recomputed by DuckDB from the md5 pipeline —
+    mirroring tests/test_corpus_ops.py::test_fast_minhash_tier_finds_
+    true_near_dups (borderline est-band pairs flip freely between hash
+    families; true near-dups must not)."""
+    from pyspark_big_data_spark.operators import dedup as DD
+    from pyspark_big_data_spark.queries.dedup import (
+        dedup_minhash_fast,
+        dedup_minhash_lsh,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    md5_cand = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    truth = (
+        DD.exact_jaccard(md5_cand, DD.shingles(docs))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    fast = dedup_minhash_fast(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("_found")
+    )
+    agg = truth.join(fast, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce(F.col("_found"), F.lit(0))).alias("n_found"),
+    )
+    gate = F.when(
+        F.col("n_found") >= F.lit(0.9) * F.col("n_truth"), 1
+    ).otherwise(0)
+    return agg.select(*_digest(F.col("n_truth"), gate, "n_truth"))
+
+
+_PCA_WITNESS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(1 AS BIGINT) AS gate_ok
+FROM embeddings
+"""
+
+
+@register("pca_project_witness", oracle=_PCA_WITNESS_ORACLE, driver=False)
+def pca_project_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for embedding_pca_project (no SQL twin for eigh):
+    gate = (a) the returned components are orthonormal (|C Cᵀ - I| <
+    1e-8, driver-side on the r x dim matrix), (b) every vector is
+    projected, (c) the DISTRIBUTED per-component variance of the
+    projections matches the driver-side eigenvalues within 1e-6
+    relative — the spectral property that makes the projection PCA and
+    not just any linear map, checked across the Arrow moments pass, the
+    eigh, and the codegen projection path at once."""
+    import numpy as np
+
+    from pyspark_big_data_spark.queries.pca_reduce import _R, pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dim_row = emb.select(F.size("e").alias("d")).first()
+    dim = dim_row["d"] if dim_row else 64
+    out, vals, comps = pca_project(emb, dim)
+    ortho_err = float(np.abs(comps @ comps.T - np.eye(comps.shape[0])).max())
+    aggs = [F.count(F.lit(1)).alias("n_vectors")]
+    aggs += [F.var_pop(f"p{i}").alias(f"_v{i}") for i in range(_R)]
+    row = out.agg(*aggs)
+    ok_var = F.lit(True)
+    for i in range(_R):
+        ok_var = ok_var & (
+            F.abs(F.col(f"_v{i}") - F.lit(float(vals[i])))
+            <= F.lit(1e-6) * F.greatest(F.abs(F.lit(float(vals[i]))), F.lit(1e-12))
+        )
+    gate = F.when(F.lit(ortho_err < 1e-8) & ok_var, 1).otherwise(0)
+    return row.select(*_digest(F.col("n_vectors"), gate, "n_vectors"))
+
+
+def _hll_distinct_oracle() -> str:
+    return """
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(1 AS BIGINT) AS gate_ok
+FROM events
+"""
+
+
+@register("hll_distinct_witness", oracle=_hll_distinct_oracle(), driver=False)
+def hll_distinct_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for distinct_users_hll_sketch: every event type's
+    HLL estimate must sit within the published error envelope of the
+    exact distinct count (|est - exact| <= max(3, 8% exact) per type —
+    wider than the 5% corpus-level pytest gate because per-type counts
+    are smaller), and both tiers must cover the same types."""
+    from pyspark_big_data_spark.queries.cleaning import (
+        distinct_users_by_type,
+        distinct_users_hll_sketch,
+    )
+
+    ex = distinct_users_by_type(spark, sf_dir).select(
+        "event_type", F.col("n_users").alias("_exact")
+    )
+    est = distinct_users_hll_sketch(spark, sf_dir).select(
+        "event_type", F.col("n_users_est").alias("_est")
+    )
+    both = F.col("_exact").isNotNull() & F.col("_est").isNotNull()
+    ok = both & (
+        F.abs(F.col("_est") - F.col("_exact"))
+        <= F.greatest(F.lit(3.0), F.lit(0.08) * F.col("_exact"))
+    )
+    agg = ex.join(est, ["event_type"], "full_outer").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
+    )
+    gate = F.when(F.col("n_ok") == F.col("n_types"), 1).otherwise(0)
+    return agg.select(*_digest(F.col("n_types"), gate, "n_types"))
+
+
 @register("user_overlap_sketch_witness", oracle=_overlap_oracle())
 def user_overlap_sketch_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver witness for user_overlap_sketch (HLL inclusion-exclusion):

@@ -23,6 +23,10 @@ _WITNESSES = [
     "semantic_multiprobe_np_agreement",
     "ann_ivfpq_witness",
     "user_overlap_sketch_witness",
+    # r7-queue witnesses (driver=False this round; same digest contract)
+    "minhash_fast_tier_witness",
+    "pca_project_witness",
+    "hll_distinct_witness",
 ]
 
 
