@@ -62,9 +62,16 @@ DRIVER_EXCLUDED: set[str] = set()
 # against a 30+ entry queue.
 #
 # r7 rotation queue (oracled, pytest-green, not yet driver-verified) —
-# HEAD: the three late-r6 witnesses (minhash_fast_tier_witness,
-# pca_project_witness, hll_distinct_witness — they externalize the
-# last unwitnessed rows-only tiers), split_assign_leakage_free (the
+# HEAD: the eight late-r6 witnesses/queries (minhash_fast_tier_witness,
+# pca_project_witness, hll_distinct_witness, semantic_dedup_np_agreement,
+# ann_ivf_kmeans_witness, minhash_ml_witness, brp_lsh_ml_witness,
+# json_typed_agreement — after these, EVERY rows-only tier except the
+# env-gated geodesic foil and the driver-looped BPE learner has a
+# driver-verifiable witness, and the BPE learner's distributed core is
+# oracled directly via bpe_pair_counts), dsir_importance_weights +
+# bpe_pair_counts (new oracled capabilities: DSIR hashed-n-gram
+# importance resampling; BPE iteration-1 pair counts),
+# split_assign_leakage_free (the
 # full-chain twin of the r6 split_assign_from_map row; same oracle,
 # recompute path),
 # contrastive_triplets_topk, latest_order_per_customer,

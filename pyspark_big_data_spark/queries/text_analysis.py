@@ -13,7 +13,7 @@ gate, which is exactly the point: two independent encodings, one result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pyspark_big_data_spark.functions import text as TX
 from pyspark_big_data_spark.io import ensure_min_partitions, read_table
@@ -315,6 +315,63 @@ def bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rank"], m["left"], m["right"], m["cnt"]) for m in merges],
         "rank long, left string, right string, cnt long",
     ).orderBy("rank")
+
+
+_BPE_PAIR_TOPK = 20
+
+_BPE_PAIR_ORACLE = f"""
+WITH w AS (
+    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    WHERE t <> '' GROUP BY t
+),
+syms AS (
+    SELECT freq, list_append(string_split(word, ''), '</w>') AS s FROM w
+),
+pairs AS (
+    SELECT s[pos] AS left_sym, s[pos + 1] AS right_sym, freq
+    FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS pos FROM syms)
+),
+cnt AS (
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY left_sym, right_sym
+)
+SELECT left_sym, right_sym, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, left_sym, right_sym) AS BIGINT) AS rnk
+FROM cnt
+ORDER BY cnt DESC, left_sym, right_sym
+LIMIT {_BPE_PAIR_TOPK}
+"""
+
+
+@register("bpe_pair_counts", oracle=_BPE_PAIR_ORACLE, driver=False)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed CORE of BPE merge learning, externalized for the
+    differential driver: iteration-1 adjacent symbol-pair counts over
+    the frequency-weighted distinct-word table (operators/bpe.py —
+    chars + '</w>' end mark), top-{_BPE_PAIR_TOPK} with the learner's
+    exact (cnt desc, pair asc) tie-break. Row 1 IS the first merge
+    ``bpe_merges_learned`` commits to.
+
+    Why this split: the pair-count aggregate is the only stage of BPE
+    that touches distributed data (and the only one whose cost grows
+    with the corpus); the greedy merge fold it feeds is a vocab-local
+    rewrite with no SQL twin, pinned merge-for-merge against a pure
+    Python Sennrich reference in tests/test_bpe.py. Top-k is
+    TakeOrdered (no single-partition window); the rank column is
+    attached to the already-bounded {_BPE_PAIR_TOPK}-row frame.
+    """
+    from pyspark_big_data_spark.operators.bpe import pair_counts, word_symbol_table
+
+    vocab = word_symbol_table(read_table(spark, sf_dir, "documents"))
+    cnt = pair_counts(vocab).select(
+        F.col("left").alias("left_sym"), F.col("right").alias("right_sym"), "cnt"
+    )
+    top = cnt.orderBy(
+        F.col("cnt").desc(), F.col("left_sym"), F.col("right_sym")
+    ).limit(_BPE_PAIR_TOPK)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("left_sym"), F.col("right_sym"))
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
 
 
 # ---------------------------------------------------------------------------

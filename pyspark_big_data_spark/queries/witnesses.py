@@ -460,7 +460,7 @@ def minhash_fast_tier_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = truth.join(fast, ["id_a", "id_b"], "left").agg(
         F.count(F.lit(1)).alias("n_truth"),
-        F.sum(F.coalesce(F.col("_found"), F.lit(0))).alias("n_found"),
+        F.coalesce(F.sum(F.col("_found")), F.lit(0)).alias("n_found"),
     )
     gate = F.when(
         F.col("n_found") >= F.lit(0.9) * F.col("n_truth"), 1
@@ -545,6 +545,210 @@ def hll_distinct_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gate = F.when(F.col("n_ok") == F.col("n_types"), 1).otherwise(0)
     return agg.select(*_digest(F.col("n_types"), gate, "n_types"))
+
+
+def _semantic_np_oracle() -> str:
+    from pyspark_big_data_spark.queries.clustering import _SEMANTIC_ORACLE
+
+    return _wrap_count_oracle(_SEMANTIC_ORACLE)
+
+
+@register("semantic_dedup_np_agreement", oracle=_semantic_np_oracle(), driver=False)
+def semantic_dedup_np_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for semantic_dedup_np (the per-cluster BLAS matmul
+    tier): it must emit the IDENTICAL pair set as the oracled
+    semantic_dedup (both sides reuse the same decimal-exact Lloyd
+    assignment, so the candidate sets match by construction; only the
+    cosine arithmetic differs), with 6dp-cosine agreement on every pair
+    — the strict-set gate of tests/test_clustering.py. n_exact is the
+    oracled tier's pair count, independently recomputed by DuckDB from
+    the full unrolled-Lloyd SQL."""
+    from pyspark_big_data_spark.queries.clustering import (
+        semantic_dedup,
+        semantic_dedup_np,
+    )
+
+    return tolerance_agreement_digest(
+        semantic_dedup(spark, sf_dir),
+        semantic_dedup_np(spark, sf_dir),
+        keys=["id_a", "id_b"],
+        val="cosine",
+        min_overlap=1.0,
+    )
+
+
+def _ivf_kmeans_oracle() -> str:
+    from pyspark_big_data_spark.queries.similarity import _ANN_ORACLE
+
+    return _wrap_count_oracle(_ANN_ORACLE)
+
+
+@register("ann_ivf_kmeans_witness", oracle=_ivf_kmeans_oracle(), driver=False)
+def ann_ivf_kmeans_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for ann_topk_ivf_kmeans (the PRODUCTION IVF:
+    learned Lloyd cells instead of the structureless label cells): at
+    the same NPROBE scan fraction its recall vs the exact brute-force
+    truth must be at least the label-cell tier's (the property the
+    k-means index exists for), and every (probe, neighbor) hit it
+    shares with the truth must carry the true cosine within {_TOL} —
+    the gate of tests/test_similarity_np.py::test_ivf_kmeans_recall_
+    beats_label_cells. n_exact is the exact tier's row count,
+    independently recomputed by DuckDB from the brute-force oracle."""
+    from pyspark_big_data_spark.queries.ann_ivf import (
+        ann_topk_ivf_kmeans,
+        ann_topk_ivf_np,
+    )
+    from pyspark_big_data_spark.queries.similarity import ann_topk_bruteforce
+
+    keys = ["probe_id", "neighbor_id"]
+    exact = ann_topk_bruteforce(spark, sf_dir).select(
+        *keys, F.col("cosine").alias("_c_exact")
+    )
+    km = ann_topk_ivf_kmeans(spark, sf_dir).select(
+        *keys, F.col("cosine").alias("_c_km")
+    )
+    lab = ann_topk_ivf_np(spark, sf_dir).select(*keys, F.lit(1).alias("_lab"))
+    agg = (
+        exact.join(km, keys, "left")
+        .join(lab, keys, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.when(F.col("_c_km").isNotNull(), 1).otherwise(0)).alias("n_km"),
+            F.sum(F.coalesce(F.col("_lab"), F.lit(0))).alias("n_lab"),
+            F.max(
+                F.when(
+                    F.col("_c_km").isNotNull(),
+                    F.abs(F.col("_c_km") - F.col("_c_exact")),
+                )
+            ).alias("max_diff"),
+        )
+    )
+    gate = F.when(
+        (F.col("n_km") >= F.col("n_lab"))
+        & (F.col("max_diff").isNull() | (F.col("max_diff") < _TOL)),
+        1,
+    ).otherwise(0)
+    return agg.select(*_digest(F.col("n_exact"), gate, "n_exact"))
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"  # DuckDB
+
+_MINHASH_ML_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, CAST(1 AS BIGINT) AS gate_ok
+FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_ml_witness", oracle=_MINHASH_ML_ORACLE, driver=False)
+def minhash_ml_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for dedup_minhash_ml (the stock pyspark.ml
+    MinHashLSH tier — JVM hash seeds, no SQL twin by construction):
+    every TRUE exact-duplicate pair (identical normalized text —
+    Jaccard distance 0, which no LSH band can miss and no threshold can
+    exclude) must be recovered, and the tier must report distance 0.0
+    for each — the containment gate of tests/test_ml_lsh.py. n_truth is
+    the exact-dup pair count, independently recomputed by DuckDB from
+    the normalized text."""
+    from pyspark_big_data_spark.functions.text import normalize_text
+    from pyspark_big_data_spark.operators.ml_lsh import minhash_ml_near_dup
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    a = n.select(F.col("doc_id").alias("id_a"), "norm")
+    b = n.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"))
+    truth = a.join(
+        b, (F.col("norm") == F.col("norm_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    ml = minhash_ml_near_dup(docs, jaccard_distance_max=0.3).select(
+        "id_a", "id_b", F.col("jaccard_dist").alias("_d")
+    )
+    agg = truth.join(ml, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(
+            F.sum(F.when(F.col("_d").isNotNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_found"),  # sum over an EMPTY truth set is NULL, not 0
+        F.max(F.col("_d")).alias("max_d"),
+    )
+    gate = F.when(
+        (F.col("n_found") == F.col("n_truth"))
+        & (F.col("max_d").isNull() | (F.col("max_d") == 0.0)),
+        1,
+    ).otherwise(0)
+    return agg.select(*_digest(F.col("n_truth"), gate, "n_truth"))
+
+
+_BRP_FLOOR = 0.5  # LSH recall floor at 6 hash tables (tests/test_ml_lsh.py)
+
+
+def _brp_ml_oracle() -> str:
+    from pyspark_big_data_spark.queries.similarity import _NEAR_DUP_ORACLE
+
+    return _wrap_count_oracle(_NEAR_DUP_ORACLE, "n_truth")
+
+
+@register("brp_lsh_ml_witness", oracle=_brp_ml_oracle(), driver=False)
+def brp_lsh_ml_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for ann_brp_lsh_ml (stock pyspark.ml
+    BucketedRandomProjectionLSH — JVM hash seeds, no SQL twin): at 6
+    hash tables it must recover >= {_BRP_FLOOR:.0%} of the true
+    near-dup pairs (cosine >= 0.4, i.e. euclidean <= ~1.095 on these
+    unit-norm vectors — strictly inside the 1.2 search radius), truth
+    independently recomputed by DuckDB via the guarded all-pairs
+    oracle. Mirrors tests/test_ml_lsh.py::test_brp_lsh_recall_vs_exact."""
+    from pyspark_big_data_spark.operators.ml_lsh import brp_lsh_near_neighbors
+    from pyspark_big_data_spark.queries.similarity import embedding_near_dup
+
+    truth = embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    emb = read_table(spark, sf_dir, "embeddings")
+    ml = brp_lsh_near_neighbors(emb, euclidean_max=1.2, num_hash_tables=6).select(
+        "id_a", "id_b", F.lit(1).alias("_found")
+    )
+    agg = truth.join(ml, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(F.sum(F.col("_found")), F.lit(0)).alias("n_found"),
+    )
+    gate = F.when(
+        F.col("n_found") >= F.lit(_BRP_FLOOR) * F.col("n_truth"), 1
+    ).otherwise(0)
+    return agg.select(*_digest(F.col("n_truth"), gate, "n_truth"))
+
+
+def _json_typed_oracle() -> str:
+    from pyspark_big_data_spark.queries.semi_structured import _JSON_ORACLE
+
+    return _wrap_count_oracle(_JSON_ORACLE, "n_groups")
+
+
+@register("json_typed_agreement", oracle=_json_typed_oracle(), driver=False)
+def json_typed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for json_props_typed (the from_json bulk-typed
+    parse path): its aggregate must match the VARIANT path's row for
+    row — same groups, same counts, same decimal-exact sums (three
+    independent parse paths over the same payloads: get_json_object is
+    the oracled baseline, variant is driver-verified, and this digest
+    pins the typed path to the variant path). n_groups is recomputed by
+    DuckDB via json_extract."""
+    from pyspark_big_data_spark.queries.semi_structured import (
+        json_props_typed,
+        json_props_variant,
+    )
+
+    keys = ["event_type", "k_bucket"]
+    ty = json_props_typed(spark, sf_dir).select(
+        *keys, F.col("cnt").alias("_c_t"), F.col("sum_value").alias("_s_t")
+    )
+    va = json_props_variant(spark, sf_dir).select(
+        *keys, F.col("cnt").alias("_c_v"), F.col("sum_value").alias("_s_v")
+    )
+    both = F.col("_c_t").isNotNull() & F.col("_c_v").isNotNull()
+    row_ok = both & (F.col("_c_t") == F.col("_c_v")) & (F.col("_s_t") == F.col("_s_v"))
+    agg = ty.join(va, keys, "full_outer").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(row_ok, 1).otherwise(0)).alias("n_ok"),
+    )
+    gate = F.when(F.col("n_ok") == F.col("n_groups"), 1).otherwise(0)
+    return agg.select(*_digest(F.col("n_groups"), gate, "n_groups"))
 
 
 @register("user_overlap_sketch_witness", oracle=_overlap_oracle())

@@ -125,3 +125,19 @@ def test_bpe_tokenize_matches_python_apply(spark, sf_dir):
         norm = re.sub(r"\s+", " ", text.lower()).strip()
         want = [s for w in norm.split(" ") if w for s in py_word(w)]
         assert got.get(doc_id, []) == want, f"doc {doc_id}"
+
+
+def test_bpe_pair_counts_row1_is_the_first_merge(spark, sf_dir):
+    """The oracled bpe_pair_counts query's rank-1 row must be exactly
+    the first merge the learner commits to — the externalized
+    distributed core and the driver-looped learner agree."""
+    from pyspark_big_data_spark.operators.bpe import learn_merges
+    from pyspark_big_data_spark.queries.text_analysis import bpe_pair_counts
+
+    top = bpe_pair_counts(spark, sf_dir).orderBy("rnk").first()
+    first = learn_merges(read_table(spark, sf_dir, "documents"), n_merges=1)[0]
+    assert (top["left_sym"], top["right_sym"], top["cnt"]) == (
+        first["left"],
+        first["right"],
+        first["cnt"],
+    )

@@ -38,6 +38,25 @@ _PYTHON_OK = {
     # stage next to the exact tier's plan by construction
     "ann_bruteforce_np_agreement",
     "ann_ivf_np_agreement",
+    "ann_quantized_np_agreement",
+    "ann_truncated_np_agreement",
+    "ann_ivf_quantized_agreement",
+    "kmeans_np_agreement",
+    "semantic_multiprobe_np_agreement",
+    "ann_ivfpq_witness",
+    "pca_project_witness",  # embeds the Arrow moments pass
+    # round 6: the exact-Lloyd phase 1 is a mapInPandas PRE-CUT
+    # (operators/kmeans.py::_phase1_candidates — shuffle-free candidate
+    # generation; the decimal-exact phase 2 still decides), so every
+    # query embedding kmeans_assignments carries one Arrow stage
+    "kmeans_clusters",
+    "semantic_dedup",
+    "semantic_dedup_multiprobe",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    # embed the tiers above (np applyInPandas matmul / BLAS IVF scan)
+    "semantic_dedup_np_agreement",
+    "ann_ivf_kmeans_witness",
 }
 
 # inequality-only self-join conditions legitimately plan as
@@ -82,6 +101,16 @@ _NESTED_LOOP_OK = {
     # condition: build side is a constant-size literal frame, a
     # map-side interval test, not a data x data product
     "scd2_point_in_time",
+    # round-6 witnesses embedding the BNLJ-allowlisted tiers above as
+    # their exact/truth sides (the witness adds only equi-joins + a
+    # 1-row agg on top)
+    "ann_quantized_np_agreement",  # embeds ann_topk_quantized
+    "ann_truncated_np_agreement",  # embeds ann_topk_truncated
+    "ann_ivfpq_witness",  # guarded exact-L2 corpus x broadcast(probes) truth
+    "planted_lsh_recall_witness",  # guarded all-pairs truth over planted vectors
+    "ann_ivf_kmeans_witness",  # embeds ann_topk_bruteforce as its truth side
+    "brp_lsh_ml_witness",  # embeds embedding_near_dup as its truth side
+    "semantic_dedup_np_agreement",  # embeds semantic_dedup + its np twin
 }
 
 # crossJoin(broadcast(one_row_aggregate)): the build side is exactly ONE
@@ -106,6 +135,12 @@ _SCALAR_BROADCAST_OK = {
     "lsh_recall_witness",
     # per-relation (1-row erase count) x (1-row keep count) attaches
     "user_erasure_audit",
+    # (1-row pair counts) x (1-row candidate count) x (1-row n) attaches
+    "planted_lsh_recall_witness",
+    # (1-row exact intersection) x (1-row sketch estimate) attach
+    "user_overlap_sketch_witness",
+    # (512-row bucket counts) x (1-row corpus feature totals) attach
+    "dsir_importance_weights",
 }
 
 

@@ -27,6 +27,14 @@ _WITNESSES = [
     "minhash_fast_tier_witness",
     "pca_project_witness",
     "hll_distinct_witness",
+    # continuation-session witnesses: the last unwitnessed rows-only
+    # tiers (pyspark.ml LSH twins, learned-cell IVF, BLAS SemDeDup,
+    # typed JSON parse)
+    "semantic_dedup_np_agreement",
+    "ann_ivf_kmeans_witness",
+    "minhash_ml_witness",
+    "brp_lsh_ml_witness",
+    "json_typed_agreement",
 ]
 
 
@@ -95,3 +103,108 @@ def test_kmeans_witness_goes_red_on_cluster_flips(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(C, "kmeans_clusters_np", sabotaged)
     assert kmeans_np_agreement(spark, sf_dir).first()["gate_ok"] == 0
+
+
+def test_ivf_kmeans_witness_goes_red_on_empty_tier(spark, sf_dir, monkeypatch):
+    """An IVF tier that answers nothing cannot beat the label tier's
+    recall; the witness must go red."""
+    from pyspark_big_data_spark.queries import ann_ivf as A
+    from pyspark_big_data_spark.queries.witnesses import ann_ivf_kmeans_witness
+
+    real = A.ann_topk_ivf_kmeans
+    monkeypatch.setattr(
+        A, "ann_topk_ivf_kmeans", lambda s, d: real(s, d).filter(F.lit(False))
+    )
+    assert ann_ivf_kmeans_witness(spark, sf_dir).first()["gate_ok"] == 0
+
+
+def test_ivf_kmeans_witness_goes_red_on_cosine_divergence(spark, sf_dir, monkeypatch):
+    from pyspark_big_data_spark.queries import ann_ivf as A
+    from pyspark_big_data_spark.queries.witnesses import ann_ivf_kmeans_witness
+
+    real = A.ann_topk_ivf_kmeans
+    monkeypatch.setattr(
+        A,
+        "ann_topk_ivf_kmeans",
+        lambda s, d: real(s, d).withColumn("cosine", F.col("cosine") + 1e-4),
+    )
+    assert ann_ivf_kmeans_witness(spark, sf_dir).first()["gate_ok"] == 0
+
+
+def test_semantic_np_agreement_goes_red_on_dropped_pair(spark, sf_dir, monkeypatch):
+    from pyspark_big_data_spark.queries import clustering as C
+    from pyspark_big_data_spark.queries.witnesses import semantic_dedup_np_agreement
+
+    real = C.semantic_dedup_np
+    truth_n = C.semantic_dedup(spark, sf_dir).count()
+    if truth_n == 0:
+        pytest.skip("no semantic pairs at this SF")
+
+    def sabotaged(spark_, sf_dir_):
+        df = real(spark_, sf_dir_)
+        first = df.orderBy("id_a", "id_b").first()
+        return df.filter(
+            ~((F.col("id_a") == first["id_a"]) & (F.col("id_b") == first["id_b"]))
+        )
+
+    monkeypatch.setattr(C, "semantic_dedup_np", sabotaged)
+    assert semantic_dedup_np_agreement(spark, sf_dir).first()["gate_ok"] == 0
+
+
+def test_ml_lsh_witnesses_go_red_on_lost_pairs(spark, sf_dir, monkeypatch):
+    """Both pyspark.ml witnesses must flip when the ml tier loses its
+    pairs — skipped when the SF has no truth pairs (vacuous gate)."""
+    from pyspark_big_data_spark.operators import ml_lsh as ML
+    from pyspark_big_data_spark.queries import witnesses as W
+
+    brp_truth = (
+        REGISTRY["embedding_near_dup"](spark, sf_dir).count()
+        if "embedding_near_dup" in REGISTRY
+        else 0
+    )
+    if brp_truth == 0:
+        pytest.skip("no near-dup truth pairs at this SF")
+    real_brp = ML.brp_lsh_near_neighbors
+    monkeypatch.setattr(
+        ML,
+        "brp_lsh_near_neighbors",
+        lambda emb, **kw: real_brp(emb, **kw).filter(F.lit(False)),
+    )
+    assert W.brp_lsh_ml_witness(spark, sf_dir).first()["gate_ok"] == 0
+
+
+def test_minhash_ml_witness_goes_red_on_nonzero_distance(spark, sf_dir, monkeypatch):
+    from pyspark.sql import SparkSession
+
+    from pyspark_big_data_spark.functions.text import normalize_text
+    from pyspark_big_data_spark.io import read_table
+    from pyspark_big_data_spark.operators import ml_lsh as ML
+    from pyspark_big_data_spark.queries import witnesses as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.select(normalize_text(F.col("text")).alias("norm"))
+    truth_n = n.groupBy("norm").count().filter(F.col("count") > 1).count()
+    if truth_n == 0:
+        pytest.skip("no exact-dup truth pairs at this SF")
+    real = ML.minhash_ml_near_dup
+    monkeypatch.setattr(
+        ML,
+        "minhash_ml_near_dup",
+        lambda d, **kw: real(d, **kw).withColumn(
+            "jaccard_dist", F.col("jaccard_dist") + 0.1
+        ),
+    )
+    assert W.minhash_ml_witness(spark, sf_dir).first()["gate_ok"] == 0
+
+
+def test_json_typed_agreement_goes_red_on_row_drift(spark, sf_dir, monkeypatch):
+    from pyspark_big_data_spark.queries import semi_structured as S
+    from pyspark_big_data_spark.queries.witnesses import json_typed_agreement
+
+    real = S.json_props_typed
+    monkeypatch.setattr(
+        S,
+        "json_props_typed",
+        lambda s, d: real(s, d).withColumn("cnt", F.col("cnt") + 1),
+    )
+    assert json_typed_agreement(spark, sf_dir).first()["gate_ok"] == 0
