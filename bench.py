@@ -111,6 +111,10 @@ HEADLINE = [
     "dedup_soft_weights",
     "ann_topk_pq",
     "planted_lsh_recall_witness",
+    # continuation-session additions (appended): DSIR selection and the
+    # oracled BPE pair-count core — both one-corpus-pass shapes
+    "dsir_importance_weights",
+    "bpe_pair_counts",
 ]
 
 
