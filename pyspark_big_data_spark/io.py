@@ -243,3 +243,22 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> list[dict]:
                      "actual": actual.simpleString(), "handled": is_ts_variant}
                 )
     return report
+
+
+def session_tmpdir(prefix: str) -> str:
+    """mkdtemp whose tree is reclaimed at interpreter exit.
+
+    Query-owned disk artifacts (replay corpora, minhash indexes, the
+    persisted cluster map) back LAZY DataFrames, so they cannot be
+    removed when the builder returns — the caller materializes later.
+    Registering the rmtree at process exit keeps repeated witness /
+    test / bench runs from accumulating full corpus copies in /tmp
+    while leaving the artifact alive for the whole session (the
+    persisted-artifact caches key these dirs per sf_dir)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

@@ -126,7 +126,7 @@ def kmeans_assignments(
         # ~1e-13 absolute at these magnitudes) is three orders under
         # the _TIE_EPS margin, so the true decimal top-n always
         # survives into phase 2, which alone decides.
-        cand = _phase1_candidates(ev, id_col, vec_col, cids, cmat, final_n)
+        cand, cand_b = _phase1_candidates(ev, id_col, vec_col, cids, cmat, final_n)
         # Phase 2 (candidates only — ~final_n per vec): decimal-exact
         # re-sum, then the decisive (d2, cid) ranking. Bit-identical to
         # ranking the full decimal matrix because the true decimal
@@ -146,12 +146,21 @@ def kmeans_assignments(
                 .groupBy("cid", "pos")
                 .agg((_dsum_exact(F.col("val")) / F.count("val")).alias("cval"))
             )
+            # The _land collect above materialized every plan that read
+            # this iteration's centroid broadcast — drop the executor
+            # copies so long-lived sessions (bench, test runners) don't
+            # accumulate one dangling broadcast per Lloyd iteration.
+            # unpersist (not destroy): a re-execution of the lazy plan
+            # would transparently re-ship it from the driver. The final
+            # iteration's broadcast stays alive — ``best`` is returned
+            # lazily and the caller materializes it.
+            cand_b.unpersist()
     return best.select(F.col(id_col), F.col("cid").alias("cluster"))
 
 
 def _phase1_candidates(
     ev: DataFrame, id_col: str, vec_col: str, cids, cmat, final_n: int
-) -> DataFrame:
+):
     """The phase-1 pre-cut: (id, cid) candidate pairs whose plain-double
     distance is within _TIE_EPS of the point's top-``final_n`` cutoff.
 
@@ -184,7 +193,7 @@ def _phase1_candidates(
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame({id_col: ids[rows], "cid": ids_c[cols]})
 
-    return ev.mapInPandas(scan, schema=f"{id_col} long, cid long")
+    return ev.mapInPandas(scan, schema=f"{id_col} long, cid long"), b
 
 
 def kmeans_oracle_sql(

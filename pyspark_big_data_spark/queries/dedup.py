@@ -232,14 +232,14 @@ def dedup_minhash_incremental(
     the new pairs" is the oracled contract itself. Set-union equivalence
     (old pairs ∪ incremental pairs == full pairs) is additionally pinned
     in tests/test_operators.py."""
-    import tempfile
+    from pyspark_big_data_spark.io import session_tmpdir
 
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % _INCR_MOD != 0)
     batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
 
     if index_dir is None:
-        index_dir = tempfile.mkdtemp(prefix="minhash_index_")
+        index_dir = session_tmpdir("minhash_index_")
         build_minhash_index(corpus, index_dir)
 
     idx_sigs = spark.read.parquet(f"{index_dir}/sigs")
@@ -719,10 +719,10 @@ def persisted_cluster_map_dir(spark: SparkSession, sf_dir: str) -> str:
     incremental maintenance path owns. Built here via
     dedup_clusters_incremental so the persisted rows are exactly what
     the steady-state pipeline would have on disk."""
-    import tempfile
+    from pyspark_big_data_spark.io import session_tmpdir
 
     if sf_dir not in _CLUSTER_MAP_DIRS:
-        d = tempfile.mkdtemp(prefix="cluster_map_")
+        d = session_tmpdir("cluster_map_")
         dedup_clusters_incremental(spark, sf_dir).write.mode("overwrite").parquet(d)
         _CLUSTER_MAP_DIRS[sf_dir] = d
     return _CLUSTER_MAP_DIRS[sf_dir]
@@ -789,6 +789,10 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared recursive-closure CTE chain so Spark and SQL cannot
     drift on cluster membership."""
     labels = dedup_clusters(spark, sf_dir)
+    return _soft_weights_over(labels)
+
+
+def _soft_weights_over(labels: DataFrame) -> DataFrame:
     w = Window.partitionBy("cluster_id")
     size = F.count(F.lit(1)).over(w)
     return labels.select(
@@ -797,3 +801,24 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         size.alias("cluster_size"),
         F.round(F.lit(1.0) / size, 6).alias("weight"),
     ).orderBy("doc_id")
+
+
+@register("dedup_soft_weights_from_map", oracle=_SOFT_WEIGHTS_ORACLE)
+def dedup_soft_weights_from_map(
+    spark: SparkSession, sf_dir: str, map_dir: str | None = None
+) -> DataFrame:
+    """STEADY-STATE soft dedup weighting — the 100 TB shape: ONE
+    cluster-keyed window over the persisted cluster map that
+    ``dedup_clusters_incremental`` maintains, never a recompute of the
+    minhash → pairs → connected-components chain (its full-chain twin
+    ``dedup_soft_weights`` keeps that representative shape). Plan: one
+    parquet scan of the (doc_id, cluster_id) map + one window — no
+    corpus touch, no join; at 100 TB the map is ~1e-3 of corpus bytes.
+
+    Same recursive-closure oracle as the full-chain twin, so the driver
+    verifies the PERSISTED map still produces from-scratch-identical
+    weights — the same projection-vs-recompute differential
+    ``split_assign_from_map`` pins for split assignment."""
+    if map_dir is None:
+        map_dir = persisted_cluster_map_dir(spark, sf_dir)
+    return _soft_weights_over(spark.read.parquet(map_dir))

@@ -43,6 +43,16 @@ _EPS = 0.45  # noise half-width per dimension
 _THRESH = 0.4  # near-dup truth threshold (same as the embeddings tiers)
 _PLANES = 10  # planes per band table (bucket bits)
 _TABLES = 12  # OR-amplification tables
+# Above this many vectors the O(n²) truth side runs on a deterministic
+# md5 id-sample (pairs cost /9) — recall is then ESTIMATED on the
+# sampled truth while the candidate bill stays exact-full. At the
+# driver-verified SFs (n=500) the sample is inactive, so the
+# CORRECTNESS row remains the full bit-exact differential; the bench SF
+# (n=2000) pays ~1/9 of the witness's former 25 s truth cost. Both
+# engines apply the IDENTICAL rule (the oracle's predicate is
+# n-conditional), so the row stays hash-exact at every SF.
+_FULL_TRUTH_MAX = 600
+_TRUTH_SAMPLE_MOD = 3
 _TABLE_PLANES = [
     V.random_hyperplanes(n_planes=_PLANES, dim=_DIM, seed=f"planted-lsh:t{t}")
     for t in range(_TABLES)
@@ -107,14 +117,22 @@ _TB_SQL = "\n    UNION ALL ".join(
     for t, planes in enumerate(_TABLE_PLANES)
 )
 
+_TSAMPLE_SQL = hash48_sql_duckdb("'pts:' || CAST(vec_id AS VARCHAR)")
+
 _PLANTED_ORACLE = f"""
 WITH pe AS ({_PE_SQL}),
+n AS (SELECT COUNT(*) AS n FROM pe),
 nv AS (
     SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM pe
 ),
+sv AS (
+    SELECT vec_id, e, nrm FROM nv
+    WHERE (SELECT n FROM n) <= {_FULL_TRUTH_MAX}
+       OR {_TSAMPLE_SQL} % {_TRUTH_SAMPLE_MOD} = 0
+),
 truth AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    FROM sv a JOIN sv b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {_THRESH}
 ),
 tb AS (
@@ -127,8 +145,7 @@ cand AS (
 ),
 hit AS (
     SELECT t.id_a FROM truth t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
-),
-n AS (SELECT COUNT(*) AS n FROM pe)
+)
 SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
        CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
        CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
@@ -205,12 +222,22 @@ def planted_lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({_PLANES} planes x {_TABLES} tables) recovers >=90% of the true
     near-dup pairs while generating <10% of all-pairs as candidates —
     the Σ bucket² economics a 100 TB embedding corpus relies on. Truth
-    side is the guarded exact all-pairs baseline; candidate side is the
-    ids-only band equi-join; DuckDB replays vectors, buckets, truth and
-    counts from the same md5 arithmetic, so every number is an exact
-    differential check, not a quoted measurement."""
+    side is the guarded exact all-pairs baseline — run on a
+    deterministic md5 id-sample above {_FULL_TRUTH_MAX} vectors
+    (recall ESTIMATED on sampled truth, candidate bill exact-full; at
+    the driver SFs the sample is inactive and every number is the full
+    differential); candidate side is the ids-only band equi-join;
+    DuckDB replays vectors, buckets, truth, sample rule and counts from
+    the same md5 arithmetic, so the row is hash-exact at every SF."""
     planted = planted_embeddings(spark, sf_dir)
-    truth = planted_truth_pairs(planted)
+    truth_input = planted
+    if planted.limit(_FULL_TRUTH_MAX + 1).count() > _FULL_TRUTH_MAX:
+        truth_input = planted.filter(
+            hash48(F.concat(F.lit("pts:"), F.col("vec_id").cast("string")))
+            % _TRUTH_SAMPLE_MOD
+            == 0
+        )
+    truth = planted_truth_pairs(truth_input)
     cand = planted_candidate_pairs(planted)
     counts = truth.join(cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_truth"),

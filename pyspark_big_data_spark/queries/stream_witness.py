@@ -41,11 +41,11 @@ def replay_corpus_through_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
+    from pyspark_big_data_spark.io import session_tmpdir
     from pyspark_big_data_spark.streaming.incremental_dedup import run_dedup_stream
 
-    root = tempfile.mkdtemp(prefix="dedup_replay_")
+    root = session_tmpdir("dedup_replay_")
     drop_dir = f"{root}/drop"
     os.makedirs(drop_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

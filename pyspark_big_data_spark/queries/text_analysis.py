@@ -301,19 +301,94 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("bpe_merges_learned", driver=False)
+_BPE_N_MERGES = 8
+
+
+def bpe_merges_oracle_sql(n_merges: int = _BPE_N_MERGES) -> str:
+    """Generated DuckDB replay of the FULL BPE merge loop, unrolled
+    (the trade_pagerank technique): each iteration recomputes the
+    weighted pair counts, picks the argmax with the learner's exact
+    (cnt desc, left, right) tie-break via a scalar subquery, and
+    applies the greedy left-to-right non-overlapping merge in pure SQL.
+
+    The greedy fold (operators/bpe.py::merge_pair) is SQL-expressible
+    positionally: adjacent matches can only overlap when left == right
+    (a match at pos p and p+1 forces s[p+1] = right = left), so within
+    each RUN of consecutive match positions greedy selects exactly the
+    even offsets from the run start — gaps-and-islands + parity. The
+    rebuild keeps every position except those consumed as the right
+    half of a selected merge, concatenating the pair at selected
+    positions."""
+    parts = [
+        f"""WITH v0 AS MATERIALIZED (
+    SELECT word, freq, list_append(string_split(word, ''), '</w>') AS s
+    FROM (
+        SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+        WHERE t <> '' GROUP BY t
+    )
+)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+    SELECT word, freq, s, unnest(generate_series(1, len(s) - 1)) AS pos FROM v{i}
+), c{i} AS (
+    SELECT s[pos] AS l, s[pos + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM p{i} GROUP BY 1, 2
+), t{i} AS MATERIALIZED (
+    SELECT l, r, cnt FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1
+), g{i} AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT word, pos, MIN(pos) OVER (PARTITION BY word, grp) AS rstart
+        FROM (
+            SELECT word, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+            FROM p{i}
+            WHERE s[pos] = (SELECT l FROM t{i}) AND s[pos + 1] = (SELECT r FROM t{i})
+        )
+    ) WHERE (pos - rstart) % 2 = 0
+), v{i + 1} AS MATERIALIZED (
+    SELECT word, freq, list(sym ORDER BY pos) AS s
+    FROM (
+        SELECT a.word, a.freq, a.pos,
+               CASE WHEN g.pos IS NOT NULL THEN a.s[a.pos] || a.s[a.pos + 1]
+                    ELSE a.s[a.pos] END AS sym
+        FROM (SELECT word, freq, s, unnest(generate_series(1, len(s))) AS pos FROM v{i}) a
+        LEFT JOIN g{i} g ON g.word = a.word AND g.pos = a.pos
+        LEFT JOIN g{i} g2 ON g2.word = a.word AND g2.pos = a.pos - 1
+        WHERE g2.pos IS NULL
+    ) GROUP BY word, freq
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, l AS left_sym, r AS right_sym, cnt FROM t{i}"
+        for i in range(n_merges)
+    )
+    parts.append(
+        f"""
+SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, cnt
+FROM ({union}) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_merges_learned", oracle=bpe_merges_oracle_sql(), driver=False)
 def bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 learned BPE merges over the corpus (operators/bpe.py):
-    tokenizer TRAINING as a registered query. Rows-only — the greedy
-    merge fold has no DuckDB lambda twin; the pytest oracle is exact
-    merge-sequence agreement with an independent pure-Python Sennrich
-    implementation (tests/test_bpe.py)."""
+    """Top-{_BPE_N_MERGES} learned BPE merges over the corpus
+    (operators/bpe.py): tokenizer TRAINING as a registered query.
+    Oracled since round 7 — the driver-side argmax loop is replayed by
+    the generated unrolled-SQL oracle above (each merge recomputed and
+    re-applied in DuckDB), so the FULL merge loop is differentially
+    verified, not just iteration 1 (bpe_pair_counts). The pytest gate
+    additionally pins exact merge-sequence agreement with an
+    independent pure-Python Sennrich implementation (tests/test_bpe.py)."""
     from pyspark_big_data_spark.operators.bpe import learn_merges
 
-    merges = learn_merges(read_table(spark, sf_dir, "documents"), n_merges=8)
+    merges = learn_merges(read_table(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)
     return spark.createDataFrame(
         [(m["rank"], m["left"], m["right"], m["cnt"]) for m in merges],
-        "rank long, left string, right string, cnt long",
+        "rank long, left_sym string, right_sym string, cnt long",
     ).orderBy("rank")
 
 

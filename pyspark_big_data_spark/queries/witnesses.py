@@ -85,16 +85,23 @@ def tolerance_agreement_digest(
     denom = F.greatest(F.col("n_exact"), F.col("n_fast"))
     ok_overlap = F.col("n_overlap") >= (F.lit(min_overlap) * denom)
     ok_vals = F.col("max_diff").isNull() | (F.col("max_diff") < tol)
-    gate = F.when(ok_counts & ok_overlap & ok_vals, 1).otherwise(0)
+    # Non-vacuity: an empty exact side must not read as agreement
+    # (max_diff is null and 0 >= 0 would otherwise gate green). Both
+    # sides of the differential emit gate_ok=0 on empty input, so a
+    # degenerate SF stays hash-consistent but visibly not-agreeing.
+    ok_nonempty = F.col("n_exact") > 0
+    gate = F.when(ok_counts & ok_overlap & ok_vals & ok_nonempty, 1).otherwise(0)
     return agg.select(*_digest(F.col("n_exact"), gate, n_name))
 
 
 def _wrap_count_oracle(inner_sql: str, n_name: str = "n_exact") -> str:
     """The witness oracle: DuckDB independently recomputes the exact
-    tier's full pipeline and counts its rows; gate_ok is pinned to 1."""
+    tier's full pipeline and counts its rows; gate_ok mirrors the Spark
+    side's non-vacuity clause (1 only when the exact tier is non-empty)."""
     return (
         f"SELECT CAST(COUNT(*) AS BIGINT) AS {n_name},"
-        f" CAST(1 AS BIGINT) AS gate_ok FROM ({inner_sql})"
+        f" CAST(CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS gate_ok"
+        f" FROM ({inner_sql})"
     )
 
 
@@ -625,7 +632,8 @@ def ann_ivf_kmeans_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gate = F.when(
         (F.col("n_km") >= F.col("n_lab"))
-        & (F.col("max_diff").isNull() | (F.col("max_diff") < _TOL)),
+        & (F.col("max_diff").isNull() | (F.col("max_diff") < _TOL))
+        & (F.col("n_exact") > 0),
         1,
     ).otherwise(0)
     return agg.select(*_digest(F.col("n_exact"), gate, "n_exact"))
@@ -709,7 +717,9 @@ def brp_lsh_ml_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("_found")), F.lit(0)).alias("n_found"),
     )
     gate = F.when(
-        F.col("n_found") >= F.lit(_BRP_FLOOR) * F.col("n_truth"), 1
+        (F.col("n_found") >= F.lit(_BRP_FLOOR) * F.col("n_truth"))
+        & (F.col("n_truth") > 0),
+        1,
     ).otherwise(0)
     return agg.select(*_digest(F.col("n_truth"), gate, "n_truth"))
 
@@ -747,7 +757,9 @@ def json_typed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum(F.when(row_ok, 1).otherwise(0)).alias("n_ok"),
     )
-    gate = F.when(F.col("n_ok") == F.col("n_groups"), 1).otherwise(0)
+    gate = F.when(
+        (F.col("n_ok") == F.col("n_groups")) & (F.col("n_groups") > 0), 1
+    ).otherwise(0)
     return agg.select(*_digest(F.col("n_groups"), gate, "n_groups"))
 
 

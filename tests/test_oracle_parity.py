@@ -68,10 +68,9 @@ def test_every_query_has_oracle_or_is_flagged():
         # accuracy vs the oracled exact twin (user_overlap_exact) is
         # gated in tests/test_operators.py.
         "user_overlap_sketch",
-        # greedy BPE merge fold has no DuckDB lambda twin; merge
-        # sequence pinned exactly vs a pure-Python Sennrich reference
-        # in tests/test_bpe.py.
-        "bpe_merges_learned",
+        # (bpe_merges_learned graduated to oracled in round 7: the
+        # greedy fold proved SQL-expressible via run-parity selection —
+        # see text_analysis.py::bpe_merges_oracle_sql.)
         # eigendecomposition has no DuckDB twin; pinned against a
         # straight numpy PCA + algebraic invariants in tests/test_pca.py
         "embedding_pca_project",

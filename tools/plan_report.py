@@ -42,7 +42,6 @@ _NODES = {
     "map_in_pandas": "MapInPandas",
     "flatmap_groups": "FlatMapGroupsInPandas",
     "row_python": "BatchEvalPython",
-    "codegen": "WholeStageCodegen",
 }
 
 _TREE_ART = " :+-*"
@@ -103,6 +102,11 @@ def summarize(plan: str) -> dict[str, int]:
     caveat, now fixed structurally)."""
     deduped, collapsed = collapse_cached(plan)
     counts = {key: deduped.count(node) for key, node in _NODES.items()}
+    # Simple mode renders whole-stage codegen as '*(n)' node prefixes,
+    # not 'WholeStageCodegen' literals — count DISTINCT region ids so
+    # the column means "codegen regions", same as formatted mode's span
+    # count (the literal-substring count was always 0 here).
+    counts["codegen"] = len(set(re.findall(r"\*\((\d+)\)", deduped)))
     counts["cached_reuse"] = collapsed
     return counts
 
