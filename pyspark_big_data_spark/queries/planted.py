@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark_big_data_spark.functions import vectors as V
 from pyspark_big_data_spark.functions.text import hash48, hash48_sql_duckdb
-from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.io import ensure_min_partitions, read_table
 from pyspark_big_data_spark.queries.registry import register
 
 _DIM = 64
@@ -59,15 +59,6 @@ _TABLE_PLANES = [
 ]
 
 
-def _cent_expr_spark(d: int) -> F.Column:
-    h = hash48(
-        F.concat(
-            F.lit("pc:"), (F.col("vec_id") % _C).cast("string"), F.lit(f":{d}")
-        )
-    )
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-
 def _noise_expr_spark(d: int) -> F.Column:
     h = hash48(
         F.concat(F.lit("pn:"), F.col("vec_id").cast("string"), F.lit(f":{d}"))
@@ -79,11 +70,47 @@ def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e array<double>): the computed planted-cluster vectors
     over the ``embeddings`` id domain. Cached — downstream operators
     (flatten, 120 bucket dots, the all-pairs truth) must read the
-    materialized doubles, not re-inline 128 md5 calls per reference
-    (Catalyst collapses projections; the cache is the barrier)."""
-    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
-    elems = [(_cent_expr_spark(d) + _noise_expr_spark(d)) for d in range(_DIM)]
-    return ids.select("vec_id", F.array(*elems).alias("e")).cache()
+    materialized doubles, not re-inline the md5 calls per reference
+    (Catalyst collapses projections; the cache is the barrier).
+
+    The centroid component depends only on (vec_id % C, d) — {_C} x
+    {_DIM} distinct doubles — so it is built ONCE as a {_C}-row
+    broadcast dim and joined on the cluster id instead of re-hashing
+    per row (same doubles, half the md5 work; the oracle keeps the
+    inline spelling since DuckDB evaluates it in negligible time)."""
+    cent_rows = spark.range(_C).select(
+        F.col("id").alias("_cl"),
+        F.array(
+            *[
+                F.when(
+                    hash48(
+                        F.concat(
+                            F.lit("pc:"), F.col("id").cast("string"), F.lit(f":{d}")
+                        )
+                    )
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for d in range(_DIM)
+            ]
+        ).alias("_cent"),
+    )
+    # Single-file testdata arrives as ONE partition, serializing the
+    # md5 fixture arithmetic and every downstream HOF onto one core —
+    # fan out before the compute (no-op on real multi-file input).
+    ids = ensure_min_partitions(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", (F.col("vec_id") % _C).alias("_cl")
+        )
+    )
+    noise = [_noise_expr_spark(d) for d in range(_DIM)]
+    elems = [(F.col("_cent").getItem(d) + noise[d]) for d in range(_DIM)]
+    return (
+        ids.join(F.broadcast(cent_rows), "_cl")
+        .select("vec_id", F.array(*elems).alias("e"))
+        .cache()
+    )
 
 
 def _cent_sql(d: int) -> str:
@@ -160,10 +187,39 @@ def planted_candidate_pairs(planted: DataFrame) -> DataFrame:
     """Distinct candidate pairs from the OR-amplified band equi-join
     over the planted vectors — ids only through the join, same shape as
     similarity.lsh_candidate_pairs."""
-    buckets = F.array(
-        *[V.simhash_bucket(F.col("e"), planes) for planes in _TABLE_PLANES]
+    # The 120 plane vectors ride in as a BROADCAST dim table and the
+    # bucket bits come from one HOF dot per (vector, plane) row,
+    # sum-folded back per (vector, table). Numerically identical to the
+    # inline simhash_bucket spelling (same dot, same power-of-two bit
+    # weights, integer sum) but the plan carries ~10 nodes instead of
+    # 12x10 dots x 64 literal components — the inline spelling cost ~9 s
+    # of one-time Catalyst/codegen work PER SESSION at any data size.
+    spark = planted.sparkSession
+    plane_rows = [
+        (t, p, plane)
+        for t, planes in enumerate(_TABLE_PLANES)
+        for p, plane in enumerate(planes)
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, "t int, p int, plane array<double>"
     )
-    tabled = planted.select("vec_id", F.posexplode(buckets).alias("t", "bucket"))
+    bit = F.when(
+        V.dot(F.col("e"), F.col("plane")) > 0,
+        F.expr("shiftleft(1, p)").cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    # Cache the banded ids: the self-join's two sides carry different
+    # column aliases, so Catalyst does NOT reuse one exchange for both
+    # and would otherwise run the bucket pipeline twice (and once more
+    # per downstream reuse). The frame is (id, t, bucket) — n x TABLES
+    # ints, the same bytes a shuffle would materialize.
+    tabled = (
+        planted.crossJoin(F.broadcast(planes_df))
+        .select("vec_id", "t", bit.alias("_bit"))
+        .groupBy("vec_id", "t")
+        .agg(F.sum("_bit").alias("bucket"))
+        .cache()
+    )
+    tabled.count()  # eager: both join sides read the built cache
     a = tabled.select(F.col("vec_id").alias("id_a"), "t", "bucket")
     b = tabled.select(
         F.col("vec_id").alias("id_b"),
@@ -230,8 +286,9 @@ def planted_lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays vectors, buckets, truth, sample rule and counts from
     the same md5 arithmetic, so the row is hash-exact at every SF."""
     planted = planted_embeddings(spark, sf_dir)
+    n_planted = planted.count()  # eager cache: every branch reads doubles
     truth_input = planted
-    if planted.limit(_FULL_TRUTH_MAX + 1).count() > _FULL_TRUTH_MAX:
+    if n_planted > _FULL_TRUTH_MAX:
         truth_input = planted.filter(
             hash48(F.concat(F.lit("pts:"), F.col("vec_id").cast("string")))
             % _TRUTH_SAMPLE_MOD
@@ -239,15 +296,22 @@ def planted_lsh_recall_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     truth = planted_truth_pairs(truth_input)
     cand = planted_candidate_pairs(planted)
-    counts = truth.join(cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left").agg(
-        F.count(F.lit(1)).cast("long").alias("n_truth"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+    # ONE pass over both pair sets: full-outer on the pair key, one
+    # aggregate for all three counts — the previous left-join + separate
+    # candidate count executed the whole band-join pipeline twice.
+    both = F.col("_t").isNotNull() & F.col("_c").isNotNull()
+    counts = (
+        truth.withColumn("_t", F.lit(1))
+        .join(cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_t").cast("long").alias("n_truth"),
+            F.count("_c").cast("long").alias("n_candidates"),
+            F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_hit"),
+        )
     )
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     n_vec = planted.agg(F.count(F.lit(1)).alias("n"))
     return (
-        counts.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_vec))
+        counts.crossJoin(F.broadcast(n_vec))
         .select(
             "n_truth",
             "n_candidates",
