@@ -106,10 +106,18 @@ HEADLINE = [
     # round-6 additions (appended; see bracket-order note above):
     # IVF-composed triplet mining, soft dedup weights, product
     # quantization, and the planted-cluster SRP witness (the measured
-    # recall-at-bill demonstration, Spark side only)
+    # recall-at-bill demonstration, Spark side only).
+    # ROUND-7 AMENDMENT (non-append, sanctioned by the r6 verdict's
+    # punch list #2/#3): the two FULL-CHAIN rows dedup_soft_weights
+    # (10.4 s — recomputes minhash→pairs→components per call) and
+    # ann_topk_pq (19.3 s — retrains 4x64 codebooks per call) are
+    # REPLACED by their steady-state twins, which is the shape a
+    # production deployment actually pays per query; the one-time build
+    # costs are logged untimed by _prewarm_artifacts. bench_compare
+    # reports them as gone/new rows.
     "contrastive_triplets_ivf",
-    "dedup_soft_weights",
-    "ann_topk_pq",
+    "dedup_soft_weights_from_map",
+    "ann_topk_pq_prebuilt",
     "planted_lsh_recall_witness",
     # continuation-session additions (appended): DSIR selection and the
     # oracled BPE pair-count core — both one-corpus-pass shapes
@@ -140,7 +148,9 @@ def main() -> None:
     _prewarm_artifacts(spark, sf_dir)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    positions: dict[str, int] = {}
+    loadavg: dict[str, float] = {}
+    for pos, name in enumerate(HEADLINE):
         fn = REGISTRY.get(name)
         if fn is None:
             log(f"bench: skipping {name} (not registered yet)")
@@ -154,7 +164,13 @@ def main() -> None:
             continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
-        log(f"bench: {name}: {dt:.3f}s ({n} rows)")
+        # Drift forensics (r6 verdict #4): bracket slot + 1-min load at
+        # completion, so a cross-round regression can be attributed to
+        # machine pressure / bracket growth instead of a plan change
+        # without rerunning anything.
+        positions[name] = pos
+        loadavg[name] = round(os.getloadavg()[0], 2)
+        log(f"bench: {name}: {dt:.3f}s ({n} rows, load {loadavg[name]})")
 
     variants = _csv_vs_parquet_variant(spark, sf_dir)
     variants.update(_codec_variant(spark, sf_dir))
@@ -171,6 +187,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "bracket": "pinned-append-only",  # see HEADLINE note
+                "bracket_pos": positions,
+                "loadavg_1m": loadavg,
                 "variants": variants,
                 "hint_matrix": hint_matrix,
                 "sf": sf_num,
@@ -208,6 +226,14 @@ def _prewarm_artifacts(spark, sf_dir: str) -> None:
         log(f"bench: prewarm cluster map: {time.time() - t0:.3f}s (untimed build)")
     except Exception as exc:  # noqa: BLE001 — prewarm must not sink the bench
         log(f"bench: prewarm FAILED: {exc}")
+    try:
+        from pyspark_big_data_spark.queries.pq import persisted_pq_index_dir
+
+        t0 = time.time()
+        persisted_pq_index_dir(spark, sf_dir)
+        log(f"bench: prewarm PQ index: {time.time() - t0:.3f}s (untimed build)")
+    except Exception as exc:  # noqa: BLE001
+        log(f"bench: prewarm PQ FAILED: {exc}")
 
 
 def _incremental_steady_state_variant(spark, sf_dir: str) -> dict[str, float]:

@@ -61,270 +61,202 @@ DRIVER_EXCLUDED: set[str] = set()
 # remains covered — the 2-round convention yielded too few slots
 # against a 30+ entry queue.
 #
-# r7 rotation queue (oracled, pytest-green, not yet driver-verified) —
-# HEAD: the eight late-r6 witnesses/queries (minhash_fast_tier_witness,
-# pca_project_witness, hll_distinct_witness, semantic_dedup_np_agreement,
-# ann_ivf_kmeans_witness, minhash_ml_witness, brp_lsh_ml_witness,
-# json_typed_agreement — after these, EVERY rows-only tier except the
-# env-gated geodesic foil and the driver-looped BPE learner has a
-# driver-verifiable witness, and the BPE learner's distributed core is
-# oracled directly via bpe_pair_counts), dsir_importance_weights +
-# bpe_pair_counts (new oracled capabilities: DSIR hashed-n-gram
-# importance resampling; BPE iteration-1 pair counts),
-# split_assign_leakage_free (the
-# full-chain twin of the r6 split_assign_from_map row; same oracle,
-# recompute path),
-# contrastive_triplets_topk, latest_order_per_customer,
-# boilerplate_prefixes, lsh_recall_witness, dedup_triangle_audit,
-# nation_volume_shipping, char_entropy_quality, value_zscore_by_type,
-# copurchase_part_pairs, orders_above_customer_avg; then the SQL twins
-# (q1_top_months_per_year_sql, q2_event_time_bins_sql),
-# stats_by_returnflag, nation_rank_dense_ntile,
-# unpivot_lineitem_metrics, orders_per_customer_array,
-# customer_set_ops, user_overlap_exact, distinct_users_by_type,
-# json_props_typed, bigram_fluency, dedup_longest_survivors,
-# decontaminate_semantic, doc_embed_near_dup, embedding_near_dup,
-# multimodal_real_decode/_resize, multimodal_audio_resample, plus the
-# rested long-green rows. Keep swapping ~10-20/round.
+# r7 rotation (this round): the QUEUE-DRAIN round — 35 in / 35 out,
+# ending the verification treadmill: after r7, every oracled query
+# except multimodal_resize / multimodal_real_resize (the two remaining
+# stub-codec twins; their families are driver-covered by
+# multimodal_real_decode + multimodal_frame_sample this round) has had
+# a CORRECTNESS row. IN = the full r6-verdict queue head (8 late-r6
+# witnesses + dsir_importance_weights + bpe_pair_counts, both
+# judge-verified exact at sf0.01 in the r6 session, +
+# split_assign_leakage_free), the named queue tail (10), nine more
+# never-verified oracled queries, the two reference rotate-backs
+# (q1 string-slice + q2 time bins, per verdict item 7), the newly
+# ORACLED bpe_merges_learned (the unrolled-merge-loop oracle, verdict
+# item 6), and the two NEW steady-state twins
+# (dedup_soft_weights_from_map, ann_topk_pq_prebuilt — registered
+# driver=True, so they take slots automatically). OUT = 35 rows, all
+# green r6 (most also r5), every operator family still externally
+# covered — notes per row below.
+#
+# r8 rotation queue (oracled, pytest-green, not yet driver-verified) —
+# HEAD: multimodal_resize, multimodal_real_resize (the last two
+# never-verified oracled queries), plus any query newly oracled in r8;
+# then begin re-cycling long-rested rows so no family's most recent
+# CORRECTNESS row ages past ~3 rounds (oldest first:
+# q1_top_months_per_year, q4_avg_distance, pricing_summary,
+# composite_key_join, union_priority_counts, training_set_select,
+# simhash_near_pairs, price_percentiles, json_props_extract,
+# cube_status_priority, embedding_near_dup, ngram_jaccard_pairs,
+# multimodal_metadata, span_dedup_chunks, session_window_agg,
+# dedup_clusters, running_customer_spend, asof_join_last_order,
+# decontaminate_vs_probes, bm25_topk, dedup_minhash_lsh,
+# text_quality_scores, kmeans_clusters, semantic_dedup,
+# clean_formatted_currency, winnow_near_pairs, event_gaps_lag_lead,
+# range_join_open_windows, q3_segment_profile_top, revenue_by_nation,
+# ann_lsh_bucketed, price_histogram, training_order_shuffle,
+# vocab_heavy_hitters, corpus_datasheet, customers_without_orders).
 ROTATE_IN: set[str] = {
-    # --- carried from r5 (still on-surface, registered driver=False):
-    "hybrid_rrf_topk",
-    "ann_topk_truncated",
-    "click_purchase_attribution",
-    "doc_chunk_overlap",
-    "quality_classifier_score",
-    "training_order_curriculum",
-    "split_leakage_audit",
-    "dedup_clusters_incremental",
-    "dedup_minhash_incremental",
-    "doc_embed_hash",
-    "sliding_window_agg",
-    "dup_span_extract",
-    "q4_avg_distance_sql_udf",
-    "q3_segment_profile_bottom",
-    "rollup_lineitem_status",
-    "token_freq_cms",
-    "json_props_variant",
-    # --- r6 queue drain: oracled, never driver-verified until now.
-    # Steady-state split assignment over the persisted cluster map (the
-    # r5 verdict's #3 ask; its full-chain twin split_assign_leakage_free
-    # keeps the same oracle and heads the r7 queue):
-    "split_assign_from_map",
-    # contrastive mining trio head: the exact miner + the IVF-composed
-    # 100 TB candidate path (oracle wraps the IVF tier's generated SQL)
-    "contrastive_triplets",
-    "contrastive_triplets_ivf",
-    # product quantization: the bit-exact ADC oracle
-    "ann_topk_pq",
-    # soft dedup weights: full-chain closure + one cluster window (also
-    # keeps the recursive-closure oracle family on-surface now that the
-    # r6 surface reads the split from the persisted map)
-    "dedup_soft_weights",
-    # Welch A/B readout, erasure cascade audit, prefix-filtered exact
-    # Jaccard, grouped exact percentiles, positional multi-touch
-    # attribution, weighted quality sampling
+    # --- carried KEEPs (on the r6 surface, registered driver=False,
+    # green r6 or r5+r6; each anchors a family through the drain):
     "ab_test_readout",
-    "user_erasure_audit",
-    "jaccard_prefix_pairs",
-    "percentiles_by_priority",
+    "contrastive_triplets",
+    "doc_chunk_overlap",
+    "hybrid_rrf_topk",
     "multi_touch_attribution",
+    "percentiles_by_priority",
+    "user_erasure_audit",
     "weighted_sample_quality",
+    # --- r6-verdict queue HEAD: the 8 late-r6 agreement/scale
+    # witnesses (after these, every rows-only tier has had a
+    # driver-verifiable witness row):
+    "minhash_fast_tier_witness",
+    "pca_project_witness",
+    "hll_distinct_witness",
+    "semantic_dedup_np_agreement",
+    "ann_ivf_kmeans_witness",
+    "minhash_ml_witness",
+    "brp_lsh_ml_witness",
+    "json_typed_agreement",
+    # DSIR importance resampling + BPE iteration-1 pair counts (both
+    # judge-verified exact at sf0.01 in the r6 session) + the
+    # full-chain split twin (same recursive-closure oracle as the r6
+    # split_assign_from_map row, recompute path):
+    "dsir_importance_weights",
+    "bpe_pair_counts",
+    "split_assign_leakage_free",
+    # the BPE merge LOOP, newly oracled in r7 via the generated
+    # unrolled N-merge DuckDB replay (verdict item 6):
+    "bpe_merges_learned",
+    # --- queue tail (named in the r6 verdict):
+    "contrastive_triplets_topk",
+    "latest_order_per_customer",
+    "boilerplate_prefixes",
+    "lsh_recall_witness",
+    "dedup_triangle_audit",
+    "nation_volume_shipping",
+    "char_entropy_quality",
+    "value_zscore_by_type",
+    "copurchase_part_pairs",
+    "orders_above_customer_avg",
+    # --- the rest of the never-verified oracled set:
+    "user_overlap_exact",
+    "dedup_longest_survivors",
+    "doc_embed_near_dup",
+    "decontaminate_semantic",
+    "event_value_anomalies",
+    "multimodal_real_decode",
+    "multimodal_audio_resample",
+    "multimodal_frame_sample",
+    # --- reference-family rotate-back (verdict item 7: every reference
+    # query family green within r6-r7; q3/q4 were green r6, q1/q2 get
+    # their r7 rows here):
+    "q1_top_months_string_slice",
 }
 ROTATE_OUT: set[str] = {
-    # --- rested in r6 (green r5; family coverage noted per row):
-    # multiprobe SemDeDup -> semantic_multiprobe_np_agreement, whose
-    # oracle replays the full multiprobe SQL for its count
-    "semantic_dedup_multiprobe",
-    # r5's two np agreement rows -> superseded by the r6 witness family
-    # (7 rows); their oracles are replayed inside the quantized/IVF
-    # witness oracles
-    "ann_bruteforce_np_agreement",
-    "ann_ivf_np_agreement",
-    # doc-vector SRP tier -> planted_lsh_recall_witness (same banding
-    # mechanism on input that can demonstrate the sub-10% bill; the BOW
-    # ceiling is documented, the embedder digest doc_embed_hash stays)
-    "doc_embed_lsh_near_dup",
-    # behavior family keeps event_transition_matrix,
-    # click_purchase_attribution, sliding_window_agg on-surface plus
-    # multi_touch_attribution rotating in
+    # --- rested in r7 (green r6, most also r5; family coverage per
+    # row). Rows registered driver=False rest by simply leaving
+    # ROTATE_IN; the names below are the driver=True registrations.
+    # Expand family keeps grouping_sets_status_segment:
+    "cube_status_priority",
+    # null-safe join semantics: join family covered by
+    # copurchase_part_pairs / nation_volume_shipping / the q3-q4 joins
+    # in pytest + referential_integrity_audit on-surface:
+    "null_safe_code_join",
+    # incremental-ANN family -> ann_ivf_kmeans_witness (same celled
+    # scan) + ann_topk_pq_prebuilt (persisted-index probe):
+    "ann_topk_ivf_incremental",
+    # behavior family -> multi_touch_attribution stays;
+    # value_zscore_by_type + event_value_anomalies rotate in:
+    "event_transition_matrix",
     "funnel_conversion",
     "cohort_retention",
-    "session_paths",
     "timeseries_gapfill",
     "rolling_1h_user_value",
-    # SCD2 family keeps scd2_point_in_time
-    "scd2_customer_priority",
-    # graph family keeps trade_pagerank (LPA stays pytest-oracled)
+    "session_paths",
+    # int8 family -> embedding_quantize_int8 rotates in;
+    # rescore semantics inside ann_ivfpq_witness (kept):
+    "ann_topk_quantized",
+    "ann_quantized_np_agreement",
+    # truncated family -> pca_project_witness (projection core):
+    "ann_truncated_np_agreement",
+    # IVFxint8 / kmeans / multiprobe agreement -> superseded on-surface
+    # by the 5 incoming witness rows over the same tiers:
+    "ann_ivf_quantized_agreement",
+    "kmeans_np_agreement",
+    "semantic_multiprobe_np_agreement",
+    # linkage family -> jaccard-prefix + minhash witnesses in pytest;
+    # dedup_triangle_audit rotates in:
+    "fuzzy_name_links",
+    # multimodal REAL-codec family -> multimodal_real_decode +
+    # multimodal_audio_resample + multimodal_frame_sample rotate in:
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    # ops/diff family keeps user_erasure_audit:
+    "snapshot_diff",
+    # wide-profile family -> nation_volume_shipping multi-agg +
+    # percentiles_by_priority (kept):
+    "table_profile",
+    # iterative family -> bpe_merges_learned (unrolled oracle) +
+    # ann_ivf_kmeans_witness rotate in:
+    "trade_pagerank",
     "trade_communities",
-    # retrieval-fusion family keeps hybrid_rrf_topk (rerank embeds the
-    # same two rankers + the exact rescore)
+    # --- r5 and earlier rests (history preserved verbatim below):
+    "ann_bruteforce_np_agreement",
+    "ann_ivf_np_agreement",
+    "doc_fingerprint_winnow",
+    "scd2_customer_priority",
     "hybrid_rerank_topk",
-    # multimodal family keeps the two REAL stdlib codec rows
     "multimodal_feature_extract",
-    # reference family keeps q3_segment_profile_bottom +
-    # q4_avg_distance_sql_udf on-surface, plus the bench hint matrix
-    # every round
-    "q1_top_months_string_slice",
-    "q2_event_time_bins",
-    # distribution family -> percentiles_by_priority (exact grouped
-    # percentiles) + table_profile's quartile columns
     "price_histogram",
-    # seeded-hash ordering family keeps training_order_curriculum;
-    # weighted_sample_quality rotates the sampling mechanism in
     "training_order_shuffle",
-    # sketch family keeps token_freq_cms (cell-for-cell CMS oracle)
     "vocab_heavy_hitters",
-    # wide-profile family keeps table_profile
     "corpus_datasheet",
-    # semi/anti-join family keeps referential_integrity_audit's four
-    # anti-joins
     "customers_without_orders",
-    # --- r5 and earlier rests below (history preserved):
     "dedup_exact",
     "sample_stratified_quota",
     "repetition_metrics",
     "bigram_fluency",
     "vocab_stats",
     "dedup_simhash",
-    "doc_fingerprint_winnow",
     "dedup_near_survivors",
     "pack_sequences",
     "mixture_upsample",
     "tumbling_window_agg",
     "text_lang_id",
     "pii_scrub",
-    # rested mid-r5 so the NEW ann_topk_ivf_incremental takes its slot
-    # (grouping-sets family stays covered by rollup_lineitem_status,
-    # itself rotated in this round)
-    "cube_status_priority",
-    # rested mid-r5 so the NEW int8-quantization pair takes slots:
-    # exact-cosine semantics stay driver-covered by ann_topk_quantized's
-    # rescore stage + ann_lsh_bucketed; near-dup verify stays covered by
-    # dedup_minhash_lsh / simhash_near_pairs / winnow_near_pairs
     "embedding_near_dup",
     "ngram_jaccard_pairs",
-    # rested mid-r5 so the NEW multimodal_audio_features (real stdlib
-    # WAV decode) takes its slot; the multimodal family stays covered
-    # by multimodal_feature_extract
     "multimodal_metadata",
-    # rested mid-r5 so the NEW multimodal_video_frames (real PPM-stream
-    # demux) takes its slot; the C4-span family stays covered by
-    # dup_span_extract, rotated in this round
     "span_dedup_chunks",
-    # rested mid-r5 so the NEW hybrid_rrf_topk takes its slot; the
-    # event-window family stays covered by sliding_window_agg (+ the
-    # tumbling/session twins in pytest)
     "session_window_agg",
-    # rested mid-r5 so the NEW ann_topk_truncated takes its slot; the
-    # connected-components family stays covered by
-    # dedup_clusters_incremental, rotated in this round
     "dedup_clusters",
-    # rested mid-r5 so the NEW training_order_shuffle takes its slot;
-    # the running-window family stays covered by event_gaps_lag_lead
     "running_customer_spend",
-    # rested mid-r5 so the NEW click_purchase_attribution (interval /
-    # attribution join, the stream-stream join's batch twin) takes its
-    # slot; the temporal-join family stays covered by
-    # range_join_open_windows + click_purchase_attribution itself
     "asof_join_last_order",
-    # rested mid-r5 (green r2-r4) so the NEW trade_pagerank (iterative
-    # PageRank with the generated unrolled oracle) takes its slot; the
-    # decontamination family stays pytest-oracled (decontaminate_vs_
-    # probes + decontaminate_semantic both sweep-verified at sf0.01)
     "decontaminate_vs_probes",
-    # rested late-r5 for the six newest queries, each long-green and
-    # each with its family still externally covered:
-    # bm25 scoring is EMBEDDED in hybrid_rrf_topk/hybrid_rerank_topk
     "bm25_topk",
-    # the minhash pair pipeline is EMBEDDED in split_leakage_audit
-    # (and dedup_minhash_incremental stays on the surface)
     "dedup_minhash_lsh",
-    # quality family -> quality_classifier_score (same features)
     "text_quality_scores",
-    # Lloyd pipeline stays externally exercised via semantic_dedup_
-    # multiprobe (same kmeans_assignments core)
     "kmeans_clusters",
     "semantic_dedup",
-    # regexp-cleaning family stays covered by composite_key_join's
-    # module + the crime-query parity suite
     "clean_formatted_currency",
-    # rested late-r5 so the NEW behavior-analytics family (funnel_
-    # conversion, cohort_retention, event_transition_matrix,
-    # timeseries_gapfill) takes four slots, each rested row's family
-    # still externally covered:
-    # winnowing stays covered by simhash_near_pairs (fingerprint
-    # near-pairs) + the pytest-oracled winnow twins
     "winnow_near_pairs",
-    # lag/lead-window family stays covered by event_transition_matrix
-    # (lag) + timeseries_gapfill (running last) + session windows
     "event_gaps_lag_lead",
-    # reference-q1 family stays covered by q1_top_months_string_slice
-    # (same query + the substring-sugar parity pins)
     "q1_top_months_per_year",
-    # reference-q4 family stays covered by q4_avg_distance_sql_udf
-    # (same haversine pipeline through the SQL-registered-UDF surface)
     "q4_avg_distance",
-    # rested late-r5 so the NEW fuzzy_name_links (blocked edit-distance
-    # record linkage) takes its slot; the temporal-join family stays
-    # covered by click_purchase_attribution (asof/range twins remain
-    # pytest-oracled)
     "range_join_open_windows",
-    # rested late-r5 so the NEW scd2_customer_priority / table_profile
-    # take slots: the wide-multi-aggregate family stays covered by
-    # table_profile's 28-stat single-pass agg (+ q4's avg/count), and
-    # the join family keeps q3/q4 joins, semi/anti joins, the fuzzy
-    # blocked self-join, and click_purchase_attribution on-surface
-    # (composite_key_join stays pinned by the crime-parity suite)
     "pricing_summary",
     "composite_key_join",
-    # rested late-r5 so the NEW session_paths (ordered-array path
-    # analysis) takes its slot; the two-phase head/isin + hinted-join
-    # family stays covered by q3_segment_profile_bottom on-surface and
-    # by the bench hint matrix every round
     "q3_segment_profile_top",
-    # rested late-r5 so the NEW scd2_point_in_time / rolling_1h_user_
-    # value take slots: the broadcast-dim-join family stays covered by
-    # q4_avg_distance_sql_udf (same nation broadcast, plan-asserted in
-    # pytest), and the LSH-bucket family by doc_embed_lsh_near_dup +
-    # simhash_near_pairs on-surface
     "revenue_by_nation",
     "ann_lsh_bucketed",
-    # rested late-r5 so the NEW quality trio (price_histogram,
-    # referential_integrity_audit, snapshot_diff) takes slots:
-    # the union family stays covered by the audit's per-relation union
-    # + funnel_conversion's unionByName; training_set_select is still
-    # executed externally EVERY round by the driver's entry() smoke
-    # check (it is the flagship query) and stays pytest-oracled; the
-    # int8 family stays covered by ann_topk_quantized (same floor-
-    # quantization inside its candidate stage)
     "union_priority_counts",
     "training_set_select",
-    "embedding_quantize_int8",
-    # rested late-r5 so the NEW trade_communities (label-propagation
-    # community detection) takes its slot; the seeded-hash-sampling
-    # family stays covered by training_order_shuffle +
-    # training_order_curriculum (same deterministic-hash mechanism),
-    # sample_stratified_quota stays pytest-oracled
     "sample_hash_bucket",
-    # rested late-r5 so the NEW grouping_sets_status_segment /
-    # null_safe_code_join take slots: the semi/anti-join family stays
-    # covered by customers_without_orders + referential_integrity_
-    # audit's four anti-joins; the Expand-reshape family stays covered
-    # by grouping_sets_status_segment + rollup_lineitem_status
-    # (pivot/unpivot twins stay pytest-oracled)
     "order_priority_semi_join",
     "pivot_segment_by_nation",
-    # rested end-of-r5 so the NEW token_freq_cms / corpus_datasheet /
-    # json_props_variant take slots:
-    # fingerprint near-pair family stays covered on-surface by
-    # doc_embed_lsh_near_dup + split_leakage_audit (simhash twins stay
-    # pytest-oracled; green r2-r4)
     "simhash_near_pairs",
-    # distributional family stays covered by price_histogram +
-    # table_profile's quartile columns (green r2-r4)
     "price_percentiles",
-    # json_props_variant runs the IDENTICAL oracle through the variant
-    # parse path — a strict replacement (green r3-r4)
     "json_props_extract",
 }
 

@@ -45,3 +45,15 @@ def test_pq_recall_floor_vs_exact_l2(spark, sf_dir):
     assert all(len(v) == 5 for v in byp.values())
     recall = float(np.mean([len(byp[p] & exact[p]) / 5 for p in probes]))
     assert recall >= 0.5, f"recall@5 {recall:.3f} below floor"
+
+
+def test_pq_prebuilt_probe_equals_from_scratch(spark, sf_dir):
+    """The persisted-index probe (ann_topk_pq_prebuilt) must reproduce
+    the in-query-training tier bit for bit — the artifact on disk IS
+    what training would produce (same contract split_assign_from_map
+    pins for the cluster map)."""
+    from pyspark_big_data_spark.queries.pq import ann_topk_pq_prebuilt
+
+    fresh = ann_topk_pq(spark, sf_dir).collect()
+    prebuilt = ann_topk_pq_prebuilt(spark, sf_dir).collect()
+    assert sorted(map(tuple, prebuilt)) == sorted(map(tuple, fresh))

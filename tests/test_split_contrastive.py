@@ -164,3 +164,22 @@ def test_split_from_map_equals_full_chain_and_is_projection(spark, sf_dir):
     plan = physical_plan(steady)
     for node in ("Join", "HashAggregate", "BroadcastExchange"):
         assert node not in plan, f"steady-state plan should be a projection: {node}"
+
+
+def test_soft_weights_from_map_equals_full_chain_and_skips_corpus(spark, sf_dir):
+    """The steady-state weighting (one window over the persisted
+    cluster map) must equal the full-chain recompute row for row, and
+    its plan must never touch the documents table — the map scan plus
+    one cluster-keyed window is the whole 100 TB cost."""
+    from pyspark_big_data_spark.queries.dedup import (
+        dedup_soft_weights,
+        dedup_soft_weights_from_map,
+    )
+    from pyspark_big_data_spark.testing import physical_plan
+
+    steady = dedup_soft_weights_from_map(spark, sf_dir)
+    full = dedup_soft_weights(spark, sf_dir)
+    assert sorted(map(tuple, steady.collect())) == sorted(map(tuple, full.collect()))
+    plan = physical_plan(steady)
+    assert "documents" not in plan, "steady-state weighting must not rescan the corpus"
+    assert "Join" not in plan, "steady-state weighting is scan + window, no join"
