@@ -319,6 +319,22 @@ def bpe_merges_oracle_sql(n_merges: int = _BPE_N_MERGES) -> str:
     rebuild keeps every position except those consumed as the right
     half of a selected merge, concatenating the pair at selected
     positions."""
+    parts = _bpe_chain_parts(n_merges)
+    union = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, l AS left_sym, r AS right_sym, cnt FROM t{i}"
+        for i in range(n_merges)
+    )
+    parts.append(
+        f"""
+SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, cnt
+FROM ({union}) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+def _bpe_chain_parts(n_merges: int) -> list[str]:
+    """The shared unrolled WITH-chain: v0 (char-split vocab) through
+    v{n_merges} (fully merged vocab), with t{i} = merge i's argmax."""
     parts = [
         f"""WITH v0 AS MATERIALIZED (
     SELECT word, freq, list_append(string_split(word, ''), '</w>') AS s
@@ -361,16 +377,60 @@ def bpe_merges_oracle_sql(n_merges: int = _BPE_N_MERGES) -> str:
     ) GROUP BY word, freq
 )"""
         )
-    union = " UNION ALL ".join(
-        f"SELECT {i + 1} AS rank, l AS left_sym, r AS right_sym, cnt FROM t{i}"
-        for i in range(n_merges)
-    )
+    return parts
+
+
+def bpe_tokenize_oracle_sql(n_merges: int = _BPE_N_MERGES) -> str:
+    """Generated oracle for corpus tokenization with the learned
+    merges: the same unrolled chain yields the fully merged vocab
+    v{n_merges}; each document's word sequence (position-preserving
+    unnest) then joins that vocab and the per-word symbol lists are
+    flattened in word order — exactly operators/bpe.py::bpe_tokenize's
+    broadcast-join + posexplode/flatten plan, re-expressed in SQL."""
+    parts = _bpe_chain_parts(n_merges)
     parts.append(
-        f"""
-SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, cnt
-FROM ({union}) ORDER BY rank"""
+        f""", w2 AS (
+    SELECT doc_id,
+           unnest(toks) AS word,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+SELECT w.doc_id,
+       CAST(SUM(len(v.s)) AS BIGINT) AS n_subwords,
+       string_agg(array_to_string(v.s, ' '), ' ' ORDER BY w.pos) AS subtext
+FROM (SELECT * FROM w2 WHERE word <> '') w
+JOIN v{n_merges} v ON v.word = w.word
+GROUP BY w.doc_id
+ORDER BY w.doc_id"""
     )
     return "".join(parts)
+
+
+@register("bpe_tokenize_corpus", oracle=bpe_tokenize_oracle_sql(), driver=False)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer: learn the top-{_BPE_N_MERGES} merges, then
+    tokenize the whole corpus with them (operators/bpe.py::bpe_tokenize
+    — the merge folds run once per DISTINCT word, the corpus is touched
+    by one tokenize + one broadcast join). Output digest per document:
+    subword count + the space-joined subword stream, so the driver
+    value-hashes every subword of every document against the DuckDB
+    replay of training AND application. Completes the BPE family:
+    pair-count core, merge loop, and tokenizer are each oracled.
+
+    100 TB shape: merges are learned once on the distinct-word table
+    (vocab-sized iterations); application is vocab-local folds + one
+    map-side broadcast join — a single corpus pass, no shuffle beyond
+    the per-doc groupBy."""
+    from pyspark_big_data_spark.operators.bpe import bpe_tokenize, learn_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = learn_merges(docs, n_merges=_BPE_N_MERGES)
+    tok = bpe_tokenize(docs, merges)
+    return tok.select(
+        "doc_id",
+        F.size("subwords").cast("long").alias("n_subwords"),
+        F.concat_ws(" ", "subwords").alias("subtext"),
+    ).orderBy("doc_id")
 
 
 @register("bpe_merges_learned", oracle=bpe_merges_oracle_sql(), driver=False)
