@@ -32,23 +32,17 @@ FROM ({_MINHASH_ORACLE})
 """
 
 
-def replay_corpus_through_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drop the documents table into a JSONL directory as
-    {_REPLAY_BATCHES} files, run the availableNow incremental-dedup
-    stream over it (maxFilesPerTrigger=1 → one micro-batch per file),
-    and return the accumulated pairs sink. Fresh temp state per call —
-    the witness must exercise the cold-start index path too."""
+def _drop_jsonl_batches(docs: DataFrame, root: str) -> str:
+    """Write ``docs`` into ``{root}/drop`` as {_REPLAY_BATCHES} JSONL
+    files (doc_id mod split), so a maxFilesPerTrigger=1 availableNow
+    stream replays the corpus one micro-batch per file. Returns the
+    drop dir."""
     import glob
     import os
     import shutil
 
-    from pyspark_big_data_spark.io import session_tmpdir
-    from pyspark_big_data_spark.streaming.incremental_dedup import run_dedup_stream
-
-    root = session_tmpdir("dedup_replay_")
     drop_dir = f"{root}/drop"
     os.makedirs(drop_dir)
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     for i in range(_REPLAY_BATCHES):
         stage = f"{root}/stage{i}"
         docs.filter(F.col("doc_id") % _REPLAY_BATCHES == i).coalesce(1).write.mode(
@@ -56,6 +50,21 @@ def replay_corpus_through_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).json(stage)
         (part,) = glob.glob(f"{stage}/part-*.json")
         shutil.move(part, f"{drop_dir}/batch{i}.json")
+    return drop_dir
+
+
+def replay_corpus_through_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the documents table into a JSONL directory as
+    {_REPLAY_BATCHES} files, run the availableNow incremental-dedup
+    stream over it (maxFilesPerTrigger=1 → one micro-batch per file),
+    and return the accumulated pairs sink. Fresh temp state per call —
+    the witness must exercise the cold-start index path too."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.streaming.incremental_dedup import run_dedup_stream
+
+    root = session_tmpdir("dedup_replay_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drop_dir = _drop_jsonl_batches(docs, root)
     q = run_dedup_stream(
         spark,
         drop_dir,
@@ -96,3 +105,51 @@ def streaming_dedup_replay_witness(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.when(agree, 1).otherwise(0)).cast("long").alias("n_agreeing"),
         )
     )
+
+
+def _cms_replay_oracle() -> str:
+    from pyspark_big_data_spark.queries.sketch_freq import _cms_cells_sql
+
+    return f"""
+WITH {_cms_cells_sql()}
+SELECT CAST(seed AS BIGINT) AS seed,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(cell AS BIGINT) AS cell
+FROM cells ORDER BY seed, bucket
+"""
+
+
+@register("streaming_cms_replay_witness", oracle=_cms_replay_oracle(), driver=False)
+def streaming_cms_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND streaming loop externalized to the driver surface
+    (the streaming_dedup_replay_witness pattern applied to the
+    continuous CMS index): replay the corpus through the availableNow
+    foreachBatch loop of streaming/cms_maintain.py — one micro-batch
+    per JSONL file, each folded into the persisted d x w grid with the
+    crash-safe swap and the in-grid redelivery marker — then return the
+    PERSISTED grid itself. Because CMS cells ADD, the batch-folded grid
+    must equal the single-pass grid CELL FOR CELL, and DuckDB
+    recomputes that single-pass grid independently — so this row
+    value-hashes every counter of the streamed artifact, not a digest:
+    one dropped batch, double-applied redelivery, or swap bug flips it
+    red. Fresh temp state per call (cold-start covered); ~2k rows out
+    regardless of corpus size."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.streaming.cms_maintain import run_cms_stream
+
+    root = session_tmpdir("cms_replay_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drop_dir = _drop_jsonl_batches(docs, root)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(drop_dir)
+    )
+    q = run_cms_stream(stream, f"{root}/index", f"{root}/ckpt")
+    q.awaitTermination()
+    grid = spark.read.parquet(f"{root}/index/grid")
+    return grid.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cell").cast("long").alias("cell"),
+    ).orderBy("seed", "bucket")
