@@ -83,8 +83,10 @@ DRIVER_EXCLUDED: set[str] = set()
 # HEAD: multimodal_resize, multimodal_real_resize (the last two
 # never-verified oracled queries from r7's drain) and
 # bpe_tokenize_corpus (new in late r7: the end-to-end tokenizer with
-# the generated training+application oracle), plus any query newly
-# oracled in r8;
+# the generated training+application oracle) and
+# streaming_cms_replay_witness (new in late r7: the second streaming
+# loop externalized — the availableNow CMS fold, grid value-hashed
+# cell-for-cell), plus any query newly oracled in r8;
 # then begin re-cycling long-rested rows so no family's most recent
 # CORRECTNESS row ages past ~3 rounds (oldest first:
 # q1_top_months_per_year, q4_avg_distance, pricing_summary,
