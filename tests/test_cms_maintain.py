@@ -58,3 +58,26 @@ def test_lookup_from_persisted_grid_never_underestimates(spark, sf_dir, tmp_path
     est = {r["token"]: r["est_cnt"] for r in cms_lookup(spark, idx, some).collect()}
     for t in some:
         assert est[t] >= exact[t], (t, est[t], exact[t])
+
+
+def test_streamed_replay_grid_equals_single_pass(spark, sf_dir):
+    """The REAL availableNow stream (streaming_cms_replay_witness's
+    Spark side) must produce a grid identical cell for cell to the
+    single-pass batch grid — the add-commutativity contract, here
+    through the full foreachBatch + checkpoint + swap machinery rather
+    than direct update_cms_index calls."""
+    from pyspark_big_data_spark.queries.sketch_freq import cms_cells
+    from pyspark_big_data_spark.queries.stream_witness import (
+        streaming_cms_replay_witness,
+    )
+
+    streamed = {
+        (r["seed"], r["bucket"]): r["cell"]
+        for r in streaming_cms_replay_witness(spark, sf_dir).collect()
+    }
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    batch = {
+        (r["seed"], r["bucket"]): r["cell"] for r in cms_cells(toks).collect()
+    }
+    assert streamed == batch
