@@ -32,6 +32,10 @@ from pyspark_big_data_spark.io import read_table
 from pyspark_big_data_spark.queries.registry import register
 
 _Q = 127  # int8 symmetric range
+# Phase-1 pre-cut margin on the dequantized approx score (|approx|<=~1):
+# numpy's elementwise dequantize chain can differ from Spark's by <~1e-15;
+# 1e-9 is six orders of safety, phase 2's exact ranking decides.
+_Q_EPS = 1e-9
 _PROBE_MOD = 50  # same probe sample as the other ANN tiers
 _TOP_K = 5
 _POOL = 3  # rescore pool: top POOL*k quantized candidates per probe
@@ -160,6 +164,9 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe instead of the whole corpus. Ranking and rescoring are both
     deterministic in both engines, so the oracle is exact — no
     agreement gate needed, unlike the BLAS tiers."""
+    import numpy as np
+    import pandas as pd
+
     emb = _emb(spark, sf_dir)
     dim_row = emb.select(F.size("e").alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
@@ -167,29 +174,77 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", V.norm(F.col("e")).alias("nn")), "vec_id"
     )
 
-    corpus = V.flatten_vec(
-        qv.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("q"),
-            F.col("scale").alias("n_scale"),
-            F.col("nn").alias("n_nrm"),
-        ),
-        "q", dim, "_n", ["neighbor_id", "n_scale", "n_nrm"],
+    # Phase 1 — the PRE-CUT (the pq.py / kmeans.py pattern): one Arrow
+    # mapInPandas pass over (vec_id, q, scale, nn) against the bounded
+    # broadcast probe set, per batch an exact integer int8 GEMM + the
+    # dequantize chain in double, emitting only pairs within _Q_EPS of
+    # each probe's per-batch top-(POOL*k) cutoff. The global exact pool
+    # is contained in the union of per-batch pools; phase 2's exact
+    # Spark-side integer-dot ranking decides, so the oracle is
+    # unchanged. (The previous single-phase flat-column join paid a
+    # 64-term codegen dot AND a full per-probe sort over n x |probes|
+    # rows — 37 s at native sf1 for ~4 s of arithmetic.)
+    pool_n = _POOL * _TOP_K
+    prows = qv.filter(F.col("vec_id") % _PROBE_MOD == 0).collect()
+    pids = np.array(sorted(int(r["vec_id"]) for r in prows), dtype="int64")
+    order = {int(r["vec_id"]): r for r in prows}
+    pq_mat = np.array([order[int(p)]["q"] for p in pids], dtype="int64")
+    p_scale = np.array([order[int(p)]["scale"] for p in pids], dtype="float64")
+    p_nrm = np.array([order[int(p)]["nn"] for p in pids], dtype="float64")
+    b = spark.sparkContext.broadcast((pids, pq_mat, p_scale, p_nrm))
+
+    def scan(batches, _n=pool_n):
+        pid_arr, pm, ps, pn = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            qm = np.stack(pdf["q"].to_numpy()).astype("int64")
+            ns = pdf["scale"].to_numpy()
+            nnrm = pdf["nn"].to_numpy()
+            qd = pm @ qm.T  # exact integer dots, (P, B)
+            approx = (
+                qd.astype("float64")
+                * ps[:, None]
+                * ns[None, :]
+                / (pn[:, None] * nnrm[None, :])
+            )
+            approx[pid_arr[:, None] == vids[None, :]] = -np.inf  # self
+            kk = min(_n, approx.shape[1])
+            cut = -np.partition(-approx, kk - 1, axis=1)[:, kk - 1]
+            rows, cols = np.nonzero(approx >= (cut[:, None] - _Q_EPS))
+            yield pd.DataFrame(
+                {"probe_id": pid_arr[rows], "neighbor_id": vids[cols]}
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        qv.select("vec_id", "q", "scale", "nn")
+        .repartition(par, "vec_id")
+        .mapInPandas(scan, schema="probe_id long, neighbor_id long")
     )
-    probes = V.flatten_vec(
-        qv.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("q"),
-            F.col("scale").alias("p_scale"),
-            F.col("nn").alias("p_nrm"),
-        ),
-        "q", dim, "_p", ["probe_id", "p_scale", "p_nrm"],
+
+    # Phase 2 — exact: recompute approx for candidates only with the
+    # HOF integer dot (exact in a double accumulator regardless of
+    # order) and the identical dequantize spelling, then the decisive
+    # (approx desc, neighbor_id) ranking.
+    pa = qv.filter(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("_pq"),
+        F.col("scale").alias("p_scale"),
+        F.col("nn").alias("p_nrm"),
     )
-    # integer dot over flat int columns (codegen); the cast to double is
-    # exact (|dot| <= 64 * 127^2 << 2^53)
-    qdot = F.lit(0).cast("long")
-    for i in range(dim):
-        qdot = qdot + F.col(f"_p{i}") * F.col(f"_n{i}")
+    nb = qv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("_nq"),
+        F.col("scale").alias("n_scale"),
+        F.col("nn").alias("n_nrm"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("_pq", "_nq", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     approx = (
         qdot.cast("double")
         * F.col("p_scale")
@@ -200,11 +255,13 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx").desc(), F.col("neighbor_id").asc()
     )
     pool = (
-        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        cand.join(F.broadcast(pa), "probe_id")
+        .join(nb, "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
         .withColumn("approx", approx)
         .select("probe_id", "neighbor_id", "approx")
         .withColumn("pool_rnk", F.row_number().over(w_pool))
-        .filter(F.col("pool_rnk") <= _POOL * _TOP_K)
+        .filter(F.col("pool_rnk") <= pool_n)
         .select("probe_id", "neighbor_id")
     )
 
