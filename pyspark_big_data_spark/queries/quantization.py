@@ -16,11 +16,13 @@ Why this oracles EXACTLY (no float-order caveats anywhere):
 - the approximate score dequantizes with one multiplication chain whose
   order both sides spell identically.
 
-Scale notes: the candidate stage is corpus x broadcast(probes) on flat
-int columns (whole-stage codegen, JIT-safe — see
-functions/vectors.py::dot_unrolled's cliff note); the rescore pool is
-POOL x k rows per probe, attached to full-precision vectors from a
-broadcast side. No stage shuffles vector payloads.
+Scale notes: the candidate stage is ONE Arrow mapInPandas pass over
+the quantized corpus against the bounded broadcast probe set (exact
+int8 integer GEMM per batch + a margin pre-cut; phase 2's exact
+Spark-side integer-dot ranking decides — the pq.py/kmeans.py phase-1
+pattern); the rescore pool is POOL x k rows per probe, attached to
+full-precision vectors from a broadcast side. No stage shuffles
+vector payloads, and no n x |probes| row set is ever sorted whole.
 """
 
 from __future__ import annotations
