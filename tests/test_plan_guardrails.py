@@ -54,6 +54,12 @@ _PYTHON_OK = {
     "semantic_dedup_multiprobe",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    # round 7: the same phase-1 pattern applied to the ADC scan and the
+    # int8 candidate stage (queries/pq.py::_pq_probe,
+    # queries/quantization.py::ann_topk_quantized — exact phase 2
+    # decides, oracles unchanged)
+    "ann_topk_pq_prebuilt",
+    "ann_topk_quantized",
     # embed the tiers above (np applyInPandas matmul / BLAS IVF scan)
     "semantic_dedup_np_agreement",
     "ann_ivf_kmeans_witness",
