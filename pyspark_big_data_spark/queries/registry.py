@@ -86,7 +86,9 @@ DRIVER_EXCLUDED: set[str] = set()
 # the generated training+application oracle) and
 # streaming_cms_replay_witness (new in late r7: the second streaming
 # loop externalized — the availableNow CMS fold, grid value-hashed
-# cell-for-cell), plus any query newly oracled in r8;
+# cell-for-cell) and approx_quantile_witness (new in late r7: the
+# GK-sketch rank-error contract verified against exact rank
+# intervals), plus any query newly oracled in r8;
 # then begin re-cycling long-rested rows so no family's most recent
 # CORRECTNESS row ages past ~3 rounds (oldest first:
 # q1_top_months_per_year, q4_avg_distance, pricing_summary,

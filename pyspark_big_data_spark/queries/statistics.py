@@ -351,3 +351,64 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_AQ_ACC = 10000  # percentile_approx accuracy: rank error <= n/_AQ_ACC
+_AQ_QS = [0.25, 0.5, 0.75]
+
+_AQ_ORACLE = f"""
+SELECT CAST(COUNT(DISTINCT o_orderpriority) * {len(_AQ_QS)} AS BIGINT) AS n_checks,
+       CAST(CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS BIGINT) AS gate_ok
+FROM orders
+"""
+
+
+@register("approx_quantile_witness", oracle=_AQ_ORACLE, driver=False)
+def approx_quantile_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for the APPROXIMATE quantile sketch — the
+    bounded-memory, mergeable member of the sketch family
+    (Greenwald–Khanna via ``percentile_approx``; HLL / CMS / Bloom /
+    freqItems / SpaceSaving each already carry one). Per priority
+    group and per quantile in {_AQ_QS}, the sketch's returned element
+    must have an exact rank interval [#{{< v}}+1, #{{<= v}}] that
+    intersects [q*n - n/{_AQ_ACC} - 1, q*n + n/{_AQ_ACC} + 1] — the
+    sketch's documented rank-error contract, verified against an
+    EXACT rank count (tie-robust: the interval form absorbs duplicate
+    value mass). Digest is the witness-standard (n_checks, gate_ok);
+    n_checks is independently recomputed by DuckDB.
+
+    Scale shape: the sketch aggregate is one scan with map-side
+    mergeable state; the verification is one more scan against the
+    15-row broadcast of sketch outputs. At 100 TB the exact companion
+    (percentiles_by_priority's full multiset per group) is the one
+    that must be retired — this sketch is its swap, and this row is
+    the evidence the swap is safe."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    ap = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", _AQ_QS, _AQ_ACC).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    probes = ap.select(
+        "o_orderpriority", "n", F.posexplode("qs").alias("qi", "qv")
+    )
+    ranked = (
+        o.join(F.broadcast(probes), "o_orderpriority")
+        .groupBy("o_orderpriority", "qi", "qv", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("qv"), 1).otherwise(0)
+            ).alias("rk_lo"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("qv"), 1).otherwise(0)
+            ).alias("rk_hi"),
+        )
+    )
+    target = (F.col("qi") + 1) * F.lit(1.0 / 4) * F.col("n")
+    tol = F.col("n") / F.lit(float(_AQ_ACC)) + F.lit(1.0)
+    ok = ((F.col("rk_lo") + 1) <= target + tol) & (F.col("rk_hi") >= target - tol)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checks"),
+        F.min(F.when(ok, 1).otherwise(0)).alias("_okmin"),
+    )
+    gate = F.when((F.col("_okmin") == 1) & (F.col("n_checks") > 0), 1).otherwise(0)
+    return agg.select("n_checks", gate.cast("long").alias("gate_ok"))

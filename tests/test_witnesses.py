@@ -35,6 +35,7 @@ _WITNESSES = [
     "minhash_ml_witness",
     "brp_lsh_ml_witness",
     "json_typed_agreement",
+    "approx_quantile_witness",
 ]
 
 
@@ -208,3 +209,25 @@ def test_json_typed_agreement_goes_red_on_row_drift(spark, sf_dir, monkeypatch):
         lambda s, d: real(s, d).withColumn("cnt", F.col("cnt") + 1),
     )
     assert json_typed_agreement(spark, sf_dir).first()["gate_ok"] == 0
+
+
+def test_approx_quantile_witness_goes_red_on_bad_sketch(spark, sf_dir, monkeypatch):
+    """A sketch that returns a grossly wrong element (the group MIN for
+    every quantile) must fail the rank-interval gate."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.queries import statistics as S
+
+    real = F.percentile_approx
+
+    def bad(col, qs, acc):
+        return F.array_repeat(F.min(col), len(S._AQ_QS))
+
+    monkeypatch.setattr(
+        "pyspark_big_data_spark.queries.statistics.F.percentile_approx", bad
+    )
+    row = S.approx_quantile_witness(spark, sf_dir).collect()[0]
+    monkeypatch.setattr(
+        "pyspark_big_data_spark.queries.statistics.F.percentile_approx", real
+    )
+    assert row["gate_ok"] == 0
