@@ -1075,3 +1075,79 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_no")
+
+
+_TFIDF_TOPN = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+),
+idf AS (
+    SELECT tok, ln(CAST((SELECT COUNT(*) FROM documents) + 1 AS DOUBLE)
+                   / (COUNT(DISTINCT doc_id) + 1)) AS idf
+    FROM tok WHERE tok <> '' GROUP BY tok
+),
+scored AS (
+    SELECT tf.doc_id, tf.tok AS term, tf.tf,
+           ROUND(tf.tf * idf.idf, 6) AS tfidf6
+    FROM tf JOIN idf ON idf.tok = tf.tok
+)
+SELECT doc_id, term, tf, tfidf6,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT doc_id, term, tf, tfidf6,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf6 DESC, term ASC
+           ) AS rnk
+    FROM scored
+)
+WHERE rnk <= {_TFIDF_TOPN}
+ORDER BY doc_id, rnk
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, driver=False)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOPN} terms per document by tf-idf (smoothed idf =
+    ln((N+1)/(df+1))) — the classic keyword extractor, SURVEY §7 M6's
+    named text-analysis north star (BM25's ancestor; the repo's BM25
+    stack shares the same tf/df machinery and adds saturation +
+    length normalization).
+
+    Cross-engine determinism follows the bm25 recipe: ranks and the
+    emitted score are computed on ROUND(tfidf, 6), the only ln() in
+    the pipeline, so libm ulps cannot flip an order. Scale shape: one
+    token shuffle for per-doc tf, one for df (both map-side combined),
+    an equi-join on term, and a per-doc top-{_TFIDF_TOPN} window —
+    no vocabulary ever collects to the driver."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    idf = tok.groupBy("tok").agg(
+        F.log(
+            F.lit(float(n_docs + 1))
+            / (F.countDistinct("doc_id") + F.lit(1))
+        ).alias("idf")
+    )
+    scored = tf.join(idf, "tok").select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TFIDF_TOPN)
+        .orderBy("doc_id", "rnk")
+    )

@@ -88,7 +88,8 @@ DRIVER_EXCLUDED: set[str] = set()
 # loop externalized — the availableNow CMS fold, grid value-hashed
 # cell-for-cell) and approx_quantile_witness (new in late r7: the
 # GK-sketch rank-error contract verified against exact rank
-# intervals), plus any query newly oracled in r8;
+# intervals) and tfidf_top_terms (new in late r7: SURVEY M6's named
+# tf-idf extractor), plus any query newly oracled in r8;
 # then begin re-cycling long-rested rows so no family's most recent
 # CORRECTNESS row ages past ~3 rounds (oldest first:
 # q1_top_months_per_year, q4_avg_distance, pricing_summary,
