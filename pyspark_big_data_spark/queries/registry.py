@@ -79,92 +79,104 @@ DRIVER_EXCLUDED: set[str] = set()
 # green r6 (most also r5), every operator family still externally
 # covered — notes per row below.
 #
-# r8 rotation queue (oracled, pytest-green, not yet driver-verified) —
-# HEAD: multimodal_resize, multimodal_real_resize (the last two
-# never-verified oracled queries from r7's drain) and
-# bpe_tokenize_corpus (new in late r7: the end-to-end tokenizer with
-# the generated training+application oracle) and
-# streaming_cms_replay_witness (new in late r7: the second streaming
-# loop externalized — the availableNow CMS fold, grid value-hashed
-# cell-for-cell) and approx_quantile_witness (new in late r7: the
-# GK-sketch rank-error contract verified against exact rank
-# intervals) and tfidf_top_terms (new in late r7: SURVEY M6's named
-# tf-idf extractor), plus any query newly oracled in r8;
-# then begin re-cycling long-rested rows so no family's most recent
-# CORRECTNESS row ages past ~3 rounds (oldest first:
-# q1_top_months_per_year, q4_avg_distance, pricing_summary,
-# composite_key_join, union_priority_counts, training_set_select,
-# simhash_near_pairs, price_percentiles, json_props_extract,
-# cube_status_priority, embedding_near_dup, ngram_jaccard_pairs,
-# multimodal_metadata, span_dedup_chunks, session_window_agg,
-# dedup_clusters, running_customer_spend, asof_join_last_order,
-# decontaminate_vs_probes, bm25_topk, dedup_minhash_lsh,
-# text_quality_scores, kmeans_clusters, semantic_dedup,
-# clean_formatted_currency, winnow_near_pairs, event_gaps_lag_lead,
-# range_join_open_windows, q3_segment_profile_top, revenue_by_nation,
-# ann_lsh_bucketed, price_histogram, training_order_shuffle,
-# vocab_heavy_hitters, corpus_datasheet, customers_without_orders).
+# r8 rotation (this round): the FRESHNESS round — the r7 drain ended
+# the never-verified queue, so r8 starts the re-cycle the registry
+# policy (~3-round freshness) requires. IN (23) = the 6 r8 queue heads
+# (multimodal_resize, multimodal_real_resize, bpe_tokenize_corpus,
+# streaming_cms_replay_witness, approx_quantile_witness,
+# tfidf_top_terms — all judge-verified bit-exact at sf0.01 in the r7
+# session) + the 12 OLDEST stale rows (3 last green r1:
+# distinct_users_by_type, q1_top_months_per_year_sql,
+# q2_event_time_bins_sql; 9 last green r3: customer_set_ops,
+# ann_topk_ivf, q4_avg_distance_pandas_udf, ann_topk_bruteforce,
+# stats_by_returnflag, orders_per_customer_array,
+# unpivot_lineitem_metrics, text_token_stats, nation_rank_dense_ntile)
+# + the reference rotate-backs q3_segment_profile_top / q4_avg_distance
+# (verdict item 6: every reference family green within r7-r8) +
+# json_props_extract (family swap for the resting json_typed_agreement)
+# + the two NEW r8 witnesses (streaming_ann_replay_witness — the third
+# streaming loop externalized, verdict item 3 — and
+# upsert_merge_witness, verdict item 7; both registered driver=True so
+# they take slots automatically). OUT (23) = r7-green rows, all
+# first-green r7 or r6+r7, each family still externally covered —
+# notes per row below.
+#
+# r9 rotation queue (all oracled; re-cycle stale rows oldest-first so
+# no family's most recent CORRECTNESS row ages past ~3 rounds; after
+# r8 the stale set is 44 rows last green r4):
+# pricing_summary, revenue_by_nation, union_priority_counts,
+# cube_status_priority, order_priority_semi_join,
+# clean_formatted_currency, composite_key_join, dedup_minhash_lsh,
+# ngram_jaccard_pairs, dedup_clusters, dedup_simhash,
+# simhash_near_pairs, tumbling_window_agg, session_window_agg,
+# multimodal_metadata, q1_top_months_per_year, range_join_open_windows,
+# pivot_segment_by_nation, asof_join_last_order, price_percentiles,
+# embedding_near_dup, ann_lsh_bucketed, text_quality_scores,
+# text_lang_id, dedup_exact, training_set_select, bm25_topk,
+# span_dedup_chunks, sample_stratified_quota, winnow_near_pairs,
+# running_customer_spend, event_gaps_lag_lead, kmeans_clusters,
+# semantic_dedup, pii_scrub, sample_hash_bucket, vocab_stats,
+# decontaminate_vs_probes, mixture_upsample, pack_sequences,
+# repetition_metrics, bigram_fluency, dedup_near_survivors,
+# doc_fingerprint_winnow; then rows resting since r5-r7 as slots allow.
 ROTATE_IN: set[str] = {
-    # --- carried KEEPs (on the r6 surface, registered driver=False,
-    # green r6 or r5+r6; each anchors a family through the drain):
+    # --- carried KEEPs (driver=False rows staying on-surface; each
+    # anchors a family through the r8 re-cycle):
     "ab_test_readout",
     "contrastive_triplets",
-    "doc_chunk_overlap",
-    "hybrid_rrf_topk",
-    "multi_touch_attribution",
-    "percentiles_by_priority",
-    "user_erasure_audit",
-    "weighted_sample_quality",
-    # --- r6-verdict queue HEAD: the 8 late-r6 agreement/scale
-    # witnesses (after these, every rows-only tier has had a
-    # driver-verifiable witness row):
-    "minhash_fast_tier_witness",
-    "pca_project_witness",
-    "hll_distinct_witness",
-    "semantic_dedup_np_agreement",
-    "ann_ivf_kmeans_witness",
-    "minhash_ml_witness",
-    "brp_lsh_ml_witness",
-    "json_typed_agreement",
-    # DSIR importance resampling + BPE iteration-1 pair counts (both
-    # judge-verified exact at sf0.01 in the r6 session) + the
-    # full-chain split twin (same recursive-closure oracle as the r6
-    # split_assign_from_map row, recompute path):
-    "dsir_importance_weights",
-    "bpe_pair_counts",
-    "split_assign_leakage_free",
-    # the BPE merge LOOP, newly oracled in r7 via the generated
-    # unrolled N-merge DuckDB replay (verdict item 6):
-    "bpe_merges_learned",
-    # --- queue tail (named in the r6 verdict):
-    "contrastive_triplets_topk",
-    "latest_order_per_customer",
-    "boilerplate_prefixes",
-    "lsh_recall_witness",
-    "dedup_triangle_audit",
-    "nation_volume_shipping",
-    "char_entropy_quality",
-    "value_zscore_by_type",
     "copurchase_part_pairs",
-    "orders_above_customer_avg",
-    # --- the rest of the never-verified oracled set:
-    "user_overlap_exact",
-    "dedup_longest_survivors",
-    "doc_embed_near_dup",
     "decontaminate_semantic",
+    "dedup_longest_survivors",
+    "dedup_triangle_audit",
+    "doc_embed_near_dup",
+    "dsir_importance_weights",
     "event_value_anomalies",
-    "multimodal_real_decode",
-    "multimodal_audio_resample",
-    "multimodal_frame_sample",
-    # --- reference-family rotate-back (verdict item 7: every reference
-    # query family green within r6-r7; q3/q4 were green r6, q1/q2 get
-    # their r7 rows here):
-    "q1_top_months_string_slice",
+    "hybrid_rrf_topk",
+    "minhash_fast_tier_witness",
+    "multi_touch_attribution",
+    "nation_volume_shipping",
+    "orders_above_customer_avg",
+    "pca_project_witness",
+    "split_assign_leakage_free",
+    "user_erasure_audit",
+    "user_overlap_exact",
+    "value_zscore_by_type",
+    # --- r8 queue HEAD: the last never-verified oracled queries
+    # (judge-verified bit-exact at sf0.01 in the r7 session):
+    "multimodal_resize",
+    "multimodal_real_resize",
+    "bpe_tokenize_corpus",
+    "streaming_cms_replay_witness",
+    "approx_quantile_witness",
+    "tfidf_top_terms",
+    # --- freshness re-cycle, oldest first (last green r1):
+    "distinct_users_by_type",
+    "q1_top_months_per_year_sql",
+    "q2_event_time_bins_sql",
+    # --- freshness re-cycle (last green r3):
+    "customer_set_ops",
+    "ann_topk_ivf",
+    "q4_avg_distance_pandas_udf",
+    "ann_topk_bruteforce",
+    "stats_by_returnflag",
+    "orders_per_customer_array",
+    "unpivot_lineitem_metrics",
+    "text_token_stats",
+    "nation_rank_dense_ntile",
 }
 ROTATE_OUT: set[str] = {
-    # --- rested in r7 (green r6, most also r5; family coverage per
-    # row). Rows registered driver=False rest by simply leaving
-    # ROTATE_IN; the names below are the driver=True registrations.
+    # --- rested in r8 (green r7; family coverage per row). driver=False
+    # rows rest by leaving ROTATE_IN; the names below are the
+    # driver=True registrations resting this round.
+    # q2 reference family -> q2_event_time_bins_sql rotates in:
+    "q2_event_time_bins",
+    # streaming-replay family -> streaming_cms_replay_witness +
+    # streaming_ann_replay_witness rotate in:
+    "streaming_dedup_replay_witness",
+    # sketch family -> approx_quantile_witness + streaming CMS grid
+    # rotate in; user_overlap_exact stays on-surface:
+    "user_overlap_sketch_witness",
+    # --- r7 and earlier rests (history preserved verbatim below).
     # Expand family keeps grouping_sets_status_segment:
     "cube_status_priority",
     # null-safe join semantics: join family covered by
@@ -251,11 +263,9 @@ ROTATE_OUT: set[str] = {
     "winnow_near_pairs",
     "event_gaps_lag_lead",
     "q1_top_months_per_year",
-    "q4_avg_distance",
     "range_join_open_windows",
     "pricing_summary",
     "composite_key_join",
-    "q3_segment_profile_top",
     "revenue_by_nation",
     "ann_lsh_bucketed",
     "union_priority_counts",
@@ -265,7 +275,6 @@ ROTATE_OUT: set[str] = {
     "pivot_segment_by_nation",
     "simhash_near_pairs",
     "price_percentiles",
-    "json_props_extract",
 }
 
 
