@@ -280,6 +280,52 @@ def dedup_minhash_incremental(
     )
 
 
+# Build-once cache of the persisted minhash index per corpus (sigs +
+# band keys over the corpus split) — the artifact every later batch
+# probes. Keyed by sf_dir like _CLUSTER_MAP_DIRS below.
+_MINHASH_INDEX_DIRS: dict[str, str] = {}
+
+
+def persisted_minhash_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Return (building on first use) the persisted MinHash index
+    directory for ``sf_dir``'s corpus split (doc_id % {_INCR_MOD} != 0)
+    — exactly what ``build_minhash_index`` would have left on disk
+    after indexing the corpus, which is the state every incremental
+    batch starts from."""
+    from pyspark_big_data_spark.io import session_tmpdir
+
+    if sf_dir not in _MINHASH_INDEX_DIRS:
+        d = session_tmpdir("minhash_steady_index_")
+        docs = read_table(spark, sf_dir, "documents")
+        build_minhash_index(docs.filter(F.col("doc_id") % _INCR_MOD != 0), d)
+        _MINHASH_INDEX_DIRS[sf_dir] = d
+    return _MINHASH_INDEX_DIRS[sf_dir]
+
+
+@register("dedup_minhash_incremental_steady", oracle=_INCR_ORACLE)
+def dedup_minhash_incremental_steady(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """STEADY-STATE incremental near-dup probe — the per-batch cost a
+    production deployment actually pays: the corpus MinHash index
+    already EXISTS on disk (built once, amortized across every batch;
+    here the build-once artifact from ``persisted_minhash_index_dir``),
+    so the query hashes ONLY the batch and runs the banded equi-join
+    probe against the persisted sigs/bands. Work scales with
+    |batch| x bucket overlap — the corpus is never re-hashed.
+
+    Same oracle as the full-chain twin ``dedup_minhash_incremental``
+    (the full recompute restricted to pairs touching a batch doc), so
+    the driver verifies the PERSISTED index still yields from-scratch-
+    identical pairs — the index-vs-recompute differential the
+    steady-state map projections (``split_assign_from_map``,
+    ``dedup_soft_weights_from_map``) also pin. The full-chain twin
+    keeps the build+probe shape on the books (bench variant line)."""
+    if index_dir is None:
+        index_dir = persisted_minhash_index_dir(spark, sf_dir)
+    return dedup_minhash_incremental(spark, sf_dir, index_dir=index_dir)
+
+
 _NGRAM_ORACLE = f"""{_dd_minhash_cte()},
 filtered AS (
     SELECT c.id_a, c.id_b

@@ -96,10 +96,12 @@ DRIVER_EXCLUDED: set[str] = set()
 # json_props_extract (family swap for the resting json_typed_agreement)
 # + the two NEW r8 witnesses (streaming_ann_replay_witness — the third
 # streaming loop externalized, verdict item 3 — and
-# upsert_merge_witness, verdict item 7; both registered driver=True so
-# they take slots automatically). OUT (23) = r7-green rows, all
-# first-green r7 or r6+r7, each family still externally covered —
-# notes per row below.
+# upsert_merge_witness, verdict item 7) + the NEW steady-state bench
+# twin dedup_minhash_incremental_steady (verdict item 2 — its first
+# round doubles as its driver verification); the three are registered
+# driver=True so they take slots automatically. OUT (24) = r7-green
+# rows, all first-green r7 or r6+r7, each family still externally
+# covered — notes per row below.
 #
 # r9 rotation queue (all oracled; re-cycle stale rows oldest-first so
 # no family's most recent CORRECTNESS row ages past ~3 rounds; after
@@ -126,7 +128,11 @@ ROTATE_IN: set[str] = {
     "contrastive_triplets",
     "copurchase_part_pairs",
     "decontaminate_semantic",
-    "dedup_longest_survivors",
+    # (dedup_longest_survivors rests this round: the survivor/dedup
+    # family stays covered by minhash_fast_tier_witness,
+    # dedup_triangle_audit, dedup_soft_weights_from_map,
+    # split_assign_leakage_free, and the incoming
+    # dedup_minhash_incremental_steady bench-headline twin.)
     "dedup_triangle_audit",
     "doc_embed_near_dup",
     "dsir_importance_weights",
