@@ -32,9 +32,9 @@ FROM ({_MINHASH_ORACLE})
 """
 
 
-def _drop_jsonl_batches(docs: DataFrame, root: str) -> str:
+def _drop_jsonl_batches(docs: DataFrame, root: str, id_col: str = "doc_id") -> str:
     """Write ``docs`` into ``{root}/drop`` as {_REPLAY_BATCHES} JSONL
-    files (doc_id mod split), so a maxFilesPerTrigger=1 availableNow
+    files (``id_col`` mod split), so a maxFilesPerTrigger=1 availableNow
     stream replays the corpus one micro-batch per file. Returns the
     drop dir."""
     import glob
@@ -45,7 +45,7 @@ def _drop_jsonl_batches(docs: DataFrame, root: str) -> str:
     os.makedirs(drop_dir)
     for i in range(_REPLAY_BATCHES):
         stage = f"{root}/stage{i}"
-        docs.filter(F.col("doc_id") % _REPLAY_BATCHES == i).coalesce(1).write.mode(
+        docs.filter(F.col(id_col) % _REPLAY_BATCHES == i).coalesce(1).write.mode(
             "overwrite"
         ).json(stage)
         (part,) = glob.glob(f"{stage}/part-*.json")
@@ -153,3 +153,111 @@ def streaming_cms_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.col("cell").cast("long").alias("cell"),
     ).orderBy("seed", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# THIRD streaming loop externalized: the incremental-ANN index
+# maintenance (streaming/incremental_ann.py). The replayed artifact is
+# the persisted IVF index itself — (vec_id, cell) for every vector —
+# which is batch-split/order INVARIANT: the quantizer is frozen at seed
+# time (standard IVF operating mode), so each streamed vector's cell is
+# argmax centroid-cosine regardless of which micro-batch carried it,
+# and appends are keyed by vec_id (adds commute). The per-batch
+# NEIGHBOR outputs are deliberately not oracled here: they depend on
+# micro-batch boundaries by design (old x new semantics); their
+# stream==batch equivalence is pinned in tests/test_incremental_ann.py.
+
+_ANN_REPLAY_MOD = 10  # streamed batch = vec_id % 10 == 0, the corpus split
+                      # every incremental tier in queries/ann_ivf.py uses
+
+
+def _ann_replay_oracle() -> str:
+    """DuckDB recompute of the persisted index state: seed vectors keep
+    their label cell; streamed vectors get the argmax centroid-cosine
+    cell. Bitwise agreement holds because the seed build is
+    decimal-exact (build_ivf_index(exact=True) — both engines produce
+    the identical cval/cn doubles) and the assignment cosine is a
+    sequential left-to-right fold on both sides (V.dot_flat ==
+    list_dot_product, the repo-wide differential contract in
+    functions/vectors.py)."""
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+), idx AS (
+    SELECT * FROM v WHERE vec_id % {_ANN_REPLAY_MOD} <> 0
+), pv AS (
+    SELECT label,
+           unnest(generate_series(1, len(e))) AS pos,
+           unnest(e) AS val
+    FROM idx
+), centroids AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / COUNT(val) AS cval
+    FROM pv GROUP BY label, pos
+), cvecs AS (
+    SELECT label, list(cval ORDER BY pos) AS ce,
+           sqrt(CAST(SUM(CAST(cval * cval AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+    FROM centroids GROUP BY label
+), streamed AS (
+    SELECT b.vec_id, c.label,
+           list_dot_product(b.e, c.ce)
+               / (sqrt(list_dot_product(b.e, b.e)) * c.cn) AS ccos
+    FROM (SELECT * FROM v WHERE vec_id % {_ANN_REPLAY_MOD} = 0) b
+    CROSS JOIN cvecs c
+), assigned AS (
+    SELECT vec_id, label AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+    FROM streamed
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+    SELECT vec_id, label AS cell FROM idx
+    UNION ALL
+    SELECT vec_id, cell FROM assigned WHERE rn = 1
+) ORDER BY vec_id
+"""
+
+
+@register("streaming_ann_replay_witness", oracle=_ann_replay_oracle())
+def streaming_ann_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the embedding corpus' arrival batch (vec_id %
+    {_ANN_REPLAY_MOD} == 0) through the REAL availableNow foreachBatch
+    loop of streaming/incremental_ann.py — one micro-batch per JSONL
+    file against an index seeded from the corpus split with a
+    decimal-exact frozen quantizer — then return the PERSISTED index
+    state itself: (vec_id, cell) for every vector, seed and streamed.
+    DuckDB independently recomputes that state (seed cells verbatim,
+    streamed cells re-derived as argmax centroid cosine), so the row
+    value-hashes the streamed artifact vector-for-vector: a dropped
+    micro-batch, a double append, a stale/perturbed centroid, or an
+    assignment tie broken differently flips it red. Fresh temp state
+    per call (cold-start path covered); JSON float round-trip is exact
+    (Jackson shortest-repr doubles parse back bit-identical)."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.streaming.incremental_ann import (
+        build_ivf_index,
+        run_ann_stream,
+    )
+
+    root = session_tmpdir("ann_replay_")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    seed = emb.filter(F.col("vec_id") % _ANN_REPLAY_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % _ANN_REPLAY_MOD == 0).select("vec_id", "e")
+
+    build_ivf_index(seed, f"{root}/index", exact=True)
+    drop_dir = _drop_jsonl_batches(batch, root, id_col="vec_id")
+    q = run_ann_stream(
+        spark,
+        drop_dir,
+        batch.schema,
+        index_dir=f"{root}/index",
+        neighbors_dir=f"{root}/neighbors",
+        checkpoint_dir=f"{root}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    vectors = spark.read.parquet(f"{root}/index/vectors")
+    return vectors.select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    ).orderBy("vec_id")

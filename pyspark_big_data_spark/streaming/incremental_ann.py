@@ -59,11 +59,16 @@ def build_ivf_index(
     cell_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "e",
+    exact: bool = False,
 ) -> None:
     """Seed the index from an existing corpus: write (id, e, cell)
     partitioned by cell, plus element-wise mean centroids with their
-    norms. Centroid aggregation is plain double here (operational tier;
-    the decimal-exact differential twin is queries/ann_ivf.py)."""
+    norms. Centroid aggregation is plain double by default (operational
+    tier; the decimal-exact differential twin is queries/ann_ivf.py);
+    ``exact=True`` switches the cross-row sums to DECIMAL(38,18) so the
+    frozen quantizer is bit-reproducible by a sequential-scan engine —
+    what the streaming replay witness needs to pin the persisted index
+    cell-for-cell against DuckDB."""
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("e"),
@@ -74,10 +79,23 @@ def build_ivf_index(
     pv = vecs.select(
         "cell", F.posexplode("e").alias("pos", "val")
     )
-    cent = pv.groupBy("cell", "pos").agg(F.avg("val").alias("cval"))
-    cn = cent.groupBy("cell").agg(
-        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
-    )
+    if exact:
+        dec = "decimal(38,18)"
+        cent = pv.groupBy("cell", "pos").agg(
+            (F.sum(F.col("val").cast(dec)).cast("double") / F.count("val")).alias(
+                "cval"
+            )
+        )
+        cn = cent.groupBy("cell").agg(
+            F.sqrt(
+                F.sum((F.col("cval") * F.col("cval")).cast(dec)).cast("double")
+            ).alias("cn")
+        )
+    else:
+        cent = pv.groupBy("cell", "pos").agg(F.avg("val").alias("cval"))
+        cn = cent.groupBy("cell").agg(
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+        )
     cent.join(cn, "cell").write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
