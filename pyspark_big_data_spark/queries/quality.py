@@ -310,3 +310,99 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("events", ev, "user_id", probe, "c_custkey"))
         .orderBy("relation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed MERGE (upsert) witness: the destructive ops path driver-verified
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH upd1 AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+           'MERGED' AS c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT -c_custkey - 1, 'NEW_' || CAST(c_custkey AS VARCHAR), c_nationkey,
+           0.25, 'FRESH'
+    FROM customer WHERE c_custkey % 11 = 0
+), after1 AS (
+    SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd1)
+    UNION ALL
+    SELECT * FROM upd1
+), upd2 AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 7.25 AS c_acctbal,
+           'MERGED2' AS c_mktsegment
+    FROM after1 WHERE c_custkey % 5 = 0
+), after2 AS (
+    SELECT * FROM after1 WHERE c_custkey NOT IN (SELECT c_custkey FROM upd2)
+    UNION ALL
+    SELECT * FROM upd2
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM after2 ORDER BY c_custkey
+"""
+
+
+@register("upsert_merge_witness", oracle=_UPSERT_ORACLE)
+def upsert_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics driver-verified (the lakehouse-gap witness,
+    MIGRATION.md): run TWO sequential keyed upserts through
+    operators/upsert.py::upsert_parquet — anti-join out updated keys,
+    union updates, rewrite, crash-safe rename swap — against a mutable
+    customer dimension written as hive-partitioned parquet, then return
+    the FINAL persisted dataset row-for-row. Merge 1 exercises both
+    MERGE arms (matched-UPDATE: c_custkey % 7 == 0 gets +1000.0 /
+    segment MERGED; not-matched-INSERT: keys -(c_custkey)-1 of c_custkey % 11
+    == 0 — offset past the key-0 self-negation); merge 2 re-reads the post-swap state (the refreshByPath
+    seam) and updates every key % 5 == 0 — hitting base rows, rows
+    updated by merge 1, AND rows merge 1 inserted, plus the second
+    rename swap over the first's output. DuckDB replays both merges as
+    layered CTEs over the base table, so a lost insert, a double-applied
+    update, a stale file listing, or a partial swap flips the row red.
+    All arithmetic is exact in double (+1000.0 / +7.25 / literal 0.25),
+    so the final c_acctbal column value-hashes bit-exactly.
+
+    Scale shape: each merge is one anti-join (update keys broadcast-
+    sized) + union + partitioned rewrite; at 100 TB the same call
+    rewrites only touched hive partitions of a partitioned dimension —
+    the seam where a table format's file-level MERGE would plug in
+    (documented in operators/upsert.py)."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.upsert import upsert_parquet
+
+    root = session_tmpdir("upsert_witness_")
+    path = f"{root}/customer_dim"
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    cust = read_table(spark, sf_dir, "customer").select(*cols)
+    cust.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+        F.lit("MERGED").alias("c_mktsegment"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (-F.col("c_custkey") - 1).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.25).alias("c_acctbal"),
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    upsert_parquet(spark, path, upd.unionByName(ins), "c_custkey",
+                   partition_by=["c_mktsegment"])
+
+    spark.catalog.refreshByPath(path)
+    after1 = spark.read.parquet(path)
+    upd2 = after1.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(7.25)).alias("c_acctbal"),
+        F.lit("MERGED2").alias("c_mktsegment"),
+    )
+    upsert_parquet(spark, path, upd2, "c_custkey", partition_by=["c_mktsegment"])
+
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path).select(*cols).orderBy("c_custkey")
