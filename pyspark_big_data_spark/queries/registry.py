@@ -94,14 +94,17 @@ DRIVER_EXCLUDED: set[str] = set()
 # + the reference rotate-backs q3_segment_profile_top / q4_avg_distance
 # (verdict item 6: every reference family green within r7-r8) +
 # json_props_extract (family swap for the resting json_typed_agreement)
-# + the two NEW r8 witnesses (streaming_ann_replay_witness — the third
-# streaming loop externalized, verdict item 3 — and
-# upsert_merge_witness, verdict item 7) + the NEW steady-state bench
-# twin dedup_minhash_incremental_steady (verdict item 2 — its first
-# round doubles as its driver verification); the three are registered
-# driver=True so they take slots automatically. OUT (24) = r7-green
-# rows, all first-green r7 or r6+r7, each family still externally
-# covered — notes per row below.
+# + the FIVE NEW r8 rows (streaming_ann_replay_witness,
+# streaming_ivm_replay_witness, streaming_scd2_replay_witness — ALL
+# remaining driver-invisible streaming loops externalized, closing
+# verdict item 3 and its follow-ups — plus upsert_merge_witness,
+# verdict item 7, and the steady-state bench twin
+# dedup_minhash_incremental_steady, verdict item 2; all registered
+# driver=True so they take slots automatically, and their first round
+# doubles as their driver verification — the oracled-never-verified
+# backlog ends r8 at ZERO). OUT (26) = r7-green rows, all first-green
+# r7 or r6+r7, each family still externally covered — notes per row
+# below.
 #
 # r9 rotation queue (all oracled; re-cycle stale rows oldest-first so
 # no family's most recent CORRECTNESS row ages past ~3 rounds; after
@@ -126,7 +129,11 @@ ROTATE_IN: set[str] = {
     # anchors a family through the r8 re-cycle):
     "ab_test_readout",
     "contrastive_triplets",
-    "copurchase_part_pairs",
+    # (copurchase_part_pairs and event_value_anomalies rest this round
+    # to make room for the IVM and SCD2 replay witnesses: co-occurrence
+    # / graph family keeps dedup_triangle_audit; behavior/anomaly family
+    # keeps multi_touch_attribution + value_zscore_by_type +
+    # scd2_point_in_time.)
     "decontaminate_semantic",
     # (dedup_longest_survivors rests this round: the survivor/dedup
     # family stays covered by minhash_fast_tier_witness,
@@ -136,7 +143,6 @@ ROTATE_IN: set[str] = {
     "dedup_triangle_audit",
     "doc_embed_near_dup",
     "dsir_importance_weights",
-    "event_value_anomalies",
     "hybrid_rrf_topk",
     "minhash_fast_tier_witness",
     "multi_touch_attribution",

@@ -261,3 +261,133 @@ def streaming_ann_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectors.select(
         "vec_id", F.col("cell").cast("long").alias("cell")
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# FOURTH streaming loop externalized: incremental view maintenance
+# (streaming/ivm.py). The maintained artifact is the revenue_by_nation
+# aggregate view; running sums are carried as DECIMAL so folds are
+# associative/commutative — ANY batch split of the fact table must
+# reproduce the one-shot aggregate bit-for-bit, and the oracle IS
+# revenue_by_nation's own SQL (DuckDB computes the one-shot view; the
+# Spark side computes it by replaying the fact stream through the
+# foreachBatch fold + crash-safe MERGE three micro-batches at a time).
+
+
+def _ivm_replay_oracle() -> str:
+    from pyspark_big_data_spark.queries.analytics import _REVENUE_ORACLE
+
+    return _REVENUE_ORACLE
+
+
+@register("streaming_ivm_replay_witness", oracle=_ivm_replay_oracle())
+def streaming_ivm_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the lineitem fact table through the availableNow IVM loop
+    (one JSONL file per micro-batch, split by l_orderkey mod — split
+    choice is immaterial because the persisted view's running sums are
+    DECIMAL(38,8): exact, order-independent), then return the
+    maintained view in report shape. The oracle is revenue_by_nation's
+    one-shot SQL, so the row value-hashes the persisted incremental
+    view against the from-scratch aggregate: a dropped batch, a
+    double-applied fold, a lost nation on MERGE, or double-sum drift
+    across batch boundaries flips it red. Each fold joined ONLY its
+    delta through the broadcast dim chain — old facts are never
+    rescanned (the self-maintainable-view contract, ivm.py)."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.streaming.ivm import revenue_report, run_ivm_stream
+
+    root = session_tmpdir("ivm_replay_")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    drop_dir = _drop_jsonl_batches(li, root, id_col="l_orderkey")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(drop_dir)
+    )
+    q = run_ivm_stream(stream, f"{root}/view", sf_dir, f"{root}/ckpt")
+    q.awaitTermination()
+    return revenue_report(spark, f"{root}/view")
+
+
+# ---------------------------------------------------------------------------
+# FIFTH streaming loop externalized: continuous SCD2 maintenance
+# (streaming/scd2_maintain.py). Unlike the four loops above this one has
+# an ARRIVAL-ORDER contract (batches must arrive in event-time order
+# per customer — the log-compacted-CDC guarantee), so the replay splits
+# orders into DATE-RANGE batches and pins each drop file's mtime
+# strictly ascending: the file source (latestFirst=false) then replays
+# them oldest-first, exactly the arrival order the contract requires.
+
+_SCD2_SPLIT_DATES = ("1995-01-01", "1997-01-01")
+
+
+def _drop_scd2_batches(orders: DataFrame, root: str) -> str:
+    """Write ``orders`` as three date-range JSONL files with strictly
+    ascending modification times (epoch base, +10 s apart), so the
+    maxFilesPerTrigger=1 availableNow stream replays history in event-
+    time order."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    drop_dir = f"{root}/drop"
+    os.makedirs(drop_dir)
+    lo, hi = _SCD2_SPLIT_DATES
+    preds = [
+        F.col("o_orderdate") < lo,
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi),
+        F.col("o_orderdate") >= hi,
+    ]
+    base = int(_time.time()) - 3600
+    for i, pred in enumerate(preds):
+        stage = f"{root}/stage{i}"
+        orders.filter(pred).coalesce(1).write.mode("overwrite").json(stage)
+        (part,) = glob.glob(f"{stage}/part-*.json")
+        dst = f"{drop_dir}/batch{i}.json"
+        shutil.move(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+    return drop_dir
+
+
+def _scd2_replay_oracle() -> str:
+    from pyspark_big_data_spark.queries.dimension import _SCD2_ORACLE
+
+    return _SCD2_ORACLE
+
+
+@register("streaming_scd2_replay_witness", oracle=_scd2_replay_oracle())
+def streaming_scd2_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the orders table through the availableNow SCD2 loop in
+    three date-range micro-batches (mtime-ordered, honoring the
+    arrival-order contract) and return the PERSISTED dimension in
+    report shape. The oracle is scd2_customer_priority's one-shot SQL —
+    the full batch derivation — so the row value-hashes every version
+    of the streamed dimension: a version opened twice, an open version
+    left unclosed after supersession, a lost n_orders increment on the
+    continuing-version arm, or a MERGE that dropped untouched history
+    flips it red. Each fold touched only its batch's customers (their
+    open versions + the delta), never the closed history — the
+    touched-partition economics of scd2_maintain.py, here
+    driver-verified end to end."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.streaming.scd2_maintain import (
+        run_scd2_stream,
+        scd2_report,
+    )
+
+    root = session_tmpdir("scd2_replay_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    drop_dir = _drop_scd2_batches(orders, root)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(drop_dir)
+    )
+    q = run_scd2_stream(stream, f"{root}/dim", f"{root}/ckpt")
+    q.awaitTermination()
+    return scd2_report(spark, f"{root}/dim").orderBy("c_custkey", "version")
