@@ -406,3 +406,91 @@ def upsert_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(path).select(*cols).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots: time-travel reads driver-verified
+# ---------------------------------------------------------------------------
+
+_TT_ORACLE = """
+WITH v0 AS (
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+), v1 AS (
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM v0 WHERE c_custkey % 13 <> 3
+), v2 AS (
+    SELECT * FROM v1
+    UNION ALL
+    SELECT -c_custkey - 1, c_nationkey, 1.5 FROM v0 WHERE c_custkey % 11 = 0
+)
+SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum
+FROM v0
+UNION ALL
+SELECT CAST(1 AS BIGINT), COUNT(*),
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), COUNT(*),
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+FROM v2
+ORDER BY version
+"""
+
+
+@register("snapshot_time_travel_witness", oracle=_TT_ORACLE, driver=False)
+def snapshot_time_travel_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel driver-verified (operators/versioned.py): commit a
+    3-version history of a customer dimension — v0 the base snapshot,
+    v1 derived FROM THE READ-BACK v0 (update +500.0 on c_custkey % 7,
+    delete c_custkey % 13 == 3), v2 derived from the read-back v1
+    (insert keys -(k)-1 for c_custkey % 11) — then, AFTER v2 is
+    committed, time-travel-read ALL THREE versions and emit each one's
+    (version, n_rows, decimal-exact bal_sum). DuckDB replays the
+    version chain as layered CTEs, so a mutated historical snapshot, a
+    version that read as empty, a staging dir counted as committed, or
+    a lost delete/insert flips the row red. Each write commits via
+    stage-then-rename (the crash-safe seam shared with upsert_parquet);
+    reads pin ``v=N`` directories, which is what makes the history
+    immutable under later writes."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    root = session_tmpdir("versioned_dim_")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    assert write_version(base, root) == 0
+
+    v0 = read_version(spark, root, 0)
+    v1 = v0.filter(F.col("c_custkey") % 13 != 3).select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(500.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    assert write_version(v1, root) == 1
+
+    inserts = v0.filter(F.col("c_custkey") % 11 == 0).select(
+        (-F.col("c_custkey") - 1).alias("c_custkey"),
+        "c_nationkey",
+        F.lit(1.5).alias("c_acctbal"),
+    )
+    v2 = read_version(spark, root, 1).unionByName(inserts)
+    assert write_version(v2, root) == 2
+
+    out = None
+    for v in (0, 1, 2):
+        snap = read_version(spark, root, v)
+        row = snap.agg(
+            F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+        ).select(F.lit(v).cast("long").alias("version"), "n_rows", "bal_sum")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("version")

@@ -106,9 +106,12 @@ DRIVER_EXCLUDED: set[str] = set()
 # r7 or r6+r7, each family still externally covered — notes per row
 # below.
 #
-# r9 rotation queue (all oracled; re-cycle stale rows oldest-first so
-# no family's most recent CORRECTNESS row ages past ~3 rounds; after
-# r8 the stale set is 44 rows last green r4):
+# r9 rotation queue (all oracled) — HEAD: snapshot_time_travel_witness
+# (new in r8: the versioned-snapshot time-travel read chain,
+# operators/versioned.py — the only oracled query without a driver row
+# at r8 end); then re-cycle stale rows oldest-first so no family's
+# most recent CORRECTNESS row ages past ~3 rounds; after r8 the stale
+# set is 44 rows last green r4:
 # pricing_summary, revenue_by_nation, union_priority_counts,
 # cube_status_priority, order_priority_semi_join,
 # clean_formatted_currency, composite_key_join, dedup_minhash_lsh,
