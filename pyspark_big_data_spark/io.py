@@ -245,6 +245,36 @@ def schema_drift_report(spark: SparkSession, sf_dir: str) -> list[dict]:
     return report
 
 
+def read_evolved(spark: SparkSession, path: str, canonical=None) -> DataFrame:
+    """Scan a parquet dataset whose files were written under EVOLVING
+    schemas (appends gained columns over time — the backfill reality of
+    a long-lived corpus). ``mergeSchema=true`` makes the scan pay the
+    per-file footer union ONCE and null-fills columns absent from older
+    files; the default reader would instead pick one file's schema and
+    silently drop or misalign late columns. With ``canonical`` (a
+    StructType), the merged frame is projected/cast to exactly that
+    schema — missing canonical columns surface as typed nulls, extra
+    on-disk columns are dropped — so downstream plans bind against one
+    stable shape regardless of which files the scan touches.
+
+    Scale note: schema merge reads FOOTERS, not data, but at 100 TB a
+    million-file footer union is still a real listing cost — production
+    datasets should record the evolved schema once (a table catalog or
+    ``schema_drift_report``-style manifest) and pass it here as
+    ``canonical`` over a plain scan; this helper keeps the merge
+    explicit rather than ambient."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if canonical is not None:
+        cols = []
+        for field in canonical.fields:
+            if field.name in df.columns:
+                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        df = df.select(*cols)
+    return df
+
+
 def session_tmpdir(prefix: str) -> str:
     """mkdtemp whose tree is reclaimed at interpreter exit.
 

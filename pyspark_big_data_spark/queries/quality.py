@@ -494,3 +494,74 @@ def snapshot_time_travel_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(v).cast("long").alias("version"), "n_rows", "bal_sum")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: merged scan over files written under growing schemas
+# ---------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+WITH evolved AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN
+                CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+           END AS lang,
+           LENGTH(text) AS n_chars
+    FROM documents
+)
+SELECT COALESCE(lang, '(pre-evolution)') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM evolved GROUP BY 1 ORDER BY lang
+"""
+
+
+@register("schema_evolution_read", oracle=_EVOLVE_ORACLE, driver=False)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan driver-verifiable end to end: write the
+    corpus in TWO generations with different physical schemas — the
+    old files (doc_id % 2 == 0) carry (doc_id, text) only, the new
+    appends (doc_id % 2 == 1) add a ``lang`` column — then read the
+    dataset back through ``io.read_evolved`` (mergeSchema + canonical
+    projection) and aggregate per language, the pre-evolution rows
+    surfacing as typed-null → '(pre-evolution)'. The oracle replays
+    the generation rule over the base table, so a scan that bound to
+    one file's schema (dropping ``lang``), misaligned columns across
+    generations, or lost the null-fill flips the row red. This is the
+    backfill reality of a long-lived 100 TB corpus: columns arrive
+    mid-life, and old files are never rewritten."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyspark_big_data_spark.io import read_evolved, session_tmpdir
+
+    root = session_tmpdir("evolved_corpus_")
+    path = f"{root}/docs"
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(path)
+    lang = (
+        F.when(F.col("doc_id") % 3 == 0, "en")
+        .when(F.col("doc_id") % 3 == 1, "de")
+        .otherwise("fr")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn("lang", lang).write.mode(
+        "append"
+    ).parquet(path)
+
+    canonical = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    evolved = read_evolved(spark, path, canonical)
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("lang"), F.lit("(pre-evolution)")).alias("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
