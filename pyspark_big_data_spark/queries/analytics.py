@@ -113,6 +113,47 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_ORACLE = f"""
+SELECT c.c_nationkey, COUNT(*) AS n_events,
+       {dsum_sql("e.value", "value_sum")}
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+ORDER BY c_nationkey
+"""
+
+
+@register("salted_skew_join", oracle=_SALTED_ORACLE, driver=False)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J7 skew-salting path driver-verifiable (it was pytest-only:
+    `operators/joins.py::salted_join` + the AQE skew-split plan test):
+    join the events fact table — whose user_id key set is small and hot
+    (~67 events/key at sf0.01, the straggler shape) — to customer
+    through the SALTED join (deterministic xxhash row salt on the probe
+    side, build side replicated num_salts ways, equi-join on
+    (key, salt)), then aggregate per nation. Salting must be
+    semantics-invisible: the oracle is the PLAIN join's SQL, so a salt
+    that drops rows, double-joins a replica, or breaks the equi-key
+    flips the row red. Scale shape: each hot key spreads over
+    num_salts shuffle partitions; build-side cost ×num_salts is paid on
+    the dimension, never the fact table."""
+    from pyspark_big_data_spark.operators.joins import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(ev, cust, "c_custkey", num_salts=8)
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "value_sum"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 _UNION_ORACLE = """
 SELECT o_orderpriority, COUNT(*) AS cnt
 FROM (
