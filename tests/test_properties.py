@@ -198,3 +198,66 @@ def test_chunker_matches_python_model(spark, texts):
                 hashlib.md5(" ".join(piece).encode()).hexdigest(),
             )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Mutation operators vs a driver-side dict model
+# ---------------------------------------------------------------------------
+
+_ops = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda kv: kv[0],  # upsert contract: one row per key
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_ops)
+def test_upsert_sequence_matches_dict_model(spark, tmp_path_factory, batches):
+    """Any sequence of keyed upsert batches must leave the dataset equal
+    to a plain dict replay (last batch wins per key, inserts appear)."""
+    from pyspark_big_data_spark.operators.upsert import upsert_parquet
+
+    root = str(tmp_path_factory.mktemp("upsert_prop"))
+    path = f"{root}/ds"
+    model: dict[int, float] = {0: 0.0, 1: 1.0}
+    spark.createDataFrame(list(model.items()), "k long, x double").write.mode(
+        "overwrite"
+    ).parquet(path)
+    for batch in batches:
+        stats = upsert_parquet(
+            spark, path, spark.createDataFrame(batch, "k long, x double"), "k"
+        )
+        before = len(model)
+        model.update(dict(batch))
+        assert stats["total"] == len(model)
+        assert stats["inserted"] == len(model) - before
+    got = {(r["k"], r["x"]) for r in spark.read.parquet(path).collect()}
+    assert got == set(model.items())
+
+
+@settings(max_examples=5, deadline=None)
+@given(_ops)
+def test_versioned_chain_matches_list_model(spark, tmp_path_factory, batches):
+    """Every committed version must replay exactly its snapshot at
+    commit time, regardless of how many versions follow."""
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    root = str(tmp_path_factory.mktemp("versioned_prop"))
+    snapshots = []
+    for i, batch in enumerate(batches):
+        assert write_version(
+            spark.createDataFrame(batch, "k long, x double"), root
+        ) == i
+        snapshots.append(set(batch))
+    for i, snap in enumerate(snapshots):
+        got = {(r["k"], r["x"]) for r in read_version(spark, root, i).collect()}
+        assert got == snap
