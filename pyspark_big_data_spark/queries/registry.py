@@ -109,11 +109,13 @@ DRIVER_EXCLUDED: set[str] = set()
 # r9 rotation queue (all oracled) — HEAD: snapshot_time_travel_witness
 # (new in r8: the versioned-snapshot time-travel read chain,
 # operators/versioned.py), schema_evolution_read (new in r8: the
-# two-generation mergeSchema scan through io.read_evolved), and
+# two-generation mergeSchema scan through io.read_evolved),
 # salted_skew_join (new in r8: the J7 salting path agreement-oracled
-# against the plain join) — the only three oracled queries without a
-# driver row at r8 end; then re-cycle stale rows oldest-first so no
-# family's
+# against the plain join), and streaming_ingest_replay_witness (new in
+# r8: the stream-NATIVE-state pipeline — watermark-bounded engine-state
+# dedup — replayed end to end, kept-fp set oracled) — the only four
+# oracled queries without a driver row at r8 end; then re-cycle stale
+# rows oldest-first so no family's
 # most recent CORRECTNESS row ages past ~3 rounds; after r8 the stale
 # set is 44 rows last green r4:
 # pricing_summary, revenue_by_nation, union_priority_counts,

@@ -391,3 +391,83 @@ def streaming_scd2_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame
     q = run_scd2_stream(stream, f"{root}/dim", f"{root}/ckpt")
     q.awaitTermination()
     return scd2_report(spark, f"{root}/dim").orderBy("c_custkey", "version")
+
+
+# ---------------------------------------------------------------------------
+# SIXTH streaming witness: the stream-NATIVE-state pipeline. The five
+# loops above are foreachBatch over persisted parquet state; continuous
+# corpus ingestion (streaming/corpus_ingest.py) instead holds its dedup
+# state INSIDE the engine (dropDuplicatesWithinWatermark), so this
+# witness externalizes the other state model. Which doc survives a
+# duplicate fingerprint is arrival-order-dependent by design (first
+# arrival wins; the batch pipeline keeps min doc_id), so the oracled
+# artifact is the order-INVARIANT one: the kept fingerprint SET, which
+# must equal the distinct fingerprints of quality-passing docs exactly.
+
+
+def _ingest_replay_oracle() -> str:
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.queries.training_pipeline import (
+        _LANGS,
+        _MAX_PUNCT,
+        _MIN_WORDS,
+    )
+
+    langs = ", ".join(f"'{lang}'" for lang in _LANGS)
+    return f"""
+WITH fp AS (
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_words,
+           CAST(length(text) - length(regexp_replace(text, '{TX.PUNCT_CLASS}', '', 'g'))
+                AS DOUBLE) / greatest(length(text), 1) AS pratio,
+           lang
+    FROM documents
+)
+SELECT DISTINCT fp FROM fp
+WHERE n_words >= {_MIN_WORDS} AND pratio <= {_MAX_PUNCT} AND lang IN ({langs})
+ORDER BY fp
+"""
+
+
+@register("streaming_ingest_replay_witness", oracle=_ingest_replay_oracle())
+def streaming_ingest_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table through the REAL continuous-ingestion
+    pipeline — JSONL drops (one micro-batch per file, plus one injected
+    corrupt line that the permissive reader must quarantine), stateless
+    quality gate, watermark-bounded exact dedup in ENGINE state, and a
+    foreachBatch parquet sink — then return the kept fingerprint set.
+    All ingest_ts values sit inside one watermark window, so the dedup
+    state spans every micro-batch: a fingerprint deduped in batch 0
+    must still block its duplicates in batch 2. DuckDB independently
+    recomputes the distinct fingerprints of quality-passing docs with
+    the shared md5-normalization SQL, so a dropped batch, a leaked
+    duplicate across batches, a corrupt line admitted, or a quality
+    gate drifting from the batch pipeline flips the row red."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.streaming.corpus_ingest import ingest_corpus_stream
+
+    root = session_tmpdir("ingest_replay_")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.lit("2024-01-01 00:00:01").cast("timestamp").alias("ingest_ts"),
+    )
+    drop_dir = _drop_jsonl_batches(docs, root, id_col="doc_id")
+    with open(f"{drop_dir}/batch0.json", "a", encoding="utf-8") as fh:
+        fh.write('{"doc_id": broken json, "text": \n')
+
+    sink = f"{root}/curated"
+    q = (
+        ingest_corpus_stream(spark, drop_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select("fp").distinct().orderBy("fp")

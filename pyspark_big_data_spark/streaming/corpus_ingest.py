@@ -42,14 +42,22 @@ INGEST_SCHEMA = T.StructType(
 
 
 def ingest_corpus_stream(
-    spark: SparkSession, jsonl_dir: str, watermark: str = "1 hour"
+    spark: SparkSession,
+    jsonl_dir: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over a JSONL drop dir -> quality gate -> watermarked
     exact dedup. Returns the curated stream (doc_id, lang, source,
     n_words, fp, ingest_ts); attach a sink with foreachBatch/parquet.
-    """
+    ``max_files_per_trigger`` bounds the micro-batch (one file per
+    batch in the replay witness, so cross-batch dedup state is
+    actually exercised)."""
     ensure_session_confs(spark)
-    raw = spark.readStream.schema(INGEST_SCHEMA).json(jsonl_dir)
+    reader = spark.readStream.schema(INGEST_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(jsonl_dir)
     scored = (
         raw.filter(F.col("_corrupt_record").isNull() & F.col("text").isNotNull())
         .select(
