@@ -111,11 +111,13 @@ DRIVER_EXCLUDED: set[str] = set()
 # operators/versioned.py), schema_evolution_read (new in r8: the
 # two-generation mergeSchema scan through io.read_evolved),
 # salted_skew_join (new in r8: the J7 salting path agreement-oracled
-# against the plain join), and streaming_ingest_replay_witness (new in
+# against the plain join), streaming_ingest_replay_witness (new in
 # r8: the stream-NATIVE-state pipeline — watermark-bounded engine-state
-# dedup — replayed end to end, kept-fp set oracled) — the only four
-# oracled queries without a driver row at r8 end; then re-cycle stale
-# rows oldest-first so no family's
+# dedup — replayed end to end, kept-fp set oracled), and
+# streaming_hh_replay_witness (new in r8: the applyInPandasWithState
+# model — sharded SpaceSaving in engine state, guarantees oracled) —
+# the only five oracled queries without a driver row at r8 end; then
+# re-cycle stale rows oldest-first so no family's
 # most recent CORRECTNESS row ages past ~3 rounds; after r8 the stale
 # set is 44 rows last green r4:
 # pricing_summary, revenue_by_nation, union_priority_counts,

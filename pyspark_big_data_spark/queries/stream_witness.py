@@ -16,7 +16,7 @@ micro-batch replay flips the row red.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pyspark_big_data_spark.io import read_table
 from pyspark_big_data_spark.queries.dedup import _MINHASH_ORACLE, dedup_minhash_lsh
@@ -471,3 +471,147 @@ def streaming_ingest_replay_witness(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.read.parquet(sink).select("fp").distinct().orderBy("fp")
+
+
+# ---------------------------------------------------------------------------
+# SEVENTH streaming witness: the applyInPandasWithState model. Sharded
+# SpaceSaving heavy hitters keep their summaries as ARBITRARY PYTHON
+# STATE inside the engine's state store — the third state model after
+# foreachBatch-over-parquet and dropDuplicatesWithinWatermark. The
+# sketch CONTENT is batching-dependent (evictions), so the oracled
+# artifact is the batching-INVARIANT part: the per-shard exact
+# heavy-hitter census (DuckDB-computable because shard routing uses the
+# portable hash48) plus the two SpaceSaving guarantees as
+# must-be-zero violation counts — the planted/lsh recall-witness
+# pattern, applied to engine state.
+
+
+def _hh_replay_oracle() -> str:
+    from pyspark_big_data_spark.functions.text import hash48_sql_duckdb
+    from pyspark_big_data_spark.queries.text_analysis import _TOKS
+    from pyspark_big_data_spark.streaming.heavy_hitters import CAPACITY, N_SHARDS
+
+    return f"""
+WITH tok AS (
+    SELECT unnest({_TOKS}) AS tok FROM documents
+), sharded AS (
+    SELECT tok, CAST({hash48_sql_duckdb('tok')} % {N_SHARDS} AS INTEGER) AS shard,
+           COUNT(*) AS c
+    FROM tok GROUP BY 1, 2
+), totals AS (
+    SELECT shard, SUM(c) AS shard_len FROM sharded GROUP BY shard
+)
+SELECT s.shard,
+       CAST(COUNT(*) FILTER (
+           WHERE s.c > CAST(t.shard_len AS DOUBLE) / {CAPACITY}) AS BIGINT)
+           AS n_true_hh,
+       CAST(0 AS BIGINT) AS n_missed,
+       CAST(0 AS BIGINT) AS n_violations
+FROM sharded s JOIN totals t ON t.shard = s.shard
+GROUP BY s.shard
+ORDER BY s.shard
+"""
+
+
+@register("streaming_hh_replay_witness", oracle=_hh_replay_oracle(), driver=False)
+def streaming_hh_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the corpus token stream through the REAL sharded
+    SpaceSaving pipeline (streaming/heavy_hitters.py — one JSONL file
+    per micro-batch, summaries held in applyInPandasWithState state,
+    update-mode emissions captured per batch), extract each shard's
+    FINAL sketch (its last emission = current state content), and
+    check it against the exact per-shard counts:
+
+    - n_true_hh: tokens whose exact shard count exceeds
+      shard_len/CAPACITY — recomputed independently by DuckDB;
+    - n_missed (must be 0): guaranteed heavy hitters absent from the
+      final sketch — the SpaceSaving containment guarantee;
+    - n_violations (must be 0): final-sketch entries where NOT
+      (cnt >= true AND cnt - err <= true) — the overestimate-bound
+      guarantee, valid on current state (stale emissions of evicted
+      tokens are excluded by the last-batch extraction; their bounds
+      only held at emission time).
+
+    Both guarantees hold under ANY batch split/order, so the digest
+    needs no arrival-order pinning — unlike the sketch content itself,
+    which is batching-dependent and stays out of the oracle."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.streaming.heavy_hitters import (
+        CAPACITY,
+        N_SHARDS,
+        streaming_heavy_hitters,
+    )
+
+    root = session_tmpdir("hh_replay_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drop_dir = _drop_jsonl_batches(docs, root, id_col="doc_id")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(drop_dir)
+    )
+    sink = f"{root}/summaries"
+    q = (
+        streaming_heavy_hitters(stream)
+        .writeStream.foreachBatch(
+            lambda batch, bid: batch.withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(sink)
+    w = Window.partitionBy("shard")
+    final = (
+        emitted.withColumn("max_bid", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("max_bid"))
+        .select("shard", "tok", "cnt", "err")
+    )
+
+    exact = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .select("tok", (TX.hash48(F.col("tok")) % N_SHARDS).cast("int").alias("shard"))
+        .groupBy("shard", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = exact.groupBy("shard").agg(F.sum("c").alias("shard_len"))
+    joined = (
+        exact.join(totals, "shard")
+        .join(final, ["shard", "tok"], "left")
+        .withColumn(
+            "is_true_hh",
+            F.col("c") > F.col("shard_len").cast("double") / F.lit(CAPACITY),
+        )
+    )
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("is_true_hh"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_hh"),
+            F.sum(
+                F.when(F.col("is_true_hh") & F.col("cnt").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_missed"),
+            F.sum(
+                F.when(
+                    F.col("cnt").isNotNull()
+                    & ~(
+                        (F.col("cnt") >= F.col("c"))
+                        & (F.col("cnt") - F.col("err") <= F.col("c"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .orderBy("shard")
+    )

@@ -111,7 +111,11 @@ def streaming_heavy_hitters(docs: DataFrame) -> DataFrame:
     token-sorted order, so replays reproduce identical evictions."""
     toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).select(
         "tok",
-        (F.abs(F.xxhash64("tok")) % N_SHARDS).cast("int").alias("shard"),
+        # hash48, not xxhash64: shard routing is part of the sketch's
+        # differential contract (the replay witness recomputes per-shard
+        # thresholds in DuckDB), so it uses the repo's portable md5-48
+        # hash like every other cross-engine key
+        (TX.hash48(F.col("tok")) % N_SHARDS).cast("int").alias("shard"),
         F.lit(1).alias("n"),
     )
     return toks.groupBy("shard").applyInPandasWithState(

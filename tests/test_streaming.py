@@ -523,7 +523,7 @@ def test_streaming_heavy_hitters_space_saving(spark, sf_dir, tmp_path):
     true_counts = {
         (r["shard"], r["tok"]): r["cnt"]
         for r in docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
-        .select("tok", (F.abs(F.xxhash64("tok")) % HH.N_SHARDS).cast("int").alias("shard"))
+        .select("tok", (TX.hash48(F.col("tok")) % HH.N_SHARDS).cast("int").alias("shard"))
         .groupBy("shard", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
