@@ -430,7 +430,7 @@ ORDER BY fp
 """
 
 
-@register("streaming_ingest_replay_witness", oracle=_ingest_replay_oracle())
+@register("streaming_ingest_replay_witness", oracle=_ingest_replay_oracle(), driver=False)
 def streaming_ingest_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the documents table through the REAL continuous-ingestion
     pipeline — JSONL drops (one micro-batch per file, plus one injected
