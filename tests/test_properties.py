@@ -261,3 +261,59 @@ def test_versioned_chain_matches_list_model(spark, tmp_path_factory, batches):
     for i, snap in enumerate(snapshots):
         got = {(r["k"], r["x"]) for r in read_version(spark, root, i).collect()}
         assert got == snap
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.floats(-50, 50, allow_nan=False)),
+             min_size=1, max_size=30),
+    st.lists(st.integers(0, 9), min_size=1, max_size=10, unique=True),
+)
+def test_salted_join_equals_plain_join(spark, rows, dim_keys):
+    """salted_join must be semantics-invisible for any data: identical
+    row multiset to the plain equi-join, for every salt width."""
+    from pyspark_big_data_spark.operators.joins import salted_join
+
+    facts = spark.createDataFrame(rows, "k long, x double")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in dim_keys], "k long, name string")
+    plain = sorted((r["k"], r["x"], r["name"]) for r in facts.join(dim, "k").collect())
+    for n_salts in (1, 4):
+        got = sorted(
+            (r["k"], r["x"], r["name"])
+            for r in salted_join(facts, dim, "k", num_salts=n_salts).collect()
+        )
+        assert got == plain
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.booleans()), min_size=1, max_size=20))
+def test_read_evolved_null_fills_missing_columns(spark, tmp_path_factory, rows):
+    """Any mix of old-schema and new-schema files must read back merged
+    with typed nulls exactly where the old generation lacked the column."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyspark_big_data_spark.io import read_evolved
+
+    root = str(tmp_path_factory.mktemp("evolve_prop"))
+    old_rows = [(k,) for k, new in rows if not new]
+    new_rows = [(k, f"v{k}") for k, new in rows if new]
+    wrote = False
+    if old_rows:
+        spark.createDataFrame(old_rows, "k long").write.mode("append").parquet(root)
+        wrote = True
+    if new_rows:
+        spark.createDataFrame(new_rows, "k long, extra string").write.mode(
+            "append"
+        ).parquet(root)
+        wrote = True
+    assert wrote
+    canonical = StructType(
+        [StructField("k", LongType()), StructField("extra", StringType())]
+    )
+    key = lambda t: (t[0], t[1] is not None, t[1] or "")  # noqa: E731
+    got = sorted(
+        ((r["k"], r["extra"]) for r in read_evolved(spark, root, canonical).collect()),
+        key=key,
+    )
+    want = sorted([(k, None) for (k,) in old_rows] + new_rows, key=key)
+    assert got == want
