@@ -32,9 +32,11 @@ pipelines.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -68,13 +70,122 @@ def latest_version(spark: SparkSession, root: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def write_version(df: DataFrame, root: str) -> int:
+MANIFEST_NAME = "_manifest.json"
+
+
+def _collect_file_stats(
+    spark: SparkSession, file_paths: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list] | None]:
+    """Per-file [min, max] for ``stats_cols``, read from parquet FOOTERS
+    only — never the data pages. The footer reads are distributed
+    (parallelize the file list, each executor opens only metadata), so
+    manifest construction is O(files) footer fetches with zero data
+    scan; at 100 TB that is the difference between a metadata pass and
+    a second full read of the snapshot.
+
+    A column whose statistics are absent in ANY row group of a file maps
+    to None for that file — the read path then never prunes that file
+    (missing stats degrade to a full read, not a wrong one). Values are
+    kept JSON-portable; stats columns should be numeric or string."""
+    cols = set(stats_cols)
+
+    def reader(it):
+        import pandas as pd
+        import pyarrow.parquet as papq
+
+        for pdf in it:
+            rows = []
+            for path in pdf["path"]:
+                md = papq.ParquetFile(path).metadata
+                agg: dict[str, list | None] = {}
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    for ci in range(group.num_columns):
+                        cmeta = group.column(ci)
+                        name = cmeta.path_in_schema
+                        if name not in cols:
+                            continue
+                        if name in agg and agg[name] is None:
+                            continue  # already poisoned by a stat-less group
+                        st = cmeta.statistics
+                        if st is None or not st.has_min_max:
+                            agg[name] = None
+                            continue
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            mn = mn.decode("utf-8", "replace")
+                        if isinstance(mx, bytes):
+                            mx = mx.decode("utf-8", "replace")
+                        cur = agg.get(name)
+                        if cur is None:
+                            agg[name] = [mn, mx]
+                        else:
+                            agg[name] = [min(cur[0], mn), max(cur[1], mx)]
+                rows.append(
+                    (os.path.basename(str(path)), json.dumps(agg, default=str))
+                )
+            yield pd.DataFrame(rows, columns=["file", "stats_json"])
+
+    out = (
+        spark.createDataFrame([(p,) for p in file_paths], "path string")
+        .repartition(max(1, min(len(file_paths), 32)))
+        .mapInPandas(reader, "file string, stats_json string")
+        .collect()
+    )
+    return {r["file"]: json.loads(r["stats_json"]) for r in out}
+
+
+def _list_parquet_files(fs, jvm, directory: str) -> list[str]:
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = []
+    for status in fs.listStatus(Path(directory)):
+        name = status.getPath().getName()
+        if status.isFile() and name.endswith(".parquet"):
+            out.append(str(status.getPath().toUri().getPath()))
+    return sorted(out)
+
+
+def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
+    """The committed footer-stats manifest of ``v=version`` (None when
+    the snapshot was written without ``stats_cols``)."""
+    mpath = f"{root.rstrip('/')}/v={version}/{MANIFEST_NAME}"
+    fs, hp, _ = _fs(spark, mpath)
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def write_version(
+    df: DataFrame, root: str, stats_cols: list[str] | None = None
+) -> int:
     """Commit ``df`` as the next snapshot version and return its
-    number. Stage-then-rename: the snapshot is fully written under
+    number. With ``stats_cols``, a footer-stats manifest
+    (``_manifest.json``: per-file [min, max] for each named column,
+    distilled from the parquet footers by a distributed metadata pass)
+    is staged alongside the data, so the single commit rename publishes
+    data + manifest atomically; ``read_version_pruned`` then skips
+    whole files by predicate BEFORE Spark ever lists them. The
+    underscore prefix keeps the manifest invisible to plain parquet
+    readers (same convention as ``_SUCCESS``), so ``read_version`` is
+    unaffected.
+
+    Stage-then-rename: the snapshot is fully written under
     ``root/.staging_vN`` first, then a single atomic rename publishes
-    it as ``root/v=N``. Concurrent writers race on the rename — the
-    loser's rename fails (destination exists) and retries at N+1, so
-    versions are never overwritten."""
+    it as ``root/v=N``. Concurrent writers race on the rename, and the
+    rename's return value alone is NOT a reliable verdict: HDFS rename
+    fails when the destination exists, but Hadoop's LocalFileSystem
+    rename onto an existing ``v=N`` returns true and moves the staging
+    dir INSIDE it (``v=N/.staging_vN`` — dot-prefixed, invisible to
+    parquet readers: a silent lost write). So the commit is verified
+    after the rename: the writer owns ``v=N`` only if no nested staging
+    dir appeared under it. A race loser on either filesystem deletes
+    its bytes (including the nested copy) and retries at N+1, so
+    committed versions are never overwritten or silently dropped."""
     spark = df.sparkSession
     fs, hroot, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -83,11 +194,32 @@ def write_version(df: DataFrame, root: str) -> int:
         latest = latest_version(spark, root)
         n = 0 if latest is None else latest + 1
         staging = f"{root.rstrip('/')}/.staging_v{n}"
+        nested = f"{root.rstrip('/')}/v={n}/.staging_v{n}"
         fs.delete(Path(staging), True)  # sweep a crashed predecessor
         df.write.mode("overwrite").parquet(staging)
-        if fs.rename(Path(staging), Path(f"{root.rstrip('/')}/v={n}")):
+        if stats_cols:
+            files = _list_parquet_files(fs, jvm, staging)
+            stats = _collect_file_stats(spark, files, list(stats_cols))
+            payload = json.dumps(
+                {
+                    "manifest_version": 1,
+                    "stats_cols": list(stats_cols),
+                    "files": stats,
+                }
+            ).encode("utf-8")
+            out = fs.create(Path(f"{staging}/{MANIFEST_NAME}"), True)
+            try:
+                out.write(bytearray(payload))
+            finally:
+                out.close()
+        renamed = fs.rename(Path(staging), Path(f"{root.rstrip('/')}/v={n}"))
+        if renamed and not fs.exists(Path(nested)):
             return n
-        # lost the race: someone committed v=N first; clean and retry
+        # Lost the race: someone committed v=N between our latest_version
+        # read and our rename. Remove our bytes wherever they landed
+        # (nested under the winner's v=N on local FS, still at staging on
+        # HDFS) and retry at N+1. The winner's files are untouched.
+        fs.delete(Path(nested), True)
         fs.delete(Path(staging), True)
 
 
@@ -105,3 +237,81 @@ def read_version(
         raise ValueError(f"version {version} does not exist under {root}")
     spark.catalog.refreshByPath(f"{root.rstrip('/')}/v={version}")
     return spark.read.parquet(f"{root.rstrip('/')}/v={version}")
+
+
+def pruned_file_plan(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> tuple[list[str], int, int]:
+    """File-level pruning plan for a range predicate on ``col``:
+    ``(selected_file_paths, n_selected, n_total)``. A file is selected
+    unless its manifest [min, max] for ``col`` proves it cannot contain
+    a row with ``lower <= col <= upper``; files with missing stats are
+    always selected (pruning may only ever skip provably-empty files —
+    a superset pre-cut, exactly like partition pruning one level down).
+
+    Raises when the snapshot has no manifest or the manifest does not
+    cover ``col`` — silently falling back to a full read would make
+    "pruned" reads quietly stop pruning after a writer config drift."""
+    if version is None:
+        version = latest_version(spark, root)
+        if version is None:
+            raise ValueError(f"versioned dataset at {root} has no versions")
+    m = manifest(spark, root, version)
+    if m is None:
+        raise ValueError(
+            f"v={version} under {root} has no {MANIFEST_NAME}: "
+            "commit it with write_version(df, root, stats_cols=[...])"
+        )
+    if col not in m["stats_cols"]:
+        raise ValueError(f"manifest of v={version} has no stats for {col!r}")
+    vdir = f"{root.rstrip('/')}/v={version}"
+    selected = []
+    for fname, stats in sorted(m["files"].items()):
+        rng = (stats or {}).get(col)
+        if rng is not None:
+            mn, mx = rng
+            if lower is not None and mx < lower:
+                continue
+            if upper is not None and mn > upper:
+                continue
+        selected.append(f"{vdir}/{fname}")
+    return selected, len(selected), len(m["files"])
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Time-travel read that touches ONLY the files whose footer-stats
+    range overlaps ``lower <= col <= upper`` (then applies the
+    predicate itself — pruning is a superset pre-cut, so the result is
+    bit-identical to ``read_version(...).filter(...)``). This is the
+    file-level analogue of hive-partition pruning
+    (``test_partitioned_write_prunes``): the skipped files never reach
+    Spark's file index, so a 100 TB snapshot with a range-clustered
+    layout answers a narrow range predicate from a handful of files."""
+    if version is None:
+        version = latest_version(spark, root)
+        if version is None:
+            raise ValueError(f"versioned dataset at {root} has no versions")
+    selected, _, _ = pruned_file_plan(spark, root, col, lower, upper, version)
+    if not selected:
+        # predicate excludes every file: empty frame, correct schema
+        base = read_version(spark, root, version)
+        return base.filter(F.lit(False))
+    spark.catalog.refreshByPath(f"{root.rstrip('/')}/v={version}")
+    df = spark.read.parquet(*selected)
+    if lower is not None:
+        df = df.filter(F.col(col) >= F.lit(lower))
+    if upper is not None:
+        df = df.filter(F.col(col) <= F.lit(upper))
+    return df

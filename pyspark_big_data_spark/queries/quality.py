@@ -463,10 +463,19 @@ def snapshot_time_travel_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = session_tmpdir("versioned_dim_")
+
+    # Commits live OUTSIDE assert expressions: under ``python -O``
+    # asserts are stripped wholesale, and a stripped write_version call
+    # would silently skip the commit itself, not just the check.
+    def _commit(df: DataFrame, expected: int) -> None:
+        got = write_version(df, root)
+        if got != expected:
+            raise RuntimeError(f"expected to commit v={expected}, got v={got}")
+
     base = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    assert write_version(base, root) == 0
+    _commit(base, 0)
 
     v0 = read_version(spark, root, 0)
     v1 = v0.filter(F.col("c_custkey") % 13 != 3).select(
@@ -476,7 +485,7 @@ def snapshot_time_travel_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal"))
         .alias("c_acctbal"),
     )
-    assert write_version(v1, root) == 1
+    _commit(v1, 1)
 
     inserts = v0.filter(F.col("c_custkey") % 11 == 0).select(
         (-F.col("c_custkey") - 1).alias("c_custkey"),
@@ -484,7 +493,7 @@ def snapshot_time_travel_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.5).alias("c_acctbal"),
     )
     v2 = read_version(spark, root, 1).unionByName(inserts)
-    assert write_version(v2, root) == 2
+    _commit(v2, 2)
 
     out = None
     for v in (0, 1, 2):

@@ -424,7 +424,7 @@ WITH fp AS (
            lang
     FROM documents
 )
-SELECT DISTINCT fp FROM fp
+SELECT DISTINCT fp, CAST(1 AS BIGINT) AS n_rows FROM fp
 WHERE n_words >= {_MIN_WORDS} AND pratio <= {_MAX_PUNCT} AND lang IN ({langs})
 ORDER BY fp
 """
@@ -439,11 +439,13 @@ def streaming_ingest_replay_witness(spark: SparkSession, sf_dir: str) -> DataFra
     foreachBatch parquet sink — then return the kept fingerprint set.
     All ingest_ts values sit inside one watermark window, so the dedup
     state spans every micro-batch: a fingerprint deduped in batch 0
-    must still block its duplicates in batch 2. DuckDB independently
-    recomputes the distinct fingerprints of quality-passing docs with
-    the shared md5-normalization SQL, so a dropped batch, a leaked
-    duplicate across batches, a corrupt line admitted, or a quality
-    gate drifting from the batch pipeline flips the row red."""
+    must still block its duplicates in batch 2. The witness returns the
+    RAW per-fingerprint sink row count (no distinct — a duplicate that
+    leaked across micro-batches shows up as n_rows=2) while DuckDB
+    independently expects every quality-passing fingerprint exactly
+    once, so a dropped batch, a leaked duplicate across batches, a
+    corrupt line admitted, or a quality gate drifting from the batch
+    pipeline flips the row red."""
     from pyspark_big_data_spark.io import session_tmpdir
     from pyspark_big_data_spark.streaming.corpus_ingest import ingest_corpus_stream
 
@@ -470,7 +472,12 @@ def streaming_ingest_replay_witness(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink).select("fp").distinct().orderBy("fp")
+    return (
+        spark.read.parquet(sink)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("fp")
+    )
 
 
 # ---------------------------------------------------------------------------

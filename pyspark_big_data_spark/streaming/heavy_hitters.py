@@ -24,6 +24,15 @@ At 100 TB the stateful shuffle moves raw (shard, token) rows (a
 streaming aggregate can't precede another stateful operator), but the
 pandas fold collapses each shard-batch to its distinct tokens before
 any sketch work — the state store only ever sees CAPACITY counters.
+
+State-compatibility note: shard routing is part of the persisted state
+layout. Changing the routing hash (as r8 did, xxhash64 -> the portable
+md5-based hash48, so the replay witness can recompute shard thresholds
+in DuckDB) reassigns every token to a new shard; resuming an OLD
+checkpoint after such a change would silently split each token's count
+across its old and new shards. Any routing change therefore requires a
+fresh checkpoint directory — never resume existing
+applyInPandasWithState state across a hash change.
 """
 
 from __future__ import annotations

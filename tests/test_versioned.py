@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 from pyspark_big_data_spark.operators.versioned import (
     latest_version,
     list_versions,
+    manifest,
+    pruned_file_plan,
     read_version,
+    read_version_pruned,
     write_version,
 )
 
@@ -56,6 +59,87 @@ def test_missing_version_raises(spark, tmp_path):
     write_version(_df(spark, [(1, 1.0)]), root)
     with pytest.raises(ValueError, match="does not exist"):
         read_version(spark, root, 5)
+
+
+def test_footer_stats_pruned_read(spark, tmp_path):
+    """File-level stats pruning: a range-clustered snapshot committed
+    with stats_cols answers a narrow range predicate from a strict
+    subset of its files, bit-identical to the full read + filter."""
+    root = str(tmp_path / "vds")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("x")
+    )
+    assert write_version(df.repartitionByRange(8, "k"), root, stats_cols=["k"]) == 0
+
+    m = manifest(spark, root, 0)
+    assert m["stats_cols"] == ["k"]
+    assert len(m["files"]) >= 2
+
+    selected, n_sel, n_total = pruned_file_plan(spark, root, "k", 100, 150)
+    assert 0 < n_sel < n_total == len(m["files"])
+
+    pruned = read_version_pruned(spark, root, "k", 100, 150)
+    full = read_version(spark, root, 0).filter(
+        (F.col("k") >= 100) & (F.col("k") <= 150)
+    )
+    assert sorted((r["k"], r["x"]) for r in pruned.collect()) == sorted(
+        (r["k"], r["x"]) for r in full.collect()
+    )
+    # the pruned scan's file index holds only the selected files
+    touched = {os.path.basename(p) for p in pruned.inputFiles()}
+    assert touched <= {os.path.basename(p) for p in selected}
+    assert len(touched) <= n_sel
+
+    # the manifest is invisible to the plain reader (underscore file)
+    assert read_version(spark, root, 0).count() == 1000
+
+    # predicate beyond every file's range -> empty frame, schema intact
+    empty = read_version_pruned(spark, root, "k", 5000, 6000, version=0)
+    assert empty.count() == 0 and empty.columns == ["k", "x"]
+
+
+def test_pruned_read_refuses_silent_fallback(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, [(1, 1.0)]), root, stats_cols=["k"])  # v=0
+    write_version(_df(spark, [(2, 2.0)]), root)  # v=1, no manifest
+    with pytest.raises(ValueError, match="no _manifest"):
+        pruned_file_plan(spark, root, "k", 0, 10, version=1)
+    with pytest.raises(ValueError, match="no stats for"):
+        pruned_file_plan(spark, root, "x", 0, 10, version=0)
+
+
+def test_lost_race_retries_instead_of_nesting(spark, tmp_path, monkeypatch):
+    """Local-FS race seam: Hadoop's LocalFileSystem rename onto an
+    existing ``v=N`` returns TRUE and moves the staging dir INSIDE it —
+    without post-rename verification the loser would 'commit' its
+    snapshot as an invisible ``v=N/.staging_vN`` (a silent lost write).
+    Simulate the race with a stale latest_version read: the loser must
+    detect the nesting, leave the winner's v=1 byte-identical, and land
+    its own snapshot at v=2."""
+    from pyspark_big_data_spark.operators import versioned
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, [(1, 1.0), (2, 2.0)]), root)  # v=0
+    write_version(_df(spark, [(3, 3.0)]), root)  # v=1 (the race winner)
+
+    real = versioned.latest_version
+    calls = {"n": 0}
+
+    def stale_once(spark_, root_):
+        calls["n"] += 1
+        # first read returns the pre-race latest (0), so the writer
+        # attempts v=1, which already exists
+        return 0 if calls["n"] == 1 else real(spark_, root_)
+
+    monkeypatch.setattr(versioned, "latest_version", stale_once)
+    assert write_version(_df(spark, [(4, 4.0)]), root) == 2
+    assert calls["n"] >= 2  # the retry actually happened
+
+    assert list_versions(spark, root) == [0, 1, 2]
+    # winner's snapshot untouched, with no nested staging dir left inside
+    assert {(r["k"], r["x"]) for r in read_version(spark, root, 1).collect()} == {(3, 3.0)}
+    assert not os.path.exists(f"{root}/v=1/.staging_v1")
+    assert {(r["k"], r["x"]) for r in read_version(spark, root, 2).collect()} == {(4, 4.0)}
 
 
 def test_derived_chain_reads_pinned_snapshots(spark, tmp_path):
