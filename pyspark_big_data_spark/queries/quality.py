@@ -506,6 +506,63 @@ def snapshot_time_travel_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Footer-stats file pruning: the manifest read path, driver-verified
+# ---------------------------------------------------------------------------
+
+_PRUNE_ORACLE = """
+WITH hi AS (
+    SELECT CAST(FLOOR(MAX(c_custkey) / 5.0) AS BIGINT) AS hi FROM customer
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(1 AS BIGINT) AS pruned_gate
+FROM customer, hi
+WHERE c_custkey <= hi.hi
+"""
+
+
+@register("snapshot_pruned_read_witness", oracle=_PRUNE_ORACLE)
+def snapshot_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level stats pruning driver-verified (the last lakehouse
+    delta in public-knowledge scope, operators/versioned.py): commit a
+    range-clustered customer snapshot WITH a footer-stats manifest,
+    then answer a narrow range predicate (c_custkey <= max/5, the
+    bound a bounded 1-row scalar collect like O4's head-k) through
+    ``read_version_pruned`` — which skips every file whose manifest
+    [min, max] proves it empty for the predicate BEFORE Spark lists
+    files. Emits (n_rows, decimal-exact bal_sum) of the pruned read
+    plus ``pruned_gate`` = 1 iff strictly fewer files than the
+    snapshot total were selected. DuckDB recomputes the aggregate on
+    the raw table, so a file wrongly pruned (missing rows), a stale
+    manifest, or pruning that silently stopped pruning (gate 0) flips
+    the row red. Pruning is a superset pre-cut + filter, so the values
+    are layout-independent; the gate holds for any near-even range
+    split (8 range files, predicate covers ~20% of the key span)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        pruned_file_plan,
+        read_version_pruned,
+        write_version,
+    )
+
+    root = session_tmpdir("pruned_dim_")
+    base = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    hi = base.agg(F.floor(F.max("c_custkey") / 5.0).cast("long")).collect()[0][0]
+    v = write_version(
+        base.repartitionByRange(8, "c_custkey"), root, stats_cols=["c_custkey"]
+    )
+    _, n_sel, n_total = pruned_file_plan(
+        spark, root, "c_custkey", upper=hi, version=v
+    )
+    pruned = read_version_pruned(spark, root, "c_custkey", upper=hi, version=v)
+    gate = 1 if n_sel < n_total else 0
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).select("n_rows", "bal_sum", F.lit(gate).cast("long").alias("pruned_gate"))
+
+
+# ---------------------------------------------------------------------------
 # Schema evolution: merged scan over files written under growing schemas
 # ---------------------------------------------------------------------------
 

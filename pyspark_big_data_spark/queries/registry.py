@@ -101,203 +101,158 @@ DRIVER_EXCLUDED: set[str] = set()
 # verdict item 7, and the steady-state bench twin
 # dedup_minhash_incremental_steady, verdict item 2; all registered
 # driver=True so they take slots automatically, and their first round
-# doubles as their driver verification — the oracled-never-verified
-# backlog ends r8 at ZERO). OUT (26) = r7-green rows, all first-green
+# doubles as their driver verification — at ROTATION time the
+# oracled-never-verified backlog was zero; five more oracled witnesses
+# landed late in r8 itself, so the round ENDED with five pending — the
+# r9 queue head below). OUT (26) = r7-green rows, all first-green
 # r7 or r6+r7, each family still externally covered — notes per row
 # below.
 #
-# r9 rotation queue (all oracled) — HEAD: snapshot_time_travel_witness
-# (new in r8: the versioned-snapshot time-travel read chain,
-# operators/versioned.py), schema_evolution_read (new in r8: the
-# two-generation mergeSchema scan through io.read_evolved),
-# salted_skew_join (new in r8: the J7 salting path agreement-oracled
-# against the plain join), streaming_ingest_replay_witness (new in
-# r8: the stream-NATIVE-state pipeline — watermark-bounded engine-state
-# dedup — replayed end to end, kept-fp set oracled), and
-# streaming_hh_replay_witness (new in r8: the applyInPandasWithState
-# model — sharded SpaceSaving in engine state, guarantees oracled) —
-# the only five oracled queries without a driver row at r8 end; then
-# re-cycle stale rows oldest-first so no family's
-# most recent CORRECTNESS row ages past ~3 rounds; after r8 the stale
-# set is 44 rows last green r4:
-# pricing_summary, revenue_by_nation, union_priority_counts,
-# cube_status_priority, order_priority_semi_join,
-# clean_formatted_currency, composite_key_join, dedup_minhash_lsh,
-# ngram_jaccard_pairs, dedup_clusters, dedup_simhash,
-# simhash_near_pairs, tumbling_window_agg, session_window_agg,
-# multimodal_metadata, q1_top_months_per_year, range_join_open_windows,
-# pivot_segment_by_nation, asof_join_last_order, price_percentiles,
-# embedding_near_dup, ann_lsh_bucketed, text_quality_scores,
-# text_lang_id, dedup_exact, training_set_select, bm25_topk,
-# span_dedup_chunks, sample_stratified_quota, winnow_near_pairs,
-# running_customer_spend, event_gaps_lag_lead, kmeans_clusters,
-# semantic_dedup, pii_scrub, sample_hash_bucket, vocab_stats,
-# decontaminate_vs_probes, mixture_upsample, pack_sequences,
-# repetition_metrics, bigram_fluency, dedup_near_survivors,
-# doc_fingerprint_winnow; then rows resting since r5-r7 as slots allow.
-ROTATE_IN: set[str] = {
-    # --- carried KEEPs (driver=False rows staying on-surface; each
-    # anchors a family through the r8 re-cycle):
-    "ab_test_readout",
-    "contrastive_triplets",
-    # (copurchase_part_pairs and event_value_anomalies rest this round
-    # to make room for the IVM and SCD2 replay witnesses: co-occurrence
-    # / graph family keeps dedup_triangle_audit; behavior/anomaly family
-    # keeps multi_touch_attribution + value_zscore_by_type +
-    # scd2_point_in_time.)
-    "decontaminate_semantic",
-    # (dedup_longest_survivors rests this round: the survivor/dedup
-    # family stays covered by minhash_fast_tier_witness,
-    # dedup_triangle_audit, dedup_soft_weights_from_map,
-    # split_assign_leakage_free, and the incoming
-    # dedup_minhash_incremental_steady bench-headline twin.)
-    "dedup_triangle_audit",
-    "doc_embed_near_dup",
-    "dsir_importance_weights",
-    "hybrid_rrf_topk",
-    "minhash_fast_tier_witness",
-    "multi_touch_attribution",
-    "nation_volume_shipping",
-    "orders_above_customer_avg",
-    "pca_project_witness",
-    "split_assign_leakage_free",
-    "user_erasure_audit",
-    "user_overlap_exact",
-    "value_zscore_by_type",
-    # --- r8 queue HEAD: the last never-verified oracled queries
-    # (judge-verified bit-exact at sf0.01 in the r7 session):
-    "multimodal_resize",
-    "multimodal_real_resize",
-    "bpe_tokenize_corpus",
-    "streaming_cms_replay_witness",
-    "approx_quantile_witness",
-    "tfidf_top_terms",
-    # --- freshness re-cycle, oldest first (last green r1):
-    "distinct_users_by_type",
-    "q1_top_months_per_year_sql",
-    "q2_event_time_bins_sql",
-    # --- freshness re-cycle (last green r3):
-    "customer_set_ops",
-    "ann_topk_ivf",
-    "q4_avg_distance_pandas_udf",
-    "ann_topk_bruteforce",
-    "stats_by_returnflag",
-    "orders_per_customer_array",
-    "unpivot_lineitem_metrics",
-    "text_token_stats",
-    "nation_rank_dense_ntile",
-}
-ROTATE_OUT: set[str] = {
-    # --- rested in r8 (green r7; family coverage per row). driver=False
-    # rows rest by leaving ROTATE_IN; the names below are the
-    # driver=True registrations resting this round.
-    # q2 reference family -> q2_event_time_bins_sql rotates in:
-    "q2_event_time_bins",
-    # streaming-replay family -> streaming_cms_replay_witness +
-    # streaming_ann_replay_witness rotate in:
-    "streaming_dedup_replay_witness",
-    # sketch family -> approx_quantile_witness + streaming CMS grid
-    # rotate in; user_overlap_exact stays on-surface:
-    "user_overlap_sketch_witness",
-    # --- r7 and earlier rests (history preserved verbatim below).
-    # Expand family keeps grouping_sets_status_segment:
-    "cube_status_priority",
-    # null-safe join semantics: join family covered by
-    # copurchase_part_pairs / nation_volume_shipping / the q3-q4 joins
-    # in pytest + referential_integrity_audit on-surface:
-    "null_safe_code_join",
-    # incremental-ANN family -> ann_ivf_kmeans_witness (same celled
-    # scan) + ann_topk_pq_prebuilt (persisted-index probe):
-    "ann_topk_ivf_incremental",
-    # behavior family -> multi_touch_attribution stays;
-    # value_zscore_by_type + event_value_anomalies rotate in:
-    "event_transition_matrix",
-    "funnel_conversion",
-    "cohort_retention",
-    "timeseries_gapfill",
-    "rolling_1h_user_value",
-    "session_paths",
-    # int8 family -> embedding_quantize_int8 rotates in;
-    # rescore semantics inside ann_ivfpq_witness (kept):
-    "ann_topk_quantized",
-    "ann_quantized_np_agreement",
-    # truncated family -> pca_project_witness (projection core):
-    "ann_truncated_np_agreement",
-    # IVFxint8 / kmeans / multiprobe agreement -> superseded on-surface
-    # by the 5 incoming witness rows over the same tiers:
-    "ann_ivf_quantized_agreement",
-    "kmeans_np_agreement",
-    "semantic_multiprobe_np_agreement",
-    # linkage family -> jaccard-prefix + minhash witnesses in pytest;
-    # dedup_triangle_audit rotates in:
-    "fuzzy_name_links",
-    # multimodal REAL-codec family -> multimodal_real_decode +
-    # multimodal_audio_resample + multimodal_frame_sample rotate in:
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    # ops/diff family keeps user_erasure_audit:
-    "snapshot_diff",
-    # wide-profile family -> nation_volume_shipping multi-agg +
-    # percentiles_by_priority (kept):
-    "table_profile",
-    # iterative family -> bpe_merges_learned (unrolled oracle) +
-    # ann_ivf_kmeans_witness rotate in:
-    "trade_pagerank",
-    "trade_communities",
-    # --- r5 and earlier rests (history preserved verbatim below):
+# POLICY AMENDMENT (r9) — the freshness target is ~4 ROUNDS, and a
+# PERMANENT REST tier exists. The r8 verdict showed the old ~3-round
+# target was arithmetically unattainable: the oracled catalog (179
+# after r9's snapshot_pruned_read_witness) cycling through <=50
+# CORRECTNESS slots per round, with ~5 slots/round going to brand-new
+# capabilities, leaves ~45 re-cycle slots — so the full-catalog
+# refresh period is (179 - 8 permanently-rested) / 45 ~ 3.8 rounds.
+# The PERMANENT_REST set below removes superseded variants from the
+# cycling pool entirely: each rests forever behind a strictly fresher
+# on-catalog representative that exercises the same code path (the
+# numpy-agreement twins behind their oracled witness rows; the
+# conflated build+probe minhash chain behind its steady-state bench
+# twin, which keeps the full chain on the bench variant line). The
+# four rows-only ML/JSON/geodesic variants likewise rest permanently
+# behind their r7-green oracled witnesses (minhash_ml_witness,
+# brp_lsh_ml_witness, json_typed_agreement, the haversine-delta gate)
+# — bookkeeping the r8 verdict asked to make explicit.
+#
+# r9 rotation (this round): the STALE-DRAIN round. IN (50-row surface)
+# = the 5 r9 queue heads (snapshot_time_travel_witness,
+# schema_evolution_read, salted_skew_join,
+# streaming_ingest_replay_witness, streaming_hh_replay_witness — the
+# only oracled queries without a driver row at r8 end, all
+# judge-verified bit-exact at sf0.01 in the r8 session)
+# + ALL 44 rows last green in r4 (the entire stale tail — listed in
+# ROTATE_OUT's r8 comment above and verified against the
+# CORRECTNESS_r01..r08 history by script this round)
+# + the one NEW r9 capability row, snapshot_pruned_read_witness
+# (footer-stats file-level pruning for versioned snapshots,
+# operators/versioned.py — registered driver=True so it takes its
+# slot automatically). 5 + 44 + 1 = 50 exactly; the r4-stale set
+# drains to ZERO. OUT = every r8-green row (all 50 were first-green
+# or re-cycled green in r8, so each family's most recent CORRECTNESS
+# row is at most 1 round old) plus the r5-r7 resting rows that keep
+# cycling oldest-first from r10 on.
+#
+# r10 rotation queue (all oracled; no never-verified backlog expected
+# at r9 end): oldest-first re-cycles — the 16 rows last green r5
+# (18 minus the 2 permanently rested np twins): cohort_retention,
+# corpus_datasheet, customers_without_orders, doc_embed_lsh_near_dup,
+# funnel_conversion, hybrid_rerank_topk, multimodal_feature_extract,
+# price_histogram, rolling_1h_user_value, scd2_customer_priority,
+# semantic_dedup_multiprobe, session_paths, timeseries_gapfill,
+# trade_communities, training_order_shuffle, vocab_heavy_hitters;
+# then the 29 rows last green r6 (35 minus the 6 permanently rested):
+# ann_topk_ivf_incremental, ann_topk_pq, ann_topk_quantized,
+# ann_topk_truncated, click_purchase_attribution,
+# contrastive_triplets_ivf, dedup_clusters_incremental,
+# dedup_soft_weights, doc_embed_hash, dup_span_extract,
+# event_transition_matrix, fuzzy_name_links, jaccard_prefix_pairs,
+# json_props_variant, multimodal_audio_features,
+# multimodal_video_frames, null_safe_code_join,
+# q3_segment_profile_bottom, q4_avg_distance_sql_udf,
+# quality_classifier_score, rollup_lineitem_status, sliding_window_agg,
+# snapshot_diff, split_assign_from_map, split_leakage_audit,
+# table_profile, token_freq_cms, trade_pagerank,
+# training_order_curriculum — 16 + 29 = 45 ~ the available re-cycle
+# slots, leaving the 26 r7 rows for r11.
+
+# Superseded variants OUT OF THE CYCLING POOL for good (see the policy
+# amendment above); structurally excluded from the driver surface in
+# driver_registry(), so they can never silently re-take a slot.
+PERMANENT_REST: set[str] = {
+    # numpy-agreement twins, each behind its oracled witness row:
     "ann_bruteforce_np_agreement",
     "ann_ivf_np_agreement",
-    "doc_fingerprint_winnow",
-    "scd2_customer_priority",
-    "hybrid_rerank_topk",
-    "multimodal_feature_extract",
+    "ann_ivf_quantized_agreement",
+    "ann_quantized_np_agreement",
+    "ann_truncated_np_agreement",
+    "kmeans_np_agreement",
+    "semantic_multiprobe_np_agreement",
+    # conflated build+probe chain behind dedup_minhash_incremental_steady
+    # (the full chain stays measured on the bench variant line):
+    "dedup_minhash_incremental",
+    # rows-only variants behind r7-green oracled witnesses:
+    "dedup_minhash_ml",  # behind minhash_ml_witness
+    "ann_brp_lsh_ml",  # behind brp_lsh_ml_witness
+    "json_props_typed",  # behind json_typed_agreement
+    "q4_avg_distance_geodesic",  # behind the haversine-delta gate (D1)
+}
+ROTATE_IN: set[str] = {
+    # the 5 r9 queue heads — registered driver=False in r8 (the surface
+    # was full), un-excluded here to take their first CORRECTNESS rows.
+    # The 44 r4-stale re-cycles are driver=True registrations and rejoin
+    # the surface simply by NOT appearing in ROTATE_OUT below;
+    # snapshot_pruned_read_witness (new r9) is driver=True at
+    # registration and takes its slot automatically.
+    "salted_skew_join",
+    "schema_evolution_read",
+    "snapshot_time_travel_witness",
+    "streaming_hh_replay_witness",
+    "streaming_ingest_replay_witness",
+}
+ROTATE_OUT: set[str] = {
+    # every r8-green driver=True row rests this round (each family's
+    # most recent CORRECTNESS row is r8, i.e. 1 round old) together
+    # with the r5-r7 resting rows still queued for r10/r11 — the whole
+    # surface goes to the 5 heads + the 44 r4-stale re-cycles + the new
+    # pruning witness. The np-agreement twins listed here are ALSO in
+    # PERMANENT_REST (structural; kept here so this set remains the
+    # complete per-round rest list).
+    "ann_bruteforce_np_agreement",
+    "ann_ivf_np_agreement",
+    "ann_ivf_quantized_agreement",
+    "ann_ivfpq_witness",
+    "ann_quantized_np_agreement",
+    "ann_topk_ivf_incremental",
+    "ann_topk_pq_prebuilt",
+    "ann_topk_quantized",
+    "ann_truncated_np_agreement",
+    "cohort_retention",
+    "dedup_minhash_incremental_steady",
+    "dedup_soft_weights_from_map",
+    "embedding_quantize_int8",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "fuzzy_name_links",
+    "grouping_sets_status_segment",
+    "json_props_extract",
+    "kmeans_np_agreement",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "null_safe_code_join",
+    "planted_lsh_recall_witness",
     "price_histogram",
-    "training_order_shuffle",
-    "vocab_heavy_hitters",
-    "corpus_datasheet",
-    "customers_without_orders",
-    "dedup_exact",
-    "sample_stratified_quota",
-    "repetition_metrics",
-    "bigram_fluency",
-    "vocab_stats",
-    "dedup_simhash",
-    "dedup_near_survivors",
-    "pack_sequences",
-    "mixture_upsample",
-    "tumbling_window_agg",
-    "text_lang_id",
-    "pii_scrub",
-    "embedding_near_dup",
-    "ngram_jaccard_pairs",
-    "multimodal_metadata",
-    "span_dedup_chunks",
-    "session_window_agg",
-    "dedup_clusters",
-    "running_customer_spend",
-    "asof_join_last_order",
-    "decontaminate_vs_probes",
-    "bm25_topk",
-    "dedup_minhash_lsh",
-    "text_quality_scores",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "clean_formatted_currency",
-    "winnow_near_pairs",
-    "event_gaps_lag_lead",
-    "q1_top_months_per_year",
-    "range_join_open_windows",
-    "pricing_summary",
-    "composite_key_join",
-    "revenue_by_nation",
-    "ann_lsh_bucketed",
-    "union_priority_counts",
-    "training_set_select",
-    "sample_hash_bucket",
-    "order_priority_semi_join",
-    "pivot_segment_by_nation",
-    "simhash_near_pairs",
-    "price_percentiles",
+    "q2_event_time_bins",
+    "q3_segment_profile_top",
+    "q4_avg_distance",
+    "referential_integrity_audit",
+    "rolling_1h_user_value",
+    "scd2_customer_priority",
+    "scd2_point_in_time",
+    "semantic_multiprobe_np_agreement",
+    "session_paths",
+    "snapshot_diff",
+    "streaming_ann_replay_witness",
+    "streaming_dedup_replay_witness",
+    "streaming_ivm_replay_witness",
+    "streaming_scd2_replay_witness",
+    "table_profile",
+    "timeseries_gapfill",
+    "trade_communities",
+    "trade_pagerank",
+    "upsert_merge_witness",
+    "user_overlap_sketch_witness",
 }
 
 
@@ -324,8 +279,8 @@ def driver_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     order), rows-only entries last — so even a cap tighter than expected
     drops the weakest-signal rows first. The per-round ROTATE_IN /
     ROTATE_OUT swap (see above) is applied on top of the registration-
-    time driver flags."""
-    excluded = (DRIVER_EXCLUDED - ROTATE_IN) | ROTATE_OUT
+    time driver flags; PERMANENT_REST members can never take a slot."""
+    excluded = (DRIVER_EXCLUDED - ROTATE_IN) | ROTATE_OUT | PERMANENT_REST
     oracled = {n: f for n, f in REGISTRY.items() if n not in excluded and n in ORACLES}
     rows_only = {n: f for n, f in REGISTRY.items() if n not in excluded and n not in ORACLES}
     queries = {**oracled, **rows_only}
