@@ -131,6 +131,14 @@ HEADLINE = [
     # oracled BPE pair-count core — both one-corpus-pass shapes
     "dsir_importance_weights",
     "bpe_pair_counts",
+    # round-9 addition (appended): footer-stats file pruning — commit a
+    # range-clustered versioned snapshot WITH its per-file min/max
+    # manifest (a distributed footer-metadata pass), then answer a
+    # narrow range predicate from the overlapping files only. The row
+    # deliberately times the WHOLE ops cycle (commit + manifest +
+    # pruned read): the data term is dimension-sized, so the row is
+    # constant-dominated and flat at 10x (PERFORMANCE.md "Round 9").
+    "snapshot_pruned_read_witness",
 ]
 
 
