@@ -562,6 +562,91 @@ def snapshot_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_rows", "bal_sum", F.lit(gate).cast("long").alias("pruned_gate"))
 
 
+_ZPRUNE_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(FLOOR(MAX(user_id) / 8.0) AS BIGINT) AS uhi,
+           CAST(FLOOR(MAX(value) / 2.0) AS DOUBLE) AS vlo
+    FROM events
+), u AS (
+    SELECT COUNT(*) AS rows_user,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_user
+    FROM events, bounds WHERE user_id <= uhi
+), v AS (
+    SELECT COUNT(*) AS rows_value,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM events, bounds WHERE value >= vlo
+)
+SELECT rows_user, sum_user, rows_value, sum_value,
+       CAST(1 AS BIGINT) AS prune_gate_user,
+       CAST(1 AS BIGINT) AS prune_gate_value
+FROM u, v
+"""
+
+
+@register("zorder_pruned_read_witness", oracle=_ZPRUNE_ORACLE, driver=False)
+def zorder_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout lever and the manifest lever COMPOSED (r10 queue
+    head): commit an events snapshot clustered on (user_id, value) by
+    the Z-order key (operators/layout.py — each file covers a compact
+    z-range, i.e. a small hyper-rectangle of BOTH dimensions) with a
+    footer-stats manifest over both columns, then answer a narrow
+    range predicate on EACH dimension through ``read_version_pruned``:
+    a low band on user_id (<= max/8) and the top tail on value
+    (>= max/2 — value is skewed low in this corpus, so the SELECTIVE
+    side at file level is the tail; rows with a set top value-bit land
+    in the final z-key range by construction, which is what confines
+    them to the last file(s)). A single-column sort would make the
+    second dimension unprunable (every file spans its full range — the
+    test_layout.py measurement); z-clustering is what makes BOTH
+    ``prune_gate_*`` columns (files-selected < files-total, per
+    dimension) hold at once. DuckDB recomputes both aggregates from
+    the raw table, so a wrongly skipped file on either dimension, or
+    pruning that silently stopped pruning, flips the row red. Bounds
+    are driver-collected scalars; the same FLOOR arithmetic runs in
+    both engines."""
+    import math
+
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.layout import zorder_key
+    from pyspark_big_data_spark.operators.versioned import (
+        pruned_file_plan,
+        read_version_pruned,
+        write_version,
+    )
+
+    root = session_tmpdir("zpruned_events_")
+    base = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    row = base.agg(F.max("user_id"), F.max("value")).collect()[0]
+    uhi = int(row[0]) // 8
+    vlo = float(math.floor(row[1] / 2.0))
+
+    arranged = (
+        zorder_key(base, "user_id", "value")
+        .repartitionByRange(8, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    v = write_version(arranged, root, stats_cols=["user_id", "value"])
+
+    _, n_u, total = pruned_file_plan(spark, root, "user_id", upper=uhi, version=v)
+    _, n_v, _ = pruned_file_plan(spark, root, "value", lower=vlo, version=v)
+    agg_u = read_version_pruned(spark, root, "user_id", upper=uhi, version=v).agg(
+        F.count(F.lit(1)).alias("rows_user"), dsum("value", "sum_user")
+    )
+    agg_v = read_version_pruned(spark, root, "value", lower=vlo, version=v).agg(
+        F.count(F.lit(1)).alias("rows_value"), dsum("value", "sum_value")
+    )
+    return agg_u.crossJoin(agg_v).select(
+        "rows_user",
+        "sum_user",
+        "rows_value",
+        "sum_value",
+        F.lit(1 if n_u < total else 0).cast("long").alias("prune_gate_user"),
+        F.lit(1 if n_v < total else 0).cast("long").alias("prune_gate_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Schema evolution: merged scan over files written under growing schemas
 # ---------------------------------------------------------------------------

@@ -144,8 +144,12 @@ DRIVER_EXCLUDED: set[str] = set()
 # row is at most 1 round old) plus the r5-r7 resting rows that keep
 # cycling oldest-first from r10 on.
 #
-# r10 rotation queue (all oracled; no never-verified backlog expected
-# at r9 end): oldest-first re-cycles — the 16 rows last green r5
+# r10 rotation queue (all oracled) — HEAD: zorder_pruned_read_witness
+# (new late r9, registered driver=False because the r9 surface was
+# already set: the Z-order layout lever composed with the footer-stats
+# manifest — one snapshot, BOTH dimensions pruned, per-dimension gates;
+# builder-verified bit-exact at sf0.001 + sf0.01); then
+# oldest-first re-cycles — the 16 rows last green r5
 # (18 minus the 2 permanently rested np twins): cohort_retention,
 # corpus_datasheet, customers_without_orders, doc_embed_lsh_near_dup,
 # funnel_conversion, hybrid_rerank_topk, multimodal_feature_extract,

@@ -98,6 +98,47 @@ def test_footer_stats_pruned_read(spark, tmp_path):
     assert empty.count() == 0 and empty.columns == ["k", "x"]
 
 
+def test_pruned_read_equals_full_read_across_layouts(spark, tmp_path):
+    """Pruning-invisibility property over adversarial layouts: for
+    every layout (range-clustered, hash-scattered — stats exist but
+    prune nothing, single-file, duplicate-heavy, negative keys) and
+    every predicate class (interior band, left-open, right-open, empty,
+    total), the pruned read equals full read + filter row-for-row.
+    Correctness must never depend on the manifest being selective."""
+    from pyspark.sql import functions as F
+
+    data = spark.createDataFrame(
+        [(i % 37 - 18, float(i % 11)) for i in range(500)], "k long, x double"
+    )
+    layouts = {
+        "range8": data.repartitionByRange(8, "k"),
+        "hash8": data.repartition(8, "x"),  # k-stats wide in every file
+        "single": data.coalesce(1),
+        "dups": data.union(data).repartitionByRange(4, "k"),
+    }
+    predicates = [(-5, 5), (None, 0), (0, None), (100, 200), (-100, 100)]
+    for li, (label, df) in enumerate(layouts.items()):
+        root = str(tmp_path / f"vds_{label}")
+        v = write_version(df, root, stats_cols=["k"])
+        full = read_version(spark, root, v)
+        for lower, upper in predicates:
+            cond = F.lit(True)
+            if lower is not None:
+                cond = cond & (F.col("k") >= lower)
+            if upper is not None:
+                cond = cond & (F.col("k") <= upper)
+            expect = sorted(
+                (r["k"], r["x"]) for r in full.filter(cond).collect()
+            )
+            got = sorted(
+                (r["k"], r["x"])
+                for r in read_version_pruned(
+                    spark, root, "k", lower, upper, version=v
+                ).collect()
+            )
+            assert got == expect, (label, lower, upper)
+
+
 def test_pruned_read_refuses_silent_fallback(spark, tmp_path):
     root = str(tmp_path / "vds")
     write_version(_df(spark, [(1, 1.0)]), root, stats_cols=["k"])  # v=0
