@@ -72,6 +72,77 @@ def latest_version(spark: SparkSession, root: str) -> int | None:
 
 MANIFEST_NAME = "_manifest.json"
 
+# Per-file Bloom parameters: k hash probes; bits sized at ~16 per
+# distinct key (next power of two, floored at _BLOOM_MIN_BITS) so the
+# false-positive rate stays ~1e-3 regardless of file size.
+_BLOOM_K = 5
+_BLOOM_MIN_BITS = 4096
+
+
+def _bloom_positions(value: str, bits: int) -> list[int]:
+    """The k bit positions of ``value`` in a ``bits``-wide Bloom
+    filter. md5-based like the repo's other cross-engine hashes:
+    deterministic, portable, and independent of Python's salted
+    hash()."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}|{i}".encode()).hexdigest()[:12], 16) % bits
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _build_file_blooms(
+    spark: SparkSession, staging: str, bloom_cols: list[str]
+) -> dict[str, dict[str, dict]]:
+    """Per-file Bloom filters over ``bloom_cols``: one grouped-by-file
+    pandas pass (a task per file — files are write-bounded by
+    maxPartitionBytes, so the group fits an executor), each sizing its
+    filter to its OWN distinct count (~2 bytes/key). This is a real
+    data pass, unlike the footer-stats pass — the commit pays it once,
+    which is the Delta/Iceberg bloom-index economics: O(snapshot) at
+    write time buys O(1)-file point lookups forever after. Values are
+    canonicalized to strings before hashing (the columns should be
+    integer or string keyed)."""
+    import base64
+
+    import pandas as pd
+
+    cols = list(bloom_cols)
+    df = spark.read.parquet(staging).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        fname = pdf["_file"].iloc[0]
+        out = []
+        for c in cols:
+            vals = pdf[c].dropna().unique()
+            bits = _BLOOM_MIN_BITS
+            while bits < 16 * max(len(vals), 1):
+                bits *= 2
+            arr = np.zeros(bits // 8, dtype=np.uint8)
+            for v in vals:
+                for pos in _bloom_positions(str(v), bits):
+                    arr[pos >> 3] |= 1 << (pos & 7)
+            out.append(
+                (fname, c, bits, base64.b64encode(arr.tobytes()).decode("ascii"))
+            )
+        return pd.DataFrame(out, columns=["file", "col", "bits", "b64"])
+
+    rows = (
+        df.groupBy("_file")
+        .applyInPandas(build, "file string, col string, bits long, b64 string")
+        .collect()
+    )
+    blooms: dict[str, dict[str, dict]] = {c: {} for c in cols}
+    for r in rows:
+        blooms[r["col"]][r["file"]] = {"bits": int(r["bits"]), "b64": r["b64"]}
+    return blooms
+
 
 def _collect_file_stats(
     spark: SparkSession, file_paths: list[str], stats_cols: list[str]
@@ -86,7 +157,10 @@ def _collect_file_stats(
     A column whose statistics are absent in ANY row group of a file maps
     to None for that file — the read path then never prunes that file
     (missing stats degrade to a full read, not a wrong one). Values are
-    kept JSON-portable; stats columns should be numeric or string."""
+    kept JSON-portable; stats columns should be numeric or string.
+
+    Returns ``(per_file_stats, per_file_num_rows)`` — row counts come
+    free from the same footers and feed metadata-only COUNT answers."""
     cols = set(stats_cols)
 
     def reader(it):
@@ -122,17 +196,23 @@ def _collect_file_stats(
                         else:
                             agg[name] = [min(cur[0], mn), max(cur[1], mx)]
                 rows.append(
-                    (os.path.basename(str(path)), json.dumps(agg, default=str))
+                    (
+                        os.path.basename(str(path)),
+                        json.dumps(agg, default=str),
+                        int(md.num_rows),
+                    )
                 )
-            yield pd.DataFrame(rows, columns=["file", "stats_json"])
+            yield pd.DataFrame(rows, columns=["file", "stats_json", "num_rows"])
 
     out = (
         spark.createDataFrame([(p,) for p in file_paths], "path string")
         .repartition(max(1, min(len(file_paths), 32)))
-        .mapInPandas(reader, "file string, stats_json string")
+        .mapInPandas(reader, "file string, stats_json string, num_rows long")
         .collect()
     )
-    return {r["file"]: json.loads(r["stats_json"]) for r in out}
+    stats = {r["file"]: json.loads(r["stats_json"]) for r in out}
+    num_rows = {r["file"]: int(r["num_rows"]) for r in out}
+    return stats, num_rows
 
 
 def _list_parquet_files(fs, jvm, directory: str) -> list[str]:
@@ -161,18 +241,26 @@ def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
 
 
 def write_version(
-    df: DataFrame, root: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
     number. With ``stats_cols``, a footer-stats manifest
-    (``_manifest.json``: per-file [min, max] for each named column,
-    distilled from the parquet footers by a distributed metadata pass)
-    is staged alongside the data, so the single commit rename publishes
-    data + manifest atomically; ``read_version_pruned`` then skips
-    whole files by predicate BEFORE Spark ever lists them. The
-    underscore prefix keeps the manifest invisible to plain parquet
-    readers (same convention as ``_SUCCESS``), so ``read_version`` is
-    unaffected.
+    (``_manifest.json``: per-file [min, max] for each named column plus
+    per-file row counts, distilled from the parquet footers by a
+    distributed metadata pass) is staged alongside the data, so the
+    single commit rename publishes data + manifest atomically;
+    ``read_version_pruned`` then skips whole files by range predicate
+    BEFORE Spark ever lists them, and ``snapshot_row_count`` answers
+    COUNT(*) from the manifest alone. With ``bloom_cols``, the manifest
+    additionally carries a per-file Bloom filter per named column (one
+    extra distributed pass over the staged data — commit-time cost for
+    O(matching files) point lookups via ``read_version_point``, the
+    min/max complement for hash-scattered keys). The underscore prefix
+    keeps the manifest invisible to plain parquet readers (same
+    convention as ``_SUCCESS``), so ``read_version`` is unaffected.
 
     Stage-then-rename: the snapshot is fully written under
     ``root/.staging_vN`` first, then a single atomic rename publishes
@@ -197,16 +285,23 @@ def write_version(
         nested = f"{root.rstrip('/')}/v={n}/.staging_v{n}"
         fs.delete(Path(staging), True)  # sweep a crashed predecessor
         df.write.mode("overwrite").parquet(staging)
-        if stats_cols:
+        if stats_cols or bloom_cols:
             files = _list_parquet_files(fs, jvm, staging)
-            stats = _collect_file_stats(spark, files, list(stats_cols))
-            payload = json.dumps(
-                {
-                    "manifest_version": 1,
-                    "stats_cols": list(stats_cols),
-                    "files": stats,
-                }
-            ).encode("utf-8")
+            stats, file_rows = _collect_file_stats(
+                spark, files, list(stats_cols or [])
+            )
+            doc = {
+                "manifest_version": 2,
+                "stats_cols": list(stats_cols or []),
+                "files": stats,
+                "file_rows": file_rows,
+            }
+            if bloom_cols:
+                doc["bloom_cols"] = list(bloom_cols)
+                doc["blooms"] = _build_file_blooms(
+                    spark, staging, list(bloom_cols)
+                )
+            payload = json.dumps(doc).encode("utf-8")
             out = fs.create(Path(f"{staging}/{MANIFEST_NAME}"), True)
             try:
                 out.write(bytearray(payload))
@@ -257,10 +352,7 @@ def pruned_file_plan(
     Raises when the snapshot has no manifest or the manifest does not
     cover ``col`` — silently falling back to a full read would make
     "pruned" reads quietly stop pruning after a writer config drift."""
-    if version is None:
-        version = latest_version(spark, root)
-        if version is None:
-            raise ValueError(f"versioned dataset at {root} has no versions")
+    version = _resolve_version(spark, root, version)
     m = manifest(spark, root, version)
     if m is None:
         raise ValueError(
@@ -299,10 +391,7 @@ def read_version_pruned(
     (``test_partitioned_write_prunes``): the skipped files never reach
     Spark's file index, so a 100 TB snapshot with a range-clustered
     layout answers a narrow range predicate from a handful of files."""
-    if version is None:
-        version = latest_version(spark, root)
-        if version is None:
-            raise ValueError(f"versioned dataset at {root} has no versions")
+    version = _resolve_version(spark, root, version)
     selected, _, _ = pruned_file_plan(spark, root, col, lower, upper, version)
     if not selected:
         # predicate excludes every file: empty frame, correct schema
@@ -315,3 +404,92 @@ def read_version_pruned(
     if upper is not None:
         df = df.filter(F.col(col) <= F.lit(upper))
     return df
+
+
+def _resolve_version(spark: SparkSession, root: str, version: int | None) -> int:
+    if version is None:
+        version = latest_version(spark, root)
+        if version is None:
+            raise ValueError(f"versioned dataset at {root} has no versions")
+    return version
+
+
+def bloom_file_plan(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[list[str], int, int]:
+    """Point-lookup pruning plan: the files whose Bloom filter for
+    ``col`` MIGHT contain ``value`` (plus any file missing a bloom —
+    like stats, a missing filter degrades to reading the file, never
+    to skipping a match). False positives only ever cost an extra file
+    read; the residual equality filter keeps results exact. This is
+    the min/max complement: a hash-scattered key spans every file's
+    [min, max], but its Bloom filters pin the point to ~1 file."""
+    version = _resolve_version(spark, root, version)
+    m = manifest(spark, root, version)
+    if m is None:
+        raise ValueError(
+            f"v={version} under {root} has no {MANIFEST_NAME}: "
+            "commit it with write_version(df, root, bloom_cols=[...])"
+        )
+    if col not in m.get("bloom_cols", []):
+        raise ValueError(f"manifest of v={version} has no bloom for {col!r}")
+    import base64
+
+    probe = str(value)
+    vdir = f"{root.rstrip('/')}/v={version}"
+    col_blooms = m["blooms"][col]
+    all_files = sorted(m["file_rows"]) if m.get("file_rows") else sorted(col_blooms)
+    selected = []
+    for fname in all_files:
+        entry = col_blooms.get(fname)
+        if entry is not None:
+            bits = int(entry["bits"])
+            arr = base64.b64decode(entry["b64"])
+            if not all(
+                arr[pos >> 3] & (1 << (pos & 7))
+                for pos in _bloom_positions(probe, bits)
+            ):
+                continue
+        selected.append(f"{vdir}/{fname}")
+    return selected, len(selected), len(all_files)
+
+
+def read_version_point(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Time-travel point lookup through the per-file Bloom index:
+    reads only the files whose filter might contain ``value``, then
+    applies the exact equality predicate (superset pre-cut — results
+    are bit-identical to ``read_version(...).filter(col == value)``)."""
+    version = _resolve_version(spark, root, version)
+    selected, _, _ = bloom_file_plan(spark, root, col, value, version)
+    if not selected:
+        return read_version(spark, root, version).filter(F.lit(False))
+    spark.catalog.refreshByPath(f"{root.rstrip('/')}/v={version}")
+    return spark.read.parquet(*selected).filter(F.col(col) == F.lit(value))
+
+
+def snapshot_row_count(
+    spark: SparkSession, root: str, version: int | None = None
+) -> int:
+    """COUNT(*) of a snapshot answered from the manifest's per-file
+    footer row counts — zero data pages, zero Spark jobs (the
+    metadata-only-query shape table formats answer from their
+    manifests). Raises when the snapshot has no manifest row counts:
+    silently falling back to a scan would hide a broken manifest."""
+    version = _resolve_version(spark, root, version)
+    m = manifest(spark, root, version)
+    if m is None or "file_rows" not in m:
+        raise ValueError(
+            f"v={version} under {root} has no manifest row counts: "
+            "commit it with write_version(df, root, stats_cols=[...])"
+        )
+    return sum(int(n) for n in m["file_rows"].values())

@@ -647,6 +647,69 @@ def zorder_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_ORACLE = """
+WITH probe AS (
+    SELECT CAST(FLOOR(MAX(c_custkey) / 3.0) AS BIGINT) AS k,
+           COUNT(*) AS meta_count
+    FROM customer
+)
+SELECT c.c_custkey, c.c_acctbal, p.meta_count,
+       CAST(1 AS BIGINT) AS range_blind_gate,
+       CAST(1 AS BIGINT) AS bloom_gate
+FROM customer c, probe p WHERE c.c_custkey = p.k
+"""
+
+
+@register("bloom_point_lookup_witness", oracle=_BLOOM_ORACLE, driver=False)
+def bloom_point_lookup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom index + metadata-only COUNT driver-verified (r10
+    queue head; operators/versioned.py): commit a customer snapshot
+    with keys HASH-SCATTERED across 8 files (repartition on
+    c_nationkey) so every file spans the full c_custkey range — the
+    layout where min/max stats prune NOTHING (asserted by
+    ``range_blind_gate``: the range plan for the probe key selects all
+    files) — then point-look-up c_custkey = max/3 through
+    ``read_version_point``, which pins the key to the strict file
+    subset whose Bloom filters might contain it (``bloom_gate``:
+    files-selected < files-total; false positives only cost an extra
+    file read, the residual equality filter keeps values exact).
+    ``meta_count`` answers COUNT(*) from the manifest's footer row
+    counts with zero data pages. DuckDB independently returns the
+    probed row and the table count, so a false NEGATIVE (bloom skipped
+    the matching file — zero rows), a wrong bloom build, or drifted
+    manifest row counts flips the row red."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        bloom_file_plan,
+        pruned_file_plan,
+        read_version_point,
+        snapshot_row_count,
+        write_version,
+    )
+
+    root = session_tmpdir("bloom_dim_")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    k = int(base.agg(F.max("c_custkey")).collect()[0][0]) // 3
+    v = write_version(
+        base.repartition(8, "c_nationkey"),
+        root,
+        stats_cols=["c_custkey"],
+        bloom_cols=["c_custkey"],
+    )
+    _, n_range, total = pruned_file_plan(spark, root, "c_custkey", k, k, version=v)
+    _, n_bloom, _ = bloom_file_plan(spark, root, "c_custkey", k, version=v)
+    meta_count = snapshot_row_count(spark, root, v)
+    return read_version_point(spark, root, "c_custkey", k, version=v).select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(meta_count).cast("long").alias("meta_count"),
+        F.lit(1 if n_range == total else 0).cast("long").alias("range_blind_gate"),
+        F.lit(1 if n_bloom < total else 0).cast("long").alias("bloom_gate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Schema evolution: merged scan over files written under growing schemas
 # ---------------------------------------------------------------------------

@@ -144,11 +144,15 @@ DRIVER_EXCLUDED: set[str] = set()
 # row is at most 1 round old) plus the r5-r7 resting rows that keep
 # cycling oldest-first from r10 on.
 #
-# r10 rotation queue (all oracled) — HEAD: zorder_pruned_read_witness
-# (new late r9, registered driver=False because the r9 surface was
-# already set: the Z-order layout lever composed with the footer-stats
-# manifest — one snapshot, BOTH dimensions pruned, per-dimension gates;
-# builder-verified bit-exact at sf0.001 + sf0.01); then
+# r10 rotation queue (all oracled) — HEAD (2, both new late r9,
+# registered driver=False because the r9 surface was already set; both
+# builder-verified bit-exact at sf0.001 + sf0.01):
+# zorder_pruned_read_witness (the Z-order layout lever composed with
+# the footer-stats manifest — one snapshot, BOTH dimensions pruned,
+# per-dimension gates) and bloom_point_lookup_witness (per-file Bloom
+# index point lookup on a hash-scattered key — the layout where
+# min/max prunes nothing, asserted by its range_blind_gate — plus the
+# manifest's metadata-only COUNT); then
 # oldest-first re-cycles — the 16 rows last green r5
 # (18 minus the 2 permanently rested np twins): cohort_retention,
 # corpus_datasheet, customers_without_orders, doc_embed_lsh_near_dup,

@@ -10,12 +10,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspark_big_data_spark.operators.versioned import (
+    bloom_file_plan,
     latest_version,
     list_versions,
     manifest,
     pruned_file_plan,
     read_version,
+    read_version_point,
     read_version_pruned,
+    snapshot_row_count,
     write_version,
 )
 
@@ -137,6 +140,53 @@ def test_pruned_read_equals_full_read_across_layouts(spark, tmp_path):
                 ).collect()
             )
             assert got == expect, (label, lower, upper)
+
+
+def test_bloom_point_lookup_prunes_hash_scattered_files(spark, tmp_path):
+    """The Bloom index's value-add layout: keys HASH-scattered across
+    files, so every file spans the full [min, max] (range stats prune
+    nothing) — yet a point lookup reads ~1 file via the per-file
+    Blooms, bit-identical to the full filter."""
+    root = str(tmp_path / "vds")
+    data = spark.createDataFrame(
+        [(i, float(i) * 0.5) for i in range(2000)], "k long, x double"
+    )
+    v = write_version(
+        data.repartition(8, "x"), root, stats_cols=["k"], bloom_cols=["k"]
+    )
+    m = manifest(spark, root, v)
+    assert m["bloom_cols"] == ["k"] and len(m["blooms"]["k"]) >= 2
+
+    # range stats genuinely can't prune this layout for a mid-range key
+    _, n_range, total = pruned_file_plan(spark, root, "k", 777, 777, version=v)
+    assert n_range == total
+    # ...but the bloom plan pins it to a strict subset (expected ~1 file)
+    sel, n_bloom, total_b = bloom_file_plan(spark, root, "k", 777, version=v)
+    assert 0 < n_bloom < total_b == total
+
+    got = read_version_point(spark, root, "k", 777, version=v).collect()
+    assert [(r["k"], r["x"]) for r in got] == [(777, 388.5)]
+
+    # absent key: zero rows regardless of how many files survive the bloom
+    assert read_version_point(spark, root, "k", 999_999, version=v).count() == 0
+
+    # every present key must be found (no false negatives) — spot a sample
+    for k in (0, 1, 63, 1024, 1999):
+        assert read_version_point(spark, root, "k", k, version=v).count() == 1
+
+
+def test_snapshot_row_count_is_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    v0 = write_version(
+        _df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), root, stats_cols=["k"]
+    )
+    v1 = write_version(_df(spark, [(9, 9.0)]), root, stats_cols=["k"])
+    assert snapshot_row_count(spark, root, v0) == 3
+    assert snapshot_row_count(spark, root, v1) == 1
+    # manifest-less snapshot refuses rather than silently scanning
+    v2 = write_version(_df(spark, [(5, 5.0)]), root)
+    with pytest.raises(ValueError, match="no manifest row counts"):
+        snapshot_row_count(spark, root, v2)
 
 
 def test_pruned_read_refuses_silent_fallback(spark, tmp_path):
