@@ -477,6 +477,50 @@ def read_version_point(
     return spark.read.parquet(*selected).filter(F.col(col) == F.lit(value))
 
 
+def expire_versions(
+    spark: SparkSession, root: str, keep_last: int
+) -> list[int]:
+    """Retention vacuum: delete every committed version except the
+    newest ``keep_last`` (>= 1), plus provably-DEAD ``.staging_vN``
+    dirs from crashed writers, and return the expired version numbers
+    (ascending). This is the VACUUM half of the snapshot lifecycle:
+    full-copy versions make old-snapshot storage linear in history, so
+    production retention keeps a bounded window. The retention
+    CONTRACT mirrors the table formats': time travel to an expired
+    version fails loudly afterwards (``read_version`` raises — never
+    reads as empty), so pick the horizon longer than the longest
+    running reader. Deletion order is oldest-first and each ``v=N``
+    removal is a single recursive delete, so an interrupted vacuum
+    leaves a clean prefix-trimmed history.
+
+    Concurrency: only staging dirs whose target version is ALREADY
+    committed are swept — ``.staging_vN`` with N <= latest can never
+    commit (its rename target exists), so it is guaranteed dead, while
+    a live writer's staging dir always targets latest+1 and is left
+    alone. Vacuum therefore never races a writer."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, hroot, jvm = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    versions = list_versions(spark, root)
+    expired = versions[:-keep_last] if len(versions) > keep_last else []
+    for n in expired:
+        fs.delete(Path(f"{root.rstrip('/')}/v={n}"), True)
+    latest = versions[-1] if versions else -1
+    if fs.exists(hroot):
+        for status in fs.listStatus(hroot):
+            name = status.getPath().getName()
+            if not (status.isDirectory() and name.startswith(".staging_v")):
+                continue
+            try:
+                n = int(name[len(".staging_v"):])
+            except ValueError:
+                continue
+            if n <= latest:
+                fs.delete(status.getPath(), True)
+    return expired
+
+
 def snapshot_row_count(
     spark: SparkSession, root: str, version: int | None = None
 ) -> int:

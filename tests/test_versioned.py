@@ -142,6 +142,55 @@ def test_pruned_read_equals_full_read_across_layouts(spark, tmp_path):
             assert got == expect, (label, lower, upper)
 
 
+def test_expire_versions_retention(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import expire_versions
+
+    root = str(tmp_path / "vds")
+    for i in range(5):
+        write_version(_df(spark, [(i, float(i))]), root)
+    # a dead staging dir (its version already committed) and a live one
+    # (targets latest+1, must survive the vacuum)
+    os.makedirs(f"{root}/.staging_v2")
+    os.makedirs(f"{root}/.staging_v5")
+
+    assert expire_versions(spark, root, keep_last=2) == [0, 1, 2]
+    assert list_versions(spark, root) == [3, 4]
+    assert not os.path.exists(f"{root}/.staging_v2")
+    assert os.path.exists(f"{root}/.staging_v5")
+
+    # expired versions fail loudly; survivors read intact
+    with pytest.raises(ValueError, match="does not exist"):
+        read_version(spark, root, 1)
+    assert [(r["k"], r["x"]) for r in read_version(spark, root, 4).collect()] == [(4, 4.0)]
+
+    # idempotent when nothing exceeds the horizon; keep_last guardrail
+    assert expire_versions(spark, root, keep_last=2) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_versions(spark, root, keep_last=0)
+
+
+def test_string_stats_pruning(spark, tmp_path):
+    """String columns prune lexicographically (the footer-decode path:
+    pyarrow may surface BYTE_ARRAY stats as bytes — they must land in
+    the manifest as str)."""
+    root = str(tmp_path / "vds")
+    data = spark.createDataFrame(
+        [(i, ["de", "en", "fr", "it"][i % 4]) for i in range(400)],
+        "id long, lang string",
+    )
+    v = write_version(data.repartitionByRange(4, "lang"), root, stats_cols=["lang"])
+    m = manifest(spark, root, v)
+    assert all(
+        isinstance(rng[0], str)
+        for st in m["files"].values()
+        for rng in (st or {}).values()
+        if rng is not None
+    )
+    _, n_sel, n_total = pruned_file_plan(spark, root, "lang", "en", "en", version=v)
+    assert 0 < n_sel < n_total
+    assert read_version_pruned(spark, root, "lang", "en", "en", version=v).count() == 100
+
+
 def test_bloom_point_lookup_prunes_hash_scattered_files(spark, tmp_path):
     """The Bloom index's value-add layout: keys HASH-scattered across
     files, so every file spans the full [min, max] (range stats prune
