@@ -14,6 +14,18 @@ next writer sweeps. ``read_version`` pins any historical version;
 ``latest_version`` resolves the newest COMMITTED one (rename is the
 commit — a directory only counts once it sits at ``v=N``).
 
+Each snapshot may carry a ``_manifest.json`` committed ATOMICALLY with
+its data by the same rename: per-file [min, max] footer stats
+(``read_version_pruned`` skips files by range predicate before Spark
+lists them), per-file row counts (``snapshot_row_count`` answers
+COUNT(*) with zero data pages), and optional per-file Bloom filters
+(``read_version_point`` pins an equality probe to ~1 file on
+hash-scattered keys where min/max can't help). ``expire_versions`` is
+the retention vacuum. At very large file counts a single JSON manifest
+becomes the bottleneck a real table format shards into manifest
+lists — that, multi-writer snapshot isolation, and file-level (not
+full-copy) deltas are the remaining format deltas.
+
 This is deliberately the poor-man's corner of a lakehouse table
 format: full-copy snapshots, not file-level deltas. The honest
 economics at 100 TB: keep versioning for DIMENSION-sized mutable

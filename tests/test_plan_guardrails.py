@@ -145,6 +145,9 @@ _SCALAR_BROADCAST_OK = {
     "planted_lsh_recall_witness",
     # (1-row exact intersection) x (1-row sketch estimate) attach
     "user_overlap_sketch_witness",
+    # (1-row user-band aggregate) x (1-row value-tail aggregate) attach,
+    # plus zorder_key's 1-row global min/max stats attach
+    "zorder_pruned_read_witness",
     # (512-row bucket counts) x (1-row corpus feature totals) attach
     "dsir_importance_weights",
 }
