@@ -110,11 +110,11 @@ DRIVER_EXCLUDED: set[str] = set()
 #
 # POLICY AMENDMENT (r9) — the freshness target is ~4 ROUNDS, and a
 # PERMANENT REST tier exists. The r8 verdict showed the old ~3-round
-# target was arithmetically unattainable: the oracled catalog (179
-# after r9's snapshot_pruned_read_witness) cycling through <=50
+# target was arithmetically unattainable: the oracled catalog (181
+# after r9's three new witnesses) cycling through <=50
 # CORRECTNESS slots per round, with ~5 slots/round going to brand-new
 # capabilities, leaves ~45 re-cycle slots — so the full-catalog
-# refresh period is (179 - 8 permanently-rested) / 45 ~ 3.8 rounds.
+# refresh period is (181 - 8 permanently-rested) / 45 ~ 3.8 rounds.
 # The PERMANENT_REST set below removes superseded variants from the
 # cycling pool entirely: each rests forever behind a strictly fresher
 # on-catalog representative that exercises the same code path (the
