@@ -710,6 +710,82 @@ def bloom_point_lookup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BACKFILL_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS val_sum,
+       CAST(1 AS BIGINT) AS corrupt_gate,
+       CAST(1 AS BIGINT) AS untouched_gate
+FROM events
+"""
+
+
+@register("backfill_partition_witness", oracle=_BACKFILL_ORACLE, driver=False)
+def backfill_partition_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped backfill driver-verified (r10 queue head;
+    operators/backfill.py): materialize events hive-partitioned by day
+    with ONE partition deliberately corrupted (its values doubled —
+    the bad-deploy scenario), then repair exactly that partition with
+    ``overwrite_partitions`` (dynamic partition overwrite) and return
+    the whole-table aggregate. DuckDB computes the clean aggregate
+    from the raw table, so an incomplete repair, a repair that leaked
+    into other days, or the static-overwrite footgun (truncating the
+    table to the backfilled day) flips the row red. Gates:
+    ``corrupt_gate`` = 1 iff the pre-repair table really differed from
+    clean (the witness must prove it repaired SOMETHING), and
+    ``untouched_gate`` = 1 iff a non-target day's parquet files are
+    byte-listed identical before and after the repair (reprocessing
+    one day out of years must not rewrite the rest)."""
+    import os
+
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.backfill import overwrite_partitions
+
+    root = session_tmpdir("backfill_")
+    path = f"{root}/events_by_day"
+    base = read_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id", "value"
+    )
+    days = base.agg(F.min("dt"), F.max("dt")).collect()[0]
+    target, other = days[0], days[1]
+
+    corrupted = base.withColumn(
+        "value",
+        F.when(F.col("dt") == target, F.col("value") * 2.0).otherwise(
+            F.col("value")
+        ),
+    )
+    corrupted.write.mode("overwrite").partitionBy("dt").parquet(path)
+
+    def listing(day: str) -> list[tuple[str, int]]:
+        d = f"{path}/dt={day}"
+        return sorted(
+            (f, os.stat(f"{d}/{f}").st_size)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = listing(other)
+    pre_sum = (
+        spark.read.parquet(path).agg(dsum("value", "s")).first()["s"]
+    )
+
+    repair = base.filter(F.col("dt") == target)
+    overwrite_partitions(repair, path, ["dt"])
+    spark.catalog.refreshByPath(path)
+
+    untouched = 1 if listing(other) == before else 0
+    table = spark.read.parquet(path)
+    post = table.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("value", "val_sum")
+    ).first()
+    corrupt = 1 if pre_sum != post["val_sum"] else 0
+    return spark.createDataFrame(
+        [(post["n_rows"], post["val_sum"], corrupt, untouched)],
+        "n_rows long, val_sum double, corrupt_gate long, untouched_gate long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Schema evolution: merged scan over files written under growing schemas
 # ---------------------------------------------------------------------------

@@ -481,6 +481,83 @@ def streaming_ingest_replay_witness(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Redelivery-safe sink witness: foreachBatch exactly-once via dynamic
+# partition overwrite (streaming/sinks.py). The failure mode being
+# externalized is the crash window between a sink write and the
+# checkpoint commit — the engine replays the batch with identical
+# content, and a plain append sink double-writes it. The witness
+# REDELIVERS the final batch on purpose; the oracle expects each
+# document's fingerprint exactly as many times as the corpus contains
+# it, so any double-append flips the row red.
+
+
+def _exactly_once_oracle() -> str:
+    return """
+WITH fp AS (
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+)
+SELECT fp, COUNT(*) AS n_rows FROM fp GROUP BY fp ORDER BY fp
+"""
+
+
+@register(
+    "streaming_exactly_once_sink_witness",
+    oracle=_exactly_once_oracle(),
+    driver=False,
+)
+def streaming_exactly_once_sink_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents corpus through a stateless fingerprint
+    stream (one micro-batch per JSONL drop file) into the
+    exactly-once parquet sink, then SIMULATE the crash-redelivery of
+    the final micro-batch — re-invoking the sink with that batch's own
+    content, which is exactly what Structured Streaming's replayability
+    contract delivers on restart — and return per-fingerprint sink
+    counts. The sink writes each batch to its own ``_batch_id``
+    partition with dynamic partition overwrite, so the redelivery
+    replaces its partition instead of appending a second copy; DuckDB
+    independently computes each fingerprint's true corpus multiplicity
+    (NO dedup in this pipeline — exact duplicates legitimately count
+    >1), so a double-append, a dropped batch, or overwrite leaking
+    into other batches' partitions flips the row red."""
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.streaming.sinks import exactly_once_parquet_sink
+
+    root = session_tmpdir("eo_sink_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drop_dir = _drop_jsonl_batches(docs, root)
+
+    sink = f"{root}/curated"
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(drop_dir)
+        .select(TX.fingerprint(F.col("text")).alias("fp"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(exactly_once_parquet_sink(sink))
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    table = spark.read.parquet(sink)
+    last = int(table.agg(F.max("_batch_id")).first()[0])
+    redelivered = table.filter(F.col("_batch_id") == last).drop("_batch_id")
+    exactly_once_parquet_sink(sink)(redelivered, last)
+    spark.catalog.refreshByPath(sink)
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SEVENTH streaming witness: the applyInPandasWithState model. Sharded
 # SpaceSaving heavy hitters keep their summaries as ARBITRARY PYTHON
 # STATE inside the engine's state store — the third state model after
