@@ -786,6 +786,76 @@ def backfill_partition_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPECT_ORACLE = """
+SELECT rule, metric,
+       CAST(CASE WHEN rule = 'row_count_min' THEN metric >= 1
+                 ELSE metric = 0 END AS BIGINT) AS passed
+FROM (
+    SELECT 'custkey_fk' AS rule,
+           CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey
+                 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+                AS DOUBLE) AS metric
+    UNION ALL
+    SELECT 'orderkey_not_null',
+           CAST((SELECT COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+                 FROM orders) AS DOUBLE)
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST((SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                 FROM orders) AS DOUBLE)
+    UNION ALL
+    SELECT 'row_count_min',
+           CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+    UNION ALL
+    SELECT 'status_accepted',
+           CAST((SELECT COUNT(*) FILTER (
+                     WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                 FROM orders) AS DOUBLE)
+    UNION ALL
+    SELECT 'totalprice_bounds',
+           CAST((SELECT COUNT(*) FILTER (
+                     WHERE o_totalprice IS NULL
+                        OR o_totalprice < 0 OR o_totalprice > 1000000)
+                 FROM orders) AS DOUBLE)
+)
+ORDER BY rule
+"""
+
+
+@register("expectations_report_orders", oracle=_EXPECT_ORACLE, driver=False)
+def expectations_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite driver-verified (r10 queue;
+    operators/expectations.py — the Deequ-style constraint engine):
+    six declared rules over orders (PK never null, PK unique,
+    totalprice in [0, 1e6], status in {O,F,P}, table non-empty, every
+    o_custkey resolves against customer) evaluated into a
+    (rule, metric, passed) report — all scalar rules in ONE aggregate
+    over one scan, the FK rule as one broadcast anti-join count.
+    DuckDB recomputes every metric independently, so a miscounted
+    violation, a rule silently dropped from the single-pass compile,
+    or a pass/fail criterion drift flips the row red. The clean
+    testdata passes every rule; the zeros ARE the assertion (the
+    referential_integrity_audit convention), while the engine's
+    violation-counting paths are exercised against planted-dirty
+    frames in tests/test_expectations.py."""
+    from pyspark_big_data_spark.operators.expectations import (
+        expectations_report,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    rules = [
+        ("not_null", "o_orderkey", "orderkey_not_null"),
+        ("unique", "o_orderkey", "orderkey_unique"),
+        ("bounds", "o_totalprice", 0.0, 1_000_000.0, "totalprice_bounds"),
+        ("accepted", "o_orderstatus", ["O", "F", "P"], "status_accepted"),
+        ("row_count_min", 1, "row_count_min"),
+        ("fk", "o_custkey", customer, "c_custkey", "custkey_fk"),
+    ]
+    return expectations_report(orders, rules)
+
+
 # ---------------------------------------------------------------------------
 # Schema evolution: merged scan over files written under growing schemas
 # ---------------------------------------------------------------------------

@@ -110,11 +110,11 @@ DRIVER_EXCLUDED: set[str] = set()
 #
 # POLICY AMENDMENT (r9) — the freshness target is ~4 ROUNDS, and a
 # PERMANENT REST tier exists. The r8 verdict showed the old ~3-round
-# target was arithmetically unattainable: the oracled catalog (183
-# after r9's five new witnesses) cycling through <=50
+# target was arithmetically unattainable: the oracled catalog (184
+# after r9's six new witnesses) cycling through <=50
 # CORRECTNESS slots per round, with ~5 slots/round going to brand-new
 # capabilities, leaves ~45 re-cycle slots — so the full-catalog
-# refresh period is (183 - 8 permanently-rested) / 45 ~ 3.9 rounds.
+# refresh period is (184 - 8 permanently-rested) / 45 ~ 3.9 rounds.
 # The PERMANENT_REST set below removes superseded variants from the
 # cycling pool entirely: each rests forever behind a strictly fresher
 # on-catalog representative that exercises the same code path (the
@@ -144,7 +144,7 @@ DRIVER_EXCLUDED: set[str] = set()
 # row is at most 1 round old) plus the r5-r7 resting rows that keep
 # cycling oldest-first from r10 on.
 #
-# r10 rotation queue (all oracled) — HEAD (4, all new late r9,
+# r10 rotation queue (all oracled) — HEAD (5, all new late r9,
 # registered driver=False because the r9 surface was already set; all
 # builder-verified bit-exact at sf0.001 + sf0.01):
 # zorder_pruned_read_witness (the Z-order layout lever composed with
@@ -155,9 +155,13 @@ DRIVER_EXCLUDED: set[str] = set()
 # manifest's metadata-only COUNT), backfill_partition_witness
 # (partition-scoped repair via dynamic partition overwrite: corrupt
 # one day, fix exactly that day, other days' files byte-listed
-# untouched), and streaming_exactly_once_sink_witness (foreachBatch
+# untouched), streaming_exactly_once_sink_witness (foreachBatch
 # redelivery idempotence: the final micro-batch re-delivered on
-# purpose, per-fingerprint corpus multiplicities still exact); then
+# purpose, per-fingerprint corpus multiplicities still exact), and
+# expectations_report_orders (the Deequ-style declarative constraint
+# engine, operators/expectations.py — six rules over orders compiled
+# to one aggregate pass + one broadcast anti-join, every metric
+# recomputed by DuckDB); then
 # oldest-first re-cycles — the 16 rows last green r5
 # (18 minus the 2 permanently rested np twins): cohort_retention,
 # corpus_datasheet, customers_without_orders, doc_embed_lsh_near_dup,
