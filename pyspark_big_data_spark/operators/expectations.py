@@ -15,8 +15,9 @@ Expectations design point on plain DataFrames:
   many rules are declared — at 100 TB you pay one pass, not one pass
   per rule;
 - each FK rule is one left-anti join against the parent key set
-  (broadcast when the parent is dimension-sized), producing its own
-  1-row count;
+  (strategy left to Catalyst/AQE: a dimension-sized parent broadcasts
+  on its own, a fact-sized one shuffles instead of being forced into
+  a broadcast), producing its own 1-row count;
 - the report is the union of those 1-row frames — bounded by the rule
   count, never by the data.
 
@@ -125,11 +126,14 @@ def expectations_report(df: DataFrame, rules) -> DataFrame:
         )
     for r in fk_rules:
         _, col, parent_df, parent_col, name = r
+        # join strategy left to Catalyst/AQE: a dimension-sized parent
+        # broadcasts on its own, a fact-sized parent must NOT be forced
+        # into a broadcast (the referential_integrity_audit convention)
         orphans = (
             df.select(F.col(col).alias("_k"))
             .where(F.col("_k").isNotNull())
             .join(
-                F.broadcast(parent_df.select(F.col(parent_col).alias("_k"))),
+                parent_df.select(F.col(parent_col).alias("_k")),
                 "_k",
                 "left_anti",
             )

@@ -831,7 +831,8 @@ def expectations_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     totalprice in [0, 1e6], status in {O,F,P}, table non-empty, every
     o_custkey resolves against customer) evaluated into a
     (rule, metric, passed) report — all scalar rules in ONE aggregate
-    over one scan, the FK rule as one broadcast anti-join count.
+    over one scan, the FK rule as one anti-join count (Catalyst
+    broadcasts the dimension-sized parent on its own).
     DuckDB recomputes every metric independently, so a miscounted
     violation, a rule silently dropped from the single-pass compile,
     or a pass/fail criterion drift flips the row red. The clean

@@ -160,9 +160,11 @@ DRIVER_EXCLUDED: set[str] = set()
 # purpose, per-fingerprint corpus multiplicities still exact), and
 # expectations_report_orders (the Deequ-style declarative constraint
 # engine, operators/expectations.py — six rules over orders compiled
-# to one aggregate pass + one broadcast anti-join, every metric
+# to one aggregate pass + one anti-join count, every metric
 # recomputed by DuckDB); then
-# oldest-first re-cycles — the 16 rows last green r5
+# oldest-first re-cycles (5 heads + 16 + 29 = 50 EXACTLY — the r10
+# surface is fully determined; r10-new capabilities should register
+# driver=False and queue for r11) — the 16 rows last green r5
 # (18 minus the 2 permanently rested np twins): cohort_retention,
 # corpus_datasheet, customers_without_orders, doc_embed_lsh_near_dup,
 # funnel_conversion, hybrid_rerank_topk, multimodal_feature_extract,
