@@ -294,7 +294,6 @@ def write_version(
         latest = latest_version(spark, root)
         n = 0 if latest is None else latest + 1
         staging = f"{root.rstrip('/')}/.staging_v{n}"
-        nested = f"{root.rstrip('/')}/v={n}/.staging_v{n}"
         fs.delete(Path(staging), True)  # sweep a crashed predecessor
         df.write.mode("overwrite").parquet(staging)
         if stats_cols or bloom_cols:
@@ -319,15 +318,33 @@ def write_version(
                 out.write(bytearray(payload))
             finally:
                 out.close()
-        renamed = fs.rename(Path(staging), Path(f"{root.rstrip('/')}/v={n}"))
-        if renamed and not fs.exists(Path(nested)):
+        if commit_staged(fs, jvm, root, staging, n):
             return n
         # Lost the race: someone committed v=N between our latest_version
-        # read and our rename. Remove our bytes wherever they landed
-        # (nested under the winner's v=N on local FS, still at staging on
-        # HDFS) and retry at N+1. The winner's files are untouched.
-        fs.delete(Path(nested), True)
-        fs.delete(Path(staging), True)
+        # read and our rename; commit_staged already removed our bytes.
+        # Retry at N+1. The winner's files are untouched.
+
+
+def commit_staged(fs, jvm, root: str, staging: str, n: int) -> bool:
+    """Atomically publish a fully-staged snapshot dir as ``v=N``; the
+    shared commit seam for ``write_version`` and the optimistic
+    transaction layer (operators/transactions.py). Returns True iff THIS
+    writer owns ``v=N`` afterwards. The rename's return value alone is
+    not a reliable verdict (see ``write_version``: LocalFileSystem
+    nests the staging dir inside an existing destination and returns
+    true), so the commit is verified by the absence of a nested staging
+    dir. On a lost race the writer's bytes are deleted wherever they
+    landed (nested under the winner's ``v=N`` on local FS, still at
+    ``staging`` on HDFS) — the winner's files are never touched."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    target = f"{root.rstrip('/')}/v={n}"
+    nested = f"{target}/{os.path.basename(staging.rstrip('/'))}"
+    renamed = fs.rename(Path(staging), Path(target))
+    if renamed and not fs.exists(Path(nested)):
+        return True
+    fs.delete(Path(nested), True)
+    fs.delete(Path(staging), True)
+    return False
 
 
 def read_version(

@@ -926,3 +926,106 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimistic multi-writer transactions: disjoint-domain rebase, driver-verified
+# ---------------------------------------------------------------------------
+
+_TXN_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                     THEN CAST(c_acctbal AS DECIMAL(30,8)) + 100.00
+                     WHEN c_mktsegment = 'MACHINERY'
+                     THEN CAST(c_acctbal AS DECIMAL(30,8)) * 2
+                     ELSE CAST(c_acctbal AS DECIMAL(30,8)) END) AS DOUBLE)
+           AS bal_sum,
+       CAST(1 AS BIGINT) AS conflict_gate,
+       CAST(1 AS BIGINT) AS serial_gate
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("txn_disjoint_rebase_witness", oracle=_TXN_ORACLE, driver=False)
+def txn_disjoint_rebase_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer snapshot isolation driver-verified (r11 queue;
+    operators/transactions.py — the optimistic-concurrency half of the
+    lakehouse commit protocol, over the versioned.py snapshot seam):
+    seed a customer dimension as v0, then run two transactions BOTH
+    derived from the stale base v0 — txn A replaces the BUILDING slice
+    (+100.00), txn B replaces the MACHINERY slice (*2). A commits v1;
+    B's commit detects the intervening version, proves disjointness
+    from A's recorded ``_txn.json`` domain, and REBASES mechanically
+    (splices its slice onto v1) to commit v2 = the serial result. A
+    third transaction from the same stale base touching BUILDING again
+    must raise SnapshotConflictError (``conflict_gate``), and the
+    version chain must land exactly at v1/v2 with v2 latest
+    (``serial_gate``). The emitted per-segment decimal-exact aggregate
+    of v2 is recomputed by DuckDB applying both slice updates to the
+    raw table, so a lost update (B's rebase dropping A's +100), a
+    conflict that silently rebased, or a splice that leaked rows
+    across domains flips the row red."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.transactions import (
+        SnapshotConflictError,
+        commit_replace_where,
+    )
+    from pyspark_big_data_spark.operators.versioned import (
+        latest_version,
+        read_version,
+        write_version,
+    )
+
+    root = session_tmpdir("txn_dim_")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(30,8)").alias("c_acctbal"),
+    )
+    if write_version(base, root) != 0:
+        raise RuntimeError("seed must commit v=0")
+    v0 = read_version(spark, root, 0)
+
+    a_slice = v0.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.expr("CAST(100.00 AS DECIMAL(30,8))"))
+        .cast("decimal(30,8)")
+        .alias("c_acctbal"),
+    )
+    va = commit_replace_where(spark, root, a_slice, "c_mktsegment",
+                              ["BUILDING"], base_version=0)
+
+    b_slice = v0.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") * 2).cast("decimal(30,8)").alias("c_acctbal"),
+    )
+    vb = commit_replace_where(spark, root, b_slice, "c_mktsegment",
+                              ["MACHINERY"], base_version=0)
+
+    conflict_gate = 0
+    try:
+        commit_replace_where(spark, root, a_slice, "c_mktsegment",
+                             ["BUILDING"], base_version=0)
+    except SnapshotConflictError:
+        conflict_gate = 1
+    serial_gate = 1 if (va, vb) == (1, 2) and latest_version(spark, root) == 2 else 0
+
+    return (
+        read_version(spark, root, 2)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum"))
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "bal_sum",
+            F.lit(conflict_gate).cast("long").alias("conflict_gate"),
+            F.lit(serial_gate).cast("long").alias("serial_gate"),
+        )
+        .orderBy("c_mktsegment")
+    )
