@@ -1,0 +1,84 @@
+"""Inverted index (operators/inverted_index.py): build/search semantics
+vs a brute-force model, bucket pruning, and tokenizer edge cases."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.operators.inverted_index import (
+    build_inverted_index,
+    search_all_terms,
+    term_buckets,
+    tokenize_terms,
+)
+
+_DOCS = [
+    (0, "Alpha beta GAMMA alpha"),
+    (1, "beta gamma delta"),
+    (2, "alpha delta, delta; beta!"),
+    (3, "epsilon only"),
+    (4, "ALPHA beta beta gamma zeta-42 zeta"),
+]
+
+
+def _model_search(terms):
+    """Driver-side brute force: conjunctive match + total-tf score."""
+    out = {}
+    for doc_id, text in _DOCS:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        if all(t in toks for t in terms):
+            out[doc_id] = sum(toks.count(t) for t in set(terms))
+    return out
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("inv") / "idx")
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    build_inverted_index(df, "doc_id", "text", root, n_buckets=8)
+    return root
+
+
+def test_tokenizer_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "Foo-bar  42, baz! foo")], "doc_id long, text string"
+    )
+    toks = [r["term"] for r in tokenize_terms(df, "doc_id", "text").collect()]
+    assert sorted(toks) == ["42", "bar", "baz", "foo", "foo"]
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [["alpha"], ["alpha", "beta"], ["alpha", "beta", "gamma"], ["delta"],
+     ["epsilon"], ["zeta", "42"]],
+)
+def test_search_matches_bruteforce(spark, index_root, terms):
+    hits, _ = search_all_terms(spark, index_root, terms, 8)
+    got = {r["doc_id"]: r["score"] for r in hits.collect()}
+    assert got == _model_search(terms)
+
+
+def test_unknown_term_yields_empty(spark, index_root):
+    hits, _ = search_all_terms(spark, index_root, ["alpha", "nosuchterm"], 8)
+    assert hits.count() == 0
+
+
+def test_duplicate_query_terms_deduplicated(spark, index_root):
+    once, _ = search_all_terms(spark, index_root, ["beta"], 8)
+    twice, _ = search_all_terms(spark, index_root, ["beta", "beta"], 8)
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_bucket_pruning_touches_subset(spark, index_root):
+    """The search must open only the query terms' buckets, and the files
+    it reads must all live under those bucket directories."""
+    tb = term_buckets(spark, ["alpha", "beta"], 8)
+    hits, n_touched = search_all_terms(spark, index_root, ["alpha", "beta"], 8)
+    assert n_touched == len(set(tb.values())) < 8
+    allowed = {f"bucket={b}" for b in tb.values()}
+    for f in hits.inputFiles():
+        assert any(a in f for a in allowed), f
