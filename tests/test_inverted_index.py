@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 
 from pyspark_big_data_spark.operators.inverted_index import (
     build_inverted_index,
+    phrase_search,
+    read_doclen,
+    read_term_postings,
     search_all_terms,
     term_buckets,
     tokenize_terms,
@@ -82,3 +85,65 @@ def test_bucket_pruning_touches_subset(spark, index_root):
     allowed = {f"bucket={b}" for b in tb.values()}
     for f in hits.inputFiles():
         assert any(a in f for a in allowed), f
+
+
+# ---------------------------------------------------------------------------
+# Positional postings: phrase search + doclen sidecar
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_index_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("invpos") / "idx")
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    build_inverted_index(
+        df, "doc_id", "text", root, n_buckets=8, positions=True,
+        with_doclen=True,
+    )
+    return root
+
+
+def _model_phrase(phrase):
+    out = {}
+    for doc_id, text in _DOCS:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [["alpha", "beta"], ["beta", "gamma"], ["delta", "delta"],
+     ["beta", "beta", "gamma"], ["gamma", "alpha"], ["zeta", "42", "zeta"]],
+)
+def test_phrase_matches_bruteforce(spark, pos_index_root, phrase):
+    hits, _ = phrase_search(spark, pos_index_root, phrase, 8)
+    got = {r["doc_id"]: r["n_occurrences"] for r in hits.collect()}
+    assert got == _model_phrase(phrase)
+
+
+def test_phrase_requires_positions(spark, index_root):
+    with pytest.raises(ValueError, match="no positions column"):
+        phrase_search(spark, index_root, ["alpha", "beta"], 8)
+
+
+def test_doclen_sidecar(spark, pos_index_root):
+    got = {r["doc_id"]: r["dl"] for r in read_doclen(spark, pos_index_root).collect()}
+    want = {
+        doc_id: len([t for t in re.split("[^a-z0-9]+", text.lower()) if t])
+        for doc_id, text in _DOCS
+    }
+    assert got == want
+
+
+def test_doclen_invisible_to_postings_reads(spark, pos_index_root):
+    """Bucket-addressed postings reads must not pick up the sidecar."""
+    postings, _ = read_term_postings(spark, pos_index_root, ["alpha"], 8)
+    assert "dl" not in postings.columns
+    assert all("doclen" not in f for f in postings.inputFiles())
