@@ -139,16 +139,31 @@ def read_term_postings(
     index_root: str,
     terms: list[str],
     n_buckets: int,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame | None, int]:
     """The postings of ``terms`` — opening ONLY their bucket
-    directories — as ``(df filtered to the terms, n_buckets_touched)``."""
+    directories — as ``(df filtered to the terms, n_buckets_touched)``.
+
+    A bucket directory that was never created (no corpus term hashed
+    into it — possible on small indexes) proves its terms absent: such
+    buckets are skipped, and when EVERY query bucket is missing the
+    postings frame is None (the caller emits its typed empty result —
+    the schema depends on build options, so it cannot be conjured
+    here). ``n_buckets_touched`` still counts the buckets ADDRESSED,
+    matching the pruning gates' files-opened semantics."""
     qterms = sorted(set(terms))
     if not qterms:
         raise ValueError("need at least one term")
     buckets = sorted(set(term_buckets(spark, qterms, n_buckets).values()))
-    parts = [
-        spark.read.parquet(f"{index_root.rstrip('/')}/bucket={b}") for b in buckets
-    ]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    parts = []
+    for b in buckets:
+        path = f"{index_root.rstrip('/')}/bucket={b}"
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        if hpath.getFileSystem(hconf).exists(hpath):
+            parts.append(spark.read.parquet(path))
+    if not parts:
+        return None, len(buckets)
     postings = reduce(DataFrame.unionByName, parts)
     return postings.filter(F.col("term").isin(qterms)), len(buckets)
 
@@ -173,6 +188,11 @@ def search_all_terms(
     postings simply contain no such term."""
     qterms = sorted(set(terms))
     postings, n_touched = read_term_postings(spark, index_root, qterms, n_buckets)
+    if postings is None:
+        return (
+            spark.createDataFrame([], "doc_id long, score long"),
+            n_touched,
+        )
     hits = (
         postings.groupBy("doc_id")
         .agg(
@@ -207,6 +227,11 @@ def phrase_search(
     postings, n_touched = read_term_postings(
         spark, index_root, list(set(phrase)), n_buckets
     )
+    if postings is None:
+        return (
+            spark.createDataFrame([], "doc_id long, n_occurrences long"),
+            n_touched,
+        )
     if "positions" not in postings.columns:
         raise ValueError(
             f"index at {index_root} has no positions column: build with "

@@ -197,6 +197,11 @@ def bm25_from_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     postings, _ = read_term_postings(spark, root, list(BM25_TERMS), _N_BUCKETS)
+    if postings is None:  # no query-term bucket exists: nothing can score > 0
+        tf_schema = ", ".join(f"tf_{t} long" for t in BM25_TERMS)
+        return spark.createDataFrame(
+            [], f"doc_id long, dl long, {tf_schema}, score double"
+        )
     # tf pivot over the query terms (docs with >= 1 query term — every
     # other doc scores exactly 0 and is excluded by the oracle's
     # score > 0 guard)

@@ -699,3 +699,61 @@ def streaming_hh_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# EIGHTH streaming loop externalized: incremental inverted-index
+# maintenance (streaming/incremental_index.py). The maintained artifact
+# is the bucket-partitioned postings index; a document's postings derive
+# entirely from its own text (tf never crosses docs), so the index state
+# is batch-split INVARIANT — any micro-batch partitioning reproduces the
+# one-shot build. The witness value-pins the artifact through its query
+# surface: a conjunctive search over the STREAM-maintained index against
+# DuckDB's recompute from raw text (the same oracle as the one-shot
+# inverted_index_search_witness — drift between the two rows isolates
+# maintenance bugs from build bugs).
+
+
+def _index_replay_oracle() -> str:
+    from pyspark_big_data_spark.queries.inverted import _INV_ORACLE
+
+    return _INV_ORACLE
+
+
+@register("streaming_index_replay_witness", oracle=_index_replay_oracle(),
+          driver=False)
+def streaming_index_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents corpus through the availableNow foreachBatch
+    index-maintenance loop (one JSONL file per micro-batch, doc_id mod
+    split — the first batch exercises the cold-start append-creates-
+    index path), then answer the 3-term conjunctive search over the
+    MAINTAINED index. Emits (doc_id, score, bucket_gate) exactly like
+    inverted_index_search_witness; DuckDB recomputes the conjunction
+    from raw text, so a dropped micro-batch (missing postings), a
+    double-applied batch (doubled tf scores), or an append routed to
+    the wrong bucket flips the row red."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.inverted_index import search_all_terms
+    from pyspark_big_data_spark.queries.inverted import _N_BUCKETS, _QUERY_TERMS
+    from pyspark_big_data_spark.streaming.incremental_index import run_index_stream
+
+    root = session_tmpdir("index_replay_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drop_dir = _drop_jsonl_batches(docs, root)
+    q = run_index_stream(
+        spark,
+        drop_dir,
+        docs.schema,
+        index_dir=f"{root}/index",
+        checkpoint_dir=f"{root}/ckpt",
+        n_buckets=_N_BUCKETS,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    hits, n_touched = search_all_terms(
+        spark, f"{root}/index", _QUERY_TERMS, _N_BUCKETS
+    )
+    gate = 1 if n_touched < _N_BUCKETS else 0
+    return hits.select(
+        "doc_id", "score", F.lit(gate).cast("long").alias("bucket_gate")
+    ).orderBy("doc_id")

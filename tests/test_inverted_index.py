@@ -147,3 +147,64 @@ def test_doclen_invisible_to_postings_reads(spark, pos_index_root):
     postings, _ = read_term_postings(spark, pos_index_root, ["alpha"], 8)
     assert "dl" not in postings.columns
     assert all("doclen" not in f for f in postings.inputFiles())
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance (streaming/incremental_index.py)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_appends_equal_one_shot_build(spark, tmp_path):
+    """Batch-split invariance at the index level: two process_index_batch
+    appends reproduce the one-shot build's postings AND doclen rows
+    exactly (including position lists)."""
+    from pyspark_big_data_spark.streaming.incremental_index import (
+        process_index_batch,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    one_shot = str(tmp_path / "one")
+    build_inverted_index(
+        df, "doc_id", "text", one_shot, n_buckets=8, positions=True,
+        with_doclen=True,
+    )
+    inc = str(tmp_path / "inc")
+    for i in (0, 1):  # cold-start first append, then a second
+        process_index_batch(
+            df.filter(F.col("doc_id") % 2 == i),
+            inc,
+            n_buckets=8,
+            positions=True,
+            with_doclen=True,
+        )
+
+    def postings_set(root):
+        import glob
+
+        dirs = sorted(glob.glob(f"{root}/bucket=*"))
+        rows = spark.read.parquet(*dirs).collect()
+        return {
+            (r["term"], r["doc_id"], r["tf"], tuple(r["positions"])) for r in rows
+        }
+
+    assert postings_set(inc) == postings_set(one_shot)
+    assert {tuple(r) for r in read_doclen(spark, inc).collect()} == {
+        tuple(r) for r in read_doclen(spark, one_shot).collect()
+    }
+
+
+def test_missing_bucket_dirs_are_absence_proofs(spark, tmp_path):
+    """A query term whose bucket directory was never created must yield
+    empty results, not a read error — and when every query bucket is
+    missing, the typed empty frames come back."""
+    root = str(tmp_path / "sparse")
+    df = spark.createDataFrame([(1, "alpha alpha")], "doc_id long, text string")
+    build_inverted_index(df, "doc_id", "text", root, n_buckets=64, positions=True)
+    # conjunction with a term hashed to a (missing) different bucket
+    hits, _ = search_all_terms(spark, root, ["alpha", "unseenword"], 64)
+    assert hits.count() == 0
+    # all query buckets missing entirely
+    hits, _ = search_all_terms(spark, root, ["unseenword"], 64)
+    assert hits.columns == ["doc_id", "score"] and hits.count() == 0
+    ph, _ = phrase_search(spark, root, ["unseenword", "unseenword"], 64)
+    assert ph.columns == ["doc_id", "n_occurrences"] and ph.count() == 0
