@@ -21,10 +21,12 @@ lists them), per-file row counts (``snapshot_row_count`` answers
 COUNT(*) with zero data pages), and optional per-file Bloom filters
 (``read_version_point`` pins an equality probe to ~1 file on
 hash-scattered keys where min/max can't help). ``expire_versions`` is
-the retention vacuum. At very large file counts a single JSON manifest
-becomes the bottleneck a real table format shards into manifest
-lists — that, multi-writer snapshot isolation, and file-level (not
-full-copy) deltas are the remaining format deltas.
+the retention vacuum; ``snapshot_min_max`` answers MIN/MAX from the
+same stats. ``manifest_shard_files`` shards the manifest into a
+manifest list (per-shard JSON files) so no single metadata file grows
+with the snapshot, and multi-writer snapshot isolation lives in
+operators/transactions.py — leaving file-level (not full-copy) deltas
+as the one remaining format delta.
 
 This is deliberately the poor-man's corner of a lakehouse table
 format: full-copy snapshots, not file-level deltas. The honest
@@ -237,14 +239,8 @@ def _list_parquet_files(fs, jvm, directory: str) -> list[str]:
     return sorted(out)
 
 
-def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
-    """The committed footer-stats manifest of ``v=version`` (None when
-    the snapshot was written without ``stats_cols``)."""
-    mpath = f"{root.rstrip('/')}/v={version}/{MANIFEST_NAME}"
-    fs, hp, _ = _fs(spark, mpath)
-    if not fs.exists(hp):
-        return None
-    stream = fs.open(hp)
+def _read_json(fs, jvm, path: str) -> dict:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
     try:
         data = bytes(stream.readAllBytes())
     finally:
@@ -252,11 +248,49 @@ def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
     return json.loads(data.decode("utf-8"))
 
 
+def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
+    """The committed footer-stats manifest of ``v=version`` (None when
+    the snapshot was written without ``stats_cols``).
+
+    Transparently merges a SHARDED manifest (manifest_version 3: the
+    root ``_manifest.json`` is a manifest LIST naming per-shard JSON
+    files, each carrying a slice of the per-file entries — the
+    Iceberg manifest-list shape that keeps any single metadata file
+    bounded as snapshots grow to millions of files) back into the flat
+    v2 doc shape, so every reader (pruning, blooms, row counts,
+    min/max) is shard-agnostic. The merge is a driver-side JSON pass —
+    O(files) like the flat read; at extreme file counts the shard
+    reads parallelize the same way the footer pass does."""
+    vdir = f"{root.rstrip('/')}/v={version}"
+    mpath = f"{vdir}/{MANIFEST_NAME}"
+    fs, hp, jvm = _fs(spark, mpath)
+    if not fs.exists(hp):
+        return None
+    doc = _read_json(fs, jvm, mpath)
+    if not doc.get("sharded"):
+        return doc
+    merged = {k: v for k, v in doc.items() if k not in ("sharded", "shards")}
+    merged["files"] = {}
+    merged["file_rows"] = {}
+    blooms: dict[str, dict] = {c: {} for c in doc.get("bloom_cols", [])}
+    for shard_name in doc["shards"]:
+        shard = _read_json(fs, jvm, f"{vdir}/{shard_name}")
+        merged["files"].update(shard.get("files", {}))
+        merged["file_rows"].update(shard.get("file_rows", {}))
+        for c, per_file in shard.get("blooms", {}).items():
+            blooms.setdefault(c, {}).update(per_file)
+    if blooms:
+        merged["blooms"] = blooms
+    merged["n_shards"] = len(doc["shards"])
+    return merged
+
+
 def write_version(
     df: DataFrame,
     root: str,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    manifest_shard_files: int | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
     number. With ``stats_cols``, a footer-stats manifest
@@ -273,6 +307,12 @@ def write_version(
     min/max complement for hash-scattered keys). The underscore prefix
     keeps the manifest invisible to plain parquet readers (same
     convention as ``_SUCCESS``), so ``read_version`` is unaffected.
+    With ``manifest_shard_files=N``, a snapshot of more than N files
+    writes a SHARDED manifest — the root doc becomes a manifest LIST
+    naming per-shard JSON files of <= N entries each (the Iceberg
+    manifest-list shape), so no single metadata file grows with the
+    snapshot; readers are shard-agnostic (``manifest`` merges), and
+    the shards stage with the data so the commit stays one rename.
 
     Stage-then-rename: the snapshot is fully written under
     ``root/.staging_vN`` first, then a single atomic rename publishes
@@ -301,23 +341,61 @@ def write_version(
             stats, file_rows = _collect_file_stats(
                 spark, files, list(stats_cols or [])
             )
-            doc = {
-                "manifest_version": 2,
-                "stats_cols": list(stats_cols or []),
-                "files": stats,
-                "file_rows": file_rows,
-            }
-            if bloom_cols:
-                doc["bloom_cols"] = list(bloom_cols)
-                doc["blooms"] = _build_file_blooms(
-                    spark, staging, list(bloom_cols)
-                )
-            payload = json.dumps(doc).encode("utf-8")
-            out = fs.create(Path(f"{staging}/{MANIFEST_NAME}"), True)
-            try:
-                out.write(bytearray(payload))
-            finally:
-                out.close()
+            blooms = (
+                _build_file_blooms(spark, staging, list(bloom_cols))
+                if bloom_cols
+                else None
+            )
+
+            def _write_json(name: str, doc: dict) -> None:
+                out = fs.create(Path(f"{staging}/{name}"), True)
+                try:
+                    out.write(bytearray(json.dumps(doc).encode("utf-8")))
+                finally:
+                    out.close()
+
+            fnames = sorted(stats)
+            if manifest_shard_files and len(fnames) > manifest_shard_files:
+                # Manifest LIST: the root _manifest.json names per-shard
+                # files, each carrying <= manifest_shard_files per-file
+                # entries — no single metadata file grows with the
+                # snapshot. The shards stage WITH the data, so the one
+                # commit rename still publishes everything atomically.
+                shard_names = []
+                for si in range(0, len(fnames), manifest_shard_files):
+                    chunk = fnames[si : si + manifest_shard_files]
+                    sname = f"_manifest-{si // manifest_shard_files:05d}.json"
+                    sdoc = {
+                        "files": {f: stats[f] for f in chunk},
+                        "file_rows": {f: file_rows[f] for f in chunk},
+                    }
+                    if blooms is not None:
+                        sdoc["blooms"] = {
+                            c: {f: per[f] for f in chunk if f in per}
+                            for c, per in blooms.items()
+                        }
+                    _write_json(sname, sdoc)
+                    shard_names.append(sname)
+                doc = {
+                    "manifest_version": 3,
+                    "sharded": True,
+                    "shards": shard_names,
+                    "stats_cols": list(stats_cols or []),
+                }
+                if bloom_cols:
+                    doc["bloom_cols"] = list(bloom_cols)
+                _write_json(MANIFEST_NAME, doc)
+            else:
+                doc = {
+                    "manifest_version": 2,
+                    "stats_cols": list(stats_cols or []),
+                    "files": stats,
+                    "file_rows": file_rows,
+                }
+                if bloom_cols:
+                    doc["bloom_cols"] = list(bloom_cols)
+                    doc["blooms"] = blooms
+                _write_json(MANIFEST_NAME, doc)
         if commit_staged(fs, jvm, root, staging, n):
             return n
         # Lost the race: someone committed v=N between our latest_version
@@ -566,3 +644,44 @@ def snapshot_row_count(
             "commit it with write_version(df, root, stats_cols=[...])"
         )
     return sum(int(n) for n in m["file_rows"].values())
+
+
+def snapshot_min_max(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    version: int | None = None,
+) -> dict[str, tuple]:
+    """Global MIN/MAX per column answered from the manifest's per-file
+    footer stats — zero data pages (the other metadata-only query shape
+    table formats serve). Sound only when EVERY file carries stats for
+    the column, so any file with missing/poisoned stats raises — a
+    metadata answer that silently ignored a file would be wrong, not
+    slow. Raises likewise for an uncovered column or an empty
+    snapshot."""
+    version = _resolve_version(spark, root, version)
+    m = manifest(spark, root, version)
+    if m is None:
+        raise ValueError(
+            f"v={version} under {root} has no {MANIFEST_NAME}: "
+            "commit it with write_version(df, root, stats_cols=[...])"
+        )
+    out: dict[str, tuple] = {}
+    for col in cols:
+        if col not in m["stats_cols"]:
+            raise ValueError(f"manifest of v={version} has no stats for {col!r}")
+        if not m["files"]:
+            raise ValueError(f"v={version} under {root} has no files")
+        lo = hi = None
+        for fname, stats in m["files"].items():
+            rng = (stats or {}).get(col)
+            if rng is None:
+                raise ValueError(
+                    f"file {fname} of v={version} has no footer stats for "
+                    f"{col!r}; a metadata-only MIN/MAX would be unsound"
+                )
+            mn, mx = rng
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        out[col] = (lo, hi)
+    return out

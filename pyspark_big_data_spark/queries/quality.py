@@ -1029,3 +1029,78 @@ def txn_disjoint_rebase_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded manifest + metadata-only MIN/MAX, driver-verified
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = """
+WITH bounds AS (
+    SELECT MIN(c_custkey) AS key_min, MAX(c_custkey) AS key_max,
+           CAST(FLOOR(MAX(c_custkey) / 5.0) AS BIGINT) AS hi
+    FROM customer
+)
+SELECT b.key_min, b.key_max,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(1 AS BIGINT) AS shard_gate,
+       CAST(1 AS BIGINT) AS pruned_gate
+FROM customer c, bounds b
+WHERE c.c_custkey <= b.hi
+GROUP BY b.key_min, b.key_max
+"""
+
+
+@register("sharded_manifest_witness", oracle=_SHARD_ORACLE, driver=False)
+def sharded_manifest_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest LISTS + metadata-only MIN/MAX driver-verified (r11
+    queue; operators/versioned.py): commit a range-clustered customer
+    snapshot whose manifest is SHARDED (manifest_shard_files=2 over 8
+    files -> 4 shard JSONs named by a root manifest list — the Iceberg
+    shape that keeps every metadata file bounded as snapshots grow),
+    then answer THROUGH the sharded manifest: (a) global
+    MIN/MAX(c_custkey) from footer stats with zero data pages
+    (``snapshot_min_max``), and (b) the same narrow range predicate as
+    snapshot_pruned_read_witness via ``read_version_pruned`` — pruning
+    must keep working unchanged across the shard boundary. Gates:
+    ``shard_gate`` = 1 iff the committed manifest really merged from
+    >1 shard, ``pruned_gate`` = 1 iff strictly fewer files than total
+    were selected. DuckDB recomputes MIN/MAX and the pruned aggregate
+    from the raw table, so a shard dropped by the merge (missing
+    files -> wrong min/max AND a wrongly-pruned read), a stale shard,
+    or sharding that silently stopped pruning flips the row red."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        manifest,
+        pruned_file_plan,
+        read_version_pruned,
+        snapshot_min_max,
+        write_version,
+    )
+
+    root = session_tmpdir("sharded_dim_")
+    base = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    hi = base.agg(F.floor(F.max("c_custkey") / 5.0).cast("long")).collect()[0][0]
+    v = write_version(
+        base.repartitionByRange(8, "c_custkey"),
+        root,
+        stats_cols=["c_custkey"],
+        manifest_shard_files=2,
+    )
+    m = manifest(spark, root, v)
+    shard_gate = 1 if m.get("n_shards", 0) > 1 else 0
+    key_min, key_max = snapshot_min_max(spark, root, ["c_custkey"], v)["c_custkey"]
+    _, n_sel, n_total = pruned_file_plan(spark, root, "c_custkey", upper=hi, version=v)
+    pruned = read_version_pruned(spark, root, "c_custkey", upper=hi, version=v)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).select(
+        F.lit(int(key_min)).cast("long").alias("key_min"),
+        F.lit(int(key_max)).cast("long").alias("key_max"),
+        "n_rows",
+        "bal_sum",
+        F.lit(shard_gate).cast("long").alias("shard_gate"),
+        F.lit(1 if n_sel < n_total else 0).cast("long").alias("pruned_gate"),
+    )

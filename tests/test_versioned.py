@@ -298,3 +298,69 @@ def test_derived_chain_reads_pinned_snapshots(spark, tmp_path):
     assert [
         (r["k"], r["x"]) for r in read_version(spark, root, 2).orderBy("k").collect()
     ] == [(1, 11.0), (3, 13.0)]
+
+
+# ---------------------------------------------------------------------------
+# Sharded manifests + metadata-only MIN/MAX
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_manifest_reads_identical_to_flat(spark, tmp_path):
+    """Every manifest consumer (pruning plan, row count, min/max) must
+    return identical answers through a sharded and a flat manifest of
+    the same snapshot."""
+    from pyspark_big_data_spark.operators.versioned import snapshot_min_max
+
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id % 97 AS DOUBLE) AS x")
+    flat_root = str(tmp_path / "flat")
+    shard_root = str(tmp_path / "shard")
+    clustered = df.repartitionByRange(6, "k")
+    write_version(clustered, flat_root, stats_cols=["k"])
+    write_version(
+        clustered, shard_root, stats_cols=["k"], manifest_shard_files=2
+    )
+
+    m = manifest(spark, shard_root, 0)
+    assert m["n_shards"] == 3 and len(m["files"]) == 6
+    assert len(manifest(spark, flat_root, 0)["files"]) == len(m["files"])
+
+    for root in (flat_root, shard_root):
+        _, n_sel, n_total = pruned_file_plan(spark, root, "k", upper=100)
+        assert n_sel < n_total
+        got = {tuple(r) for r in
+               read_version_pruned(spark, root, "k", upper=100).collect()}
+        assert got == {(i, float(i % 97)) for i in range(101)}
+        assert snapshot_row_count(spark, root) == 1000
+        assert snapshot_min_max(spark, root, ["k"])["k"] == (0, 999)
+
+
+def test_sharding_below_threshold_stays_flat(spark, tmp_path):
+    root = str(tmp_path / "small")
+    df = spark.range(0, 10).selectExpr("id AS k")
+    write_version(df.coalesce(2), root, stats_cols=["k"], manifest_shard_files=8)
+    m = manifest(spark, root, 0)
+    assert "n_shards" not in m and m["manifest_version"] == 2
+
+
+def test_min_max_raises_on_uncovered_or_missing_stats(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import snapshot_min_max
+
+    root = str(tmp_path / "mm")
+    df = spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x")
+    write_version(df, root, stats_cols=["k"])
+    with pytest.raises(ValueError, match="no stats for 'x'"):
+        snapshot_min_max(spark, root, ["x"])
+
+
+def test_sharded_blooms_roundtrip(spark, tmp_path):
+    """Bloom point lookups must work through shard boundaries too."""
+    root = str(tmp_path / "sb")
+    df = spark.range(0, 400).selectExpr("id AS k", "id % 7 AS grp")
+    write_version(
+        df.repartition(5, "grp"), root, stats_cols=["k"], bloom_cols=["k"],
+        manifest_shard_files=2,
+    )
+    _, n_sel, n_total = bloom_file_plan(spark, root, "k", 123)
+    assert n_sel < n_total
+    rows = read_version_point(spark, root, "k", 123).collect()
+    assert [(r["k"], r["grp"]) for r in rows] == [(123, 123 % 7)]
