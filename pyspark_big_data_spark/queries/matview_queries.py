@@ -1,0 +1,120 @@
+"""Materialized-view rewrite witnesses (operators/matview.py).
+
+Two registered rows pin BOTH arms of the aggregate navigator:
+
+- ``matview_rollup_orders``: a coarser GROUP BY served from the MV —
+  the ``mv_served`` gate column is 1 only if the rewriter accepted the
+  query AND every input file of the executed plan lives under the MV
+  directory (i.e. the fact table was provably not rescanned). Values
+  are pinned against DuckDB computing the same aggregate DIRECTLY from
+  the base table, so the rewrite must be value-invisible.
+- ``matview_fallback_distinct``: a COUNT(DISTINCT) the MV cannot
+  derive — the navigator must REFUSE the MV (gate 0) and compute from
+  base, pinning the "silently correct, never silently wrong" contract.
+
+MV measure partials are decimal-exact sums, so rolling partials up is
+bit-identical to aggregating base rows (functions/aggregates.py policy).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.io import read_table, session_tmpdir
+from pyspark_big_data_spark.operators.matview import answer_aggregate, create_matview
+from pyspark_big_data_spark.queries.registry import register
+
+_MV_CACHE: dict[str, str] = {}
+
+
+def _orders_mv(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the fine-grained orders MV: grouped by
+    (priority, status, order year), storing the full derivable measure
+    set for o_totalprice."""
+    if sf_dir in _MV_CACHE:
+        return _MV_CACHE[sf_dir]
+    mv_dir = session_tmpdir("orders_mv_")
+    base = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    create_matview(
+        base,
+        mv_dir,
+        group_cols=["o_orderpriority", "o_orderstatus", "o_year"],
+        measures=[
+            ("sum", "o_totalprice"),
+            ("count", None),
+            ("count", "o_totalprice"),
+            ("min", "o_totalprice"),
+            ("max", "o_totalprice"),
+        ],
+    )
+    _MV_CACHE[sf_dir] = mv_dir
+    return mv_dir
+
+
+_ROLLUP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+       MAX(o_totalprice) AS max_price,
+       1 AS mv_served
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("matview_rollup_orders", oracle=_ROLLUP_ORACLE, driver=False)
+def matview_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarser aggregate answered from the MV; fact-scan-free gate."""
+    mv_dir = _orders_mv(spark, sf_dir)
+    df, served = answer_aggregate(
+        spark,
+        mv_dir,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n_orders": ("count", None),
+            "total_price": ("sum", "o_totalprice"),
+            "avg_price": ("avg", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+        base_loader=lambda: read_table(spark, sf_dir, "orders"),
+    )
+    data_prefix = os.path.join(mv_dir, "data")
+    mv_only_scan = served and all(data_prefix in f for f in df.inputFiles())
+    return df.withColumn("mv_served", F.lit(1 if mv_only_scan else 0)).orderBy(
+        "o_orderpriority"
+    )
+
+
+_FALLBACK_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       0 AS mv_served
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("matview_fallback_distinct", oracle=_FALLBACK_ORACLE, driver=False)
+def matview_fallback_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-derivable measure: the navigator must refuse the MV."""
+    from pyspark_big_data_spark.operators.matview import rewrite_aggregate
+
+    mv_dir = _orders_mv(spark, sf_dir)
+    rewritten = rewrite_aggregate(
+        spark, mv_dir, ["o_orderpriority"], {"n_customers": ("count_distinct", "o_custkey")}
+    )
+    refused = rewritten is None  # a distinct count is not re-aggregable from partials
+    base = read_table(spark, sf_dir, "orders")
+    return (
+        base.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .withColumn("mv_served", F.lit(0 if refused else 1))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,102 @@
+"""Materialized-view rewrite semantics (operators/matview.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark_big_data_spark.operators.matview import (
+    answer_aggregate,
+    create_matview,
+    rewrite_aggregate,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "x", 1, 10.0),
+            ("a", "x", 2, None),  # null measure: count(v) != count(*)
+            ("a", "y", 1, 30.0),
+            ("b", "x", 1, 5.0),
+            ("b", "y", 2, 7.0),
+        ],
+        "g1 string, g2 string, g3 int, v double",
+    )
+
+
+def _mv(spark, tmp_path):
+    mv_dir = str(tmp_path / "mv")
+    create_matview(
+        _base(spark),
+        mv_dir,
+        group_cols=["g1", "g2", "g3"],
+        measures=[("sum", "v"), ("count", None), ("count", "v"), ("min", "v"), ("max", "v")],
+    )
+    return mv_dir
+
+
+AGGS = {
+    "n": ("count", None),
+    "n_v": ("count", "v"),
+    "sum_v": ("sum", "v"),
+    "avg_v": ("avg", "v"),
+    "min_v": ("min", "v"),
+    "max_v": ("max", "v"),
+}
+
+
+def test_mv_and_base_arms_agree_exactly(spark, tmp_path):
+    mv_dir = _mv(spark, tmp_path)
+    served_df, served = answer_aggregate(
+        spark, mv_dir, ["g1"], AGGS, base_loader=lambda: _base(spark)
+    )
+    assert served
+    import pyspark.sql.functions as F
+    base_rows = {
+        r["g1"]: r
+        for r in _base(spark)
+        .groupBy("g1")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_v"),
+            F.sum(F.col("v").cast("decimal(30,8)")).cast("double").alias("sum_v"),
+            (F.sum(F.col("v").cast("decimal(30,8)")).cast("double") / F.count("v")).alias("avg_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    mv_rows = {r["g1"]: r for r in served_df.collect()}
+    assert set(mv_rows) == set(base_rows)
+    for k in base_rows:
+        for c in AGGS:
+            assert mv_rows[k][c] == base_rows[k][c], (k, c)
+    # null-measure semantics preserved through the rollup
+    assert mv_rows["a"]["n"] == 3 and mv_rows["a"]["n_v"] == 2
+
+
+def test_rewritten_plan_reads_only_mv_files(spark, tmp_path):
+    mv_dir = _mv(spark, tmp_path)
+    df = rewrite_aggregate(spark, mv_dir, ["g1", "g2"], {"sum_v": ("sum", "v")})
+    files = df.inputFiles()
+    assert files and all(os.path.join(mv_dir, "data") in f for f in files)
+
+
+def test_refusals(spark, tmp_path):
+    mv_dir = _mv(spark, tmp_path)
+    # group col not in the MV grain
+    assert rewrite_aggregate(spark, mv_dir, ["v"], {"n": ("count", None)}) is None
+    # measure never stored
+    assert rewrite_aggregate(spark, mv_dir, ["g1"], {"s": ("sum", "g3")}) is None
+    # non-reaggregable aggregate
+    assert (
+        rewrite_aggregate(spark, mv_dir, ["g1"], {"d": ("count_distinct", "v")}) is None
+    )
+    # fallback arm actually computes from base and flags served=False
+    df, served = answer_aggregate(
+        spark, mv_dir, ["g1"], {"s": ("sum", "g3")},
+        base_loader=lambda: _base(spark),
+    )
+    assert not served
+    rows = {r["g1"]: r["s"] for r in df.collect()}
+    assert rows == {"a": 4.0, "b": 3.0}
