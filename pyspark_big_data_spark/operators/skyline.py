@@ -1,0 +1,95 @@
+"""Distributed skyline (Pareto frontier) operator.
+
+A row is on the skyline iff no other row DOMINATES it: at least as
+good on every criterion and strictly better on at least one ("best
+price/size trade-offs", "non-dominated model checkpoints"). The naive
+formulation is a NOT EXISTS self-join — quadratic, and Spark would
+plan it as a nested-loop. This operator uses the classic two-phase
+distributed skyline (Borzsony/Kossmann/Stocker's BNL applied
+map-side, the standard MR-skyline shape):
+
+1. LOCAL phase: each partition computes its own skyline with a
+   sort-accelerated block-nested-loop inside one Arrow batch stream
+   (mapInPandas; rows sorted by criterion sum so likely dominators are
+   met first — each survivor is compared only against current
+   survivors, O(n * |frontier|) in practice).
+2. GLOBAL phase: the union of local skylines — already reduced from
+   |data| to Σ|local frontiers|, typically orders of magnitude
+   smaller — is gathered to ONE partition and filtered once more with
+   the same kernel.
+
+Correctness of the reduction: dominance is transitive, so any row
+dominated globally is dominated by some row of its OWN partition's
+skyline — local filtering can never drop a global-skyline row.
+
+Equal criterion vectors do not dominate each other (no strict edge),
+so exact ties all survive — matching the SQL NOT EXISTS oracle
+word-for-word.
+
+Scale: phase 1 is embarrassingly parallel and prunes before any
+shuffle; the single-partition phase 2 is safe exactly because
+skylines of low-dimensional criteria are small (the d=2..4 cases this
+engine targets). For high-d skylines that stop pruning, the grid /
+angular-partitioned variants are the known remedy — out of scope here
+and documented rather than half-built.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def _skyline_kernel(pdf: pd.DataFrame, cols: list[str], signs: np.ndarray) -> pd.DataFrame:
+    """Exact skyline of one in-memory block. signs flips minimized
+    criteria so the kernel always maximizes."""
+    if pdf.empty:
+        return pdf
+    x = pdf[cols].to_numpy(dtype=np.float64) * signs
+    # likely dominators first: descending criterion sum
+    order = np.argsort(-x.sum(axis=1), kind="stable")
+    x = x[order]
+    keep_idx: list[int] = []
+    kept: np.ndarray | None = None
+    for i in range(len(x)):
+        if kept is not None:
+            ge = (kept >= x[i]).all(axis=1)
+            gt = (kept > x[i]).any(axis=1)
+            if bool((ge & gt).any()):
+                continue
+        keep_idx.append(i)
+        kept = x[np.array(keep_idx)]
+    return pdf.iloc[order[np.array(keep_idx)]]
+
+
+def skyline(df: DataFrame, criteria: Sequence[tuple[str, str]]) -> DataFrame:
+    """Pareto frontier of ``df`` under ``criteria``: a list of
+    ``(column, 'min'|'max')``. Null criterion values are excluded (a
+    null is incomparable, not infinitely good). Returns the full rows
+    of every non-dominated point, exact ties included."""
+    cols = [c for c, _ in criteria]
+    dirs = [d for _, d in criteria]
+    if not all(d in ("min", "max") for d in dirs):
+        raise ValueError(f"criteria directions must be 'min' or 'max': {dirs}")
+    signs = np.array([1.0 if d == "max" else -1.0 for d in dirs])
+
+    clean = df
+    for c in cols:
+        clean = clean.filter(df[c].isNotNull())
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        block = pd.concat(parts, ignore_index=True)
+        if block.empty:
+            return
+        yield _skyline_kernel(block, cols, signs)
+
+    local = clean.mapInPandas(_local, schema=clean.schema)
+    # Σ|local frontiers| rows — small by construction; one final pass.
+    return local.repartition(1).mapInPandas(_local, schema=clean.schema)

@@ -33,6 +33,11 @@ _PYTHON_OK = {
     "semantic_dedup_multiprobe_np",  # BLAS soft-assignment tier: same Arrow paths
     "kmeans_clusters_np",  # BLAS fast tier: broadcast-centroid mapInPandas
     "embedding_pca_project",  # partial-moments pass is Arrow mapInPandas by design
+    # two-phase distributed skyline: the dominance kernel is an Arrow
+    # mapInPandas block-nested-loop by design (no SQL-expressible
+    # non-quadratic form); phase 1 prunes before any shuffle
+    "skyline_parts_price_size",
+    "skyline_lineitem_3d",
     "ann_topk_ivf_kmeans",  # BLAS IVF over Lloyd cells: mapInPandas by design
     # cross-tier agreement witnesses: each embeds its np tier's Arrow
     # stage next to the exact tier's plan by construction
@@ -126,6 +131,10 @@ _NESTED_LOOP_OK = {
 # so this is the only spelling of a scalar attach.
 _SCALAR_BROADCAST_OK = {
     "bm25_topk",
+    # the (1-row n_docs/sum_dl stats) x (1-row per-term df) attaches of
+    # the index-served ranker — same shape as bm25_topk's, over the
+    # doclen sidecar instead of the corpus scan
+    "bm25_from_index_topk",
     "bigram_fluency",
     # bm25_scored's 1-row stats attach + the 1-row probe-vector attach
     "hybrid_rrf_topk",
