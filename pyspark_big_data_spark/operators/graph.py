@@ -255,3 +255,49 @@ def connected_components_star(
     return nodes.select(F.col(node_col).alias("id")).join(
         roots.select(F.col("u").alias("id"), "component"), "id", "left"
     ).select("id", F.coalesce("component", F.col("id")).alias("component"))
+
+
+def bfs_shortest_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest hops, frontier BFS.
+
+    ``edges`` is a DIRECTED edge list (pass both directions for an
+    undirected graph); ``sources`` one column of start nodes. Returns
+    ``(node, hops)`` for every node reachable within ``max_hops``,
+    sources at 0. Minimality holds by construction — level-synchronous
+    BFS visits each node first at its true distance, and the anti-join
+    against the visited set refuses any later (longer) rediscovery, so
+    no min-reduction over path enumerations is ever needed (that
+    enumeration is exactly what explodes on cyclic graphs).
+
+    Scale shape: per level, ONE equi-join frontier x edges keyed on the
+    src node plus one distinct and one anti-join — all hash-partitioned
+    on node ids; the frontier is localCheckpoint-ed each level (bounded
+    lineage, same policy as the engine's other iterative loops). Total
+    work is O(levels) shuffles over frontier-sized inputs, never the
+    walk count.
+    """
+    visited = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    visited = visited.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    e = edges.select(F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"))
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["e_src"])
+            .select(F.col("e_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.select(F.col("node").alias(node_col), "hops")

@@ -1,0 +1,79 @@
+"""Grid radius join (operators/spatial.py) and frontier BFS
+(operators/graph.py::bfs_shortest_hops) edge semantics. Oracle parity
+pins the registered rows; these tests cover what the fixtures can't:
+negative coordinates, boundary inclusivity, cycles, cutoffs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark_big_data_spark.operators.graph import bfs_shortest_hops
+from pyspark_big_data_spark.operators.spatial import grid_radius_join
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"]) for r in df.collect())
+
+
+def test_radius_join_boundaries_negatives_nulls(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (2, 3.0, 4.0),   # dist 5.0 from 1: exactly on the radius -> kept
+            (3, -0.5, -0.5), # negative coords (floor cell -1): near 1
+            (4, 100.0, 100.0),  # far away
+            (5, None, 1.0),  # null coordinate: excluded
+        ],
+        "id long, x double, y double",
+    )
+    got = _pairs(grid_radius_join(pts, "id", "x", "y", 5.0))
+    # 1-2: dist exactly 5.0 (on the radius, kept); 1-3: 0.707;
+    # 2-3: sqrt(32.5) = 5.70 > 5 (cut); 4 far; 5 null-excluded
+    assert got == [(1, 2), (1, 3)]
+
+
+def test_radius_join_no_duplicate_pairs(spark):
+    # co-located points at a cell corner: every meeting must be unique
+    pts = spark.createDataFrame(
+        [(i, 1.0, 1.0) for i in range(4)], "id long, x double, y double"
+    )
+    out = _pairs(grid_radius_join(pts, "id", "x", "y", 1.0))
+    assert out == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+@pytest.mark.parametrize("n_parts", [1, 5])
+def test_radius_join_matches_bruteforce(spark, n_parts):
+    rng = np.random.default_rng(7)
+    xy = rng.uniform(-10, 10, size=(200, 2))
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)]
+    r = 1.5
+    expected = sorted(
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if np.hypot(xy[i, 0] - xy[j, 0], xy[i, 1] - xy[j, 1]) <= r
+    )
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(n_parts)
+    assert _pairs(grid_radius_join(df, "id", "x", "y", r)) == expected
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_chain_cycle_and_cutoff(spark):
+    # 1 -> 2 -> 3 -> 1 (cycle), 3 -> 4 -> 5, 9 isolated target
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (8, 9)])
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_shortest_hops(e, src, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: cut; 9 unreachable
+    # cycle must not shorten or loop: node 1 stays at 0, nothing revisits
+
+
+def test_bfs_multi_source_takes_min(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 3)])
+    src = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_shortest_hops(e, src, max_hops=4).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}  # 3 claimed at 1 via 10, not 2 via 1
