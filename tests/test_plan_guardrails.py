@@ -38,6 +38,10 @@ _PYTHON_OK = {
     # non-quadratic form); phase 1 prunes before any shuffle
     "skyline_parts_price_size",
     "skyline_lineitem_3d",
+    # runtime-filter pattern: the bloom build (partial bitmaps per
+    # partition) and the fact-side membership probe are vectorized
+    # numpy mapInPandas by design; the exact semi-join stays JVM-side
+    "bloom_semi_join_witness",
     "ann_topk_ivf_kmeans",  # BLAS IVF over Lloyd cells: mapInPandas by design
     # cross-tier agreement witnesses: each embeds its np tier's Arrow
     # stage next to the exact tier's plan by construction
