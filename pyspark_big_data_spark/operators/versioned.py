@@ -604,13 +604,24 @@ def expire_versions(
     committed are swept — ``.staging_vN`` with N <= latest can never
     commit (its rename target exists), so it is guaranteed dead, while
     a live writer's staging dir always targets latest+1 and is left
-    alone. Vacuum therefore never races a writer."""
+    alone. Vacuum therefore never races a writer.
+
+    TAGGED versions are never expired (operators/refs.py): a named pin
+    protects its snapshot from retention, like ref-based retention in
+    the table formats — the vacuum reclaims only unnamed history."""
+    from pyspark_big_data_spark.operators.refs import list_tags
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, hroot, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     versions = list_versions(spark, root)
-    expired = versions[:-keep_last] if len(versions) > keep_last else []
+    protected = set(list_tags(spark, root).values())
+    expired = [
+        n
+        for n in (versions[:-keep_last] if len(versions) > keep_last else [])
+        if n not in protected
+    ]
     for n in expired:
         fs.delete(Path(f"{root.rstrip('/')}/v={n}"), True)
     latest = versions[-1] if versions else -1
