@@ -48,19 +48,7 @@ def _mv_col(agg: str, col: str | None) -> str:
     return f"{agg}_{col}" if col is not None else "count_star"
 
 
-def create_matview(
-    base: DataFrame,
-    mv_dir: str,
-    group_cols: list[str],
-    measures: list[tuple[str, str | None]],
-) -> dict:
-    """Materialize an aggregate view of ``base`` at ``mv_dir``.
-
-    ``measures`` is a list of ``(agg, col)`` with agg in
-    {sum, count, min, max}; ``(count, None)`` is COUNT(*). Returns the
-    descriptor. ``avg`` is intentionally not storable: store the
-    (sum, count) pair instead — the rewriter derives avg from them.
-    """
+def _measure_exprs(measures: list[tuple[str, str | None]]) -> list:
     exprs = []
     for agg, col in measures:
         name = _mv_col(agg, col)
@@ -76,24 +64,106 @@ def create_matview(
             exprs.append(F.max(F.col(col)).alias(name))
         else:
             raise ValueError(f"unsupported MV measure: {agg}({col})")
+    return exprs
 
-    mv = base.groupBy(*group_cols).agg(*exprs)
-    data_dir = os.path.join(mv_dir, "data")
+
+def create_matview(
+    base: DataFrame,
+    mv_dir: str,
+    group_cols: list[str],
+    measures: list[tuple[str, str | None]],
+) -> dict:
+    """Materialize an aggregate view of ``base`` at ``mv_dir``.
+
+    ``measures`` is a list of ``(agg, col)`` with agg in
+    {sum, count, min, max}; ``(count, None)`` is COUNT(*). Returns the
+    descriptor. ``avg`` is intentionally not storable: store the
+    (sum, count) pair instead — the rewriter derives avg from them.
+    """
+    mv = base.groupBy(*group_cols).agg(*_measure_exprs(measures))
+    data_dir = os.path.join(mv_dir, "data_v0")
     mv.write.mode("overwrite").parquet(data_dir)
     desc = {
         "group_cols": list(group_cols),
         "measures": [[agg, col] for agg, col in measures],
+        "data_dir": "data_v0",
+        "refresh_epoch": 0,
     }
+    _publish_descriptor(mv_dir, desc)
+    return desc
+
+
+def _publish_descriptor(mv_dir: str, desc: dict) -> None:
     tmp = os.path.join(mv_dir, f".{_DESCRIPTOR}.tmp")
     with open(tmp, "w") as f:
         json.dump(desc, f)
     os.replace(tmp, os.path.join(mv_dir, _DESCRIPTOR))  # atomic publish
-    return desc
 
 
 def _load_descriptor(mv_dir: str) -> dict:
     with open(os.path.join(mv_dir, _DESCRIPTOR)) as f:
         return json.load(f)
+
+
+def _data_dir(mv_dir: str, desc: dict) -> str:
+    return os.path.join(mv_dir, desc.get("data_dir", "data_v0"))
+
+
+def refresh_incremental(spark: SparkSession, mv_dir: str, delta: DataFrame) -> dict:
+    """Fold an INSERT-ONLY base-table delta into the stored partials.
+
+    Partial-aggregate algebra: decimal sums and counts ADD, min/max
+    take least/greatest — all correct under inserts only (a delete can
+    invalidate a stored min/max, so deleted/updated bases must rebuild
+    with create_matview instead; this function's contract is the
+    append-only fact feed, the overwhelmingly common MV refresh).
+    Groups new in the delta appear; groups untouched keep their
+    partials bit-for-bit (a full-outer join on the group key).
+
+    The refreshed partials land in a NEW epoch directory and the
+    descriptor repoints atomically, so concurrent readers keep a
+    consistent snapshot (single-writer contract, like the engine's
+    other descriptor-swapped artifacts).
+    """
+    desc = _load_descriptor(mv_dir)
+    group_cols = desc["group_cols"]
+    measures = [(a, c) for a, c in desc["measures"]]
+
+    old = spark.read.parquet(_data_dir(mv_dir, desc))
+    new = delta.groupBy(*group_cols).agg(*_measure_exprs(measures))
+
+    o = old.select(*group_cols, *[F.col(_mv_col(a, c)).alias(f"o_{_mv_col(a, c)}") for a, c in measures])
+    n = new.select(*group_cols, *[F.col(_mv_col(a, c)).alias(f"n_{_mv_col(a, c)}") for a, c in measures])
+    joined = o.join(n, group_cols, "full_outer")
+
+    combined = []
+    for agg, col in measures:
+        name = _mv_col(agg, col)
+        a, b = F.col(f"o_{name}"), F.col(f"n_{name}")
+        if agg == "sum":
+            # both-null stays null (a group whose every row has a null
+            # measure must re-aggregate to NULL, not 0)
+            expr = F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+                F.coalesce(a, F.lit(0).cast(_DEC)) + F.coalesce(b, F.lit(0).cast(_DEC))
+            )
+        elif agg == "count":
+            expr = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        elif agg == "min":
+            expr = F.least(a, b)  # null-skipping: smallest non-null
+        elif agg == "max":
+            expr = F.greatest(a, b)
+        else:
+            raise ValueError(f"unsupported MV measure: {agg}({col})")
+        combined.append(expr.alias(name))
+
+    refreshed = joined.select(*group_cols, *combined)
+    epoch = int(desc.get("refresh_epoch", 0)) + 1
+    new_dir = f"data_v{epoch}"
+    refreshed.write.mode("overwrite").parquet(os.path.join(mv_dir, new_dir))
+    desc["data_dir"] = new_dir
+    desc["refresh_epoch"] = epoch
+    _publish_descriptor(mv_dir, desc)
+    return desc
 
 
 def rewrite_aggregate(
@@ -133,7 +203,7 @@ def rewrite_aggregate(
         else:
             return None  # not derivable — must fall back, never approximate
 
-    mv = spark.read.parquet(os.path.join(mv_dir, "data"))
+    mv = spark.read.parquet(_data_dir(mv_dir, desc))
     return mv.groupBy(*group_cols).agg(*exprs)
 
 

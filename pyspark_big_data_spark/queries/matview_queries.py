@@ -84,7 +84,7 @@ def matview_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         base_loader=lambda: read_table(spark, sf_dir, "orders"),
     )
-    data_prefix = os.path.join(mv_dir, "data")
+    data_prefix = os.path.join(mv_dir, "data_v")  # any refresh epoch
     mv_only_scan = served and all(data_prefix in f for f in df.inputFiles())
     return df.withColumn("mv_served", F.lit(1 if mv_only_scan else 0)).orderBy(
         "o_orderpriority"
@@ -117,4 +117,71 @@ def matview_fallback_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
         .withColumn("mv_served", F.lit(0 if refused else 1))
         .orderBy("o_orderpriority")
+    )
+
+
+_REFRESH_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       1 AS mv_served
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("matview_incremental_refresh", oracle=_REFRESH_ORACLE, driver=False)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only incremental MV maintenance: build the MV over the
+    PRE-1997 half of orders only, fold the remaining rows in with
+    refresh_incremental (decimal sums and counts add, min/max take
+    least/greatest — valid because the delta is insert-only), then
+    answer the priority rollup FROM THE REFRESHED PARTIALS. DuckDB
+    aggregates the WHOLE orders table directly, so a group double-
+    counted by the fold, a min/max lost in the full-outer combine, or
+    a delta row missed entirely flips the row red. The mv_served gate
+    additionally pins that the answer came from MV files, not a base
+    rescan."""
+    from pyspark_big_data_spark.operators.matview import refresh_incremental
+
+    split = "1997-01-01"
+    base = read_table(spark, sf_dir, "orders")
+    old = base.filter(F.col("o_orderdate") < split)
+    delta = base.filter(F.col("o_orderdate") >= split)
+
+    mv_dir = session_tmpdir("orders_mv_incr_")
+    create_matview(
+        old.withColumn("o_year", F.year("o_orderdate")),
+        mv_dir,
+        group_cols=["o_orderpriority", "o_orderstatus", "o_year"],
+        measures=[
+            ("sum", "o_totalprice"),
+            ("count", None),
+            ("min", "o_totalprice"),
+            ("max", "o_totalprice"),
+        ],
+    )
+    refresh_incremental(
+        spark, mv_dir, delta.withColumn("o_year", F.year("o_orderdate"))
+    )
+
+    df, served = answer_aggregate(
+        spark,
+        mv_dir,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n_orders": ("count", None),
+            "total_price": ("sum", "o_totalprice"),
+            "min_price": ("min", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+        base_loader=lambda: base,
+    )
+    data_prefix = os.path.join(mv_dir, "data_v")
+    mv_only_scan = served and all(data_prefix in f for f in df.inputFiles())
+    return df.withColumn("mv_served", F.lit(1 if mv_only_scan else 0)).orderBy(
+        "o_orderpriority"
     )

@@ -100,3 +100,41 @@ def test_refusals(spark, tmp_path):
     assert not served
     rows = {r["g1"]: r["s"] for r in df.collect()}
     assert rows == {"a": 4.0, "b": 3.0}
+
+
+def test_incremental_refresh_matches_rebuild(spark, tmp_path):
+    from pyspark_big_data_spark.operators.matview import refresh_incremental
+
+    old = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None), ("c", 5.0)], "g string, v double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 0.5), ("b", None), ("d", 9.0)], "g string, v double"  # d: new group
+    )
+    measures = [("sum", "v"), ("count", None), ("count", "v"), ("min", "v"), ("max", "v")]
+
+    inc_dir = str(tmp_path / "inc")
+    create_matview(old, inc_dir, ["g"], measures)
+    desc = refresh_incremental(spark, inc_dir, delta)
+    assert desc["data_dir"] == "data_v1"  # epoch repointed atomically
+
+    full_dir = str(tmp_path / "full")
+    create_matview(old.unionByName(delta), full_dir, ["g"], measures)
+
+    aggs = {
+        "s": ("sum", "v"),
+        "n": ("count", None),
+        "nv": ("count", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    inc = {r["g"]: r for r in rewrite_aggregate(spark, inc_dir, ["g"], aggs).collect()}
+    full = {r["g"]: r for r in rewrite_aggregate(spark, full_dir, ["g"], aggs).collect()}
+    assert set(inc) == set(full) == {"a", "b", "c", "d"}
+    for g in full:
+        for c in aggs:
+            assert inc[g][c] == full[g][c], (g, c)
+    # the all-null group stays NULL-summed, not zero
+    assert inc["b"]["s"] is None and inc["b"]["n"] == 2 and inc["b"]["nv"] == 0
+    # untouched group keeps its exact partials
+    assert inc["c"]["s"] == 5.0 and inc["c"]["n"] == 1
