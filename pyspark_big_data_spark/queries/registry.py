@@ -171,6 +171,22 @@ DRIVER_EXCLUDED: set[str] = set()
 # price_histogram, rolling_1h_user_value, scd2_customer_priority,
 # semantic_dedup_multiprobe, session_paths, timeseries_gapfill,
 # trade_communities, training_order_shuffle, vocab_heavy_hitters;
+# r11 queue additions (new capabilities landed mid-r9 AFTER the r10
+# surface was frozen; all registered driver=False, each verified
+# bit-exact vs DuckDB at sf0.001 + sf0.01 on a bare-adjacent session
+# the day it landed): sharded_manifest_witness, txn_* (transactions),
+# inverted-index family heads already queued above, plus the r9
+# extension batch: asof_last_purchase_before_click,
+# asof_next_error_after_signup (union+window as-of vs DuckDB native
+# ASOF JOIN), matview_rollup_orders, matview_fallback_distinct,
+# matview_incremental_refresh (aggregate navigator + insert-only
+# refresh), skyline_parts_price_size, skyline_lineitem_3d (two-phase
+# Pareto vs NOT EXISTS), spatial_radius_pairs (grid radius join),
+# bfs_trade_hops (frontier BFS vs RECURSIVE CTE),
+# cdc_apply_changes_witness (sequenced upsert/delete fold),
+# bloom_semi_join_witness (runtime-filter semi-join),
+# snapshot_tag_protected_witness (tag-pinned retention). These slot
+# behind the r10 heads, oldest-first with the r7 re-cycles.
 # then the 29 rows last green r6 (35 minus the 6 permanently rested):
 # ann_topk_ivf_incremental, ann_topk_pq, ann_topk_quantized,
 # ann_topk_truncated, click_purchase_attribution,
