@@ -380,3 +380,71 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "touch_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (time-series downsample to bar aggregates)
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH t AS (
+    SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+), r AS (
+    SELECT bar_ts, value,
+           ROW_NUMBER() OVER (PARTITION BY bar_ts ORDER BY ts, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY bar_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM t
+)
+SELECT bar_ts,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS volume
+FROM r
+GROUP BY bar_ts
+ORDER BY bar_ts
+"""
+
+
+@register("ohlc_purchase_hourly", oracle=_OHLC_ORACLE, driver=False)
+def ohlc_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: hourly purchase-value bars — the canonical
+    time-series resample (ticks -> candles) as ONE partial-aggregable
+    pass, no window sort. open/close are argmin/argmax by (ts,
+    event_id) via the engine's ordered-struct trick (the
+    latest_order_per_customer shape): min/max of
+    struct(ts, event_id, value) pick the first/last event's value with
+    a deterministic tie-break, and struct extrema combine
+    map-side — at 100 TB this shuffles ~n_bars rows, where a
+    row_number-over-window formulation would shuffle and sort every
+    tick. The DuckDB oracle deliberately IS that window formulation
+    (ROW_NUMBER asc/desc over the same (ts, event_id) order) — an
+    independent plan shape for the same argmin/argmax semantics, so a
+    tie-break or struct-comparison bug flips the row. The plan test
+    pins that the Spark side stays aggregate-only (no Window node)."""
+    events = (
+        read_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    first = F.min(F.struct("ts", "event_id", "value")).getField("value")
+    last = F.max(F.struct("ts", "event_id", "value")).getField("value")
+    return (
+        events.groupBy("bar_ts")
+        .agg(
+            first.alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("bar_ts")
+    )

@@ -302,3 +302,14 @@ def test_erasure_audit_joins_all_broadcast(spark, sf_dir):
     df = user_erasure_audit(spark, sf_dir)
     assert_plan_lacks(df, "SortMergeJoin", "ShuffledHashJoin")
     assert_plan_contains(df, "BroadcastHashJoin")
+
+
+def test_ohlc_is_aggregate_only_no_window(spark, sf_dir):
+    """OHLC bars must come from struct-extrema aggregates (shuffles
+    ~n_bars rows), never a per-tick row_number window — the window
+    formulation is the ORACLE's job, not the engine's plan."""
+    from pyspark_big_data_spark.queries.event_windows import ohlc_purchase_hourly
+
+    plan = physical_plan(ohlc_purchase_hourly(spark, sf_dir))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
