@@ -150,3 +150,35 @@ def expectations_report(df: DataFrame, rules) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("rule")
+
+
+def audited_publish(df: DataFrame, root: str, rules, **write_kwargs):
+    """Write-audit-publish: commit ``df`` as the next snapshot version
+    at ``root`` ONLY if the expectation suite passes on the staged
+    bytes (what will actually publish — the audit reads the staging
+    parquet back, so a write-path corruption is caught too, not just a
+    bad logical input). On failure ``versioned.AuditFailed`` is raised
+    with the failing (rule, metric) pairs, the staging dir is deleted,
+    and the version counter does not advance — downstream readers can
+    never observe a snapshot that failed its suite. This is Iceberg's
+    WAP pattern composed from the engine's own seams: the expectations
+    engine evaluates the whole scalar suite in one aggregate pass over
+    the staged data, so the audit costs one extra scan of the snapshot
+    at commit time.
+
+    Returns ``(version, report_rows)`` on success.
+    """
+    from pyspark_big_data_spark.operators.versioned import AuditFailed, write_version
+
+    report_rows: list = []
+
+    def _audit(staged: DataFrame) -> bool:
+        report_rows[:] = expectations_report(staged, rules).collect()
+        return all(r["passed"] for r in report_rows)
+
+    try:
+        n = write_version(df, root, audit=_audit, **write_kwargs)
+    except AuditFailed as e:
+        failed = [(r["rule"], r["metric"]) for r in report_rows if not r["passed"]]
+        raise AuditFailed(f"{e} — failed rules: {failed}") from None
+    return n, report_rows

@@ -285,12 +285,18 @@ def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
     return merged
 
 
+class AuditFailed(RuntimeError):
+    """A write-audit-publish commit was refused by its audit hook; the
+    staged bytes were deleted and NO version was published."""
+
+
 def write_version(
     df: DataFrame,
     root: str,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     manifest_shard_files: int | None = None,
+    audit=None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
     number. With ``stats_cols``, a footer-stats manifest
@@ -325,7 +331,15 @@ def write_version(
     after the rename: the writer owns ``v=N`` only if no nested staging
     dir appeared under it. A race loser on either filesystem deletes
     its bytes (including the nested copy) and retries at N+1, so
-    committed versions are never overwritten or silently dropped."""
+    committed versions are never overwritten or silently dropped.
+
+    With ``audit`` (the write-audit-publish hook), the callback runs
+    on a DataFrame over the STAGED BYTES — what will actually publish,
+    not the logical input — between staging and the commit rename. A
+    falsy return deletes the staging dir and raises ``AuditFailed``;
+    nothing is published and the version counter does not advance. The
+    truthy path proceeds to the normal race-verified rename. (The hook
+    re-runs on a lost-race retry, since the bytes are restaged.)"""
     spark = df.sparkSession
     fs, hroot, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -396,6 +410,14 @@ def write_version(
                     doc["bloom_cols"] = list(bloom_cols)
                     doc["blooms"] = blooms
                 _write_json(MANIFEST_NAME, doc)
+        if audit is not None:
+            spark.catalog.refreshByPath(staging)
+            if not audit(spark.read.parquet(staging)):
+                fs.delete(Path(staging), True)
+                raise AuditFailed(
+                    f"audit refused snapshot targeting v={n} at {root}; "
+                    "staging deleted, nothing published"
+                )
         if commit_staged(fs, jvm, root, staging, n):
             return n
         # Lost the race: someone committed v=N between our latest_version

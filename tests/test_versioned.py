@@ -364,3 +364,57 @@ def test_sharded_blooms_roundtrip(spark, tmp_path):
     assert n_sel < n_total
     rows = read_version_point(spark, root, "k", 123).collect()
     assert [(r["k"], r["grp"]) for r in rows] == [(123, 123 % 7)]
+
+
+def test_write_version_audit_hook(spark, tmp_path):
+    """WAP hook: a refusing audit deletes staging and publishes nothing;
+    a passing audit commits normally; the hook sees STAGED bytes."""
+    import pytest as _pytest
+
+    from pyspark_big_data_spark.operators.versioned import (
+        AuditFailed,
+        latest_version,
+        read_version,
+        write_version,
+    )
+
+    root = str(tmp_path / "wap")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+
+    seen_rows = []
+
+    def good(staged):
+        seen_rows.append(staged.count())
+        return True
+
+    assert write_version(df, root, audit=good) == 0
+    assert seen_rows == [2]  # audited the staged bytes, not a stub
+
+    with _pytest.raises(AuditFailed):
+        write_version(df, root, audit=lambda staged: False)
+    assert latest_version(spark, root) == 0  # counter did not advance
+    import os
+
+    assert not [d for d in os.listdir(root) if d.startswith(".staging_")]
+    # the committed snapshot is untouched by the refused write
+    assert read_version(spark, root, 0).count() == 2
+
+
+def test_audited_publish_reports_failed_rules(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark_big_data_spark.operators.expectations import audited_publish
+    from pyspark_big_data_spark.operators.versioned import AuditFailed
+
+    root = str(tmp_path / "wap2")
+    clean = spark.createDataFrame([(1, 5.0), (2, 6.0)], "k long, x double")
+    n, report = audited_publish(
+        clean, root, [("not_null", "k", "k_nn"), ("bounds", "x", 0.0, 10.0, "x_b")]
+    )
+    assert n == 0 and all(r["passed"] for r in report)
+
+    dirty = spark.createDataFrame([(None, 50.0)], "k long, x double")
+    with _pytest.raises(AuditFailed, match="k_nn"):
+        audited_publish(
+            dirty, root, [("not_null", "k", "k_nn"), ("bounds", "x", 0.0, 10.0, "x_b")]
+        )
