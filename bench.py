@@ -139,6 +139,19 @@ HEADLINE = [
     # pruned read): the data term is dimension-sized, so the row is
     # constant-dominated and flat at 10x (PERFORMANCE.md "Round 9").
     "snapshot_pruned_read_witness",
+    # r9 continuation additions (appended): the extension batch's four
+    # throughput-bearing shapes. asof = one union+window shuffle over
+    # events (zero join nodes); ohlc = one struct-extrema aggregate
+    # pass (no Window); bloom_semi_join = distributed bitmap build +
+    # Arrow membership probe + exact semi-join over lineitem;
+    # skyline_lineitem_3d = the Arrow dominance kernel over the full
+    # fact. Metadata-gated ops (matview/cdc/tags/wap) are
+    # constant-dominated at sf0.1 and live in PERFORMANCE.md's twin
+    # table instead of the bracket.
+    "asof_last_purchase_before_click",
+    "ohlc_purchase_hourly",
+    "bloom_semi_join_witness",
+    "skyline_lineitem_3d",
 ]
 
 

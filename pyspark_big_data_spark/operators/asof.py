@@ -77,7 +77,16 @@ def asof_join(
     q_struct = F.struct(
         F.col(quote_ts).alias("q_ts"), *[F.col(c).alias(f"q_{c}") for c in quote_cols]
     )
-    q_side = quotes.select(*keys, F.col(quote_ts).alias(_TS), q_struct.alias(_QUOTE_STRUCT))
+    # Null-keyed quotes can never equi-match under SQL semantics (null
+    # != null), but window PARTITIONing groups nulls together — drop
+    # them so a null-keyed probe carries nothing, exactly like ASOF
+    # JOIN. Null-keyed probes stay (left semantics) and get null quotes.
+    clean_quotes = quotes
+    for k in keys:
+        clean_quotes = clean_quotes.filter(F.col(k).isNotNull())
+    q_side = clean_quotes.select(
+        *keys, F.col(quote_ts).alias(_TS), q_struct.alias(_QUOTE_STRUCT)
+    )
     struct_type = q_side.schema[_QUOTE_STRUCT].dataType
 
     # Inclusive: the quote must sort before the probe at an equal

@@ -94,3 +94,19 @@ def test_plan_has_window_but_no_join(spark):
     assert "Window" in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop", "CartesianProduct"):
         assert node not in plan, f"as-of join should not plan a {node}"
+
+
+def test_null_keyed_rows_follow_sql_equality(spark):
+    """Null keys never equi-match (SQL three-valued logic): a
+    null-keyed quote matches NO probe, a null-keyed probe carries NO
+    quote — but survives (left semantics), matching ASOF JOIN."""
+    probes = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01 00:00:20")), (2, "k1", _ts("2024-01-01 00:00:20"))],
+        "pid long, k string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(None, _ts("2024-01-01 00:00:10"), 7.0), ("k1", _ts("2024-01-01 00:00:10"), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {r["pid"]: r["q_v"] for r in asof_join(probes, quotes, on=["k"]).collect()}
+    assert out == {1: None, 2: 9.0}
