@@ -163,6 +163,15 @@ def refresh_incremental(spark: SparkSession, mv_dir: str, delta: DataFrame) -> d
     desc["data_dir"] = new_dir
     desc["refresh_epoch"] = epoch
     _publish_descriptor(mv_dir, desc)
+    # Epoch retention: keep the published epoch plus its predecessor
+    # (a reader that resolved the old descriptor may still be scanning
+    # it); everything older is unreachable by any descriptor a live
+    # reader could hold and is reclaimed — same keep-horizon compromise
+    # as versioned.expire_versions.
+    import shutil
+
+    for stale in range(epoch - 1):
+        shutil.rmtree(os.path.join(mv_dir, f"data_v{stale}"), ignore_errors=True)
     return desc
 
 

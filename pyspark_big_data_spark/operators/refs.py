@@ -69,7 +69,14 @@ def create_tag(
         raise ValueError(f"tag {name!r} already exists at {root}")
     fs.mkdirs(Path(_refs_root(root)))
     doc = {"version": int(version), "note": note}
-    staging = f"{_refs_root(root)}/.staging_{name}.json"
+    # writer-unique staging: with a SHARED staging name, two racing
+    # creators of the same tag could interleave (A stages v1, B
+    # overwrites the staging file with v2, A renames) and publish one
+    # writer's doc under the other's success — uniqueness confines the
+    # race to the rename, where first-writer-wins is enforced
+    import uuid
+
+    staging = f"{_refs_root(root)}/.staging_{name}.{uuid.uuid4().hex[:12]}.json"
     out = fs.create(Path(staging), True)
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))

@@ -138,3 +138,22 @@ def test_incremental_refresh_matches_rebuild(spark, tmp_path):
     assert inc["b"]["s"] is None and inc["b"]["n"] == 2 and inc["b"]["nv"] == 0
     # untouched group keeps its exact partials
     assert inc["c"]["s"] == 5.0 and inc["c"]["n"] == 1
+
+
+def test_refresh_epoch_retention(spark, tmp_path):
+    """Repeated refreshes keep only the live epoch + its predecessor."""
+    import os
+
+    from pyspark_big_data_spark.operators.matview import refresh_incremental
+
+    mv_dir = str(tmp_path / "ret")
+    base = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    create_matview(base, mv_dir, ["g"], [("sum", "v"), ("count", None)])
+    for _ in range(3):
+        refresh_incremental(
+            spark, mv_dir, spark.createDataFrame([("a", 1.0)], "g string, v double")
+        )
+    epochs = sorted(d for d in os.listdir(mv_dir) if d.startswith("data_v"))
+    assert epochs == ["data_v2", "data_v3"]  # predecessor kept, older reclaimed
+    got = rewrite_aggregate(spark, mv_dir, ["g"], {"s": ("sum", "v")}).collect()
+    assert got[0]["s"] == 4.0  # 1 base + 3 refreshes
