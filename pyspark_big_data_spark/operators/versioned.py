@@ -718,3 +718,33 @@ def snapshot_min_max(
             hi = mx if hi is None else max(hi, mx)
         out[col] = (lo, hi)
     return out
+
+
+def snapshot_history(spark: SparkSession, root: str) -> list[dict]:
+    """DESCRIBE HISTORY for a versioned dataset: one dict per committed
+    version — version number, file count, manifest row count (None for
+    manifest-less snapshots), and whether a footer-stats manifest is
+    present — assembled from version listings + manifests only (zero
+    data pages, zero Spark jobs). This is the audit-surface every table
+    format exposes; tags from operators/refs.py give versions names,
+    this gives them shapes."""
+    fs, _, jvm = _fs(spark, root)
+    out = []
+    for v in list_versions(spark, root):
+        vdir = f"{root.rstrip('/')}/v={v}"
+        n_files = len(_list_parquet_files(fs, jvm, vdir))
+        m = manifest(spark, root, v)
+        n_rows = (
+            sum(int(n) for n in m["file_rows"].values())
+            if m is not None and "file_rows" in m
+            else None
+        )
+        out.append(
+            {
+                "version": v,
+                "n_files": n_files,
+                "n_rows": n_rows,
+                "has_manifest": m is not None,
+            }
+        )
+    return out

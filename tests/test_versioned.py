@@ -418,3 +418,21 @@ def test_audited_publish_reports_failed_rules(spark, tmp_path):
         audited_publish(
             dirty, root, [("not_null", "k", "k_nn"), ("bounds", "x", 0.0, 10.0, "x_b")]
         )
+
+
+def test_snapshot_history_metadata_only(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import (
+        snapshot_history,
+        write_version,
+    )
+
+    root = str(tmp_path / "hist")
+    a = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    write_version(a, root, stats_cols=["k"])
+    write_version(a.limit(4), root)  # no manifest: n_rows unknown, not guessed
+
+    hist = snapshot_history(spark, root)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["n_rows"] == 10 and hist[0]["has_manifest"]
+    assert hist[0]["n_files"] > 0
+    assert hist[1]["n_rows"] is None and not hist[1]["has_manifest"]
