@@ -185,7 +185,13 @@ DRIVER_EXCLUDED: set[str] = set()
 # bfs_trade_hops (frontier BFS vs RECURSIVE CTE),
 # cdc_apply_changes_witness (sequenced upsert/delete fold),
 # bloom_semi_join_witness (runtime-filter semi-join),
-# snapshot_tag_protected_witness (tag-pinned retention). These slot
+# snapshot_tag_protected_witness (tag-pinned retention),
+# wap_publish_witness (expectation-gated commits),
+# ohlc_purchase_hourly (struct-extrema bars),
+# matview_incremental_refresh, snapshot_history_witness,
+# price_histogram_equidepth, sorted_export_witness. All 17 were also
+# re-verified on a BARE session (driver-style, no repo confs) at
+# sf0.01 — string-exact vs DuckDB — before round end. These slot
 # behind the r10 heads, oldest-first with the r7 re-cycles.
 # then the 29 rows last green r6 (35 minus the 6 permanently rested):
 # ann_topk_ivf_incremental, ann_topk_pq, ann_topk_quantized,
