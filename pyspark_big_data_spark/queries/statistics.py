@@ -412,3 +412,143 @@ def approx_quantile_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gate = F.when((F.col("_okmin") == 1) & (F.col("n_checks") > 0), 1).otherwise(0)
     return agg.select("n_checks", gate.cast("long").alias("gate_ok"))
+
+
+# ---------------------------------------------------------------------------
+# Decimal-exact Pearson correlation (per segment)
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH j AS (
+    SELECT c.c_mktsegment AS segment,
+           c.c_acctbal AS x, o.o_totalprice AS y
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), m AS (
+    SELECT segment,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM j GROUP BY segment
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS pearson_r
+FROM m
+ORDER BY segment
+"""
+
+
+@register("price_balance_correlation", oracle=_CORR_ORACLE, driver=False)
+def price_balance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r between customer balance and order price, per segment.
+
+    Spark has F.corr, but its streaming-moment implementation sums
+    doubles in partition order — nondeterministic run-to-run and
+    engine-to-engine. The engine's shape instead: the five raw moments
+    as DECIMAL(38,12)-exact sums (order-independent, one aggregate
+    pass), then ONE fixed-order double expression — the same policy as
+    the z-score and PageRank rows, giving a bit-stable r that DuckDB
+    reproduces term for term."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    dec = "decimal(38,12)"
+    m = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "segment",
+        n.cast("long").alias("n_pairs"),
+        F.round(r, 9).alias("pearson_r"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# MAD (median absolute deviation) robust outliers per event type
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    WHERE e.value IS NOT NULL
+), mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_values,
+       CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.0 * m2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(ANY_VALUE(d.med), 6) AS med,
+       ROUND(ANY_VALUE(m2.mad), 6) AS mad
+FROM dev d JOIN mad m2 ON m2.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("value_mad_outliers", oracle=_MAD_ORACLE, driver=False)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census: |v - median| > 3 * MAD per event type.
+
+    The z-score row (value_zscore_by_type) is mean/std — one wild
+    value inflates its own yardstick. MAD is the robust twin: two
+    grouped EXACT percentile passes (Spark `percentile` == DuckDB
+    quantile_cont, the parity price_percentiles pins) with the
+    group-level medians broadcast-joined back onto the fact — never a
+    per-row window over the whole table. At 100 TB both passes become
+    percentile_approx with the same plan shape."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
