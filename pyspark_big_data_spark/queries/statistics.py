@@ -552,3 +552,77 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometric mean per group: decimal-exact tier + GROUPED_AGG pandas tier
+# ---------------------------------------------------------------------------
+
+_GEO_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(ln(o_totalprice), 9) AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS log_geomean
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("geomean_price_by_priority", oracle=_GEO_ORACLE, driver=False)
+def geomean_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-space geometric mean of order prices per priority.
+
+    Kept in LOG SPACE on purpose: exp() is a libm call whose last ulp
+    differs between the JVM and C runtimes, while the engine's
+    9dp-rounded-ln + decimal-exact-sum device (the DSIR rows' policy)
+    makes the log mean bit-stable across engines. The Arrow
+    GROUPED_AGG twin below exercises the remaining cell of the UDF
+    surface matrix and is agreement-gated against this tier in
+    pytest."""
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    lg = F.round(F.log(F.col("o_totalprice")), 9).cast("decimal(38,12)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                (F.sum(lg).cast("double") / F.count(F.lit(1))), 6
+            ).alias("log_geomean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("geomean_price_grouped_agg_udf", driver=False)
+def geomean_price_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF twin of geomean_price_by_priority — the
+    one UDF shape the engine had not yet exercised (scalar udf, pandas
+    scalar, SQL udf, UDTF, mapInPandas, applyInPandas(+WithState) all
+    have rows). The aggregation runs as Arrow batches per group with
+    numpy doing the mean; float64 summation order makes it a rows-only
+    tier (no bit-exact SQL twin), agreement-gated against the
+    decimal-exact oracled tier in tests/test_udf_surface.py — the same
+    policy as every BLAS fast tier."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed EXPLICITLY: this module's `from __future__
+    # import annotations` stringifies signatures, which defeats
+    # pandas_udf's annotation-based GROUPED_AGG inference.
+    def _log_geomean(prices):
+        import numpy as np
+
+        return float(np.log(prices.to_numpy(np.float64)).round(9).mean())
+
+    log_geomean = pandas_udf(_log_geomean, "double", PandasUDFType.GROUPED_AGG)
+
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    # a GROUPED_AGG UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the tier emits only the UDF
+    # measure; the agreement test compares it against the oracled tier
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(log_geomean(F.col("o_totalprice")), 6).alias("log_geomean"))
+        .orderBy("o_orderpriority")
+    )

@@ -58,6 +58,11 @@ def test_every_query_has_oracle_or_is_flagged():
         # same float64-vs-decimal reasoning; agreement vs the oracled
         # exact tiers asserted in tests/test_clustering.py.
         "semantic_dedup_np",
+        # GROUPED_AGG pandas-UDF tier of the ORACLED
+        # geomean_price_by_priority: numpy float64 log means have no
+        # bit-exact SQL twin; 6dp agreement gate in
+        # tests/test_udf_surface.py.
+        "geomean_price_grouped_agg_udf",
         "semantic_dedup_multiprobe_np",
         "kmeans_clusters_np",
         # Lloyd float argmin cells have no bit-exact SQL twin at the
