@@ -191,8 +191,9 @@ DRIVER_EXCLUDED: set[str] = set()
 # matview_incremental_refresh, snapshot_history_witness,
 # price_histogram_equidepth, sorted_export_witness,
 # price_balance_correlation, value_mad_outliers,
-# geomean_price_by_priority (+ its rows-only GROUPED_AGG twin). All
-# 20 oracled rows were also
+# geomean_price_by_priority (+ its rows-only GROUPED_AGG twin),
+# surrogate_keys_customers. All
+# 21 oracled rows were also
 # re-verified on a BARE session (driver-style, no repo confs) at
 # sf0.01 — string-exact vs DuckDB — before round end. These slot
 # behind the r10 heads, oldest-first with the r7 re-cycles.

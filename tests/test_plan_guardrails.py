@@ -42,6 +42,10 @@ _PYTHON_OK = {
     # partition) and the fact-side membership probe are vectorized
     # numpy mapInPandas by design; the exact semi-join stays JVM-side
     "bloom_semi_join_witness",
+    # distributed zipWithIndex: the per-partition offset numbering pass
+    # is mapInPandas by design — the whole point is avoiding the
+    # single-partition Window a global row_number would plan
+    "surrogate_keys_customers",
     "ann_topk_ivf_kmeans",  # BLAS IVF over Lloyd cells: mapInPandas by design
     # cross-tier agreement witnesses: each embeds its np tier's Arrow
     # stage next to the exact tier's plan by construction
