@@ -271,3 +271,92 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "n_nulls", "n_distinct", "min_val", "max_val")
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-in-state: duration-weighted rollup over the SCD2 history
+# ---------------------------------------------------------------------------
+
+_TIS_ORACLE = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           LAG(o_orderpriority) OVER w AS prev_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), marked AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           SUM(CASE WHEN prev_priority IS NULL
+                      OR prev_priority <> o_orderpriority THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS version
+    FROM ordered
+), versions AS (
+    SELECT o_custkey AS c_custkey, version, o_orderpriority AS priority,
+           MIN(o_orderdate) AS valid_from_ts
+    FROM marked GROUP BY 1, 2, 3
+), intervals AS (
+    SELECT c_custkey, priority, valid_from_ts,
+           LEAD(valid_from_ts) OVER (
+               PARTITION BY c_custkey ORDER BY version) AS valid_to_ts
+    FROM versions
+)
+SELECT priority,
+       COUNT(*) AS n_closed_versions,
+       CAST(SUM(date_diff('day', CAST(valid_from_ts AS DATE),
+                          CAST(valid_to_ts AS DATE))) AS BIGINT) AS total_days
+FROM intervals
+WHERE valid_to_ts IS NOT NULL
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("priority_time_in_state", oracle=_TIS_ORACLE, driver=False)
+def priority_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total days customers spent in each priority state.
+
+    The duration-weighted rollup over the SCD2 history — "how long was
+    the fleet in state X", the temporal-warehouse question
+    point-in-time lookups can't answer. Reuses scd2_customer_priority's
+    two-window derivation (one c_custkey shuffle+sort), keeps only
+    CLOSED intervals (an open interval has no defined duration — the
+    honest choice, mirrored by the oracle's valid_to IS NOT NULL), and
+    sums whole-day interval lengths as integers (datediff on DATE
+    boundaries — exact in both engines, no float duration math)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = orders.withColumn("prev", F.lag("o_orderpriority").over(w)).withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    versions = marked.groupBy("o_custkey", "version", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("valid_from_ts")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("version")
+    intervals = versions.withColumn(
+        "valid_to_ts", F.lead("valid_from_ts").over(w2)
+    ).filter(F.col("valid_to_ts").isNotNull())
+    return (
+        intervals.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_closed_versions"),
+            F.sum(
+                F.datediff(
+                    F.col("valid_to_ts").cast("date"),
+                    F.col("valid_from_ts").cast("date"),
+                )
+            )
+            .cast("long")
+            .alias("total_days"),
+        )
+        .orderBy("priority")
+    )
