@@ -192,8 +192,9 @@ DRIVER_EXCLUDED: set[str] = set()
 # price_histogram_equidepth, sorted_export_witness,
 # price_balance_correlation, value_mad_outliers,
 # geomean_price_by_priority (+ its rows-only GROUPED_AGG twin),
-# surrogate_keys_customers, priority_time_in_state. All
-# 22 oracled rows were also
+# surrogate_keys_customers, priority_time_in_state,
+# pseudonymize_referential_witness. All
+# 23 oracled rows were also
 # re-verified on a BARE session (driver-style, no repo confs) at
 # sf0.01 — string-exact vs DuckDB — before round end. These slot
 # behind the r10 heads, oldest-first with the r7 re-cycles.
