@@ -70,7 +70,10 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = list(on)
     quote_cols = [c for c in quotes.columns if c not in keys and c != quote_ts]
-    probe_cols = [c for c in probes.columns if c not in keys]
+    # probe_ts is re-added from _TS in the final select, so it must be
+    # excluded here or the result carries the probe timestamp twice and
+    # any downstream reference hits AMBIGUOUS_REFERENCE.
+    probe_cols = [c for c in probes.columns if c not in keys and c != probe_ts]
 
     # The full quote payload (its timestamp + every non-key column) as a
     # single struct so the carry is row-atomic.
@@ -81,7 +84,10 @@ def asof_join(
     # != null), but window PARTITIONing groups nulls together — drop
     # them so a null-keyed probe carries nothing, exactly like ASOF
     # JOIN. Null-keyed probes stay (left semantics) and get null quotes.
-    clean_quotes = quotes
+    # Null-TIMESTAMP quotes are dropped for the same reason: a SQL
+    # inequality against NULL never matches, but a null ts would sort
+    # first under asc-nulls-first and be carried as a bogus "match".
+    clean_quotes = quotes.filter(F.col(quote_ts).isNotNull())
     for k in keys:
         clean_quotes = clean_quotes.filter(F.col(k).isNotNull())
     q_side = clean_quotes.select(
@@ -117,7 +123,10 @@ def asof_join(
 
     out = (
         p_side.union(q_side.select(*p_side.columns))  # positions aligned above
-        .withColumn(_QUOTE_STRUCT, carried)
+        # A null-ts probe can never satisfy the inequality either (it
+        # would sort last under desc-nulls-last in forward mode and pick
+        # up a quote): keep the row (left semantics) but void the carry.
+        .withColumn(_QUOTE_STRUCT, F.when(F.col(_TS).isNotNull(), carried))
         .filter(F.col(_SIDE) == probe_rank)
     )
     if tolerance_secs is not None:

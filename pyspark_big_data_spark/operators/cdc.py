@@ -34,32 +34,48 @@ def resolve_changes(
     key: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    check_unique: bool = True,
 ) -> DataFrame:
     """Collapse a change log to one winning event per key.
 
     Returns one row per key with the winner's op and payload columns
     (payload is null-padded for deletes if the log carries nulls
-    there). Raises on duplicate (key, seq)."""
-    dup = (
-        changes.groupBy(key, seq_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"change log has {dup} duplicate (key, seq) pair(s) — "
-            "tie order between ops is undefined"
-        )
+    there). Raises when the WINNING sequence number of any key is
+    ambiguous (two events share it) — the tie that would make the fold
+    nondeterministic. The guard is folded into the winner aggregation
+    itself (r9 advice item): a per-row id rides along and the same
+    group-by also takes max(struct(seq, +id)) and max(struct(seq, -id));
+    the two agree on the id iff the top seq is unique, so the check
+    costs TWO extra tiny agg buffers, not a second shuffle-and-scan of
+    the 100 TB log. ``check_unique=False`` skips it (and the eager
+    materialization it requires) for pre-validated feeds.
+    """
     payload = [c for c in changes.columns if c not in (key, seq_col)]
-    m = changes.groupBy(key).agg(
-        F.max(F.struct(F.col(seq_col), *[F.col(c) for c in payload])).alias("_w")
-    )
-    return m.select(
+    winner = F.max(F.struct(F.col(seq_col), *[F.col(c) for c in payload])).alias("_w")
+    out_cols = [
         key,
         F.col(f"_w.{seq_col}").alias(seq_col),
         *[F.col(f"_w.{c}").alias(c) for c in payload],
+    ]
+    if not check_unique:
+        return changes.groupBy(key).agg(winner).select(*out_cols)
+
+    tagged = changes.withColumn("_rid", F.monotonically_increasing_id())
+    m = tagged.groupBy(key).agg(
+        winner,
+        F.max(F.struct(F.col(seq_col).alias("s"), F.col("_rid").alias("r"))).alias("_hi"),
+        F.max(F.struct(F.col(seq_col).alias("s"), (-F.col("_rid")).alias("r"))).alias("_lo"),
     )
+    # one log pass materializes the per-key winners; the tie probe and
+    # the returned select both read this small pinned frame
+    m = m.localCheckpoint(eager=True)
+    ties = m.filter(F.col("_hi.r") != -F.col("_lo.r")).count()
+    if ties:
+        raise ValueError(
+            f"change log has an ambiguous winning (key, seq) for {ties} key(s) — "
+            "tie order between ops is undefined"
+        )
+    return m.select(*out_cols)
 
 
 def apply_changes(

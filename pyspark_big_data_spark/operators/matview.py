@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -132,9 +133,28 @@ def refresh_incremental(spark: SparkSession, mv_dir: str, delta: DataFrame) -> d
     old = spark.read.parquet(_data_dir(mv_dir, desc))
     new = delta.groupBy(*group_cols).agg(*_measure_exprs(measures))
 
-    o = old.select(*group_cols, *[F.col(_mv_col(a, c)).alias(f"o_{_mv_col(a, c)}") for a, c in measures])
-    n = new.select(*group_cols, *[F.col(_mv_col(a, c)).alias(f"n_{_mv_col(a, c)}") for a, c in measures])
-    joined = o.join(n, group_cols, "full_outer")
+    # Null-SAFE group-key equality: groupBy treats NULL as one group,
+    # but a plain equi-join would never match it, so a null-keyed group
+    # would accumulate one extra partial row per refresh instead of
+    # folding (r9 advice item). eqNullSafe + coalesced key columns keep
+    # the "untouched groups bit-for-bit, touched groups fold once"
+    # invariant for null keys too.
+    o = old.select(
+        *[F.col(c).alias(f"go_{c}") for c in group_cols],
+        *[F.col(_mv_col(a, c)).alias(f"o_{_mv_col(a, c)}") for a, c in measures],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"gn_{c}") for c in group_cols],
+        *[F.col(_mv_col(a, c)).alias(f"n_{_mv_col(a, c)}") for a, c in measures],
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"go_{c}").eqNullSafe(F.col(f"gn_{c}")) for c in group_cols],
+    )
+    joined = o.join(n, cond, "full_outer")
+    group_exprs = [
+        F.coalesce(F.col(f"go_{c}"), F.col(f"gn_{c}")).alias(c) for c in group_cols
+    ]
 
     combined = []
     for agg, col in measures:
@@ -156,7 +176,7 @@ def refresh_incremental(spark: SparkSession, mv_dir: str, delta: DataFrame) -> d
             raise ValueError(f"unsupported MV measure: {agg}({col})")
         combined.append(expr.alias(name))
 
-    refreshed = joined.select(*group_cols, *combined)
+    refreshed = joined.select(*group_exprs, *combined)
     epoch = int(desc.get("refresh_epoch", 0)) + 1
     new_dir = f"data_v{epoch}"
     refreshed.write.mode("overwrite").parquet(os.path.join(mv_dir, new_dir))

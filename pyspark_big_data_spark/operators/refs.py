@@ -68,24 +68,35 @@ def create_tag(
     if fs.exists(Path(target)):
         raise ValueError(f"tag {name!r} already exists at {root}")
     fs.mkdirs(Path(_refs_root(root)))
-    doc = {"version": int(version), "note": note}
+    import uuid
+
+    nonce = uuid.uuid4().hex
+    doc = {"version": int(version), "note": note, "writer": nonce}
     # writer-unique staging: with a SHARED staging name, two racing
     # creators of the same tag could interleave (A stages v1, B
     # overwrites the staging file with v2, A renames) and publish one
     # writer's doc under the other's success — uniqueness confines the
-    # race to the rename, where first-writer-wins is enforced
-    import uuid
-
-    staging = f"{_refs_root(root)}/.staging_{name}.{uuid.uuid4().hex[:12]}.json"
+    # race to the rename
+    staging = f"{_refs_root(root)}/.staging_{name}.{nonce[:12]}.json"
     out = fs.create(Path(staging), True)
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
         out.close()
-    # file-onto-file rename: fails (returns false) if target appeared —
-    # first writer wins, loser's staging is removed
+    # file-onto-file rename: on HDFS/object stores this fails (returns
+    # false) if the target appeared — first writer wins. On
+    # RawLocalFileSystem, rename delegates to POSIX rename(2), which
+    # SILENTLY OVERWRITES an existing file (r9 advice item) — so the
+    # rename's return value alone can't arbitrate the race there.
+    # Read-back verification closes it: each writer stamps a unique
+    # nonce into its doc and only claims success if the published tag
+    # still carries ITS nonce after the rename. A loser whose pin was
+    # overwritten sees the winner's nonce and raises.
     if not fs.rename(Path(staging), Path(target)):
         fs.delete(Path(staging), False)
+        raise ValueError(f"tag {name!r} was created concurrently at {root}")
+    published = _read_json(fs, jvm, target)
+    if published.get("writer") != nonce:
         raise ValueError(f"tag {name!r} was created concurrently at {root}")
     return doc
 

@@ -212,6 +212,47 @@ DRIVER_EXCLUDED: set[str] = set()
 # table_profile, token_freq_cms, trade_pagerank,
 # training_order_curriculum — 16 + 29 = 45 ~ the available re-cycle
 # slots, leaving the 26 r7 rows for r11.
+#
+# r10 rotation (this round): the frozen surface above is EXECUTED
+# as-is — 5 heads (zorder_pruned_read_witness,
+# bloom_point_lookup_witness, backfill_partition_witness,
+# streaming_exactly_once_sink_witness, expectations_report_orders)
+# + the 16 r5-stale + the 29 r6-stale re-cycles = 50 exactly.
+# ROTATE_IN / ROTATE_OUT below encode it mechanically.
+#
+# r11 POLICY (the arithmetic the r9 verdict asked to settle, decided
+# NOW): candidates = 29 never-green oracled rows carried from r9
+# (asof_*, matview_*, skyline_*, spatial/bfs/cdc/bloom-semi-join,
+# snapshot tags/WAP/history/manifest/txn, inverted-index family,
+# statistics/surrogate/sorted-export/pseudonymize/time-in-state/ohlc)
+# + any NEW r10 registrations (driver=False, appended to this queue
+# as they land — see "r10 new capabilities" below) + the 26 r7-stale
+# rows. r11 goes HEADS-HEAVY: every never-green row takes a slot
+# first (a first CORRECTNESS row is worth more than a 4th re-cycle),
+# the remaining slots fill with r7-stale rows OLDEST-REGISTERED-
+# FIRST, and the overflow r7 rows are EXPLICITLY WAIVED to r12 —
+# aging to 5 rounds, one past the 4-round target, accepted because
+# each waived row (a) stayed green in the full pytest suite every
+# round and (b) has a same-family row green in r9–r11. With the 3
+# new r10 registrations (snapshot_compaction_witness,
+# delete_vector_read_witness, price_histogram_equidepth_sampled)
+# the split is 32 heads + 18 r7 re-cycles; the 8 waived-to-r12 rows
+# are the low-risk agreement/quirk/sibling twins:
+# semantic_dedup_np_agreement, json_typed_agreement,
+# brp_lsh_ml_witness, minhash_ml_witness (agreement twins whose
+# primary rows cycle green), q1_top_months_string_slice,
+# q2_event_time_bins (quirk twins of the r8/r9-green q1/q2 rows),
+# multimodal_frame_sample, multimodal_audio_resample (siblings of
+# multimodal_real_decode, which keeps its r11 slot). r12 then takes
+# those 8 + 42 oldest r8-green rows — back on the 4-round cadence.
+#
+# r10 new capabilities (registered driver=False this round, queued
+# as r11 heads): snapshot_compaction_witness (OPTIMIZE bin-pack of a
+# versioned snapshot preserving manifests/tags/pruning),
+# delete_vector_read_witness (merge-on-read keyed deletes: tombstone
+# sidecar + read-time anti-join), price_histogram_equidepth_sampled
+# (the 100 TB-safe sampled equi-depth variant behind the exact NTILE
+# row).
 
 # Superseded variants OUT OF THE CYCLING POOL for good (see the policy
 # amendment above); structurally excluded from the driver surface in
@@ -235,70 +276,125 @@ PERMANENT_REST: set[str] = {
     "q4_avg_distance_geodesic",  # behind the haversine-delta gate (D1)
 }
 ROTATE_IN: set[str] = {
-    # the 5 r9 queue heads — registered driver=False in r8 (the surface
-    # was full), un-excluded here to take their first CORRECTNESS rows.
-    # The 44 r4-stale re-cycles are driver=True registrations and rejoin
-    # the surface simply by NOT appearing in ROTATE_OUT below;
-    # snapshot_pruned_read_witness (new r9) is driver=True at
-    # registration and takes its slot automatically.
-    "salted_skew_join",
-    "schema_evolution_read",
-    "snapshot_time_travel_witness",
-    "streaming_hh_replay_witness",
-    "streaming_ingest_replay_witness",
+    # r10: the 32 members of the frozen r10 surface that were
+    # registered driver=False (the 5 r10 heads — zorder /
+    # bloom-point / backfill / exactly-once sink / expectations —
+    # plus the r5/r6-stale re-cycles that entered the catalog as
+    # driver=False registrations). The other 18 surface rows are
+    # driver=True registrations that rejoin simply by NOT appearing
+    # in ROTATE_OUT below. Surface = 5 heads + 16 r5-stale +
+    # 29 r6-stale = 50 exactly (frozen in the r9 queue comment).
+    "ann_topk_pq",
+    "ann_topk_truncated",
+    "backfill_partition_witness",
+    "bloom_point_lookup_witness",
+    "click_purchase_attribution",
+    "contrastive_triplets_ivf",
+    "corpus_datasheet",
+    "customers_without_orders",
+    "dedup_clusters_incremental",
+    "dedup_soft_weights",
+    "doc_embed_hash",
+    "doc_embed_lsh_near_dup",
+    "dup_span_extract",
+    "expectations_report_orders",
+    "hybrid_rerank_topk",
+    "jaccard_prefix_pairs",
+    "json_props_variant",
+    "multimodal_feature_extract",
+    "q3_segment_profile_bottom",
+    "q4_avg_distance_sql_udf",
+    "quality_classifier_score",
+    "rollup_lineitem_status",
+    "semantic_dedup_multiprobe",
+    "sliding_window_agg",
+    "split_assign_from_map",
+    "split_leakage_audit",
+    "streaming_exactly_once_sink_witness",
+    "token_freq_cms",
+    "training_order_curriculum",
+    "training_order_shuffle",
+    "vocab_heavy_hitters",
+    "zorder_pruned_read_witness",
 }
 ROTATE_OUT: set[str] = {
-    # every r8-green driver=True row rests this round (each family's
-    # most recent CORRECTNESS row is r8, i.e. 1 round old) together
-    # with the r5-r7 resting rows still queued for r10/r11 — the whole
-    # surface goes to the 5 heads + the 44 r4-stale re-cycles + the new
-    # pruning witness. The np-agreement twins listed here are ALSO in
-    # PERMANENT_REST (structural; kept here so this set remains the
-    # complete per-round rest list).
+    # r10: every registered driver=True row NOT in the frozen r10
+    # surface rests this round — the r8/r9-green families (most
+    # recent CORRECTNESS row ≤ 2 rounds old) and the np-agreement
+    # twins (also in PERMANENT_REST; kept here so this set remains
+    # the complete per-round rest list). The r7-stale rows and the
+    # never-green r9-extension rows queue for r11 (policy below).
     "ann_bruteforce_np_agreement",
     "ann_ivf_np_agreement",
     "ann_ivf_quantized_agreement",
     "ann_ivfpq_witness",
+    "ann_lsh_bucketed",
     "ann_quantized_np_agreement",
-    "ann_topk_ivf_incremental",
     "ann_topk_pq_prebuilt",
-    "ann_topk_quantized",
     "ann_truncated_np_agreement",
-    "cohort_retention",
+    "asof_join_last_order",
+    "bigram_fluency",
+    "bm25_topk",
+    "clean_formatted_currency",
+    "composite_key_join",
+    "cube_status_priority",
+    "decontaminate_vs_probes",
+    "dedup_clusters",
+    "dedup_exact",
     "dedup_minhash_incremental_steady",
+    "dedup_minhash_lsh",
+    "dedup_near_survivors",
+    "dedup_simhash",
     "dedup_soft_weights_from_map",
+    "doc_fingerprint_winnow",
+    "embedding_near_dup",
     "embedding_quantize_int8",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "fuzzy_name_links",
+    "event_gaps_lag_lead",
     "grouping_sets_status_segment",
     "json_props_extract",
+    "kmeans_clusters",
     "kmeans_np_agreement",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    "null_safe_code_join",
+    "mixture_upsample",
+    "multimodal_metadata",
+    "ngram_jaccard_pairs",
+    "order_priority_semi_join",
+    "pack_sequences",
+    "pii_scrub",
+    "pivot_segment_by_nation",
     "planted_lsh_recall_witness",
-    "price_histogram",
+    "price_percentiles",
+    "pricing_summary",
+    "q1_top_months_per_year",
     "q2_event_time_bins",
     "q3_segment_profile_top",
     "q4_avg_distance",
+    "range_join_open_windows",
     "referential_integrity_audit",
-    "rolling_1h_user_value",
-    "scd2_customer_priority",
+    "repetition_metrics",
+    "revenue_by_nation",
+    "running_customer_spend",
+    "sample_hash_bucket",
+    "sample_stratified_quota",
     "scd2_point_in_time",
+    "semantic_dedup",
     "semantic_multiprobe_np_agreement",
-    "session_paths",
-    "snapshot_diff",
+    "session_window_agg",
+    "simhash_near_pairs",
+    "snapshot_pruned_read_witness",
+    "span_dedup_chunks",
     "streaming_ann_replay_witness",
     "streaming_dedup_replay_witness",
     "streaming_ivm_replay_witness",
     "streaming_scd2_replay_witness",
-    "table_profile",
-    "timeseries_gapfill",
-    "trade_communities",
-    "trade_pagerank",
+    "text_lang_id",
+    "text_quality_scores",
+    "training_set_select",
+    "tumbling_window_agg",
+    "union_priority_counts",
     "upsert_merge_witness",
     "user_overlap_sketch_witness",
+    "vocab_stats",
+    "winnow_near_pairs",
 }
 
 

@@ -96,6 +96,40 @@ def test_plan_has_window_but_no_join(spark):
         assert node not in plan, f"as-of join should not plan a {node}"
 
 
+def test_probe_ts_column_appears_exactly_once(spark):
+    """The probe timestamp is re-added from the window's internal ts
+    column, so the payload list must exclude it — a duplicate would make
+    every downstream reference AMBIGUOUS_REFERENCE (r9 advice item)."""
+    probes, quotes = _frames(spark)
+    out = asof_join(probes, quotes, on=["k"])
+    assert out.columns == ["k", "ts", "pid", "q_ts", "q_v", "q_tag"]
+    # the regression shape: selecting the ts column must not raise
+    assert out.select("ts").count() == 4
+
+
+def test_null_timestamps_never_match(spark):
+    """SQL inequality against NULL never matches: a null-ts quote is
+    invisible in BOTH directions (it would otherwise sort first under
+    asc-nulls-first and be carried), and a null-ts probe survives with
+    null quote columns (it would otherwise sort last under
+    desc-nulls-last in forward mode and pick up a quote)."""
+    probes = spark.createDataFrame(
+        [(1, "k1", _ts("2024-01-01 00:00:20")), (2, "k1", None)],
+        "pid long, k string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("k1", None, 7.0), ("k1", _ts("2024-01-01 00:00:10"), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    back = {r["pid"]: r["q_v"] for r in asof_join(probes, quotes, on=["k"]).collect()}
+    assert back == {1: 9.0, 2: None}
+    fwd = {
+        r["pid"]: r["q_v"]
+        for r in asof_join(probes, quotes, on=["k"], direction="forward").collect()
+    }
+    assert fwd == {1: None, 2: None}
+
+
 def test_null_keyed_rows_follow_sql_equality(spark):
     """Null keys never equi-match (SQL three-valued logic): a
     null-keyed quote matches NO probe, a null-keyed probe carries NO

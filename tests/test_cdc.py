@@ -28,10 +28,29 @@ def test_latest_sequence_wins_regardless_of_arrival(spark):
     assert got == {1: ("u", "third"), 2: ("d", None)}
 
 
-def test_duplicate_key_seq_raises(spark):
+def test_ambiguous_winning_seq_raises(spark):
     log = _log(spark, [(1, 10, "u", "a"), (1, 10, "d", None)])
-    with pytest.raises(ValueError, match="duplicate"):
+    with pytest.raises(ValueError, match="ambiguous winning"):
         resolve_changes(log, "k")
+
+
+def test_non_winning_duplicate_seq_is_tolerated(spark):
+    """The guard targets ties that make the FOLD nondeterministic — a
+    duplicate (key, seq) strictly below the winner can't change the
+    outcome, so it no longer raises (r9 advice item: the guard folds
+    into the winner aggregation instead of a second full log pass)."""
+    log = _log(spark, [(1, 10, "u", "a"), (1, 10, "d", None), (1, 20, "u", "z")])
+    got = {r["k"]: (r["op"], r["v"]) for r in resolve_changes(log, "k").collect()}
+    assert got == {1: ("u", "z")}
+
+
+def test_check_unique_false_skips_guard(spark):
+    log = _log(spark, [(1, 10, "u", "a"), (1, 10, "d", None), (1, 20, "u", "z")])
+    got = {
+        r["k"]: (r["op"], r["v"])
+        for r in resolve_changes(log, "k", check_unique=False).collect()
+    }
+    assert got == {1: ("u", "z")}
 
 
 def test_apply_folds_upserts_deletes_and_inserts(spark, tmp_path):

@@ -140,6 +140,38 @@ def test_incremental_refresh_matches_rebuild(spark, tmp_path):
     assert inc["c"]["s"] == 5.0 and inc["c"]["n"] == 1
 
 
+def test_refresh_folds_null_group_key(spark, tmp_path):
+    """groupBy treats NULL as one group; the refresh join must too.
+
+    A plain equi-join never matches NULL = NULL, so each refresh would
+    append one extra partial row for the null-keyed group instead of
+    folding it (r9 advice item). With the null-safe join the MV holds
+    exactly one row per group — including the NULL group — and its
+    partials fold like any other group's."""
+    from pyspark_big_data_spark.operators.matview import refresh_incremental
+
+    mv_dir = str(tmp_path / "nullkey")
+    base = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0)], "g string, v double"
+    )
+    create_matview(base, mv_dir, ["g"], [("sum", "v"), ("count", None)])
+    for _ in range(2):
+        refresh_incremental(
+            spark,
+            mv_dir,
+            spark.createDataFrame([(None, 1.0)], "g string, v double"),
+        )
+    desc_rows = spark.read.parquet(str(tmp_path / "nullkey" / "data_v2")).collect()
+    assert len(desc_rows) == 2  # one partial row per group, null included
+    got = {
+        r["g"]: (r["s"], r["n"])
+        for r in rewrite_aggregate(
+            spark, mv_dir, ["g"], {"s": ("sum", "v"), "n": ("count", None)}
+        ).collect()
+    }
+    assert got == {None: (3.0, 3), "a": (2.0, 1)}
+
+
 def test_refresh_epoch_retention(spark, tmp_path):
     """Repeated refreshes keep only the live epoch + its predecessor."""
     import os

@@ -50,6 +50,33 @@ def test_tags_are_immutable_and_validated(spark, tmp_path):
         create_tag(spark, root, "../escape", 0)
 
 
+def test_tag_create_detects_silent_overwrite(spark, tmp_path, monkeypatch):
+    """POSIX rename(2) under RawLocalFileSystem silently overwrites an
+    existing destination file, so the rename's return value alone can't
+    arbitrate two racing create_tag calls (r9 advice item). Each writer
+    stamps a unique nonce and re-reads the published tag: a writer whose
+    pin was overwritten between its rename and its read-back must raise,
+    not report success over the other writer's pin."""
+    from pyspark_big_data_spark.operators import refs as refs_mod
+
+    root = _history(spark, tmp_path)
+    # success path publishes THIS writer's nonce
+    doc = create_tag(spark, root, "ok", 0)
+    assert doc["writer"]
+    delete_tag(spark, root, "ok")
+
+    # loser path: simulate the overwrite window by making the read-back
+    # observe a different writer's doc
+    real_read = refs_mod._read_json
+    monkeypatch.setattr(
+        refs_mod,
+        "_read_json",
+        lambda fs, jvm, p: {**real_read(fs, jvm, p), "writer": "someone-else"},
+    )
+    with pytest.raises(ValueError, match="concurrently"):
+        create_tag(spark, root, "raced", 0)
+
+
 def test_vacuum_spares_tagged_versions(spark, tmp_path):
     root = _history(spark, tmp_path, n=4)
     create_tag(spark, root, "audit", 1)
