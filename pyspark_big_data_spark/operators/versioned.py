@@ -425,19 +425,21 @@ def write_version(
         # Retry at N+1. The winner's files are untouched.
 
 
-def commit_staged(fs, jvm, root: str, staging: str, n: int) -> bool:
-    """Atomically publish a fully-staged snapshot dir as ``v=N``; the
-    shared commit seam for ``write_version`` and the optimistic
-    transaction layer (operators/transactions.py). Returns True iff THIS
-    writer owns ``v=N`` afterwards. The rename's return value alone is
-    not a reliable verdict (see ``write_version``: LocalFileSystem
-    nests the staging dir inside an existing destination and returns
-    true), so the commit is verified by the absence of a nested staging
-    dir. On a lost race the writer's bytes are deleted wherever they
-    landed (nested under the winner's ``v=N`` on local FS, still at
-    ``staging`` on HDFS) — the winner's files are never touched."""
+def commit_staged(fs, jvm, root: str, staging: str, n: int, prefix: str = "v=") -> bool:
+    """Atomically publish a fully-staged snapshot dir as ``<prefix>N``
+    (``v=N`` by default); the shared commit seam for ``write_version``,
+    the optimistic transaction layer (operators/transactions.py), and
+    delete-vector commits (operators/deletes.py, ``prefix="d="``).
+    Returns True iff THIS writer owns the target afterwards. The
+    rename's return value alone is not a reliable verdict (see
+    ``write_version``: LocalFileSystem nests the staging dir inside an
+    existing destination and returns true), so the commit is verified
+    by the absence of a nested staging dir. On a lost race the writer's
+    bytes are deleted wherever they landed (nested under the winner's
+    target on local FS, still at ``staging`` on HDFS) — the winner's
+    files are never touched."""
     Path = jvm.org.apache.hadoop.fs.Path
-    target = f"{root.rstrip('/')}/v={n}"
+    target = f"{root.rstrip('/')}/{prefix}{n}"
     nested = f"{target}/{os.path.basename(staging.rstrip('/'))}"
     renamed = fs.rename(Path(staging), Path(target))
     if renamed and not fs.exists(Path(nested)):
@@ -646,6 +648,9 @@ def expire_versions(
     ]
     for n in expired:
         fs.delete(Path(f"{root.rstrip('/')}/v={n}"), True)
+        # tombstones are pinned to their version: expired data takes
+        # its deletion vectors with it (operators/deletes.py)
+        fs.delete(Path(f"{root.rstrip('/')}/_deletes/v={n}"), True)
     latest = versions[-1] if versions else -1
     if fs.exists(hroot):
         for status in fs.listStatus(hroot):
@@ -718,6 +723,98 @@ def snapshot_min_max(
             hi = mx if hi is None else max(hi, mx)
         out[col] = (lo, hi)
     return out
+
+
+def compact_version(
+    spark: SparkSession,
+    root: str,
+    target_files: int,
+    cluster_by: str | None = None,
+    version: int | None = None,
+    manifest_shard_files: int | None = None,
+) -> dict:
+    """OPTIMIZE for a versioned snapshot: bin-pack the files of
+    ``v=version`` (default latest) into ``target_files`` and commit the
+    result as the NEXT version, carrying the source's footer-stats and
+    Bloom manifest columns forward (the new snapshot rebuilds its own
+    manifest over the new files — stats are per-file, so they cannot be
+    copied, only re-derived). Returns ``{"version", "files_before",
+    "files_after"}``.
+
+    Two packing modes, mirroring Delta/Iceberg OPTIMIZE vs OPTIMIZE
+    ZORDER-ish economics:
+
+    - ``cluster_by=None``: ``coalesce(target_files)`` — a pure
+      bin-pack with ZERO shuffle (each output file concatenates input
+      files), so the job is read + rewrite, bounded by snapshot size.
+      Footer stats of the merged files are unions of their inputs;
+      pruning keeps working wherever the small files were already
+      range-clustered, because coalesce merges ADJACENT partitions of
+      the range layout.
+    - ``cluster_by=<col>``: ``repartitionByRange + sortWithinPartitions``
+      — one shuffle that re-clusters while compacting, restoring tight
+      per-file [min, max] ranges even when the small files were
+      interleaved (the streaming-ingest aftermath this exists for).
+
+    The commit is the same stage-then-rename as ``write_version``, so
+    compaction is crash-safe and race-safe; the SOURCE version is
+    untouched (readers pinned to it are unaffected), tags keep
+    protecting whatever they pin, and retention (``expire_versions``)
+    reclaims the small-file version later like any other. Deletion
+    vectors against the source version (operators/deletes.py) are NOT
+    folded in — compact the MOR view via ``materialize_deletes`` first
+    when tombstones exist; this function raises if any are present, so
+    a compaction can never silently resurrect deleted rows.
+
+    100 TB economics: small-file compaction is the table-format
+    maintenance job that keeps scan task counts sane (a streaming sink
+    producing 1000s of KB-files per hour makes every downstream scan
+    schedule 1000s of tasks); the coalesce path prices it at one
+    sequential read + write of the snapshot with no shuffle at all.
+    Reference parity note: the reference engine (src/query1-4.py) has
+    no storage-maintenance surface; this is extension surface."""
+    from pyspark_big_data_spark.operators.deletes import list_delete_commits
+
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    version = _resolve_version(spark, root, version)
+    if version not in list_versions(spark, root):
+        raise ValueError(f"version {version} does not exist under {root}")
+    if list_delete_commits(spark, root, version):
+        raise ValueError(
+            f"v={version} under {root} has deletion vectors; compacting the "
+            "data files alone would resurrect deleted rows — run "
+            "materialize_deletes first"
+        )
+    fs, _, jvm = _fs(spark, root)
+    vdir = f"{root.rstrip('/')}/v={version}"
+    files_before = len(_list_parquet_files(fs, jvm, vdir))
+    m = manifest(spark, root, version)
+    stats_cols = list(m["stats_cols"]) if m else None
+    bloom_cols = list(m["bloom_cols"]) if m and m.get("bloom_cols") else None
+
+    df = read_version(spark, root, version)
+    if cluster_by is not None:
+        packed = df.repartitionByRange(target_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
+    else:
+        packed = df.coalesce(target_files)
+    new_v = write_version(
+        packed,
+        root,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        manifest_shard_files=manifest_shard_files,
+    )
+    files_after = len(
+        _list_parquet_files(fs, jvm, f"{root.rstrip('/')}/v={new_v}")
+    )
+    return {
+        "version": new_v,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def snapshot_history(spark: SparkSession, root: str) -> list[dict]:

@@ -115,3 +115,65 @@ def snapshot_history_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version long, n_rows long, manifest_gate int, files_gate int"
     ).orderBy("version")
+
+
+_HIST_SAMPLED_ORACLE = """
+SELECT CAST(i AS BIGINT) AS boundary_idx,
+       (SELECT COUNT(*) FROM orders) AS total_orders,
+       CAST(1 AS BIGINT) AS rank_gate
+FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(i)
+ORDER BY boundary_idx
+"""
+
+
+@register(
+    "price_histogram_equidepth_sampled", oracle=_HIST_SAMPLED_ORACLE, driver=False
+)
+def price_histogram_equidepth_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe equi-depth histogram behind the exact NTILE row
+    (``price_histogram_equidepth``): the exact variant's total-order
+    window is a single-partition sort — fine for a statistics job at
+    sf0.1, unacceptable at 100 TB. This is the concession every
+    optimizer makes (sampled statistics): a FIXED-SEED 20% sample of
+    orders feeds ``percentile_approx`` (a mergeable distributed
+    sketch — no total order, no single partition anywhere), the 7
+    sampled boundaries broadcast back as literals, and ONE codegen
+    aggregate pass over the FULL table measures each boundary's true
+    rank. The oracled contract is a RANK-TOLERANCE GATE vs the exact
+    quantiles: ``rank_gate`` = 1 iff the fraction of all orders at or
+    below sampled boundary i is within ±0.05 of i/8 (sampling theory:
+    the frac estimator's std at 20% of this corpus is ~0.01, so the
+    gate has wide margin while still catching a broken sampler, a
+    skewed sketch, or boundaries computed on the wrong column);
+    ``total_orders`` binds the gate pass to the real table so DuckDB
+    verifies the census too. Deterministic by the fixed seed + exact
+    final pass, so the gates are stable row-for-row."""
+    orders = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    fracs = [i / 8.0 for i in range(1, 8)]
+    boundaries = (
+        orders.sample(fraction=0.2, seed=42)
+        .agg(F.percentile_approx("o_totalprice", fracs, 10000).alias("b"))
+        .collect()[0]["b"]
+    )
+    # one full-table pass: 7 conditional counts + the census, no window
+    counts = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum((F.col("o_totalprice") <= F.lit(float(b))).cast("long")).alias(
+                f"le_{i}"
+            )
+            for i, b in enumerate(boundaries, start=1)
+        ],
+    ).collect()[0]
+    total = counts["total"]
+    rows = [
+        (
+            i,
+            total,
+            1 if abs(counts[f"le_{i}"] / total - i / 8.0) <= 0.05 else 0,
+        )
+        for i in range(1, 8)
+    ]
+    return spark.createDataFrame(
+        rows, "boundary_idx long, total_orders long, rank_gate long"
+    ).orderBy("boundary_idx")

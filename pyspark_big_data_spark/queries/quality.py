@@ -1104,3 +1104,189 @@ def sharded_manifest_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(shard_gate).cast("long").alias("shard_gate"),
         F.lit(1 if n_sel < n_total else 0).cast("long").alias("pruned_gate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot compaction (OPTIMIZE) + merge-on-read deletes: the r10
+# storage-maintenance pair, driver-verified
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(1 AS BIGINT) AS files_fell_gate,
+       CAST(1 AS BIGINT) AS prune_gate,
+       CAST(1 AS BIGINT) AS identical_gate,
+       CAST(1 AS BIGINT) AS tag_gate
+FROM customer
+"""
+
+
+@register("snapshot_compaction_witness", oracle=_COMPACT_ORACLE, driver=False)
+def snapshot_compaction_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE for versioned snapshots driver-verified
+    (operators/versioned.py::compact_version): commit a customer
+    snapshot as 16 HASH-interleaved small files with a footer-stats
+    manifest (the streaming-ingest aftermath — every file spans the
+    full key range, so stats pruning selects all 16, asserted by the
+    blind pre-gate), then compact to 4 files with
+    ``cluster_by=c_custkey`` (one range shuffle that bin-packs AND
+    re-clusters). Emits the COMPACTED version's (n_rows, decimal-exact
+    bal_sum) — DuckDB recomputes both from the raw table, so a row
+    lost or duplicated by the rewrite flips the row red — plus gates:
+    ``files_fell_gate`` (file census strictly fell),
+    ``prune_gate`` (the same range predicate that was blind on the
+    small-file version selects a STRICT SUBSET of the compacted files
+    — compaction restored the layout lever), ``identical_gate``
+    (pre/post aggregates bit-equal, checked in-plan), and ``tag_gate``
+    (a tag pinned to the pre-compaction version protects it through a
+    keep_last=1 vacuum: retention reclaims only unnamed history, so
+    compaction + vacuum can never strand a named snapshot). The
+    100 TB framing: small-file compaction is the maintenance job that
+    keeps scan task counts sane; the no-shuffle coalesce path and this
+    re-clustering path are both exercised in tests/test_deletes.py."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.refs import create_tag
+    from pyspark_big_data_spark.operators.versioned import (
+        compact_version,
+        expire_versions,
+        pruned_file_plan,
+        read_version,
+        write_version,
+    )
+
+    root = session_tmpdir("compact_dim_")
+    base = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    hi = base.agg(F.floor(F.max("c_custkey") / 5.0).cast("long")).collect()[0][0]
+    v0 = write_version(
+        base.repartition(16, "c_custkey"), root, stats_cols=["c_custkey"]
+    )
+    _, n_sel0, n_total0 = pruned_file_plan(
+        spark, root, "c_custkey", upper=hi, version=v0
+    )
+    blind_pre = n_sel0 == n_total0  # hash layout: stats prune nothing
+
+    res = compact_version(spark, root, target_files=4, cluster_by="c_custkey", version=v0)
+    v1 = res["version"]
+    _, n_sel1, n_total1 = pruned_file_plan(
+        spark, root, "c_custkey", upper=hi, version=v1
+    )
+
+    agg = lambda v: read_version(spark, root, v).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).collect()[0]
+    pre, post = agg(v0), agg(v1)
+    identical = (pre["n_rows"], pre["bal_sum"]) == (post["n_rows"], post["bal_sum"])
+
+    create_tag(spark, root, "pre-compact", v0)
+    expire_versions(spark, root, keep_last=1)
+    tag_ok = read_version(spark, root, v0).count() == pre["n_rows"]
+
+    return read_version(spark, root, v1).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).select(
+        "n_rows",
+        "bal_sum",
+        F.lit(1 if res["files_after"] < res["files_before"] else 0)
+        .cast("long")
+        .alias("files_fell_gate"),
+        F.lit(1 if blind_pre and 0 < n_sel1 < n_total1 else 0)
+        .cast("long")
+        .alias("prune_gate"),
+        F.lit(1 if identical else 0).cast("long").alias("identical_gate"),
+        F.lit(1 if tag_ok else 0).cast("long").alias("tag_gate"),
+    )
+
+
+_DV_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(1 AS BIGINT) AS untouched_gate,
+       CAST(1 AS BIGINT) AS fold_gate
+FROM customer
+WHERE NOT (c_custkey % 7 = 3) AND NOT (c_custkey % 11 = 5)
+"""
+
+
+@register("delete_vector_read_witness", oracle=_DV_ORACLE, driver=False)
+def delete_vector_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes driver-verified (operators/deletes.py —
+    the deletion-vector seam named at operators/upsert.py, now real):
+    commit a customer snapshot, then TWO accumulating tombstone
+    commits (c_custkey % 7 == 3, then % 11 == 5 — each a keyed delete
+    that rewrites NOTHING), and read the logical state through
+    ``read_version_mor`` (pinned snapshot anti-joined against the
+    broadcast tombstone union). Emits (n_rows, decimal-exact bal_sum)
+    of the MOR read — DuckDB replays both deletes as WHERE NOT
+    predicates, so a lost tombstone, a leaked extra delete, or an
+    anti-join that matched nulls flips the row red — plus
+    ``untouched_gate`` = 1 iff the v=0 data-file census is
+    byte-for-byte identical after both delete commits (the
+    merge-on-READ property: deletes cost O(deleted keys), not a
+    rewrite), and ``fold_gate`` = 1 iff ``materialize_deletes`` then
+    produces a new version whose plain read agrees with the MOR view
+    row-count-and-sum exactly (the copy-on-write moment returns reads
+    to the zero-join fast path; asserted on the plan in pytest)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.deletes import (
+        delete_keys,
+        materialize_deletes,
+        read_version_mor,
+    )
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    root = session_tmpdir("mor_dim_")
+    base = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v0 = write_version(base.repartitionByRange(8, "c_custkey"), root)
+
+    import os as _os
+
+    vdir = f"{root}/v={v0}"
+    census_before = sorted(
+        (f, _os.path.getsize(_os.path.join(vdir, f)))
+        for f in _os.listdir(vdir)
+        if f.endswith(".parquet")
+    )
+
+    snap = read_version(spark, root, v0)
+    delete_keys(
+        spark, root, snap.filter(F.col("c_custkey") % 7 == 3), "c_custkey", version=v0
+    )
+    delete_keys(
+        spark, root, snap.filter(F.col("c_custkey") % 11 == 5), "c_custkey", version=v0
+    )
+
+    census_after = sorted(
+        (f, _os.path.getsize(_os.path.join(vdir, f)))
+        for f in _os.listdir(vdir)
+        if f.endswith(".parquet")
+    )
+    untouched = census_before == census_after
+
+    mor = read_version_mor(spark, root, v0)
+    mor_agg = mor.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).collect()[0]
+
+    v1 = materialize_deletes(spark, root, v0)
+    folded = read_version(spark, root, v1).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).collect()[0]
+    fold_ok = (mor_agg["n_rows"], mor_agg["bal_sum"]) == (
+        folded["n_rows"],
+        folded["bal_sum"],
+    )
+
+    return read_version_mor(spark, root, v0).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).select(
+        "n_rows",
+        "bal_sum",
+        F.lit(1 if untouched else 0).cast("long").alias("untouched_gate"),
+        F.lit(1 if fold_ok else 0).cast("long").alias("fold_gate"),
+    )

@@ -1,0 +1,213 @@
+"""Merge-on-read deletes (operators/deletes.py) and snapshot
+compaction (operators/versioned.py::compact_version): the deletion-
+vector lifecycle — tombstone commit, MOR read, pruned-MOR composition,
+materialize — and OPTIMIZE bin-packing with manifest carry-over."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.operators.deletes import (
+    delete_keys,
+    deleted_keys,
+    list_delete_commits,
+    materialize_deletes,
+    read_version_mor,
+)
+from pyspark_big_data_spark.operators.versioned import (
+    compact_version,
+    expire_versions,
+    list_versions,
+    manifest,
+    pruned_file_plan,
+    read_version,
+    read_version_pruned,
+    write_version,
+)
+
+
+def _df(spark, n=100):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("x")
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["x"]) for r in df.collect())
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k long")
+
+
+def test_delete_keys_is_merge_on_read(spark, tmp_path):
+    """A delete commit touches NO data file; the MOR read masks the
+    keys; the pinned physical snapshot still reads in full."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    vdir = f"{root}/v=0"
+    before = sorted(os.listdir(vdir))
+
+    assert delete_keys(spark, root, _keys(spark, [3, 5, 7]), "k") == 0
+    assert sorted(os.listdir(vdir)) == before  # data files untouched
+    assert list_delete_commits(spark, root, 0) == [0]
+
+    mor = read_version_mor(spark, root, 0)
+    assert _rows(mor) == _rows(
+        read_version(spark, root, 0).filter(~F.col("k").isin(3, 5, 7))
+    )
+    # physical snapshot unaffected (time travel below the tombstones)
+    assert read_version(spark, root, 0).count() == 100
+
+
+def test_delete_commits_accumulate_and_distinct(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [1, 2, None]), "k")  # null dropped
+    assert delete_keys(spark, root, _keys(spark, [2, 3]), "k") == 1  # overlap ok
+    tomb, key = deleted_keys(spark, root, 0)
+    assert key == "k"
+    assert sorted(r["k"] for r in tomb.collect()) == [1, 2, 3]
+    assert read_version_mor(spark, root, 0).count() == 97
+
+
+def test_mor_read_without_tombstones_is_plain_read(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    plan = read_version_mor(spark, root, 0)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # zero extra nodes when nothing is deleted
+
+
+def test_mor_anti_join_broadcasts_tombstones(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [1]), "k")
+    plan = read_version_mor(spark, root, 0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_delete_key_contract(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    with pytest.raises(ValueError, match="not a column"):
+        delete_keys(spark, root, _keys(spark, [1]).withColumnRenamed("k", "z"), "z")
+    delete_keys(spark, root, _keys(spark, [1]), "k")
+    other = spark.createDataFrame([(2.0,)], "x double")
+    with pytest.raises(ValueError, match="keyed by 'k'"):
+        delete_keys(spark, root, other, "x")
+
+
+def test_deletes_pin_to_their_version(spark, tmp_path):
+    """Tombstones against v=0 do not leak into v=1 reads."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [0, 1]), "k", version=0)
+    write_version(_df(spark, 50), root)  # v=1: fresh, no tombstones
+    assert read_version_mor(spark, root, 1).count() == 50
+    assert read_version_mor(spark, root, 0).count() == 98
+
+
+def test_pruned_mor_composition(spark, tmp_path):
+    """Footer-stats pruning composes with the tombstone mask:
+    bit-identical to full read + filter + anti-join."""
+    root = str(tmp_path / "vds")
+    df = _df(spark, 1000)
+    write_version(df.repartitionByRange(8, "k"), root, stats_cols=["k"])
+    delete_keys(spark, root, _keys(spark, [110, 120, 900]), "k")
+    got = read_version_mor(spark, root, 0, pruned_col="k", lower=100, upper=150)
+    want = (
+        read_version(spark, root, 0)
+        .filter((F.col("k") >= 100) & (F.col("k") <= 150))
+        .filter(~F.col("k").isin(110, 120, 900))
+    )
+    assert _rows(got) == _rows(want)
+    # and it still prunes: the file index holds a strict subset
+    sel, n_sel, n_total = pruned_file_plan(spark, root, "k", 100, 150, version=0)
+    assert 0 < n_sel < n_total
+    touched = {
+        os.path.basename(p)
+        for p in got.inputFiles()
+        if "/v=0/" in p and "/_deletes/" not in p
+    }
+    assert touched <= {os.path.basename(p) for p in sel}
+
+
+def test_materialize_deletes(spark, tmp_path):
+    """Materialize folds tombstones into a new version with the source
+    manifest columns carried; the new version has no tombstones and
+    reads the zero-join fast path; the source is untouched."""
+    root = str(tmp_path / "vds")
+    df = _df(spark, 1000)
+    write_version(df.repartitionByRange(8, "k"), root, stats_cols=["k"])
+    delete_keys(spark, root, _keys(spark, list(range(0, 1000, 10))), "k")
+    new_v = materialize_deletes(spark, root, 0, target_files=2)
+    assert new_v == 1
+    assert read_version(spark, root, 1).count() == 900
+    assert _rows(read_version(spark, root, 1)) == _rows(read_version_mor(spark, root, 0))
+    assert manifest(spark, root, 1)["stats_cols"] == ["k"]  # carried
+    assert list_delete_commits(spark, root, 1) == []
+    plan = read_version_mor(spark, root, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # source version + tombstones intact for replay
+    assert read_version(spark, root, 0).count() == 1000
+    assert list_delete_commits(spark, root, 0) == [0]
+    with pytest.raises(ValueError, match="no tombstones"):
+        materialize_deletes(spark, root, 1)
+
+
+def test_expire_takes_tombstones_with_the_version(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [1]), "k")
+    write_version(_df(spark, 50), root)
+    assert expire_versions(spark, root, keep_last=1) == [0]
+    assert not os.path.exists(f"{root}/_deletes/v=0")
+
+
+def test_compact_version_coalesce_no_shuffle(spark, tmp_path):
+    """Pure bin-pack: fewer files, identical rows, manifest rebuilt
+    with the same stats columns, source untouched."""
+    root = str(tmp_path / "vds")
+    df = _df(spark, 1000)
+    write_version(df.repartitionByRange(16, "k"), root, stats_cols=["k"])
+    res = compact_version(spark, root, target_files=4)
+    assert res["version"] == 1
+    assert res["files_after"] < res["files_before"]
+    assert res["files_after"] <= 4
+    assert _rows(read_version(spark, root, 1)) == _rows(read_version(spark, root, 0))
+    assert manifest(spark, root, 1)["stats_cols"] == ["k"]
+    # coalesce of a range layout merges ADJACENT ranges: pruning still bites
+    _, n_sel, n_total = pruned_file_plan(spark, root, "k", 100, 150, version=1)
+    assert 0 < n_sel < n_total
+    got = read_version_pruned(spark, root, "k", 100, 150, version=1)
+    assert got.count() == 51
+
+
+def test_compact_version_cluster_by_restores_pruning(spark, tmp_path):
+    """Interleaved small files (hash layout) prune nothing; cluster_by
+    compaction restores tight per-file ranges."""
+    root = str(tmp_path / "vds")
+    df = _df(spark, 1000)
+    write_version(df.repartition(16, "k"), root, stats_cols=["k"])
+    _, n_sel0, n_total0 = pruned_file_plan(spark, root, "k", 100, 150, version=0)
+    assert n_sel0 == n_total0  # hash layout: every file overlaps
+    res = compact_version(spark, root, target_files=4, cluster_by="k")
+    _, n_sel1, n_total1 = pruned_file_plan(spark, root, "k", 100, 150, version=res["version"])
+    assert 0 < n_sel1 < n_total1
+    assert _rows(read_version(spark, root, res["version"])) == _rows(df)
+
+
+def test_compact_refuses_tombstoned_version(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [1]), "k")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        compact_version(spark, root, target_files=1)
+    # materialize first, then compaction of the new version is legal
+    v = materialize_deletes(spark, root, 0)
+    res = compact_version(spark, root, target_files=1, version=v)
+    assert read_version(spark, root, res["version"]).count() == 99
