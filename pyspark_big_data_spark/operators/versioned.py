@@ -24,19 +24,24 @@ hash-scattered keys where min/max can't help). ``expire_versions`` is
 the retention vacuum; ``snapshot_min_max`` answers MIN/MAX from the
 same stats. ``manifest_shard_files`` shards the manifest into a
 manifest list (per-shard JSON files) so no single metadata file grows
-with the snapshot, and multi-writer snapshot isolation lives in
-operators/transactions.py — leaving file-level (not full-copy) deltas
-as the one remaining format delta.
+with the snapshot; multi-writer snapshot isolation lives in
+operators/transactions.py, merge-on-read deletes (deletion-vector
+sidecars + broadcast anti-join reads) in operators/deletes.py,
+small-file compaction is ``compact_version`` below, and file-level
+APPEND deltas are ``append_version`` (O(delta) commits whose reads
+resolve a base-version chain) — every named format seam now has a
+working in-repo shape.
 
-This is deliberately the poor-man's corner of a lakehouse table
-format: full-copy snapshots, not file-level deltas. The honest
-economics at 100 TB: keep versioning for DIMENSION-sized mutable
-tables (the same tables upsert_parquet targets — customer records,
-document metadata, cluster maps, index manifests) where a handful of
-full copies is cheap insurance, and let the append-only fact corpora
-version themselves by partition layout (dt=.../batch=...). Where
-file-level time travel is required, Delta/Iceberg plug in at exactly
-this seam; MIGRATION.md documents that boundary.
+The honest economics at 100 TB: REWRITES (update-in-place via
+write_version) are still full-copy, so keep those for DIMENSION-sized
+mutable tables (the same tables upsert_parquet targets — customer
+records, document metadata, cluster maps, index manifests) where a
+handful of full copies is cheap insurance; append-heavy fact corpora
+use ``append_version`` chains (O(delta) per commit, flattened by
+``compact_version`` on a maintenance cadence) or version themselves
+by partition layout (dt=.../batch=...). Where a production table
+format is mandated, Delta/Iceberg plug in at exactly these seams;
+MIGRATION.md documents that boundary.
 
 Reference parity note: the reference engine has no mutation surface at
 all (four read-only crime queries, src/query1-4.py); versioning, like
@@ -297,6 +302,7 @@ def write_version(
     bloom_cols: list[str] | None = None,
     manifest_shard_files: int | None = None,
     audit=None,
+    _append: bool = False,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
     number. With ``stats_cols``, a footer-stats manifest
@@ -347,10 +353,19 @@ def write_version(
     while True:
         latest = latest_version(spark, root)
         n = 0 if latest is None else latest + 1
+        if _append and latest is None:
+            raise ValueError(
+                f"append needs a base version under {root}; commit the "
+                "initial snapshot with write_version first"
+            )
+        # An append bases on whatever it DIRECTLY follows — recomputed
+        # per retry, so a lost race re-bases on the interloper and the
+        # chain never silently skips a committed version.
+        base_version = latest if _append else None
         staging = f"{root.rstrip('/')}/.staging_v{n}"
         fs.delete(Path(staging), True)  # sweep a crashed predecessor
         df.write.mode("overwrite").parquet(staging)
-        if stats_cols or bloom_cols:
+        if stats_cols or bloom_cols or _append:
             files = _list_parquet_files(fs, jvm, staging)
             stats, file_rows = _collect_file_stats(
                 spark, files, list(stats_cols or [])
@@ -398,6 +413,8 @@ def write_version(
                 }
                 if bloom_cols:
                     doc["bloom_cols"] = list(bloom_cols)
+                if base_version is not None:
+                    doc["base_version"] = base_version
                 _write_json(MANIFEST_NAME, doc)
             else:
                 doc = {
@@ -409,6 +426,8 @@ def write_version(
                 if bloom_cols:
                     doc["bloom_cols"] = list(bloom_cols)
                     doc["blooms"] = blooms
+                if base_version is not None:
+                    doc["base_version"] = base_version
                 _write_json(MANIFEST_NAME, doc)
         if audit is not None:
             spark.catalog.refreshByPath(staging)
@@ -449,20 +468,123 @@ def commit_staged(fs, jvm, root: str, staging: str, n: int, prefix: str = "v=") 
     return False
 
 
+def append_version(
+    df: DataFrame,
+    root: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    manifest_shard_files: int | None = None,
+) -> int:
+    """APPEND commit: publish ``df`` as the next version WITHOUT
+    copying the base — the committed ``v=N`` directory holds ONLY the
+    appended files plus a manifest whose ``base_version`` links it to
+    the snapshot it extends; the logical state of ``v=N`` is base +
+    delta, resolved at read time by walking the chain
+    (``version_chain``). This closes the full-copy concession in the
+    module header: an append to a 100 TB snapshot now writes O(delta)
+    bytes, not O(snapshot) — the add-files-without-rewrite shape of a
+    table-format append, with the same one-rename atomicity as every
+    other commit here (the chain link rides inside the manifest, which
+    stages WITH the delta files).
+
+    Semantics and contracts:
+
+    - schema must match the base exactly (set-equal columns; appends
+      never widen — use ``io.read_evolved`` patterns for evolution);
+    - the base is whatever the append DIRECTLY follows, re-resolved on
+      every commit retry, so a lost race re-bases on the interloper
+      and the chain never skips a committed version;
+    - every chain member keeps its own per-version manifest (per-file
+      stats/blooms/row counts over ITS files only — the per-snapshot
+      manifest shape); metadata queries, pruning, and point lookups
+      merge over the chain;
+    - retention (``expire_versions``) protects every ancestor of a
+      surviving version — expiring a base out from under a live child
+      would corrupt it, so ancestors are pinned like tagged versions;
+    - ``compact_version`` on a chained version FLATTENS it back to a
+      full snapshot (the OPTIMIZE that bounds chain length and read
+      fan-in — at 1000s of appends/day, schedule it like any
+      table-format maintenance job).
+
+    Row counts always land in the manifest (free from the same parquet
+    footers) even with no ``stats_cols``, so ``snapshot_row_count``
+    stays metadata-only across chains."""
+    base = latest_version(df.sparkSession, root)
+    if base is None:
+        raise ValueError(
+            f"append needs a base version under {root}; commit the "
+            "initial snapshot with write_version first"
+        )
+    base_cols = set(read_version(df.sparkSession, root, base).columns)
+    if set(df.columns) != base_cols:
+        raise ValueError(
+            f"append schema mismatch: base {sorted(base_cols)} "
+            f"vs delta {sorted(df.columns)}"
+        )
+    return write_version(
+        df,
+        root,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        manifest_shard_files=manifest_shard_files,
+        _append=True,
+    )
+
+
+def version_chain(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[int]:
+    """The snapshot chain of ``v=version``, newest first: ``[version,
+    base, base-of-base, ...]`` down to the full-snapshot ancestor. A
+    non-append version is its own length-1 chain. Raises on a broken
+    link (base expired or cyclic) — a chain read must fail loudly,
+    never silently drop the missing ancestor's rows."""
+    version = _resolve_version(spark, root, version)
+    committed = set(list_versions(spark, root))
+    if version not in committed:
+        raise ValueError(f"version {version} does not exist under {root}")
+    chain = [version]
+    seen = {version}
+    cur = version
+    while True:
+        m = manifest(spark, root, cur)
+        base = m.get("base_version") if m else None
+        if base is None:
+            return chain
+        if base in seen:
+            raise ValueError(
+                f"cyclic version chain at v={cur} under {root} (base {base})"
+            )
+        if base not in committed:
+            raise ValueError(
+                f"v={cur} under {root} appends onto v={base}, which no "
+                "longer exists — the chain is broken (expired ancestor?)"
+            )
+        chain.append(base)
+        seen.add(base)
+        cur = base
+
+
 def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Time-travel read: the snapshot at ``version`` (default: latest
     committed). Raises if the version does not exist — a missing
-    version must fail loudly, never read as empty."""
+    version must fail loudly, never read as empty. An APPEND version
+    (``append_version``) reads as its whole chain: the base snapshot's
+    files plus every delta's, one multi-directory parquet scan."""
     if version is None:
         version = latest_version(spark, root)
         if version is None:
             raise ValueError(f"versioned dataset at {root} has no versions")
     elif version not in list_versions(spark, root):
         raise ValueError(f"version {version} does not exist under {root}")
-    spark.catalog.refreshByPath(f"{root.rstrip('/')}/v={version}")
-    return spark.read.parquet(f"{root.rstrip('/')}/v={version}")
+    dirs = [
+        f"{root.rstrip('/')}/v={v}" for v in version_chain(spark, root, version)
+    ]
+    for d in dirs:
+        spark.catalog.refreshByPath(d)
+    return spark.read.parquet(*dirs)
 
 
 def pruned_file_plan(
@@ -482,28 +604,33 @@ def pruned_file_plan(
 
     Raises when the snapshot has no manifest or the manifest does not
     cover ``col`` — silently falling back to a full read would make
-    "pruned" reads quietly stop pruning after a writer config drift."""
+    "pruned" reads quietly stop pruning after a writer config drift.
+    An append chain prunes over EVERY member's per-version manifest
+    (each covers its own files), with the same strictness per member."""
     version = _resolve_version(spark, root, version)
-    m = manifest(spark, root, version)
-    if m is None:
-        raise ValueError(
-            f"v={version} under {root} has no {MANIFEST_NAME}: "
-            "commit it with write_version(df, root, stats_cols=[...])"
-        )
-    if col not in m["stats_cols"]:
-        raise ValueError(f"manifest of v={version} has no stats for {col!r}")
-    vdir = f"{root.rstrip('/')}/v={version}"
-    selected = []
-    for fname, stats in sorted(m["files"].items()):
-        rng = (stats or {}).get(col)
-        if rng is not None:
-            mn, mx = rng
-            if lower is not None and mx < lower:
-                continue
-            if upper is not None and mn > upper:
-                continue
-        selected.append(f"{vdir}/{fname}")
-    return selected, len(selected), len(m["files"])
+    selected: list[str] = []
+    n_total = 0
+    for v in version_chain(spark, root, version):
+        m = manifest(spark, root, v)
+        if m is None:
+            raise ValueError(
+                f"v={v} under {root} has no {MANIFEST_NAME}: "
+                "commit it with write_version(df, root, stats_cols=[...])"
+            )
+        if col not in m["stats_cols"]:
+            raise ValueError(f"manifest of v={v} has no stats for {col!r}")
+        vdir = f"{root.rstrip('/')}/v={v}"
+        n_total += len(m["files"])
+        for fname, stats in sorted(m["files"].items()):
+            rng = (stats or {}).get(col)
+            if rng is not None:
+                mn, mx = rng
+                if lower is not None and mx < lower:
+                    continue
+                if upper is not None and mn > upper:
+                    continue
+            selected.append(f"{vdir}/{fname}")
+    return selected, len(selected), n_total
 
 
 def read_version_pruned(
@@ -528,7 +655,8 @@ def read_version_pruned(
         # predicate excludes every file: empty frame, correct schema
         base = read_version(spark, root, version)
         return base.filter(F.lit(False))
-    spark.catalog.refreshByPath(f"{root.rstrip('/')}/v={version}")
+    for d in {os.path.dirname(p) for p in selected}:
+        spark.catalog.refreshByPath(d)
     df = spark.read.parquet(*selected)
     if lower is not None:
         df = df.filter(F.col(col) >= F.lit(lower))
@@ -558,35 +686,41 @@ def bloom_file_plan(
     to skipping a match). False positives only ever cost an extra file
     read; the residual equality filter keeps results exact. This is
     the min/max complement: a hash-scattered key spans every file's
-    [min, max], but its Bloom filters pin the point to ~1 file."""
-    version = _resolve_version(spark, root, version)
-    m = manifest(spark, root, version)
-    if m is None:
-        raise ValueError(
-            f"v={version} under {root} has no {MANIFEST_NAME}: "
-            "commit it with write_version(df, root, bloom_cols=[...])"
-        )
-    if col not in m.get("bloom_cols", []):
-        raise ValueError(f"manifest of v={version} has no bloom for {col!r}")
+    [min, max], but its Bloom filters pin the point to ~1 file. An
+    append chain probes EVERY member's per-version blooms."""
     import base64
 
+    version = _resolve_version(spark, root, version)
     probe = str(value)
-    vdir = f"{root.rstrip('/')}/v={version}"
-    col_blooms = m["blooms"][col]
-    all_files = sorted(m["file_rows"]) if m.get("file_rows") else sorted(col_blooms)
-    selected = []
-    for fname in all_files:
-        entry = col_blooms.get(fname)
-        if entry is not None:
-            bits = int(entry["bits"])
-            arr = base64.b64decode(entry["b64"])
-            if not all(
-                arr[pos >> 3] & (1 << (pos & 7))
-                for pos in _bloom_positions(probe, bits)
-            ):
-                continue
-        selected.append(f"{vdir}/{fname}")
-    return selected, len(selected), len(all_files)
+    selected: list[str] = []
+    n_total = 0
+    for v in version_chain(spark, root, version):
+        m = manifest(spark, root, v)
+        if m is None:
+            raise ValueError(
+                f"v={v} under {root} has no {MANIFEST_NAME}: "
+                "commit it with write_version(df, root, bloom_cols=[...])"
+            )
+        if col not in m.get("bloom_cols", []):
+            raise ValueError(f"manifest of v={v} has no bloom for {col!r}")
+        vdir = f"{root.rstrip('/')}/v={v}"
+        col_blooms = m["blooms"][col]
+        all_files = (
+            sorted(m["file_rows"]) if m.get("file_rows") else sorted(col_blooms)
+        )
+        n_total += len(all_files)
+        for fname in all_files:
+            entry = col_blooms.get(fname)
+            if entry is not None:
+                bits = int(entry["bits"])
+                arr = base64.b64decode(entry["b64"])
+                if not all(
+                    arr[pos >> 3] & (1 << (pos & 7))
+                    for pos in _bloom_positions(probe, bits)
+                ):
+                    continue
+            selected.append(f"{vdir}/{fname}")
+    return selected, len(selected), n_total
 
 
 def read_version_point(
@@ -604,7 +738,8 @@ def read_version_point(
     selected, _, _ = bloom_file_plan(spark, root, col, value, version)
     if not selected:
         return read_version(spark, root, version).filter(F.lit(False))
-    spark.catalog.refreshByPath(f"{root.rstrip('/')}/v={version}")
+    for d in {os.path.dirname(p) for p in selected}:
+        spark.catalog.refreshByPath(d)
     return spark.read.parquet(*selected).filter(F.col(col) == F.lit(value))
 
 
@@ -632,7 +767,13 @@ def expire_versions(
 
     TAGGED versions are never expired (operators/refs.py): a named pin
     protects its snapshot from retention, like ref-based retention in
-    the table formats — the vacuum reclaims only unnamed history."""
+    the table formats — the vacuum reclaims only unnamed history.
+
+    APPEND-CHAIN ancestors are likewise never expired while a survivor
+    depends on them: every chain member of a kept or tagged version is
+    protected, because deleting a base out from under a live child
+    would silently corrupt the child's reads (the chain resolver fails
+    loudly on a broken link, but retention must not create one)."""
     from pyspark_big_data_spark.operators.refs import list_tags
 
     if keep_last < 1:
@@ -641,6 +782,9 @@ def expire_versions(
     Path = jvm.org.apache.hadoop.fs.Path
     versions = list_versions(spark, root)
     protected = set(list_tags(spark, root).values())
+    survivors = set(versions[-keep_last:]) | protected
+    for s in survivors:
+        protected.update(version_chain(spark, root, s))
     expired = [
         n
         for n in (versions[:-keep_last] if len(versions) > keep_last else [])
@@ -673,15 +817,19 @@ def snapshot_row_count(
     footer row counts — zero data pages, zero Spark jobs (the
     metadata-only-query shape table formats answer from their
     manifests). Raises when the snapshot has no manifest row counts:
-    silently falling back to a scan would hide a broken manifest."""
+    silently falling back to a scan would hide a broken manifest.
+    An append chain sums every member's counts — still zero jobs."""
     version = _resolve_version(spark, root, version)
-    m = manifest(spark, root, version)
-    if m is None or "file_rows" not in m:
-        raise ValueError(
-            f"v={version} under {root} has no manifest row counts: "
-            "commit it with write_version(df, root, stats_cols=[...])"
-        )
-    return sum(int(n) for n in m["file_rows"].values())
+    total = 0
+    for v in version_chain(spark, root, version):
+        m = manifest(spark, root, v)
+        if m is None or "file_rows" not in m:
+            raise ValueError(
+                f"v={v} under {root} has no manifest row counts: "
+                "commit it with write_version(df, root, stats_cols=[...])"
+            )
+        total += sum(int(n) for n in m["file_rows"].values())
+    return total
 
 
 def snapshot_min_max(
@@ -696,31 +844,36 @@ def snapshot_min_max(
     the column, so any file with missing/poisoned stats raises — a
     metadata answer that silently ignored a file would be wrong, not
     slow. Raises likewise for an uncovered column or an empty
-    snapshot."""
+    snapshot. An append chain merges every member's stats."""
     version = _resolve_version(spark, root, version)
-    m = manifest(spark, root, version)
-    if m is None:
-        raise ValueError(
-            f"v={version} under {root} has no {MANIFEST_NAME}: "
-            "commit it with write_version(df, root, stats_cols=[...])"
-        )
+    chain = version_chain(spark, root, version)
+    docs = []
+    for v in chain:
+        m = manifest(spark, root, v)
+        if m is None:
+            raise ValueError(
+                f"v={v} under {root} has no {MANIFEST_NAME}: "
+                "commit it with write_version(df, root, stats_cols=[...])"
+            )
+        docs.append((v, m))
     out: dict[str, tuple] = {}
     for col in cols:
-        if col not in m["stats_cols"]:
-            raise ValueError(f"manifest of v={version} has no stats for {col!r}")
-        if not m["files"]:
+        if not any(m["files"] for _, m in docs):
             raise ValueError(f"v={version} under {root} has no files")
         lo = hi = None
-        for fname, stats in m["files"].items():
-            rng = (stats or {}).get(col)
-            if rng is None:
-                raise ValueError(
-                    f"file {fname} of v={version} has no footer stats for "
-                    f"{col!r}; a metadata-only MIN/MAX would be unsound"
-                )
-            mn, mx = rng
-            lo = mn if lo is None else min(lo, mn)
-            hi = mx if hi is None else max(hi, mx)
+        for v, m in docs:
+            if col not in m["stats_cols"]:
+                raise ValueError(f"manifest of v={v} has no stats for {col!r}")
+            for fname, stats in m["files"].items():
+                rng = (stats or {}).get(col)
+                if rng is None:
+                    raise ValueError(
+                        f"file {fname} of v={v} has no footer stats for "
+                        f"{col!r}; a metadata-only MIN/MAX would be unsound"
+                    )
+                mn, mx = rng
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
         out[col] = (lo, hi)
     return out
 
@@ -764,7 +917,10 @@ def compact_version(
     vectors against the source version (operators/deletes.py) are NOT
     folded in — compact the MOR view via ``materialize_deletes`` first
     when tombstones exist; this function raises if any are present, so
-    a compaction can never silently resurrect deleted rows.
+    a compaction can never silently resurrect deleted rows. An APPEND
+    CHAIN (``append_version``) compacts to a FULL snapshot — this is
+    the flatten that bounds chain length and read fan-in;
+    ``files_before`` counts the whole chain's logical census.
 
     100 TB economics: small-file compaction is the table-format
     maintenance job that keeps scan task counts sane (a streaming sink
@@ -787,8 +943,11 @@ def compact_version(
             "materialize_deletes first"
         )
     fs, _, jvm = _fs(spark, root)
-    vdir = f"{root.rstrip('/')}/v={version}"
-    files_before = len(_list_parquet_files(fs, jvm, vdir))
+    # logical census: an append chain's file count spans every member
+    files_before = sum(
+        len(_list_parquet_files(fs, jvm, f"{root.rstrip('/')}/v={v}"))
+        for v in version_chain(spark, root, version)
+    )
     m = manifest(spark, root, version)
     stats_cols = list(m["stats_cols"]) if m else None
     bloom_cols = list(m["bloom_cols"]) if m and m.get("bloom_cols") else None
@@ -831,17 +990,21 @@ def snapshot_history(spark: SparkSession, root: str) -> list[dict]:
         vdir = f"{root.rstrip('/')}/v={v}"
         n_files = len(_list_parquet_files(fs, jvm, vdir))
         m = manifest(spark, root, v)
-        n_rows = (
-            sum(int(n) for n in m["file_rows"].values())
-            if m is not None and "file_rows" in m
-            else None
-        )
+        base = m.get("base_version") if m is not None else None
+        # n_rows is the version's LOGICAL census: an append version
+        # sums its whole chain (still metadata-only); None whenever any
+        # chain member lacks manifest row counts — never a guess.
+        try:
+            n_rows = snapshot_row_count(spark, root, v)
+        except ValueError:
+            n_rows = None
         out.append(
             {
                 "version": v,
                 "n_files": n_files,
                 "n_rows": n_rows,
                 "has_manifest": m is not None,
+                "base_version": base,
             }
         )
     return out

@@ -1290,3 +1290,87 @@ def delete_vector_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if untouched else 0).cast("long").alias("untouched_gate"),
         F.lit(1 if fold_ok else 0).cast("long").alias("fold_gate"),
     )
+
+
+_APPEND_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta1,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta2,
+       CAST(1 AS BIGINT) AS chain_gate,
+       CAST(1 AS BIGINT) AS prune_gate,
+       CAST(1 AS BIGINT) AS retention_gate
+FROM orders
+"""
+
+
+@register("append_commit_read_witness", oracle=_APPEND_ORACLE, driver=False)
+def append_commit_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level APPEND commits driver-verified
+    (operators/versioned.py::append_version — the
+    add-files-without-rewrite shape that closes the module's last
+    full-copy concession): commit orders%3==0 as the v0 base, then two
+    APPEND commits (%3==1, %3==2) that each write ONLY their delta
+    files plus a chain-linking manifest. The logical read of v2 walks
+    the chain (base + both deltas, one multi-directory scan); DuckDB
+    recomputes (n_rows, decimal-exact price_sum) over all of orders,
+    so a dropped delta, a double-counted base, or a chain that read as
+    its tip alone flips the row red. The per-version manifests bind
+    the O(delta) write economics: ``n_base``/``n_delta1``/``n_delta2``
+    are each version's OWN manifest row-count sum (metadata-only — a
+    base copy smuggled into a delta dir would inflate them vs DuckDB's
+    mod-class censuses). Gates: ``chain_gate`` (version_chain(v2) ==
+    [2,1,0]), ``prune_gate`` (a narrow o_orderkey range predicate
+    prunes to a strict file subset ACROSS the chain — every member is
+    range-clustered, so footer-stats pruning composes with appends),
+    and ``retention_gate`` (expire keep_last=1 expires NOTHING while
+    v2 depends on v0/v1 — ancestor protection, the invariant that
+    keeps retention from corrupting live chains)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        expire_versions,
+        manifest,
+        pruned_file_plan,
+        read_version,
+        version_chain,
+        write_version,
+    )
+
+    root = session_tmpdir("append_orders_")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hi = orders.agg(F.floor(F.max("o_orderkey") / 4.0).cast("long")).collect()[0][0]
+
+    def _part(mod: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 3 == mod).repartitionByRange(
+            4, "o_orderkey"
+        )
+
+    v0 = write_version(_part(0), root, stats_cols=["o_orderkey"])
+    v1 = append_version(_part(1), root, stats_cols=["o_orderkey"])
+    v2 = append_version(_part(2), root, stats_cols=["o_orderkey"])
+
+    def _own_rows(v: int) -> int:
+        return sum(int(n) for n in manifest(spark, root, v)["file_rows"].values())
+
+    chain_ok = version_chain(spark, root, v2) == [v2, v1, v0]
+    _, n_sel, n_total = pruned_file_plan(
+        spark, root, "o_orderkey", upper=hi, version=v2
+    )
+    prune_ok = 0 < n_sel < n_total
+    retention_ok = expire_versions(spark, root, keep_last=1) == []
+
+    return read_version(spark, root, v2).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+    ).select(
+        "n_rows",
+        "price_sum",
+        F.lit(_own_rows(v0)).cast("long").alias("n_base"),
+        F.lit(_own_rows(v1)).cast("long").alias("n_delta1"),
+        F.lit(_own_rows(v2)).cast("long").alias("n_delta2"),
+        F.lit(1 if chain_ok else 0).cast("long").alias("chain_gate"),
+        F.lit(1 if prune_ok else 0).cast("long").alias("prune_gate"),
+        F.lit(1 if retention_ok else 0).cast("long").alias("retention_gate"),
+    )

@@ -1,0 +1,186 @@
+"""File-level APPEND commits (operators/versioned.py::append_version):
+chain resolution, chain-aware metadata/pruning/blooms, retention
+ancestor protection, flatten-by-compaction, and MOR composition."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.operators.deletes import (
+    delete_keys,
+    materialize_deletes,
+    read_version_mor,
+)
+from pyspark_big_data_spark.operators.versioned import (
+    append_version,
+    bloom_file_plan,
+    compact_version,
+    expire_versions,
+    list_versions,
+    pruned_file_plan,
+    read_version,
+    read_version_point,
+    read_version_pruned,
+    snapshot_history,
+    snapshot_min_max,
+    snapshot_row_count,
+    version_chain,
+    write_version,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("x"))
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["x"]) for r in df.collect())
+
+
+def test_append_chain_reads_base_plus_deltas(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    assert write_version(_df(spark, 0, 100), root) == 0
+    assert append_version(_df(spark, 100, 150), root) == 1
+    assert append_version(_df(spark, 150, 160), root) == 2
+
+    assert version_chain(spark, root, 2) == [2, 1, 0]
+    assert version_chain(spark, root, 0) == [0]
+    assert read_version(spark, root, 0).count() == 100
+    assert read_version(spark, root, 1).count() == 150
+    assert _rows(read_version(spark, root, 2)) == _rows(_df(spark, 0, 160))
+
+
+def test_append_writes_only_the_delta(spark, tmp_path):
+    """The append commit's directory holds the delta files, never a
+    base copy — the O(delta) write contract."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 1000), root)
+    append_version(_df(spark, 1000, 1010).coalesce(1), root)
+    delta_files = [
+        f for f in os.listdir(f"{root}/v=1") if f.endswith(".parquet")
+    ]
+    assert len(delta_files) == 1
+    import pyarrow.parquet as pq
+
+    assert pq.ParquetFile(f"{root}/v=1/{delta_files[0]}").metadata.num_rows == 10
+
+
+def test_append_contracts(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    with pytest.raises(ValueError, match="needs a base"):
+        append_version(_df(spark, 0, 10), root)
+    write_version(_df(spark, 0, 10), root)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_version(
+            _df(spark, 10, 20).withColumnRenamed("x", "y"), root
+        )
+
+
+def test_chain_aware_pruning_and_metadata(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(
+        _df(spark, 0, 1000).repartitionByRange(4, "k"), root, stats_cols=["k"]
+    )
+    append_version(
+        _df(spark, 1000, 2000).repartitionByRange(4, "k"), root, stats_cols=["k"]
+    )
+
+    # metadata-only row count and min/max merge over the chain
+    assert snapshot_row_count(spark, root, 1) == 2000
+    assert snapshot_min_max(spark, root, ["k"], 1)["k"] == (0, 1999)
+
+    # pruning selects across BOTH members; values equal full+filter
+    sel, n_sel, n_total = pruned_file_plan(spark, root, "k", 900, 1100, version=1)
+    assert n_total == 8 and 0 < n_sel < n_total
+    assert {"/v=0/" in p for p in sel} == {True, False} or n_sel <= 2
+    got = read_version_pruned(spark, root, "k", 900, 1100, version=1)
+    want = read_version(spark, root, 1).filter(
+        (F.col("k") >= 900) & (F.col("k") <= 1100)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_chain_aware_bloom_point_lookup(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(
+        _df(spark, 0, 500).repartition(4, "k"), root, bloom_cols=["k"]
+    )
+    append_version(
+        _df(spark, 500, 1000).repartition(4, "k"), root, bloom_cols=["k"]
+    )
+    sel, n_sel, n_total = bloom_file_plan(spark, root, "k", 777, version=1)
+    assert n_total == 8 and n_sel < n_total
+    got = read_version_point(spark, root, "k", 777, version=1)
+    assert _rows(got) == [(777, 1554.0)]
+
+
+def test_retention_protects_chain_ancestors(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root)
+    append_version(_df(spark, 100, 110), root)
+    append_version(_df(spark, 110, 120), root)
+    # the survivor (v=2) depends on 1 and 0: nothing may expire
+    assert expire_versions(spark, root, keep_last=1) == []
+    assert list_versions(spark, root) == [0, 1, 2]
+    # a later FULL snapshot cuts the dependency; old chain reclaims
+    write_version(_df(spark, 0, 120), root)
+    assert expire_versions(spark, root, keep_last=1) == [0, 1, 2]
+    assert read_version(spark, root, 3).count() == 120
+
+
+def test_compaction_flattens_a_chain(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(
+        _df(spark, 0, 500).repartitionByRange(4, "k"), root, stats_cols=["k"]
+    )
+    append_version(
+        _df(spark, 500, 600).repartitionByRange(2, "k"), root, stats_cols=["k"]
+    )
+    res = compact_version(spark, root, target_files=2, cluster_by="k")
+    assert res["files_before"] == 6  # logical chain census
+    assert res["files_after"] <= 2
+    flat = res["version"]
+    assert version_chain(spark, root, flat) == [flat]
+    assert _rows(read_version(spark, root, flat)) == _rows(_df(spark, 0, 600))
+    # the flattened snapshot no longer pins its ancestors
+    assert expire_versions(spark, root, keep_last=1) == [0, 1]
+
+
+def test_deletes_compose_with_append_chains(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root)
+    append_version(_df(spark, 100, 150), root)
+    keys = spark.createDataFrame([(5,), (105,)], "k long")
+    delete_keys(spark, root, keys, "k", version=1)
+    mor = read_version_mor(spark, root, 1)
+    assert mor.count() == 148
+    assert {r["k"] for r in mor.filter(F.col("k").isin(5, 105)).collect()} == set()
+    v2 = materialize_deletes(spark, root, 1)
+    assert read_version(spark, root, v2).count() == 148
+    assert version_chain(spark, root, v2) == [v2]  # materialize writes FULL
+
+
+def test_broken_chain_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    append_version(_df(spark, 10, 20), root)
+    shutil.rmtree(f"{root}/v=0")
+    with pytest.raises(ValueError, match="chain is broken"):
+        read_version(spark, root, 1)
+
+
+def test_history_reports_logical_rows_and_base(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root, stats_cols=["k"])
+    append_version(_df(spark, 100, 130), root)
+    hist = snapshot_history(spark, root)
+    assert hist[0]["base_version"] is None and hist[0]["n_rows"] == 100
+    assert hist[1]["base_version"] == 0 and hist[1]["n_rows"] == 130
