@@ -302,6 +302,7 @@ def write_version(
     bloom_cols: list[str] | None = None,
     manifest_shard_files: int | None = None,
     audit=None,
+    manifest_extra: dict | None = None,
     _append: bool = False,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
@@ -345,7 +346,21 @@ def write_version(
     falsy return deletes the staging dir and raises ``AuditFailed``;
     nothing is published and the version counter does not advance. The
     truthy path proceeds to the normal race-verified rename. (The hook
-    re-runs on a lost-race retry, since the bytes are restaged.)"""
+    re-runs on a lost-race retry, since the bytes are restaged.)
+
+    ``manifest_extra`` merges caller keys into the manifest doc (e.g. a
+    streaming sink's ``writer_batch_id`` idempotence marker,
+    streaming/sinks.py); reserved manifest keys are refused."""
+    if manifest_extra:
+        reserved = {
+            "manifest_version", "sharded", "shards", "stats_cols",
+            "bloom_cols", "files", "file_rows", "blooms",
+            "base_version", "n_shards",
+        } & set(manifest_extra)
+        if reserved:
+            raise ValueError(
+                f"manifest_extra may not override reserved keys: {sorted(reserved)}"
+            )
     spark = df.sparkSession
     fs, hroot, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -365,7 +380,7 @@ def write_version(
         staging = f"{root.rstrip('/')}/.staging_v{n}"
         fs.delete(Path(staging), True)  # sweep a crashed predecessor
         df.write.mode("overwrite").parquet(staging)
-        if stats_cols or bloom_cols or _append:
+        if stats_cols or bloom_cols or _append or manifest_extra:
             files = _list_parquet_files(fs, jvm, staging)
             stats, file_rows = _collect_file_stats(
                 spark, files, list(stats_cols or [])
@@ -415,6 +430,8 @@ def write_version(
                     doc["bloom_cols"] = list(bloom_cols)
                 if base_version is not None:
                     doc["base_version"] = base_version
+                if manifest_extra:
+                    doc.update(manifest_extra)
                 _write_json(MANIFEST_NAME, doc)
             else:
                 doc = {
@@ -428,6 +445,8 @@ def write_version(
                     doc["blooms"] = blooms
                 if base_version is not None:
                     doc["base_version"] = base_version
+                if manifest_extra:
+                    doc.update(manifest_extra)
                 _write_json(MANIFEST_NAME, doc)
         if audit is not None:
             spark.catalog.refreshByPath(staging)
@@ -474,6 +493,7 @@ def append_version(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     manifest_shard_files: int | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """APPEND commit: publish ``df`` as the next version WITHOUT
     copying the base — the committed ``v=N`` directory holds ONLY the
@@ -527,6 +547,7 @@ def append_version(
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
         manifest_shard_files=manifest_shard_files,
+        manifest_extra=manifest_extra,
         _append=True,
     )
 

@@ -757,3 +757,106 @@ def streaming_index_replay_witness(spark: SparkSession, sf_dir: str) -> DataFram
     return hits.select(
         "doc_id", "score", F.lit(gate).cast("long").alias("bucket_gate")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Append-chain streaming sink witness: each micro-batch commits as a
+# file-level APPEND (O(batch) bytes), redelivery is skipped by the
+# manifest's writer_batch_id marker, and the chain read serves the
+# exact corpus. The transaction-log shape of a lakehouse streaming
+# sink, driver-verified.
+
+
+def _append_chain_oracle() -> str:
+    return """
+WITH fp AS (
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+)
+SELECT fp, COUNT(*) AS n_rows,
+       CAST(1 AS BIGINT) AS chain_gate,
+       CAST(1 AS BIGINT) AS skip_gate
+FROM fp GROUP BY fp ORDER BY fp
+"""
+
+
+@register(
+    "streaming_append_chain_replay_witness",
+    oracle=_append_chain_oracle(),
+    driver=False,
+)
+def streaming_append_chain_replay_witness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Replay the documents corpus through a stateless fingerprint
+    stream into the exactly-once APPEND-CHAIN sink
+    (streaming/sinks.py::exactly_once_append_chain_sink): each
+    micro-batch commits as a file-level append on one versioned chain
+    (operators/versioned.py::append_version — the batch's own bytes
+    only, never a snapshot rewrite), stamped with its
+    ``writer_batch_id``. After the availableNow replay, the final
+    batch is REDELIVERED on purpose (the crash-between-commit-and-
+    checkpoint window); the marker makes the sink skip it. Emits
+    per-fingerprint counts from the CHAIN READ of the tip version —
+    DuckDB recomputes each fingerprint's true corpus multiplicity, so
+    a double-append, a dropped batch, or a chain that lost a delta
+    flips the row red — plus ``chain_gate`` = 1 iff the chain is
+    exactly one version per micro-batch (base + appends, nothing
+    extra) and ``skip_gate`` = 1 iff the redelivery added NO version
+    (idempotence observed structurally, not just by counts)."""
+    from pyspark_big_data_spark.functions import text as TX
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        latest_version,
+        read_version,
+        version_chain,
+    )
+    from pyspark_big_data_spark.streaming.sinks import (
+        exactly_once_append_chain_sink,
+    )
+
+    root = session_tmpdir("chain_sink_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drop_dir = _drop_jsonl_batches(docs, root)
+
+    table_root = f"{root}/chain_table"
+    sink = exactly_once_append_chain_sink(table_root)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(drop_dir)
+        .select(TX.fingerprint(F.col("text")).alias("fp"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    tip = latest_version(spark, table_root)
+    chain = version_chain(spark, table_root, tip)
+    chain_ok = len(chain) == _REPLAY_BATCHES and tip == _REPLAY_BATCHES - 1
+
+    # crash-redelivery of the final micro-batch: identical content,
+    # same batch_id — the sink must skip it without a new version
+    last_id = _REPLAY_BATCHES - 1
+    redelivered = docs.filter(F.col("doc_id") % _REPLAY_BATCHES == last_id).select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    )
+    sink(redelivered, last_id)
+    skip_ok = latest_version(spark, table_root) == tip
+
+    return (
+        read_version(spark, table_root, tip)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "fp",
+            "n_rows",
+            F.lit(1 if chain_ok else 0).cast("long").alias("chain_gate"),
+            F.lit(1 if skip_ok else 0).cast("long").alias("skip_gate"),
+        )
+        .orderBy("fp")
+    )

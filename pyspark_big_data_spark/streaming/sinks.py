@@ -46,3 +46,62 @@ def exactly_once_parquet_sink(
         )
 
     return write
+
+
+def exactly_once_append_chain_sink(
+    root: str, stats_cols: list[str] | None = None
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function committing each micro-batch as a
+    file-level APPEND on a versioned chain
+    (operators/versioned.py::append_version — O(batch) bytes per
+    commit, never a snapshot rewrite), exactly-once under redelivery:
+    every commit stamps its ``writer_batch_id`` into the manifest, and
+    a redelivered batch whose id is already ON the current chain is
+    skipped before any write. This is the transaction-log shape of a
+    Delta/Iceberg streaming sink (txnAppId/txnVersion), built from the
+    same manifest the chain already carries — no extra state store.
+
+    The first batch on an empty root commits the base snapshot; later
+    batches append. Readers get a CONSISTENT snapshot at every commit
+    boundary (the chain tip is atomic — a rename), which a plain
+    directory-append sink cannot offer mid-write; ``compact_version``
+    flattens the chain on a maintenance cadence, exactly like a real
+    streaming table's OPTIMIZE job.
+
+    Idempotence scope: the marker check walks the CURRENT chain's
+    manifests (driver-side JSON, O(chain)); Structured Streaming only
+    ever redelivers the batch whose checkpoint did not commit, so the
+    chain always still contains the original commit when the replay
+    arrives. Crash BETWEEN the append rename and the checkpoint write
+    is precisely the window this closes."""
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        latest_version,
+        manifest,
+        version_chain,
+        write_version,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = latest_version(spark, root)
+        if latest is not None:
+            for v in version_chain(spark, root, latest):
+                m = manifest(spark, root, v)
+                if m is not None and m.get("writer_batch_id") == int(batch_id):
+                    return  # redelivery: this batch already committed
+            append_version(
+                batch_df,
+                root,
+                stats_cols=stats_cols,
+                manifest_extra={"writer_batch_id": int(batch_id)},
+            )
+        else:
+            write_version(
+                batch_df,
+                root,
+                stats_cols=stats_cols,
+                manifest_extra={"writer_batch_id": int(batch_id)},
+            )
+
+    return write

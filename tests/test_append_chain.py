@@ -184,3 +184,35 @@ def test_history_reports_logical_rows_and_base(spark, tmp_path):
     hist = snapshot_history(spark, root)
     assert hist[0]["base_version"] is None and hist[0]["n_rows"] == 100
     assert hist[1]["base_version"] == 0 and hist[1]["n_rows"] == 130
+
+
+def test_manifest_extra_marker_and_reserved_guard(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    from pyspark_big_data_spark.operators.versioned import manifest
+
+    write_version(_df(spark, 0, 10), root, manifest_extra={"writer_batch_id": 7})
+    assert manifest(spark, root, 0)["writer_batch_id"] == 7
+    with pytest.raises(ValueError, match="reserved"):
+        write_version(_df(spark, 0, 5), root, manifest_extra={"files": {}})
+
+
+def test_exactly_once_append_chain_sink(spark, tmp_path):
+    """Each batch commits once (base, then appends); a redelivered
+    batch_id is skipped without a new version; the chain read serves
+    the union."""
+    from pyspark_big_data_spark.streaming.sinks import (
+        exactly_once_append_chain_sink,
+    )
+
+    root = str(tmp_path / "chain_table")
+    sink = exactly_once_append_chain_sink(root)
+    sink(_df(spark, 0, 10), 0)
+    sink(_df(spark, 10, 20), 1)
+    sink(_df(spark, 20, 30), 2)
+    assert list_versions(spark, root) == [0, 1, 2]
+    assert version_chain(spark, root, 2) == [2, 1, 0]
+    # redelivery of any already-committed batch id is a no-op
+    sink(_df(spark, 20, 30), 2)
+    sink(_df(spark, 0, 10), 0)
+    assert list_versions(spark, root) == [0, 1, 2]
+    assert _rows(read_version(spark, root, 2)) == _rows(_df(spark, 0, 30))
