@@ -1029,3 +1029,54 @@ def snapshot_history(spark: SparkSession, root: str) -> list[dict]:
             }
         )
     return out
+
+
+def table_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change data feed over an APPEND chain: the rows added strictly
+    AFTER ``v=from_version`` up to and including ``v=to_version``,
+    served by reading ONLY the delta directories of the versions in
+    between — O(changes) I/O, never a table scan or a diff join. This
+    is the CDF fast path a table format serves from its log; the
+    keyed general-purpose diff (updates/deletes too, but O(both
+    snapshots)) remains queries/quality.py::snapshot_diff.
+
+    Sound only when every version in ``(from_version, to_version]`` is
+    an APPEND onto its direct predecessor — a full rewrite in the range
+    means the delta dirs do not represent the change, so this raises
+    (ask snapshot_diff instead) rather than returning wrong rows. Both
+    endpoints must be on the same chain; ``from_version ==
+    to_version`` is an empty feed with the correct schema."""
+    committed = set(list_versions(spark, root))
+    for v in (from_version, to_version):
+        if v not in committed:
+            raise ValueError(f"version {v} does not exist under {root}")
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} is newer than to_version {to_version}"
+        )
+    if from_version == to_version:
+        return read_version(spark, root, to_version).filter(F.lit(False))
+    dirs = []
+    v = to_version
+    while v != from_version:
+        m = manifest(spark, root, v)
+        base = m.get("base_version") if m else None
+        if base is None:
+            raise ValueError(
+                f"v={v} under {root} is a full rewrite, not an append — "
+                f"the delta files between v={from_version} and "
+                f"v={to_version} do not represent the change; use a keyed "
+                "snapshot diff instead"
+            )
+        dirs.append(f"{root.rstrip('/')}/v={v}")
+        v = base
+        if v < from_version:
+            raise ValueError(
+                f"v={to_version} under {root} does not chain through "
+                f"v={from_version} (chain skips to v={v})"
+            )
+    for d in dirs:
+        spark.catalog.refreshByPath(d)
+    return spark.read.parquet(*dirs)

@@ -1374,3 +1374,68 @@ def append_commit_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if prune_ok else 0).cast("long").alias("prune_gate"),
         F.lit(1 if retention_ok else 0).cast("long").alias("retention_gate"),
     )
+
+
+_CDF_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       CAST(1 AS BIGINT) AS delta_io_gate,
+       CAST(1 AS BIGINT) AS rewrite_refusal_gate
+FROM orders
+WHERE o_orderkey % 3 <> 0
+"""
+
+
+@register("table_changes_feed_witness", oracle=_CDF_ORACLE, driver=False)
+def table_changes_feed_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over an append chain driver-verified
+    (operators/versioned.py::table_changes): commit orders%3==0 as the
+    base, append %3==1 then %3==2, and ask for the changes BETWEEN v0
+    and v2. The feed is served by reading ONLY the two delta
+    directories — O(changes) I/O, no table scan, no diff join — and
+    must equal exactly the appended rows: DuckDB recomputes (n_rows,
+    decimal-exact price_sum) over orders with the base mod-class
+    excluded, so a feed that leaked base rows, dropped a delta, or
+    double-counted flips the row red. Gates: ``delta_io_gate`` = 1 iff
+    the feed's file index contains NO v=0 file (the O(changes) claim,
+    checked on the actual scan, not argued), and
+    ``rewrite_refusal_gate`` = 1 iff asking for changes across a FULL
+    REWRITE raises (a rewrite's delta dirs do not represent the
+    change — wrong rows must be impossible, not just unlikely)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        table_changes,
+        write_version,
+    )
+
+    root = session_tmpdir("cdf_orders_")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def _part(mod: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 3 == mod)
+
+    write_version(_part(0), root)
+    append_version(_part(1), root)
+    append_version(_part(2), root)
+
+    feed = table_changes(spark, root, 0, 2)
+    io_ok = all("/v=0/" not in p for p in feed.inputFiles())
+
+    # a full rewrite poisons the range: refusal is part of the contract
+    write_version(orders, root)  # v=3
+    try:
+        table_changes(spark, root, 2, 3)
+        refusal_ok = False
+    except ValueError:
+        refusal_ok = True
+
+    return feed.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+    ).select(
+        "n_rows",
+        "price_sum",
+        F.lit(1 if io_ok else 0).cast("long").alias("delta_io_gate"),
+        F.lit(1 if refusal_ok else 0).cast("long").alias("rewrite_refusal_gate"),
+    )

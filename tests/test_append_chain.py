@@ -216,3 +216,41 @@ def test_exactly_once_append_chain_sink(spark, tmp_path):
     sink(_df(spark, 0, 10), 0)
     assert list_versions(spark, root) == [0, 1, 2]
     assert _rows(read_version(spark, root, 2)) == _rows(_df(spark, 0, 30))
+
+
+def test_table_changes_reads_only_delta_dirs(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import table_changes
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root)
+    append_version(_df(spark, 100, 150), root)
+    append_version(_df(spark, 150, 160), root)
+
+    feed = table_changes(spark, root, 0, 2)
+    assert _rows(feed) == _rows(_df(spark, 100, 160))
+    # O(changes) I/O: the feed's file index never touches the base
+    assert all("/v=0/" not in p for p in feed.inputFiles())
+
+    assert _rows(table_changes(spark, root, 1, 2)) == _rows(_df(spark, 150, 160))
+    empty = table_changes(spark, root, 2, 2)
+    assert empty.count() == 0 and empty.columns == ["k", "x"]
+
+
+def test_table_changes_contracts(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import table_changes
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    append_version(_df(spark, 10, 20), root)
+    write_version(_df(spark, 0, 30), root)  # v=2: full rewrite
+    append_version(_df(spark, 30, 40), root)
+
+    with pytest.raises(ValueError, match="full rewrite"):
+        table_changes(spark, root, 0, 2)
+    with pytest.raises(ValueError, match="full rewrite"):
+        table_changes(spark, root, 1, 3)  # range crosses the rewrite
+    assert table_changes(spark, root, 2, 3).count() == 10
+    with pytest.raises(ValueError, match="newer than"):
+        table_changes(spark, root, 3, 1)
+    with pytest.raises(ValueError, match="does not exist"):
+        table_changes(spark, root, 0, 9)
