@@ -494,6 +494,7 @@ def append_version(
     bloom_cols: list[str] | None = None,
     manifest_shard_files: int | None = None,
     manifest_extra: dict | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """APPEND commit: publish ``df`` as the next version WITHOUT
     copying the base — the committed ``v=N`` directory holds ONLY the
@@ -528,7 +529,17 @@ def append_version(
 
     Row counts always land in the manifest (free from the same parquet
     footers) even with no ``stats_cols``, so ``snapshot_row_count``
-    stays metadata-only across chains."""
+    stays metadata-only across chains.
+
+    ``allow_evolution=True`` permits ADDITIVE schema evolution: the
+    delta may carry NEW columns on top of the base's (it must still
+    contain every base column — drops and renames are refused, because
+    a chain read could not distinguish them from data loss). The chain
+    read then merges schemas across members and null-fills the new
+    columns for pre-evolution rows — the add-column evolution contract
+    every table format ships. Reads of a mixed-schema chain pay the
+    per-member footer union (``mergeSchema``), which is O(files) like
+    the listing itself."""
     base = latest_version(df.sparkSession, root)
     if base is None:
         raise ValueError(
@@ -536,7 +547,14 @@ def append_version(
             "initial snapshot with write_version first"
         )
     base_cols = set(read_version(df.sparkSession, root, base).columns)
-    if set(df.columns) != base_cols:
+    if allow_evolution:
+        missing = base_cols - set(df.columns)
+        if missing:
+            raise ValueError(
+                "append evolution is ADDITIVE only: delta is missing base "
+                f"column(s) {sorted(missing)} (drops/renames refused)"
+            )
+    elif set(df.columns) != base_cols:
         raise ValueError(
             f"append schema mismatch: base {sorted(base_cols)} "
             f"vs delta {sorted(df.columns)}"
@@ -605,7 +623,13 @@ def read_version(
     ]
     for d in dirs:
         spark.catalog.refreshByPath(d)
-    return spark.read.parquet(*dirs)
+    if len(dirs) == 1:
+        return spark.read.parquet(dirs[0])
+    # a chain may have evolved additively (append_version
+    # allow_evolution): merge member schemas and null-fill columns
+    # absent from pre-evolution files — the default reader would bind
+    # one file's schema and silently drop late columns
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
 def pruned_file_plan(
@@ -676,9 +700,13 @@ def read_version_pruned(
         # predicate excludes every file: empty frame, correct schema
         base = read_version(spark, root, version)
         return base.filter(F.lit(False))
-    for d in {os.path.dirname(p) for p in selected}:
+    sel_dirs = {os.path.dirname(p) for p in selected}
+    for d in sel_dirs:
         spark.catalog.refreshByPath(d)
-    df = spark.read.parquet(*selected)
+    reader = spark.read
+    if len(sel_dirs) > 1:
+        reader = reader.option("mergeSchema", "true")  # evolved chains
+    df = reader.parquet(*selected)
     if lower is not None:
         df = df.filter(F.col(col) >= F.lit(lower))
     if upper is not None:
@@ -759,9 +787,13 @@ def read_version_point(
     selected, _, _ = bloom_file_plan(spark, root, col, value, version)
     if not selected:
         return read_version(spark, root, version).filter(F.lit(False))
-    for d in {os.path.dirname(p) for p in selected}:
+    sel_dirs = {os.path.dirname(p) for p in selected}
+    for d in sel_dirs:
         spark.catalog.refreshByPath(d)
-    return spark.read.parquet(*selected).filter(F.col(col) == F.lit(value))
+    reader = spark.read
+    if len(sel_dirs) > 1:
+        reader = reader.option("mergeSchema", "true")  # evolved chains
+    return reader.parquet(*selected).filter(F.col(col) == F.lit(value))
 
 
 def expire_versions(
@@ -1079,4 +1111,7 @@ def table_changes(
             )
     for d in dirs:
         spark.catalog.refreshByPath(d)
-    return spark.read.parquet(*dirs)
+    reader = spark.read
+    if len(dirs) > 1:
+        reader = reader.option("mergeSchema", "true")  # evolved chains
+    return reader.parquet(*dirs)

@@ -1439,3 +1439,80 @@ def table_changes_feed_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if io_ok else 0).cast("long").alias("delta_io_gate"),
         F.lit(1 if refusal_ok else 0).cast("long").alias("rewrite_refusal_gate"),
     )
+
+
+_EVOLVE_ORACLE = """
+SELECT CASE WHEN o_orderkey % 2 = 1
+            THEN CASE WHEN o_totalprice >= 100000 THEN 'hi' ELSE 'lo' END
+       END AS band,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       CAST(1 AS BIGINT) AS refusal_gate
+FROM orders
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register("append_evolution_read_witness", oracle=_EVOLVE_ORACLE, driver=False)
+def append_evolution_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on an append chain driver-verified
+    (operators/versioned.py::append_version(allow_evolution=True)):
+    commit orders%2==0 as the base (two columns), then append %2==1
+    WITH A NEW COLUMN ``band`` (a price bucket the oracle can replay).
+    The chain read merges member schemas and null-fills ``band`` for
+    every pre-evolution row — the add-column contract table formats
+    ship — so grouping the chain read by ``band`` yields exactly three
+    groups: NULL (the whole base, proving null-fill hit every old row
+    and only old rows), 'hi' and 'lo' (the delta, proving the new
+    column's values survived the merge). DuckDB recomputes all three
+    groups' counts and decimal-exact price sums from the raw table, so
+    a dropped late column (the default reader's one-file-schema bind),
+    a misaligned null-fill, or evolution leaking into base rows flips
+    the row red. ``refusal_gate`` = 1 iff BOTH contract refusals fire:
+    an evolved append without the explicit opt-in raises, and a
+    column-DROPPING append raises even with it (drops are
+    indistinguishable from data loss at read time, so they are never
+    accepted)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        read_version,
+        write_version,
+    )
+
+    root = session_tmpdir("evolve_orders_")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    delta = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "band",
+        F.when(F.col("o_totalprice") >= 100000, F.lit("hi")).otherwise(F.lit("lo")),
+    )
+    write_version(base, root)
+
+    refusals = 0
+    try:
+        append_version(delta, root)
+    except ValueError:
+        refusals += 1
+    try:
+        append_version(delta.drop("o_totalprice"), root, allow_evolution=True)
+    except ValueError:
+        refusals += 1
+    v1 = append_version(delta, root, allow_evolution=True)
+
+    return (
+        read_version(spark, root, v1)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+        )
+        .select(
+            "band",
+            "n_rows",
+            "price_sum",
+            F.lit(1 if refusals == 2 else 0).cast("long").alias("refusal_gate"),
+        )
+        .orderBy("band")
+    )

@@ -233,23 +233,23 @@ DRIVER_EXCLUDED: set[str] = set()
 # FIRST, and the overflow r7 rows are EXPLICITLY WAIVED to r12 —
 # aging to 5 rounds, one past the 4-round target, accepted because
 # each waived row (a) stayed green in the full pytest suite every
-# round and (b) has a same-family row green in r9–r11. With the 6
+# round and (b) has a same-family row green in r9–r11. With the 7
 # new r10 registrations (snapshot_compaction_witness,
 # delete_vector_read_witness, price_histogram_equidepth_sampled,
 # append_commit_read_witness, streaming_append_chain_replay_witness,
-# table_changes_feed_witness) the split is 35 heads + 15 r7
-# re-cycles; the 11 waived-to-r12 rows are the low-risk
-# agreement/quirk/sibling/bench-covered twins:
+# table_changes_feed_witness, append_evolution_read_witness) the
+# split is 36 heads + 14 r7 re-cycles; the 12 waived-to-r12 rows are
+# the low-risk agreement/quirk/sibling/bench-covered twins:
 # semantic_dedup_np_agreement, json_typed_agreement,
 # brp_lsh_ml_witness, minhash_ml_witness (agreement twins whose
 # primary rows cycle green), q1_top_months_string_slice,
 # q2_event_time_bins (quirk twins of the r8/r9-green q1/q2 rows),
 # multimodal_frame_sample, multimodal_audio_resample (siblings of
 # multimodal_real_decode, which keeps its r11 slot),
-# bpe_pair_counts, doc_chunk_overlap, and boilerplate_prefixes (all
-# three measured green in EVERY bench bracket; bpe_merges_learned
-# keeps its r11 slot). r12 then takes those 11 + 39 oldest r8-green
-# rows — back on the 4-round cadence.
+# bpe_pair_counts, doc_chunk_overlap, boilerplate_prefixes, and
+# latest_order_per_customer (all four measured green in EVERY bench
+# bracket; bpe_merges_learned keeps its r11 slot). r12 then takes
+# those 12 + 38 oldest r8-green rows — back on the 4-round cadence.
 #
 # r10 new capabilities (registered driver=False this round, queued
 # as r11 heads): snapshot_compaction_witness (OPTIMIZE bin-pack of a
@@ -268,7 +268,10 @@ DRIVER_EXCLUDED: set[str] = set()
 # table_changes_feed_witness (append-only change data feed: the rows
 # between two chain versions served from the DELTA DIRS ONLY —
 # O(changes) I/O gated on the actual file index, full-rewrite ranges
-# refused loudly).
+# refused loudly), append_evolution_read_witness (ADDITIVE schema
+# evolution on append chains: opt-in add-column appends, chain reads
+# merge schemas and null-fill pre-evolution rows, drops refused —
+# both refusals gated).
 
 # Superseded variants OUT OF THE CYCLING POOL for good (see the policy
 # amendment above); structurally excluded from the driver surface in

@@ -254,3 +254,50 @@ def test_table_changes_contracts(spark, tmp_path):
         table_changes(spark, root, 3, 1)
     with pytest.raises(ValueError, match="does not exist"):
         table_changes(spark, root, 0, 9)
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import table_changes
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root)
+    evolved = _df(spark, 100, 120).withColumn("tag", F.lit("late"))
+    # refused without the explicit opt-in
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_version(evolved, root)
+    append_version(evolved, root, allow_evolution=True)
+
+    out = read_version(spark, root, 1)
+    assert set(out.columns) == {"k", "x", "tag"}
+    # pre-evolution rows null-fill the new column; new rows carry it
+    assert out.filter(F.col("tag").isNull()).count() == 100
+    assert out.filter(F.col("tag") == "late").count() == 20
+    # the CDF over the evolved range carries the new column too
+    feed = table_changes(spark, root, 0, 1)
+    assert feed.filter(F.col("tag") == "late").count() == 20
+
+
+def test_evolution_refuses_drops(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    with pytest.raises(ValueError, match="ADDITIVE only"):
+        append_version(
+            _df(spark, 10, 20).drop("x"), root, allow_evolution=True
+        )
+
+
+def test_evolved_chain_pruned_read(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(
+        _df(spark, 0, 1000).repartitionByRange(4, "k"), root, stats_cols=["k"]
+    )
+    append_version(
+        _df(spark, 1000, 2000).withColumn("tag", F.lit("l")).repartitionByRange(4, "k"),
+        root,
+        stats_cols=["k"],
+        allow_evolution=True,
+    )
+    got = read_version_pruned(spark, root, "k", 900, 1100, version=1)
+    assert set(got.columns) == {"k", "x", "tag"}
+    assert got.count() == 201
+    assert got.filter(F.col("tag").isNull()).count() == 100
