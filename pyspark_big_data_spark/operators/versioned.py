@@ -938,6 +938,7 @@ def compact_version(
     cluster_by: str | None = None,
     version: int | None = None,
     manifest_shard_files: int | None = None,
+    manifest_extra: dict | None = None,
 ) -> dict:
     """OPTIMIZE for a versioned snapshot: bin-pack the files of
     ``v=version`` (default latest) into ``target_files`` and commit the
@@ -1018,6 +1019,7 @@ def compact_version(
         stats_cols=stats_cols,
         bloom_cols=bloom_cols,
         manifest_shard_files=manifest_shard_files,
+        manifest_extra=manifest_extra,
     )
     files_after = len(
         _list_parquet_files(fs, jvm, f"{root.rstrip('/')}/v={new_v}")

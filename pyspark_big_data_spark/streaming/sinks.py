@@ -49,7 +49,10 @@ def exactly_once_parquet_sink(
 
 
 def exactly_once_append_chain_sink(
-    root: str, stats_cols: list[str] | None = None
+    root: str,
+    stats_cols: list[str] | None = None,
+    compact_every: int | None = None,
+    compact_target_files: int = 8,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function committing each micro-batch as a
     file-level APPEND on a versioned chain
@@ -73,23 +76,44 @@ def exactly_once_append_chain_sink(
     ever redelivers the batch whose checkpoint did not commit, so the
     chain always still contains the original commit when the replay
     arrives. Crash BETWEEN the append rename and the checkpoint write
-    is precisely the window this closes."""
+    is precisely the window this closes.
+
+    With ``compact_every=N``, the sink FLATTENS the chain (one full
+    rewrite to ``compact_target_files`` files) whenever it reaches N
+    members — the bounded-read-fan-in maintenance a streaming table
+    needs, inlined so chain length never grows past N. Flattening
+    CUTS the chain, which would lose the batch-id markers and break
+    idempotence for a batch redelivered right after a compaction; the
+    flatten therefore CARRIES the chain's full marker set forward in
+    its own manifest (``writer_batch_ids``), and the redelivery check
+    reads both forms. A crash between the append and the checkpoint —
+    even with a compaction in between — still replays into a no-op."""
     from pyspark_big_data_spark.operators.versioned import (
         append_version,
+        compact_version,
         latest_version,
         manifest,
         version_chain,
         write_version,
     )
 
+    def _chain_markers(spark, latest: int) -> set[int]:
+        seen: set[int] = set()
+        for v in version_chain(spark, root, latest):
+            m = manifest(spark, root, v)
+            if m is None:
+                continue
+            if "writer_batch_id" in m:
+                seen.add(int(m["writer_batch_id"]))
+            seen.update(int(b) for b in m.get("writer_batch_ids", []))
+        return seen
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         latest = latest_version(spark, root)
         if latest is not None:
-            for v in version_chain(spark, root, latest):
-                m = manifest(spark, root, v)
-                if m is not None and m.get("writer_batch_id") == int(batch_id):
-                    return  # redelivery: this batch already committed
+            if int(batch_id) in _chain_markers(spark, latest):
+                return  # redelivery: this batch already committed
             append_version(
                 batch_df,
                 root,
@@ -103,5 +127,18 @@ def exactly_once_append_chain_sink(
                 stats_cols=stats_cols,
                 manifest_extra={"writer_batch_id": int(batch_id)},
             )
+        if compact_every is not None:
+            tip = latest_version(spark, root)
+            chain = version_chain(spark, root, tip)
+            if len(chain) >= compact_every:
+                compact_version(
+                    spark,
+                    root,
+                    target_files=compact_target_files,
+                    version=tip,
+                    manifest_extra={
+                        "writer_batch_ids": sorted(_chain_markers(spark, tip))
+                    },
+                )
 
     return write

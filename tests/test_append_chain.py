@@ -301,3 +301,30 @@ def test_evolved_chain_pruned_read(spark, tmp_path):
     assert set(got.columns) == {"k", "x", "tag"}
     assert got.count() == 201
     assert got.filter(F.col("tag").isNull()).count() == 100
+
+
+def test_sink_auto_compaction_carries_markers(spark, tmp_path):
+    """compact_every flattens the chain in-sink; the flatten carries
+    the batch-id markers forward, so a batch redelivered right AFTER a
+    compaction (crash between append and checkpoint) is still a
+    no-op — the window that would otherwise double-append."""
+    from pyspark_big_data_spark.operators.versioned import manifest
+    from pyspark_big_data_spark.streaming.sinks import (
+        exactly_once_append_chain_sink,
+    )
+
+    root = str(tmp_path / "chain_table")
+    sink = exactly_once_append_chain_sink(root, compact_every=3, compact_target_files=2)
+    sink(_df(spark, 0, 10), 0)
+    sink(_df(spark, 10, 20), 1)
+    sink(_df(spark, 20, 30), 2)  # chain hits 3 -> flatten to v=3
+    tip = max(list_versions(spark, root))
+    assert version_chain(spark, root, tip) == [tip]
+    assert sorted(manifest(spark, root, tip)["writer_batch_ids"]) == [0, 1, 2]
+    # redelivery of the pre-compaction batch: must be skipped
+    sink(_df(spark, 20, 30), 2)
+    assert max(list_versions(spark, root)) == tip
+    assert read_version(spark, root, tip).count() == 30
+    # and the feed continues appending on top of the flat version
+    sink(_df(spark, 30, 40), 3)
+    assert _rows(read_version(spark, root)) == _rows(_df(spark, 0, 40))
