@@ -301,3 +301,81 @@ def bfs_shortest_hops(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited.select(F.col("node").alias(node_col), "hops")
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact global triangle census of an undirected simple graph:
+    one row ``(n_edges, n_wedges, n_triangles, clustering)``.
+
+    The scale lever is DEGREE ORIENTATION (the standard distributed
+    triangle trick): orient every undirected edge from its
+    lower-(degree, id) endpoint to its higher one — a total order, so
+    each triangle has exactly ONE vertex with two out-edges and is
+    counted exactly once — then build wedges by self-joining the
+    oriented edges on that apex and close them against the oriented
+    edge set. Work is Σ out-degree², and orientation bounds out-degree
+    by ~sqrt(2m) even when raw degrees are power-law: the celebrity
+    node that would explode an id-ordered wedge join (deg² wedges)
+    becomes the DESTINATION of almost all its edges instead. Three
+    shuffles total: degree aggregate, wedge join on the apex, closing
+    semi-join on the (lo, hi) pair.
+
+    ``n_wedges`` (paths of length 2, from raw degrees) and the global
+    clustering coefficient 3T/W ride along — the integer inputs are
+    exact, so the one double division is bit-stable across engines.
+
+    Input contract: ``edges`` holds each undirected edge at least once
+    in either direction; self-loops and duplicates are removed here.
+    Reference parity note: extension surface — the reference engine
+    (src/query1-4.py) has no graph operators; this completes the graph
+    family (PageRank / LPA / CC / BFS) with the subgraph-census shape.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    wedges_total = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+    )
+
+    # orient lower-(deg, id) -> higher-(deg, id)
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+    keyed = e.join(dl, "lo").join(dh, "hi")
+    fwd = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+    )
+
+    # wedges at the apex u: out-neighbor pairs (v < w by id), closed
+    # against the UNDIRECTED canonical edge set (lo, hi)
+    w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("apex_b"), F.col("v").alias("y"))
+    wedge = w1.join(
+        w2, (F.col("apex") == F.col("apex_b")) & (F.col("x") < F.col("y"))
+    ).select(F.col("x").alias("lo"), F.col("y").alias("hi"))
+    tri = wedge.join(e, ["lo", "hi"], "left_semi").count()
+
+    spark = edges.sparkSession
+    n_edges = e.count()
+    n_wedges = int(wedges_total.collect()[0]["w"] or 0)
+    clustering = (3.0 * tri / n_wedges) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, tri, clustering)],
+        "n_edges long, n_wedges long, n_triangles long, clustering double",
+    )

@@ -153,3 +153,65 @@ def dedup_triangle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the part co-purchase graph (r10): the
+# subgraph-census member of the graph family, degree-oriented for scale
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+), e AS (
+    SELECT DISTINCT a.part AS lo, b.part AS hi
+    FROM op a JOIN op b ON a.ok = b.ok AND a.part < b.part
+), deg AS (
+    SELECT node, COUNT(*) AS deg
+    FROM (SELECT lo AS node FROM e UNION ALL SELECT hi AS node FROM e)
+    GROUP BY node
+), agg AS (
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+    FROM deg
+), t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.lo = e1.hi
+    JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT n_edges, n_wedges, n_triangles,
+       3.0 * n_triangles / n_wedges AS clustering
+FROM agg, t
+"""
+
+
+@register("copurchase_triangles", oracle=_TRI_ORACLE, driver=False)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph (parts are
+    adjacent when some order contains both): one row of (n_edges,
+    n_wedges, n_triangles, global clustering 3T/W) — the
+    subgraph-census shape next to the family's PageRank / LPA / CC /
+    BFS rows, and the standard cohesion statistic for recommender
+    graphs. The operator (operators/graph.py::triangle_count) counts
+    via DEGREE ORIENTATION — each edge directed low-(deg,id) →
+    high-(deg,id), wedges built at their unique apex, closed with one
+    semi-join — so the work is Σ out-deg² with out-degree bounded
+    ~sqrt(2m) even on power-law graphs, while DuckDB recounts the SAME
+    invariant with the naive id-ordered 3-way self-join (a < b < c):
+    two different algorithms, one number — an orientation that
+    double-counts, drops apexes, or closes against the directed (not
+    canonical) edge set flips the row red. The clustering division is
+    one double op on exact integers, bit-stable across engines."""
+    from pyspark_big_data_spark.operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = op.select("ok", F.col("part").alias("src"))
+    b = op.select(F.col("ok").alias("ok_b"), F.col("part").alias("dst"))
+    edges = a.join(
+        b, (F.col("ok") == F.col("ok_b")) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    return triangle_count(edges)

@@ -249,7 +249,14 @@ DRIVER_EXCLUDED: set[str] = set()
 # bpe_pair_counts, doc_chunk_overlap, boilerplate_prefixes, and
 # latest_order_per_customer (all four measured green in EVERY bench
 # bracket; bpe_merges_learned keeps its r11 slot). r12 then takes
-# those 12 + 38 oldest r8-green rows — back on the 4-round cadence.
+# those 12 + the r10-registration OVERFLOW + oldest r8-green rows —
+# back on the 4-round cadence.
+#
+# OVERFLOW RULE (r10): r11 heads are capped at the 7 registrations
+# named above. Any r10 registration beyond them (currently:
+# copurchase_triangles — the degree-oriented triangle census) queues
+# as an r12 HEAD, registered-oldest-first, AHEAD of r12's re-cycles —
+# never by waiving additional r7 rows past the 12 justified by name.
 #
 # r10 new capabilities (registered driver=False this round, queued
 # as r11 heads): snapshot_compaction_witness (OPTIMIZE bin-pack of a

@@ -77,3 +77,47 @@ def test_bfs_multi_source_takes_min(spark):
     src = spark.createDataFrame([(1,), (10,)], "node long")
     got = {r["node"]: r["hops"] for r in bfs_shortest_hops(e, src, max_hops=4).collect()}
     assert got == {1: 0, 10: 0, 2: 1, 3: 1}  # 3 claimed at 1 via 10, not 2 via 1
+
+
+# ---------------------------------------------------------------------------
+# Triangle census (operators/graph.py::triangle_count)
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, pairs):
+    from pyspark_big_data_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return triangle_count(edges).collect()[0]
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4: 4 triangles, 6 edges, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = _tri(spark, k4)
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (6, 12, 4)
+    assert r["clustering"] == 1.0
+    # path graph: no triangles
+    r = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert r["n_triangles"] == 0
+    # star: many wedges, zero triangles
+    r = _tri(spark, [(0, i) for i in range(1, 6)])
+    assert (r["n_wedges"], r["n_triangles"]) == (10, 0)
+    # triangle + pendant edge
+    r = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert r["n_triangles"] == 1
+
+
+def test_triangle_count_input_hygiene(spark):
+    # duplicates, reversed duplicates, and self-loops don't change it
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 2)]
+    r = _tri(spark, messy)
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_triangle_count_skewed_hub(spark):
+    # hub + rim: triangles only where rim edges close the wedge; the
+    # degree orientation makes the hub a pure destination
+    pairs = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4)]
+    r = _tri(spark, pairs)
+    assert r["n_triangles"] == 2
