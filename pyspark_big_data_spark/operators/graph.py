@@ -379,3 +379,69 @@ def triangle_count(
         [(n_edges, n_wedges, tri, clustering)],
         "n_edges long, n_wedges long, n_triangles long, clustering double",
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 25,
+) -> tuple[DataFrame, DataFrame, int, bool]:
+    """k-core decomposition by synchronous peeling: repeatedly remove
+    every node whose degree in the CURRENT subgraph is below ``k``
+    (and the edges it carries) until nothing changes. Returns
+    ``(core_nodes, core_edges, rounds, converged)`` — the maximal
+    subgraph of minimum degree >= k, the classic graph-quality filter
+    (a document/user that only connects to peeled-away periphery gets
+    peeled too, which is why k-core is the standard spam/periphery cut
+    for corpus graphs).
+
+    Scale shape: each round is one degree aggregate + two semi-joins
+    (both endpoint filters), all keyed shuffles on the node id; the
+    frontier SHRINKS monotonically, so round cost falls. The loop
+    localCheckpoints per round — iterative plans would otherwise stack
+    lineage. Rounds are data-bounded (each round removes >= 1 node or
+    stops), ``max_rounds`` is the runaway guard; ``converged`` is the
+    honest flag callers must gate on. Edges are canonicalized
+    (undirected, deduped, no self-loops) like triangle_count.
+    Reference parity note: extension surface (the reference engine has
+    no graph operators)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("lo"), F.col(dst_col).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select(F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = -1
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        survivors = (
+            e.select(F.col("lo").alias("node"))
+            .unionByName(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        n_now = survivors.count()
+        if n_now == n_nodes:
+            converged = True
+            break
+        n_nodes = n_now
+        e = (
+            e.join(survivors.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(survivors.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+    core_nodes = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .distinct()
+    )
+    return core_nodes, e, rounds, converged

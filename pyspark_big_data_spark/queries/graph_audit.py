@@ -215,3 +215,118 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("ok") == F.col("ok_b")) & (F.col("src") < F.col("dst"))
     ).select("src", "dst")
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# k-core of the co-purchase graph (r10): the periphery-peeling quality
+# filter, Spark loop vs unrolled-CTE peel
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_LAYERS = 10
+
+
+def _kcore_oracle(k: int = _KCORE_K, layers: int = _KCORE_LAYERS) -> str:
+    """Unrolled synchronous peel in DuckDB: layer t keeps the nodes
+    whose degree in e{t-1} is >= k and induces e{t}. All-integer, so
+    trivially exact; the fixpoint gate re-peels the last layer once
+    more and checks nothing moves."""
+    # every layer is AS MATERIALIZED: each references its predecessor
+    # three times, and DuckDB would otherwise INLINE the references —
+    # a 3^layers expansion that re-opens the parquet scan thousands of
+    # times (observed as EMFILE at 10 layers)
+    parts = [
+        """WITH op AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem
+), e0 AS MATERIALIZED (
+    SELECT a.part AS lo, b.part AS hi
+    FROM op a JOIN op b ON a.ok = b.ok AND a.part < b.part
+    GROUP BY lo, hi HAVING COUNT(*) >= 2
+)"""
+    ]
+    for t in range(1, layers + 1):
+        p = f"e{t - 1}"
+        parts.append(
+            f""", n{t} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT lo AS node FROM {p} UNION ALL SELECT hi AS node FROM {p}
+    ) GROUP BY node HAVING COUNT(*) >= {k}
+), e{t} AS MATERIALIZED (
+    SELECT {p}.lo, {p}.hi FROM {p}
+    JOIN n{t} a ON {p}.lo = a.node
+    JOIN n{t} b ON {p}.hi = b.node
+)"""
+        )
+    last = f"e{layers}"
+    parts.append(
+        f""", nfin AS (
+    SELECT node FROM (
+        SELECT lo AS node FROM {last} UNION ALL SELECT hi AS node FROM {last}
+    ) GROUP BY node HAVING COUNT(*) >= {k}
+)
+SELECT CAST((SELECT COUNT(*) FROM n{layers}) AS BIGINT) AS n_core_nodes,
+       CAST((SELECT COUNT(*) FROM {last}) AS BIGINT) AS n_core_edges,
+       CAST((SELECT COALESCE(SUM(node), 0) FROM n{layers}) AS BIGINT) AS node_id_sum,
+       CAST((SELECT COUNT(*) FROM nfin) = (SELECT COUNT(*) FROM n{layers}) AS BIGINT)
+           AS fixpoint_gate
+"""
+    )
+    return "".join(parts)
+
+
+@register("kcore_copurchase", oracle=_kcore_oracle(), driver=False)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the part co-purchase graph (operators/graph.py::
+    k_core): peel every part whose co-purchase degree in the CURRENT
+    subgraph is below {k} until nothing moves — the maximal subgraph of
+    minimum degree >= {k}, the standard periphery/spam cut for corpus
+    graphs (a node kept only by peeled-away neighbors gets peeled
+    too, which no single-pass degree filter can compute); edges are
+    the support>=2 co-purchase pairs, the threshold that makes the
+    peel cascade instead of keeping every basket clique. Emits the
+    core's node census, edge census, and node-id sum (membership
+    binding) plus ``fixpoint_gate`` = 1 iff the peel CONVERGED — the
+    Spark side gates on its own converged flag AND the oracle re-peels
+    its last layer once more, so a loop that stopped early or a
+    DuckDB unroll shorter than the true peel depth flips the row red
+    rather than comparing two half-peeled graphs. Spark runs the
+    data-bounded loop (degree aggregate + two semi-joins per round,
+    frontier shrinking, localCheckpoint per round); DuckDB replays it
+    as {layers} unrolled all-integer CTE layers.""".format(
+        k=_KCORE_K, layers=_KCORE_LAYERS
+    )
+    from pyspark_big_data_spark.operators.graph import k_core
+
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = op.select("ok", F.col("part").alias("src"))
+    b = op.select(F.col("ok").alias("ok_b"), F.col("part").alias("dst"))
+    # support >= 2 edges (pairs co-purchased in at least two orders):
+    # the raw basket graph is clique-per-order and everything survives
+    # a k=3 peel; the support threshold is what recommender pipelines
+    # apply anyway, and it makes the peel CASCADE at driver scale
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+
+    nodes, core_edges, rounds, converged = k_core(
+        edges, _KCORE_K, max_rounds=_KCORE_LAYERS + 2
+    )
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.coalesce(F.sum("node"), F.lit(0)).cast("long").alias("node_id_sum"),
+    ).crossJoin(
+        core_edges.agg(F.count(F.lit(1)).alias("n_core_edges"))
+    )
+    return stats.select(
+        "n_core_nodes",
+        "n_core_edges",
+        "node_id_sum",
+        F.lit(1 if converged else 0).cast("long").alias("fixpoint_gate"),
+    )

@@ -254,9 +254,11 @@ DRIVER_EXCLUDED: set[str] = set()
 #
 # OVERFLOW RULE (r10): r11 heads are capped at the 7 registrations
 # named above. Any r10 registration beyond them (currently:
-# copurchase_triangles — the degree-oriented triangle census) queues
-# as an r12 HEAD, registered-oldest-first, AHEAD of r12's re-cycles —
-# never by waiving additional r7 rows past the 12 justified by name.
+# copurchase_triangles — the degree-oriented triangle census — and
+# kcore_copurchase — the convergent periphery peel vs a materialized
+# unrolled-CTE replay) queues as an r12 HEAD,
+# registered-oldest-first, AHEAD of r12's re-cycles — never by
+# waiving additional r7 rows past the 12 justified by name.
 #
 # r10 new capabilities (registered driver=False this round, queued
 # as r11 heads): snapshot_compaction_witness (OPTIMIZE bin-pack of a

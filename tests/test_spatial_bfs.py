@@ -121,3 +121,30 @@ def test_triangle_count_skewed_hub(spark):
     pairs = [(0, i) for i in range(1, 9)] + [(1, 2), (3, 4)]
     r = _tri(spark, pairs)
     assert r["n_triangles"] == 2
+
+
+def test_k_core_semantics(spark):
+    from pyspark_big_data_spark.operators.graph import k_core
+
+    # triangle + a tail: the 2-core is exactly the triangle — the tail
+    # node 4 peels first, then 3 keeps its triangle degree
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    nodes, core_e, rounds, converged = k_core(edges, 2)
+    assert converged
+    assert sorted(r["node"] for r in nodes.collect()) == [1, 2, 3]
+    assert core_e.count() == 3
+
+    # cascading peel: a path hanging off the triangle peels node by
+    # node — the loop must iterate, not single-pass filter
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    nodes, _, rounds, converged = k_core(edges, 2)
+    assert converged and rounds >= 3
+    assert sorted(r["node"] for r in nodes.collect()) == [1, 2, 3]
+
+    # k above the max degree: empty core, still converged
+    nodes, core_e, _, converged = k_core(edges, 5)
+    assert converged and nodes.count() == 0 and core_e.count() == 0
