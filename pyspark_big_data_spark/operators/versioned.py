@@ -304,6 +304,7 @@ def write_version(
     audit=None,
     manifest_extra: dict | None = None,
     _append: bool = False,
+    _base_override: int | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
     number. With ``stats_cols``, a footer-stats manifest
@@ -375,8 +376,13 @@ def write_version(
             )
         # An append bases on whatever it DIRECTLY follows — recomputed
         # per retry, so a lost race re-bases on the interloper and the
-        # chain never silently skips a committed version.
-        base_version = latest if _append else None
+        # chain never silently skips a committed version. A RESTORE
+        # (_base_override) pins its base explicitly instead: rolling
+        # back to v means v regardless of interlopers.
+        if _base_override is not None:
+            base_version = _base_override
+        else:
+            base_version = latest if _append else None
         staging = f"{root.rstrip('/')}/.staging_v{n}"
         fs.delete(Path(staging), True)  # sweep a crashed predecessor
         df.write.mode("overwrite").parquet(staging)
@@ -1117,3 +1123,42 @@ def table_changes(
     if len(dirs) > 1:
         reader = reader.option("mergeSchema", "true")  # evolved chains
     return reader.parquet(*dirs)
+
+
+def restore_version(spark: SparkSession, root: str, version: int) -> int:
+    """METADATA-ONLY rollback (the table formats' RESTORE): make the
+    dataset's CURRENT state equal to historical ``v=version`` again by
+    committing a new version that is an EMPTY delta based on it — the
+    new ``v=N`` directory holds one empty (schema-bearing) parquet
+    file plus a manifest whose ``base_version`` points at the restore
+    target, so the chain read of v=N resolves to exactly the old
+    content with O(1) new bytes, no matter how large the table is.
+    Returns the new version number.
+
+    This is undo-by-commit, not undo-by-delete: the versions between
+    the restore target and the restore COMMIT stay readable history
+    (an audit can still see what was rolled back), retention reclaims
+    them later like any other unnamed versions, and the restore's
+    ancestor protection pins the target and ITS chain exactly as any
+    append pins its base. ``table_changes(restore_target, restored)``
+    is correctly EMPTY — a restore adds no rows.
+
+    Contract: the target must be a committed version; restoring to the
+    current latest is refused as a no-op (it would burn a version
+    number to say nothing)."""
+    committed = list_versions(spark, root)
+    if version not in committed:
+        raise ValueError(f"version {version} does not exist under {root}")
+    if version == committed[-1]:
+        raise ValueError(
+            f"v={version} is already the latest under {root}; restore "
+            "would be a no-op"
+        )
+    empty = read_version(spark, root, version).limit(0).coalesce(1)
+    return write_version(
+        empty,
+        root,
+        manifest_extra={"restored_from": version},
+        _append=True,
+        _base_override=version,
+    )

@@ -1516,3 +1516,66 @@ def append_evolution_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band")
     )
+
+
+_RESTORE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows,
+       CAST(1 AS BIGINT) AS metadata_only_gate,
+       CAST(1 AS BIGINT) AS feed_gate
+FROM customer
+"""
+
+
+@register("restore_rollback_witness", oracle=_RESTORE_ORACLE, driver=False)
+def restore_rollback_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RESTORE driver-verified
+    (operators/versioned.py::restore_version): commit the customer
+    dimension as v0, then a CORRUPTING rewrite as v1 (a third of the
+    rows, balances zeroed — the bad-deploy moment), then roll back
+    with ``restore_version(root, 0)`` — a new version that is an EMPTY
+    delta based on v0, so the rollback writes O(1) bytes regardless of
+    table size. Emits the RESTORED current read's (n_rows,
+    decimal-exact bal_sum) — DuckDB recomputes both from the raw
+    table, so a restore that resolved to the corrupt version, lost
+    rows, or double-counted through the chain flips the row red — plus
+    ``bad_rows`` = the rolled-back v1's own row count read from
+    HISTORY (the corrupt version must stay auditable, and its census
+    binds it to DuckDB's mod-class count), ``metadata_only_gate`` = 1
+    iff the restore commit's OWN manifest row count is ZERO (the O(1)
+    claim, read from metadata), and ``feed_gate`` = 1 iff
+    ``table_changes(v0 → restore)`` is empty (a rollback adds no
+    rows)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        manifest,
+        read_version,
+        restore_version,
+        table_changes,
+        write_version,
+    )
+
+    root = session_tmpdir("restore_dim_")
+    base = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v0 = write_version(base, root, stats_cols=["c_custkey"])
+    corrupt = base.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", (F.col("c_acctbal") * 0).alias("c_acctbal")
+    )
+    v1 = write_version(corrupt, root, stats_cols=["c_custkey"])
+    v2 = restore_version(spark, root, v0)
+
+    own = sum(int(n) for n in manifest(spark, root, v2)["file_rows"].values())
+    feed_empty = table_changes(spark, root, v0, v2).count() == 0
+    bad_rows = read_version(spark, root, v1).count()
+
+    return read_version(spark, root, v2).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).select(
+        "n_rows",
+        "bal_sum",
+        F.lit(int(bad_rows)).cast("long").alias("bad_rows"),
+        F.lit(1 if own == 0 else 0).cast("long").alias("metadata_only_gate"),
+        F.lit(1 if feed_empty else 0).cast("long").alias("feed_gate"),
+    )

@@ -256,9 +256,11 @@ DRIVER_EXCLUDED: set[str] = set()
 # named above. Any r10 registration beyond them (currently:
 # copurchase_triangles — the degree-oriented triangle census — and
 # kcore_copurchase — the convergent periphery peel vs a materialized
-# unrolled-CTE replay — and chi2_token_label — chi-square token-label
-# feature selection with a bit-stable fixed-order double expression)
-# queues as an r12 HEAD,
+# unrolled-CTE replay — chi2_token_label — chi-square token-label
+# feature selection with a bit-stable fixed-order double expression —
+# and restore_rollback_witness — metadata-only RESTORE: an empty
+# delta based on the rollback target, O(1) bytes, rolled-back history
+# auditable) queues as an r12 HEAD,
 # registered-oldest-first, AHEAD of r12's re-cycles — never by
 # waiving additional r7 rows past the 12 justified by name.
 #

@@ -328,3 +328,44 @@ def test_sink_auto_compaction_carries_markers(spark, tmp_path):
     # and the feed continues appending on top of the flat version
     sink(_df(spark, 30, 40), 3)
     assert _rows(read_version(spark, root)) == _rows(_df(spark, 0, 40))
+
+
+def test_restore_version_is_metadata_only(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import (
+        manifest,
+        restore_version,
+        snapshot_row_count,
+        table_changes,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root, stats_cols=["k"])       # v0
+    write_version(_df(spark, 0, 30), root, stats_cols=["k"])        # v1 (bad rewrite)
+    v2 = restore_version(spark, root, 0)
+    assert v2 == 2
+    # current state == v0 again, resolved through the chain
+    assert _rows(read_version(spark, root)) == _rows(_df(spark, 0, 100))
+    assert version_chain(spark, root, v2) == [v2, 0]
+    assert manifest(spark, root, v2)["restored_from"] == 0
+    # O(1) bytes: the restore commit's own dir carries no data rows
+    own = sum(int(n) for n in manifest(spark, root, v2)["file_rows"].values())
+    assert own == 0
+    assert snapshot_row_count(spark, root, v2) == 100  # chain metadata
+    # the rolled-back version stays readable history
+    assert read_version(spark, root, 1).count() == 30
+    # a restore adds no rows to the feed
+    assert table_changes(spark, root, 0, v2).count() == 0
+    # retention: the restore pins its target's chain, v1 reclaims
+    assert expire_versions(spark, root, keep_last=1) == [1]
+    assert _rows(read_version(spark, root)) == _rows(_df(spark, 0, 100))
+
+
+def test_restore_contracts(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import restore_version
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    with pytest.raises(ValueError, match="does not exist"):
+        restore_version(spark, root, 5)
+    with pytest.raises(ValueError, match="no-op"):
+        restore_version(spark, root, 0)
