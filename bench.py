@@ -152,6 +152,20 @@ HEADLINE = [
     "ohlc_purchase_hourly",
     "bloom_semi_join_witness",
     "skyline_lineitem_3d",
+    # round-10 additions (appended): the throughput-bearing r10 shapes.
+    # sampled equi-depth = one sketch pass + one codegen aggregate over
+    # orders (the 100 TB statistics path); triangles = the
+    # degree-oriented wedge join over the co-purchase graph (the
+    # round's heaviest shuffle); k-core = the convergent peel loop
+    # (shrinking-frontier iterate); chi2 = one distinct-presence
+    # explode + token-keyed aggregate over documents. The storage ops
+    # (compaction / delete vectors / append chains / CDF / evolution /
+    # restore) are dimension-sized at sf0.1 and live in
+    # PERFORMANCE.md's twin table per the bracket policy above.
+    "price_histogram_equidepth_sampled",
+    "copurchase_triangles",
+    "kcore_copurchase",
+    "chi2_token_label",
 ]
 
 

@@ -138,3 +138,201 @@ def delete_tag(spark: SparkSession, root: str, name: str) -> None:
 def read_by_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Time travel by name: read the snapshot a tag pins."""
     return read_version(spark, root, read_tag(spark, root, name))
+
+
+# ---------------------------------------------------------------------------
+# BRANCHES: mutable named refs (r10) — the other half of the Iceberg
+# ref model. A branch is a repointable pointer under
+# root/_refs/branches/<name>.json; commits land in the same global
+# version log (every version number is unique dataset-wide), the
+# branch just tracks which commit is ITS head. Isolation is BY REF:
+# read_branch(name) follows the pointer, and a branch APPEND bases on
+# the BRANCH head (not the global latest), so two branches grow
+# divergent chains over a shared ancestry without copying it.
+# ``latest_version`` remains "the newest commit on ANY branch" — the
+# commit log, not a branch view — which is exactly Iceberg's
+# snapshot-log-vs-ref split. Retention protects every branch head and
+# (via the chain walk in expire_versions) its whole ancestry.
+# ---------------------------------------------------------------------------
+
+_BRANCHES_DIR = "branches"
+
+
+class BranchConflict(RuntimeError):
+    """An optimistic branch update lost its race: the head moved after
+    the caller read it (or another writer repointed concurrently)."""
+
+
+def _branch_path(root: str, name: str) -> str:
+    if not _NAME_RE.match(name):
+        raise ValueError(f"invalid branch name: {name!r}")
+    return f"{_refs_root(root)}/{_BRANCHES_DIR}/{name}.json"
+
+
+def _write_ref_doc(fs, jvm, root: str, target: str, name: str, doc: dict) -> None:
+    """Stage + rename a ref doc onto ``target``, then verify by nonce
+    read-back (the create_tag arbitration, reused for repoints).
+    LocalFileSystem renames ONTO an existing file atomically (POSIX
+    replace); HDFS-style stores refuse — there the repoint is
+    delete+rename, a two-step whose lost races the read-back still
+    catches (callers see BranchConflict, never silent corruption)."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    staging = (
+        f"{_refs_root(root)}/{_BRANCHES_DIR}/"
+        f".staging_{name}.{doc['writer'][:12]}.json"
+    )
+    out = fs.create(Path(staging), True)
+    try:
+        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(Path(staging), Path(target)):
+        fs.delete(Path(target), False)
+        if not fs.rename(Path(staging), Path(target)):
+            fs.delete(Path(staging), False)
+            raise BranchConflict(f"branch {name!r} repoint failed at {root}")
+    published = _read_json(fs, jvm, target)
+    if published.get("writer") != doc["writer"]:
+        raise BranchConflict(f"branch {name!r} was updated concurrently at {root}")
+
+
+def create_branch(
+    spark: SparkSession, root: str, name: str, version: int
+) -> dict:
+    """Create a branch pointing at ``version``. First-writer-wins like
+    create_tag (an existing branch is never silently repointed by a
+    create — use update_branch)."""
+    import uuid
+
+    if version not in list_versions(spark, root):
+        raise ValueError(
+            f"cannot branch from uncommitted version v={version} at {root}"
+        )
+    target = _branch_path(root, name)
+    fs, _, jvm = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(Path(target)):
+        raise ValueError(f"branch {name!r} already exists at {root}")
+    fs.mkdirs(Path(f"{_refs_root(root)}/{_BRANCHES_DIR}"))
+    doc = {"version": int(version), "writer": uuid.uuid4().hex}
+    _write_ref_doc(fs, jvm, root, target, name, doc)
+    return doc
+
+
+def branch_head(spark: SparkSession, root: str, name: str) -> int:
+    target = _branch_path(root, name)
+    fs, _, jvm = _fs(spark, root)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(target)):
+        raise FileNotFoundError(f"no branch {name!r} at {root}")
+    return int(_read_json(fs, jvm, target)["version"])
+
+
+def list_branches(spark: SparkSession, root: str) -> dict[str, int]:
+    fs, _, jvm = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    bdir = Path(f"{_refs_root(root)}/{_BRANCHES_DIR}")
+    if not fs.exists(bdir):
+        return {}
+    out: dict[str, int] = {}
+    for status in fs.listStatus(bdir):
+        fname = status.getPath().getName()
+        if not status.isFile() or not fname.endswith(".json") or fname.startswith("."):
+            continue
+        doc = _read_json(fs, jvm, str(status.getPath().toUri().getPath()))
+        out[fname[: -len(".json")]] = int(doc["version"])
+    return out
+
+
+def update_branch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    new_version: int,
+    expected_head: int,
+) -> None:
+    """Optimistic repoint (compare-and-set): moves ``name`` to
+    ``new_version`` iff its head still equals ``expected_head`` —
+    raises BranchConflict otherwise, so two writers cannot silently
+    clobber each other's commits (the loser re-reads, rebases, and
+    retries, exactly the transactions.py discipline)."""
+    import uuid
+
+    if new_version not in list_versions(spark, root):
+        raise ValueError(
+            f"cannot point branch at uncommitted version v={new_version}"
+        )
+    current = branch_head(spark, root, name)
+    if current != expected_head:
+        raise BranchConflict(
+            f"branch {name!r} moved: expected head v={expected_head}, "
+            f"found v={current}"
+        )
+    fs, _, jvm = _fs(spark, root)
+    doc = {"version": int(new_version), "writer": uuid.uuid4().hex}
+    _write_ref_doc(fs, jvm, root, _branch_path(root, name), name, doc)
+
+
+def delete_branch(spark: SparkSession, root: str, name: str) -> None:
+    target = _branch_path(root, name)
+    fs, _, jvm = _fs(spark, root)
+    hp = jvm.org.apache.hadoop.fs.Path(target)
+    if not fs.exists(hp):
+        raise FileNotFoundError(f"no branch {name!r} at {root}")
+    fs.delete(hp, False)
+
+
+def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read a branch's head snapshot (chain-resolved like any read)."""
+    return read_version(spark, root, branch_head(spark, root, name))
+
+
+def commit_to_branch(
+    df: DataFrame,
+    root: str,
+    name: str,
+    append: bool = False,
+    expected_head: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as a new version on branch ``name`` and repoint
+    the branch — the two-phase (commit-then-CAS) that makes branch
+    histories linear per branch while the version log stays global.
+    With ``append=True`` the commit is a file-level APPEND based on
+    the BRANCH head (not the global latest), which is what lets two
+    branches grow divergent chains over shared ancestry with O(delta)
+    writes. ``expected_head`` (default: the head read here) makes the
+    whole operation optimistic: if another writer advanced the branch
+    between read and repoint, BranchConflict fires and the data commit
+    becomes an unreferenced version that retention reclaims — the
+    loser's bytes never corrupt the branch."""
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    spark = df.sparkSession
+    head = branch_head(spark, root, name)
+    if expected_head is not None and head != expected_head:
+        raise BranchConflict(
+            f"branch {name!r} moved: expected head v={expected_head}, "
+            f"found v={head}"
+        )
+    if append:
+        # same contract as append_version: exact schema match (branch
+        # appends do not support evolution — a schema drift here would
+        # silently merge-read as accidental evolution)
+        head_cols = set(read_version(spark, root, head).columns)
+        if set(df.columns) != head_cols:
+            raise ValueError(
+                f"branch append schema mismatch: head {sorted(head_cols)} "
+                f"vs delta {sorted(df.columns)}"
+            )
+    new_v = write_version(
+        df,
+        root,
+        stats_cols=stats_cols,
+        _append=append,
+        _base_override=head if append else None,
+    )
+    update_branch(spark, root, name, new_v, expected_head=head)
+    return new_v

@@ -833,14 +833,18 @@ def expire_versions(
     protected, because deleting a base out from under a live child
     would silently corrupt the child's reads (the chain resolver fails
     loudly on a broken link, but retention must not create one)."""
-    from pyspark_big_data_spark.operators.refs import list_tags
+    from pyspark_big_data_spark.operators.refs import list_branches, list_tags
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, hroot, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
     versions = list_versions(spark, root)
-    protected = set(list_tags(spark, root).values())
+    # tags AND branch heads protect their targets (and, via the chain
+    # expansion below, their whole ancestries)
+    protected = set(list_tags(spark, root).values()) | set(
+        list_branches(spark, root).values()
+    )
     survivors = set(versions[-keep_last:]) | protected
     for s in survivors:
         protected.update(version_chain(spark, root, s))

@@ -105,3 +105,88 @@ def snapshot_tag_protected_witness(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(_stats(latest, "latest_v2"))
         .orderBy("which")
     )
+
+
+_BRANCH_ORACLE = """
+SELECT 'dev' AS branch, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       CAST(1 AS BIGINT) AS isolation_gate,
+       CAST(1 AS BIGINT) AS conflict_gate,
+       CAST(1 AS BIGINT) AS retention_gate
+FROM orders
+UNION ALL
+SELECT 'main', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE),
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+FROM orders WHERE o_orderkey % 2 = 0
+ORDER BY branch
+"""
+
+
+@register("branch_isolation_witness", oracle=_BRANCH_ORACLE, driver=False)
+def branch_isolation_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutable branches driver-verified (operators/refs.py — the other
+    half of the Iceberg ref model next to tags): commit orders%2==0 as
+    the shared ancestry, branch ``main`` and ``dev`` from it, then
+    commit the %2==1 delta TO DEV ONLY as a file-level append based on
+    the BRANCH head. Emits each branch's read as (n_rows,
+    decimal-exact price_sum) — DuckDB recomputes dev = all orders and
+    main = the even half, so a branch read that followed the global
+    latest instead of its ref, a dev append that leaked into main, or
+    a repoint that moved the wrong branch flips the row red. Gates:
+    ``isolation_gate`` = 1 iff main's head is STILL the ancestry
+    version after dev's commit (isolation is by-ref, checked on the
+    pointer, not just the counts), ``conflict_gate`` = 1 iff a commit
+    holding a STALE expected head raises BranchConflict (optimistic
+    CAS — two writers can never silently clobber each other's branch),
+    and ``retention_gate`` = 1 iff a keep_last=1 vacuum expires
+    NOTHING (both branch heads and their shared ancestry are
+    ref-protected)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import read_table, session_tmpdir
+    from pyspark_big_data_spark.operators.refs import (
+        BranchConflict,
+        branch_head,
+        commit_to_branch,
+        create_branch,
+        read_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import (
+        expire_versions,
+        write_version,
+    )
+
+    root = session_tmpdir("branch_orders_")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v0 = write_version(orders.filter(F.col("o_orderkey") % 2 == 0), root)
+    create_branch(spark, root, "main", v0)
+    create_branch(spark, root, "dev", v0)
+
+    commit_to_branch(
+        orders.filter(F.col("o_orderkey") % 2 == 1), root, "dev", append=True
+    )
+    isolation_ok = branch_head(spark, root, "main") == v0
+
+    try:
+        commit_to_branch(
+            orders.limit(1), root, "dev", append=True, expected_head=v0
+        )
+        conflict_ok = False
+    except BranchConflict:
+        conflict_ok = True
+
+    retention_ok = expire_versions(spark, root, keep_last=1) == []
+
+    def _agg(name: str) -> DataFrame:
+        return read_branch(spark, root, name).agg(
+            F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+        ).select(
+            F.lit(name).alias("branch"),
+            "n_rows",
+            "price_sum",
+            F.lit(1 if isolation_ok else 0).cast("long").alias("isolation_gate"),
+            F.lit(1 if conflict_ok else 0).cast("long").alias("conflict_gate"),
+            F.lit(1 if retention_ok else 0).cast("long").alias("retention_gate"),
+        )
+
+    return _agg("dev").unionByName(_agg("main")).orderBy("branch")

@@ -258,9 +258,11 @@ DRIVER_EXCLUDED: set[str] = set()
 # kcore_copurchase — the convergent periphery peel vs a materialized
 # unrolled-CTE replay — chi2_token_label — chi-square token-label
 # feature selection with a bit-stable fixed-order double expression —
-# and restore_rollback_witness — metadata-only RESTORE: an empty
+# restore_rollback_witness — metadata-only RESTORE: an empty
 # delta based on the rollback target, O(1) bytes, rolled-back history
-# auditable) queues as an r12 HEAD,
+# auditable — and branch_isolation_witness — mutable branches: by-ref
+# isolation over shared ancestry, optimistic CAS repoints, branch-head
+# retention protection) queues as an r12 HEAD,
 # registered-oldest-first, AHEAD of r12's re-cycles — never by
 # waiving additional r7 rows past the 12 justified by name.
 #

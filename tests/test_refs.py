@@ -89,3 +89,117 @@ def test_vacuum_spares_tagged_versions(spark, tmp_path):
     assert expire_versions(spark, root, keep_last=1) == [1]
     with pytest.raises(ValueError):
         read_version(spark, root, 1)
+
+
+# ---------------------------------------------------------------------------
+# Branches (mutable refs, r10)
+# ---------------------------------------------------------------------------
+
+
+def _bdf(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("x")
+    )
+
+
+def test_branch_lifecycle_and_isolation(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        commit_to_branch,
+        create_branch,
+        delete_branch,
+        list_branches,
+        read_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 100), root)  # v0 shared ancestry
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+
+    # dev appends on its OWN head; main's view is untouched
+    v_dev = commit_to_branch(_bdf(spark, 100, 120), root, "dev", append=True)
+    assert branch_head(spark, root, "dev") == v_dev
+    assert branch_head(spark, root, "main") == 0
+    assert read_branch(spark, root, "dev").count() == 120
+    assert read_branch(spark, root, "main").count() == 100
+
+    # main diverges independently over the same ancestry
+    v_main = commit_to_branch(_bdf(spark, 200, 205), root, "main", append=True)
+    assert read_branch(spark, root, "main").count() == 105
+    assert read_branch(spark, root, "dev").count() == 120
+    assert list_branches(spark, root) == {"dev": v_dev, "main": v_main}
+
+    delete_branch(spark, root, "dev")
+    with pytest.raises(FileNotFoundError):
+        branch_head(spark, root, "dev")
+
+
+def test_branch_cas_conflict(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        BranchConflict,
+        commit_to_branch,
+        create_branch,
+        update_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 10), root)
+    create_branch(spark, root, "main", 0)
+    v1 = commit_to_branch(_bdf(spark, 0, 20), root, "main")
+    # a writer holding the stale head loses explicitly
+    with pytest.raises(BranchConflict):
+        commit_to_branch(_bdf(spark, 0, 30), root, "main", expected_head=0)
+    with pytest.raises(BranchConflict):
+        update_branch(spark, root, "main", 0, expected_head=0)
+    # duplicate create refused; branching from nowhere refused
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(spark, root, "main", v1)
+    with pytest.raises(ValueError, match="uncommitted"):
+        create_branch(spark, root, "other", 99)
+
+
+def test_branch_heads_protected_from_retention(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        create_branch,
+        read_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import (
+        expire_versions,
+        write_version,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 50), root)  # v0
+    create_branch(spark, root, "dev", 0)
+    commit_to_branch(_bdf(spark, 50, 60), root, "dev", append=True)  # v1 on dev
+    write_version(_bdf(spark, 0, 5), root)  # v2 (global latest, unbranched)
+    # keep_last=1 keeps v2; dev's head v1 AND its base v0 must survive
+    assert expire_versions(spark, root, keep_last=1) == []
+    assert read_branch(spark, root, "dev").count() == 60
+
+
+def test_branch_append_schema_contract(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        create_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 10), root)
+    create_branch(spark, root, "main", 0)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_to_branch(
+            _bdf(spark, 10, 20).withColumn("extra", F.lit(1)),
+            root,
+            "main",
+            append=True,
+        )
