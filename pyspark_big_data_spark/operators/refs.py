@@ -336,3 +336,31 @@ def commit_to_branch(
     )
     update_branch(spark, root, name, new_v, expected_head=head)
     return new_v
+
+
+def fast_forward_branch(
+    spark: SparkSession, root: str, name: str, to_version: int
+) -> None:
+    """Fast-forward merge: repoint ``name`` to ``to_version`` iff the
+    branch's current head is an ANCESTOR of the target (on the
+    target's append chain) — the only merge that needs no data
+    semantics, so it is metadata-only and always safe. Divergent
+    histories are refused: merging them means deciding row-level
+    semantics (union? last-writer? keyed MERGE?), which is the
+    caller's job via an explicit commit_to_branch of the merged
+    content. The repoint itself is the optimistic CAS of
+    update_branch, so a concurrent advance still raises
+    BranchConflict instead of being clobbered."""
+    from pyspark_big_data_spark.operators.versioned import version_chain
+
+    head = branch_head(spark, root, name)
+    if to_version == head:
+        return  # already there
+    chain = version_chain(spark, root, to_version)
+    if head not in chain:
+        raise ValueError(
+            f"cannot fast-forward branch {name!r}: its head v={head} is "
+            f"not an ancestor of v={to_version} (divergent histories need "
+            "an explicit merge commit)"
+        )
+    update_branch(spark, root, name, to_version, expected_head=head)

@@ -123,3 +123,86 @@ def chi2_token_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "token")
         .limit(_TOP)
     )
+
+
+_COLLOC_TOP = 30
+_COLLOC_MIN_COUNT = 5
+
+_COLLOC_ORACLE = f"""
+WITH arrs AS MATERIALIZED (
+    SELECT doc_id, string_split({_NORM}, ' ') AS arr FROM documents
+), uni AS MATERIALIZED (
+    SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS c1
+    FROM arrs, unnest(arr) AS t(tok)
+    GROUP BY t.tok
+), tot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni
+), bi AS MATERIALIZED (
+    SELECT arr[pos - 1] AS w1, arr[pos] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM arrs, unnest(generate_series(2, len(arr))) AS g(pos)
+    GROUP BY w1, w2
+    HAVING COUNT(*) >= {_COLLOC_MIN_COUNT}
+)
+SELECT b.w1, b.w2, b.c2,
+       (CAST(b.c2 AS DOUBLE) * CAST(t.n AS DOUBLE))
+           / (CAST(u1.c1 AS DOUBLE) * CAST(u2.c1 AS DOUBLE)) AS lift
+FROM bi b
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2
+CROSS JOIN tot t
+ORDER BY lift DESC, w1, w2
+LIMIT {_COLLOC_TOP}
+"""
+
+
+@register("pmi_collocations", oracle=_COLLOC_ORACLE, driver=False)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} collocations (adjacent token pairs) by LIFT — the
+    PMI collocation extractor with the logarithm deliberately NOT
+    applied: lift = P(w1 w2) / (P(w1) P(w2)) is strictly monotone in
+    PMI = ln(lift), so the RANKING is identical while the score stays
+    one fixed-order double expression over exact integer counts —
+    bit-stable across engines with no libm ulp policy needed (the
+    same reasoning as geomean's unapplied exp). Min bigram count
+    {minc} is the standard collocation support floor (rare pairs have
+    degenerate lift). Bigram extraction is map-side array slicing
+    (explode of positions — no per-doc window shuffle, the
+    bigram_fluency pattern); unigram/bigram counts are two token-keyed
+    aggregates; the corpus size rides a 1-row broadcast. At 100 TB
+    the bigram vocabulary is the shuffled key set — cap it with the
+    support floor (already applied map-side by partial aggregation).
+    """.format(top=_COLLOC_TOP, minc=_COLLOC_MIN_COUNT)
+    docs = read_table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id", TX.tokens(F.col("text")).alias("arr"))
+    uni = (
+        arrs.select(F.explode("arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("long").alias("n"))
+    bi = (
+        arrs.filter(F.size("arr") >= 2)
+        .select(
+            "arr", F.explode(F.sequence(F.lit(2), F.size("arr"))).alias("pos")
+        )
+        .select(
+            F.element_at("arr", F.col("pos") - 1).alias("w1"),
+            F.element_at("arr", F.col("pos")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .filter(F.col("c2") >= _COLLOC_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("ca"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("cb"))
+    lift = (F.col("c2").cast("double") * F.col("n").cast("double")) / (
+        F.col("ca").cast("double") * F.col("cb").cast("double")
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c2", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_COLLOC_TOP)
+    )

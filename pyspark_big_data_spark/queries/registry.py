@@ -260,9 +260,12 @@ DRIVER_EXCLUDED: set[str] = set()
 # feature selection with a bit-stable fixed-order double expression —
 # restore_rollback_witness — metadata-only RESTORE: an empty
 # delta based on the rollback target, O(1) bytes, rolled-back history
-# auditable — and branch_isolation_witness — mutable branches: by-ref
+# auditable — branch_isolation_witness — mutable branches: by-ref
 # isolation over shared ancestry, optimistic CAS repoints, branch-head
-# retention protection) queues as an r12 HEAD,
+# retention protection — and pmi_collocations — lift-ranked
+# collocations, the PMI extractor with the monotone log unapplied so
+# the score is one bit-stable double over exact counts) queues as an
+# r12 HEAD,
 # registered-oldest-first, AHEAD of r12's re-cycles — never by
 # waiving additional r7 rows past the 12 justified by name.
 #

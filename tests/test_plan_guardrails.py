@@ -167,6 +167,12 @@ _SCALAR_BROADCAST_OK = {
     "zorder_pruned_read_witness",
     # (512-row bucket counts) x (1-row corpus feature totals) attach
     "dsir_importance_weights",
+    # r10: (token counts) x (1-row label totals) attach
+    "chi2_token_label",
+    # r10: (1-row node census) x (1-row edge census) attach
+    "kcore_copurchase",
+    # r10: (bigram lift rows) x (1-row corpus token total) attach
+    "pmi_collocations",
 }
 
 

@@ -203,3 +203,32 @@ def test_branch_append_schema_contract(spark, tmp_path):
             "main",
             append=True,
         )
+
+
+def test_fast_forward_branch(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        commit_to_branch,
+        create_branch,
+        fast_forward_branch,
+        read_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 10), root)
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+    v_dev = commit_to_branch(_bdf(spark, 10, 15), root, "dev", append=True)
+
+    # main's head (v0) is dev's ancestor: fast-forward succeeds
+    fast_forward_branch(spark, root, "main", v_dev)
+    assert branch_head(spark, root, "main") == v_dev
+    assert read_branch(spark, root, "main").count() == 15
+    fast_forward_branch(spark, root, "main", v_dev)  # no-op, idempotent
+
+    # divergence refused: dev2 commits a FULL rewrite off the old base
+    create_branch(spark, root, "dev2", 0)
+    v2 = commit_to_branch(_bdf(spark, 0, 3), root, "dev2")  # not an append
+    with pytest.raises(ValueError, match="divergent"):
+        fast_forward_branch(spark, root, "main", v2)
