@@ -230,14 +230,147 @@ def materialize_deletes(
     compaction into the same rewrite saves a second full pass)."""
     version = _resolve_version(spark, root, version)
     tomb, _ = deleted_keys(spark, root, version)
-    if tomb is None:
+    has_pos = bool(list_pos_delete_commits(spark, root, version))
+    if tomb is None and not has_pos:
         raise ValueError(
             f"v={version} under {root} has no tombstones to materialize"
         )
     m = manifest(spark, root, version)
     stats_cols = list(m["stats_cols"]) if m else None
     bloom_cols = list(m["bloom_cols"]) if m and m.get("bloom_cols") else None
-    df = read_version_mor(spark, root, version)
+    # read_version_mor_pos applies BOTH vector types (positional and
+    # equality), so the fold clears everything in one rewrite
+    df = (
+        read_version_mor_pos(spark, root, version)
+        if has_pos
+        else read_version_mor(spark, root, version)
+    )
     if target_files is not None:
         df = df.coalesce(target_files)
     return write_version(df, root, stats_cols=stats_cols, bloom_cols=bloom_cols)
+
+
+# ---------------------------------------------------------------------------
+# POSITIONAL deletes (r10): the other deletion-vector type. An equality
+# delete says "any row whose KEY is k is gone"; a positional delete
+# says "row #i of file f is gone" — the form engines emit from a MERGE
+# scan, and the only form that can delete ONE of two bit-identical
+# rows. Tombstones are (_file, _pos) parquet under
+# root/_pos_deletes/v=N/d=K (same verified-rename commit); the MOR
+# read anti-joins on Spark's parquet _metadata columns (file_name,
+# row_index), which cost nothing to materialize — they come off the
+# reader state, no data pass.
+# ---------------------------------------------------------------------------
+
+POS_DELETES_DIR = "_pos_deletes"
+
+FILE_COL = "_file"
+POS_COL = "_pos"
+
+
+def _pos_deletes_root(root: str, version: int) -> str:
+    return f"{root.rstrip('/')}/{POS_DELETES_DIR}/v={version}"
+
+
+def list_pos_delete_commits(
+    spark: SparkSession, root: str, version: int
+) -> list[int]:
+    droot = _pos_deletes_root(root, version)
+    fs, hroot, jvm = _fs(spark, droot)
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for status in fs.listStatus(hroot):
+        if not status.isDirectory():
+            continue
+        m = _D_RE.match(status.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def with_positions(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The pinned snapshot with its physical addresses attached:
+    ``_file`` (file name) and ``_pos`` (row index within the file) from
+    the parquet reader's ``_metadata`` struct. This is the scan a
+    MERGE/DELETE planner runs to DECIDE positional tombstones — the
+    address columns are reader state, not data, so the scan costs the
+    same as the plain read."""
+    base = read_version(spark, root, version)
+    return base.select(
+        F.col("_metadata.file_name").alias(FILE_COL),
+        F.col("_metadata.row_index").alias(POS_COL),
+        "*",
+    )
+
+
+def delete_positions(
+    spark: SparkSession,
+    root: str,
+    positions: DataFrame,
+    version: int | None = None,
+) -> int:
+    """Commit a POSITIONAL deletion vector against ``v=version``: a
+    parquet of distinct ``(_file, _pos)`` addresses (build them with
+    ``with_positions``), published by the verified rename. No data
+    file is touched; nulls in either address column are refused (a
+    null address is a planner bug, not a deletable row)."""
+    version = _resolve_version(spark, root, version)
+    if version not in list_versions(spark, root):
+        raise ValueError(f"version {version} does not exist under {root}")
+    missing = {FILE_COL, POS_COL} - set(positions.columns)
+    if missing:
+        raise ValueError(
+            f"positional delete needs columns {sorted((FILE_COL, POS_COL))}; "
+            f"missing {sorted(missing)} (build with with_positions)"
+        )
+    tomb = positions.select(FILE_COL, POS_COL).distinct()
+    if tomb.filter(
+        F.col(FILE_COL).isNull() | F.col(POS_COL).isNull()
+    ).limit(1).count():
+        raise ValueError("positional delete contains null addresses")
+
+    droot = _pos_deletes_root(root, version)
+    fs, hroot, jvm = _fs(spark, droot)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(hroot)
+    while True:
+        commits = list_pos_delete_commits(spark, root, version)
+        k = (commits[-1] + 1) if commits else 0
+        staging = f"{droot}/.staging_d{k}"
+        fs.delete(Path(staging), True)
+        tomb.write.mode("overwrite").parquet(staging)
+        if commit_staged(fs, jvm, droot, staging, k, prefix="d="):
+            return k
+
+
+def read_version_mor_pos(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Merge-on-read through POSITIONAL tombstones: the pinned snapshot
+    minus exactly the tombstoned (file, row) addresses — an anti-join
+    of the ``_metadata`` address against the broadcast tombstone union.
+    Composes with equality deletes: the returned frame is further
+    masked by ``deleted_keys`` when the version carries those too (both
+    vector types apply, the Iceberg v2 read contract)."""
+    version = _resolve_version(spark, root, version)
+    base = read_version(spark, root, version).select(
+        F.col("_metadata.file_name").alias(FILE_COL),
+        F.col("_metadata.row_index").alias(POS_COL),
+        "*",
+    )
+    commits = list_pos_delete_commits(spark, root, version)
+    if commits:
+        droot = _pos_deletes_root(root, version)
+        paths = [f"{droot}/d={k}" for k in commits]
+        for p in paths:
+            spark.catalog.refreshByPath(p)
+        tomb = spark.read.parquet(*paths).distinct()
+        base = base.join(F.broadcast(tomb), [FILE_COL, POS_COL], "left_anti")
+    out = base.drop(FILE_COL, POS_COL)
+    ekeys, kcol = deleted_keys(spark, root, version)
+    if ekeys is not None:
+        out = out.join(F.broadcast(ekeys), kcol, "left_anti")
+    return out

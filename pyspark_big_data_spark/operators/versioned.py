@@ -858,6 +858,7 @@ def expire_versions(
         # tombstones are pinned to their version: expired data takes
         # its deletion vectors with it (operators/deletes.py)
         fs.delete(Path(f"{root.rstrip('/')}/_deletes/v={n}"), True)
+        fs.delete(Path(f"{root.rstrip('/')}/_pos_deletes/v={n}"), True)
     latest = versions[-1] if versions else -1
     if fs.exists(hroot):
         for status in fs.listStatus(hroot):
@@ -993,14 +994,19 @@ def compact_version(
     sequential read + write of the snapshot with no shuffle at all.
     Reference parity note: the reference engine (src/query1-4.py) has
     no storage-maintenance surface; this is extension surface."""
-    from pyspark_big_data_spark.operators.deletes import list_delete_commits
+    from pyspark_big_data_spark.operators.deletes import (
+        list_delete_commits,
+        list_pos_delete_commits,
+    )
 
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     version = _resolve_version(spark, root, version)
     if version not in list_versions(spark, root):
         raise ValueError(f"version {version} does not exist under {root}")
-    if list_delete_commits(spark, root, version):
+    if list_delete_commits(spark, root, version) or list_pos_delete_commits(
+        spark, root, version
+    ):
         raise ValueError(
             f"v={version} under {root} has deletion vectors; compacting the "
             "data files alone would resurrect deleted rows — run "

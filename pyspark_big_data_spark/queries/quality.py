@@ -1579,3 +1579,94 @@ def restore_rollback_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if own == 0 else 0).cast("long").alias("metadata_only_gate"),
         F.lit(1 if feed_empty else 0).cast("long").alias("feed_gate"),
     )
+
+
+_POSDEL_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(1 AS BIGINT) AS untouched_gate,
+       CAST(1 AS BIGINT) AS single_copy_gate
+FROM customer
+WHERE NOT (c_custkey % 13 = 1)
+"""
+
+
+@register("positional_delete_read_witness", oracle=_POSDEL_ORACLE, driver=False)
+def positional_delete_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL deletion vectors driver-verified
+    (operators/deletes.py::delete_positions — the Iceberg-v2 complement
+    to the equality vectors, addressing rows by (file, row_index) from
+    Spark's parquet ``_metadata`` columns): commit the customer
+    dimension DOUBLED (every row twice — bit-identical copies an
+    equality delete could only remove together), then positional-delete
+    exactly the surplus copies (the planner scan: per-key row_number
+    over the physical (file, pos) order, addresses with rank >= 2), and
+    stack an EQUALITY vector on top (c_custkey % 13 == 1) — both types
+    apply on one read, the v2 contract. Emits the MOR read's (n_rows,
+    decimal-exact bal_sum); DuckDB computes the same from the
+    SINGLE-copy table with the keyed predicate, so a positional delete
+    that removed both copies, neither, or the wrong file's row — or an
+    equality mask that missed — flips the row red. Gates:
+    ``untouched_gate`` = 1 iff v0's data-file census is byte-identical
+    after BOTH vector commits, and ``single_copy_gate`` = 1 iff every
+    surviving key has exactly one copy (count == distinct count,
+    checked in-plan before aggregation)."""
+    from pyspark.sql import Window
+
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.deletes import (
+        delete_keys,
+        delete_positions,
+        read_version_mor_pos,
+        with_positions,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = session_tmpdir("posdel_dim_")
+    base = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v0 = write_version(base.unionByName(base), root)
+
+    import os as _os
+
+    vdir = f"{root}/v={v0}"
+
+    def _census():
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(vdir, f)))
+            for f in _os.listdir(vdir)
+            if f.endswith(".parquet")
+        )
+
+    before = _census()
+    w = Window.partitionBy("c_custkey").orderBy("_file", "_pos")
+    surplus = (
+        with_positions(spark, root, v0)
+        .select("_file", "_pos", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") >= 2)
+    )
+    delete_positions(spark, root, surplus, version=v0)
+    delete_keys(
+        spark,
+        root,
+        base.filter(F.col("c_custkey") % 13 == 1),
+        "c_custkey",
+        version=v0,
+    )
+    untouched = _census() == before
+
+    mor = read_version_mor_pos(spark, root, v0)
+    counts = mor.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_custkey").alias("nd"),
+    ).collect()[0]
+    single_copy = counts["n"] == counts["nd"]
+
+    return mor.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).select(
+        "n_rows",
+        "bal_sum",
+        F.lit(1 if untouched else 0).cast("long").alias("untouched_gate"),
+        F.lit(1 if single_copy else 0).cast("long").alias("single_copy_gate"),
+    )

@@ -262,9 +262,12 @@ DRIVER_EXCLUDED: set[str] = set()
 # delta based on the rollback target, O(1) bytes, rolled-back history
 # auditable — branch_isolation_witness — mutable branches: by-ref
 # isolation over shared ancestry, optimistic CAS repoints, branch-head
-# retention protection — and pmi_collocations — lift-ranked
+# retention protection — pmi_collocations — lift-ranked
 # collocations, the PMI extractor with the monotone log unapplied so
-# the score is one bit-stable double over exact counts) queues as an
+# the score is one bit-stable double over exact counts — and
+# positional_delete_read_witness — Iceberg-v2 positional deletion
+# vectors addressing (file, row_index) via the parquet _metadata
+# columns, composed with equality vectors on one read) queues as an
 # r12 HEAD,
 # registered-oldest-first, AHEAD of r12's re-cycles — never by
 # waiving additional r7 rows past the 12 justified by name.

@@ -211,3 +211,99 @@ def test_compact_refuses_tombstoned_version(spark, tmp_path):
     v = materialize_deletes(spark, root, 0)
     res = compact_version(spark, root, target_files=1, version=v)
     assert read_version(spark, root, res["version"]).count() == 99
+
+
+# ---------------------------------------------------------------------------
+# Positional deletes (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_positional_delete_lifecycle(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import (
+        delete_positions,
+        list_pos_delete_commits,
+        read_version_mor_pos,
+        with_positions,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 100).repartition(4, "k"), root)
+    vdir = f"{root}/v=0"
+    before = sorted(os.listdir(vdir))
+
+    # the planner scan: address exactly the rows k % 10 == 3
+    addr = with_positions(spark, root, 0).filter(F.col("k") % 10 == 3)
+    assert delete_positions(spark, root, addr, version=0) == 0
+    assert sorted(os.listdir(vdir)) == before  # no data file touched
+    assert list_pos_delete_commits(spark, root, 0) == [0]
+
+    got = read_version_mor_pos(spark, root, 0)
+    assert _rows(got) == _rows(
+        read_version(spark, root, 0).filter(F.col("k") % 10 != 3)
+    )
+    assert got.columns == ["k", "x"]  # address columns dropped
+
+
+def test_positional_deletes_one_of_identical_rows(spark, tmp_path):
+    """The capability equality deletes CANNOT have: remove exactly one
+    of two bit-identical rows."""
+    from pyspark_big_data_spark.operators.deletes import (
+        delete_positions,
+        read_version_mor_pos,
+        with_positions,
+    )
+
+    root = str(tmp_path / "vds")
+    dup = _df(spark, 5).unionByName(_df(spark, 5)).coalesce(1)
+    write_version(dup, root)
+    one = (
+        with_positions(spark, root, 0)
+        .filter(F.col("k") == 2)
+        .orderBy("_pos")
+        .limit(1)
+    )
+    delete_positions(spark, root, one, version=0)
+    got = read_version_mor_pos(spark, root, 0)
+    assert got.count() == 9
+    assert got.filter(F.col("k") == 2).count() == 1  # one copy survives
+
+
+def test_both_vector_types_compose_and_materialize(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import (
+        delete_keys,
+        delete_positions,
+        materialize_deletes,
+        read_version_mor_pos,
+        with_positions,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 100), root)
+    delete_keys(spark, root, _keys(spark, [1, 2]), "k", version=0)
+    addr = with_positions(spark, root, 0).filter(F.col("k").isin(50, 60))
+    delete_positions(spark, root, addr, version=0)
+
+    got = read_version_mor_pos(spark, root, 0)
+    assert got.count() == 96
+    assert got.filter(F.col("k").isin(1, 2, 50, 60)).count() == 0
+
+    v1 = materialize_deletes(spark, root, 0)
+    assert read_version(spark, root, v1).count() == 96
+    assert _rows(read_version(spark, root, v1)) == _rows(got)
+
+
+def test_positional_delete_contracts(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import delete_positions
+    from pyspark_big_data_spark.operators.versioned import compact_version
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 10), root)
+    with pytest.raises(ValueError, match="missing"):
+        delete_positions(spark, root, _df(spark, 2), version=0)
+    bad = spark.createDataFrame([(None, 0)], "_file string, _pos long")
+    with pytest.raises(ValueError, match="null addresses"):
+        delete_positions(spark, root, bad, version=0)
+    ok = spark.createDataFrame([("nope.parquet", 0)], "_file string, _pos long")
+    delete_positions(spark, root, ok, version=0)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        compact_version(spark, root, target_files=1)
