@@ -191,6 +191,7 @@ def _collect_file_stats(
             for path in pdf["path"]:
                 md = papq.ParquetFile(path).metadata
                 agg: dict[str, list | None] = {}
+                nulls: dict[str, int | None] = {}
                 for rg in range(md.num_row_groups):
                     group = md.row_group(rg)
                     for ci in range(group.num_columns):
@@ -198,9 +199,20 @@ def _collect_file_stats(
                         name = cmeta.path_in_schema
                         if name not in cols:
                             continue
+                        st = cmeta.statistics
+                        # null counts ride the same footers (a column
+                        # chunk without them poisons the file to None —
+                        # degrade to "don't know", never to wrong)
+                        if (
+                            st is None
+                            or not st.has_null_count
+                            or nulls.get(name, 0) is None
+                        ):
+                            nulls[name] = None
+                        else:
+                            nulls[name] = nulls.get(name, 0) + int(st.null_count)
                         if name in agg and agg[name] is None:
                             continue  # already poisoned by a stat-less group
-                        st = cmeta.statistics
                         if st is None or not st.has_min_max:
                             agg[name] = None
                             continue
@@ -218,20 +230,27 @@ def _collect_file_stats(
                     (
                         os.path.basename(str(path)),
                         json.dumps(agg, default=str),
+                        json.dumps(nulls),
                         int(md.num_rows),
                     )
                 )
-            yield pd.DataFrame(rows, columns=["file", "stats_json", "num_rows"])
+            yield pd.DataFrame(
+                rows, columns=["file", "stats_json", "nulls_json", "num_rows"]
+            )
 
     out = (
         spark.createDataFrame([(p,) for p in file_paths], "path string")
         .repartition(max(1, min(len(file_paths), 32)))
-        .mapInPandas(reader, "file string, stats_json string, num_rows long")
+        .mapInPandas(
+            reader,
+            "file string, stats_json string, nulls_json string, num_rows long",
+        )
         .collect()
     )
     stats = {r["file"]: json.loads(r["stats_json"]) for r in out}
+    nulls = {r["file"]: json.loads(r["nulls_json"]) for r in out}
     num_rows = {r["file"]: int(r["num_rows"]) for r in out}
-    return stats, num_rows
+    return stats, nulls, num_rows
 
 
 def _list_parquet_files(fs, jvm, directory: str) -> list[str]:
@@ -276,11 +295,13 @@ def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
         return doc
     merged = {k: v for k, v in doc.items() if k not in ("sharded", "shards")}
     merged["files"] = {}
+    merged["file_nulls"] = {}
     merged["file_rows"] = {}
     blooms: dict[str, dict] = {c: {} for c in doc.get("bloom_cols", [])}
     for shard_name in doc["shards"]:
         shard = _read_json(fs, jvm, f"{vdir}/{shard_name}")
         merged["files"].update(shard.get("files", {}))
+        merged["file_nulls"].update(shard.get("file_nulls", {}))
         merged["file_rows"].update(shard.get("file_rows", {}))
         for c, per_file in shard.get("blooms", {}).items():
             blooms.setdefault(c, {}).update(per_file)
@@ -388,7 +409,7 @@ def write_version(
         df.write.mode("overwrite").parquet(staging)
         if stats_cols or bloom_cols or _append or manifest_extra:
             files = _list_parquet_files(fs, jvm, staging)
-            stats, file_rows = _collect_file_stats(
+            stats, file_nulls, file_rows = _collect_file_stats(
                 spark, files, list(stats_cols or [])
             )
             blooms = (
@@ -417,6 +438,7 @@ def write_version(
                     sname = f"_manifest-{si // manifest_shard_files:05d}.json"
                     sdoc = {
                         "files": {f: stats[f] for f in chunk},
+                        "file_nulls": {f: file_nulls[f] for f in chunk},
                         "file_rows": {f: file_rows[f] for f in chunk},
                     }
                     if blooms is not None:
@@ -444,6 +466,7 @@ def write_version(
                     "manifest_version": 2,
                     "stats_cols": list(stats_cols or []),
                     "files": stats,
+                    "file_nulls": file_nulls,
                     "file_rows": file_rows,
                 }
                 if bloom_cols:
@@ -1172,3 +1195,92 @@ def restore_version(spark: SparkSession, root: str, version: int) -> int:
         _append=True,
         _base_override=version,
     )
+
+
+def snapshot_null_counts(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    version: int | None = None,
+) -> dict[str, int]:
+    """Per-column NULL totals answered from the manifest's footer null
+    counts — zero data pages, zero jobs (the third metadata-only query
+    shape next to COUNT and MIN/MAX; table formats store exactly this
+    per data file). Sound only when EVERY file carries a null count
+    for the column — a file with absent footer null stats raises, the
+    same never-guess contract as snapshot_min_max. Chain-aware."""
+    version = _resolve_version(spark, root, version)
+    out: dict[str, int] = {c: 0 for c in cols}
+    for v in version_chain(spark, root, version):
+        m = manifest(spark, root, v)
+        if m is None or "file_nulls" not in m:
+            raise ValueError(
+                f"v={v} under {root} has no manifest null counts: "
+                "commit it with write_version(df, root, stats_cols=[...])"
+            )
+        for col in cols:
+            if col not in m["stats_cols"]:
+                raise ValueError(f"manifest of v={v} has no stats for {col!r}")
+            for fname, per in m["file_nulls"].items():
+                n = (per or {}).get(col)
+                if n is None:
+                    raise ValueError(
+                        f"file {fname} of v={v} has no footer null count for "
+                        f"{col!r}; a metadata-only answer would be unsound"
+                    )
+                out[col] += int(n)
+    return out
+
+
+def not_null_file_plan(
+    spark: SparkSession, root: str, col: str, version: int | None = None
+) -> tuple[list[str], int, int]:
+    """IS NOT NULL pruning plan: drop every file whose footer null
+    count PROVES all its rows are null in ``col`` (null_count ==
+    num_rows) — the sparse-column scan cut (a 100 TB table where an
+    optional column is populated in one ingest era reads only that
+    era's files). Files with missing null stats are always selected
+    (superset pre-cut, never wrong). Chain-aware."""
+    version = _resolve_version(spark, root, version)
+    selected: list[str] = []
+    n_total = 0
+    for v in version_chain(spark, root, version):
+        m = manifest(spark, root, v)
+        if m is None:
+            raise ValueError(
+                f"v={v} under {root} has no {MANIFEST_NAME}: "
+                "commit it with write_version(df, root, stats_cols=[...])"
+            )
+        if col not in m["stats_cols"]:
+            raise ValueError(f"manifest of v={v} has no stats for {col!r}")
+        vdir = f"{root.rstrip('/')}/v={v}"
+        rows = m.get("file_rows", {})
+        nulls = m.get("file_nulls", {})
+        names = sorted(rows) if rows else sorted(m["files"])
+        n_total += len(names)
+        for fname in names:
+            nc = (nulls.get(fname) or {}).get(col)
+            nr = rows.get(fname)
+            if nc is not None and nr is not None and int(nc) == int(nr):
+                continue  # provably all-null: skip the file
+            selected.append(f"{vdir}/{fname}")
+    return selected, len(selected), n_total
+
+
+def read_version_not_null(
+    spark: SparkSession, root: str, col: str, version: int | None = None
+) -> DataFrame:
+    """Read that touches ONLY files which might hold a non-null ``col``
+    (then applies IS NOT NULL — superset pre-cut, bit-identical to the
+    full read + filter)."""
+    version = _resolve_version(spark, root, version)
+    selected, _, _ = not_null_file_plan(spark, root, col, version)
+    if not selected:
+        return read_version(spark, root, version).filter(F.lit(False))
+    sel_dirs = {os.path.dirname(p) for p in selected}
+    for d in sel_dirs:
+        spark.catalog.refreshByPath(d)
+    reader = spark.read
+    if len(sel_dirs) > 1:
+        reader = reader.option("mergeSchema", "true")  # evolved chains
+    return reader.parquet(*selected).filter(F.col(col).isNotNull())

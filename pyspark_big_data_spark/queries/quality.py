@@ -1670,3 +1670,69 @@ def positional_delete_read_witness(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(1 if untouched else 0).cast("long").alias("untouched_gate"),
         F.lit(1 if single_copy else 0).cast("long").alias("single_copy_gate"),
     )
+
+
+_NULLSTATS_ORACLE = """
+WITH hi AS (
+    SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS hi FROM customer
+)
+SELECT (SELECT COUNT(*) FROM customer, hi WHERE c_custkey <= hi.hi) AS n_nulls_meta,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(1 AS BIGINT) AS prune_gate
+FROM customer, hi
+WHERE c_custkey > hi.hi
+"""
+
+
+@register("null_stats_pruned_read_witness", oracle=_NULLSTATS_ORACLE, driver=False)
+def null_stats_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer NULL-count statistics driver-verified
+    (operators/versioned.py — the third metadata-only query shape next
+    to COUNT and MIN/MAX, and the sparse-column scan cut): commit a
+    customer snapshot range-clustered on c_custkey whose ``val`` column
+    is NULL for the lower half of the key span (the
+    optional-column-populated-in-one-era layout), then (a) answer the
+    column's TOTAL null census from the manifest alone
+    (``snapshot_null_counts`` — zero data pages; emitted as
+    ``n_nulls_meta`` and recomputed by DuckDB as the lower-half count,
+    so a footer miscount or a manifest that drifted from its data flips
+    the row red) and (b) serve ``val IS NOT NULL`` through
+    ``read_version_not_null``, which SKIPS every file whose footer
+    proves all-null (null_count == num_rows) before Spark lists it —
+    (n_rows, decimal-exact bal_sum) of the pruned read value-pinned
+    against the upper half. ``prune_gate`` = 1 iff strictly fewer
+    files than the snapshot total were selected AND the skipped census
+    is non-zero (the cut actually happened)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        not_null_file_plan,
+        read_version_not_null,
+        snapshot_null_counts,
+        write_version,
+    )
+
+    root = session_tmpdir("nullstats_dim_")
+    base = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    hi = base.agg(F.floor(F.max("c_custkey") / 2.0).cast("long")).collect()[0][0]
+    sparse = base.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") > hi, F.col("c_acctbal")).alias("val"),
+    )
+    v = write_version(
+        sparse.repartitionByRange(8, "c_custkey"),
+        root,
+        stats_cols=["c_custkey", "val"],
+    )
+    n_nulls = snapshot_null_counts(spark, root, ["val"], v)["val"]
+    _, n_sel, n_total = not_null_file_plan(spark, root, "val", v)
+    gate = 1 if (0 < n_sel < n_total and n_nulls > 0) else 0
+    return read_version_not_null(spark, root, "val", v).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("val", "bal_sum")
+    ).select(
+        F.lit(int(n_nulls)).cast("long").alias("n_nulls_meta"),
+        "n_rows",
+        "bal_sum",
+        F.lit(gate).cast("long").alias("prune_gate"),
+    )

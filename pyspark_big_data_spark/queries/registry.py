@@ -267,8 +267,10 @@ DRIVER_EXCLUDED: set[str] = set()
 # the score is one bit-stable double over exact counts — and
 # positional_delete_read_witness — Iceberg-v2 positional deletion
 # vectors addressing (file, row_index) via the parquet _metadata
-# columns, composed with equality vectors on one read) queues as an
-# r12 HEAD,
+# columns, composed with equality vectors on one read — and
+# null_stats_pruned_read_witness — footer null-count statistics:
+# metadata-only null census + IS-NOT-NULL file pruning of provably
+# all-null files) queues as an r12 HEAD,
 # registered-oldest-first, AHEAD of r12's re-cycles — never by
 # waiving additional r7 rows past the 12 justified by name.
 #

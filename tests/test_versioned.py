@@ -436,3 +436,52 @@ def test_snapshot_history_metadata_only(spark, tmp_path):
     assert hist[0]["n_rows"] == 10 and hist[0]["has_manifest"]
     assert hist[0]["n_files"] > 0
     assert hist[1]["n_rows"] is None and not hist[1]["has_manifest"]
+
+
+def test_null_counts_and_not_null_pruning(spark, tmp_path):
+    """Footer null counts: metadata-only null census + IS NOT NULL
+    file pruning (all-null files provably skipped, others kept)."""
+    from pyspark_big_data_spark.operators.versioned import (
+        not_null_file_plan,
+        read_version_not_null,
+        snapshot_null_counts,
+    )
+
+    root = str(tmp_path / "vds")
+    # file layout by k-range: low files all-null in x, high files dense
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 400, F.col("id") * 2.0).alias("x"),
+    )
+    write_version(df.repartitionByRange(8, "k"), root, stats_cols=["k", "x"])
+
+    assert snapshot_null_counts(spark, root, ["x"], 0) == {"x": 400}
+    assert snapshot_null_counts(spark, root, ["k"], 0) == {"k": 0}
+
+    sel, n_sel, n_total = not_null_file_plan(spark, root, "x", 0)
+    assert 0 < n_sel < n_total == 8  # the all-null half is skipped
+    got = read_version_not_null(spark, root, "x", 0)
+    want = read_version(spark, root, 0).filter(F.col("x").isNotNull())
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    touched = {os.path.basename(p) for p in got.inputFiles()}
+    assert touched <= {os.path.basename(p) for p in sel}
+
+
+def test_null_counts_chain_aware(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        snapshot_null_counts,
+    )
+
+    root = str(tmp_path / "vds")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("x")
+    )
+    write_version(base, root, stats_cols=["x"])
+    delta = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    append_version(delta, root, stats_cols=["x"])
+    assert snapshot_null_counts(spark, root, ["x"], 1) == {"x": 100}
