@@ -185,3 +185,86 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("mv_served", F.lit(1 if mv_only_scan else 0)).orderBy(
         "o_orderpriority"
     )
+
+
+_CDF_REFRESH_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price,
+       CAST(1 AS BIGINT) AS mv_served,
+       CAST(1 AS BIGINT) AS feed_io_gate
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("matview_cdf_refresh_witness", oracle=_CDF_REFRESH_ORACLE, driver=False)
+def matview_cdf_refresh_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production MV-maintenance LOOP composed end-to-end (r10):
+    the base table is a VERSIONED CHAIN table (operators/versioned.py),
+    new data lands as a file-level APPEND commit, and the materialized
+    view refreshes itself from the CHANGE DATA FEED — never rescanning
+    the base. Concretely: commit pre-1997 orders as v0, build the MV
+    over the v0 read, append the remaining orders as v1 (O(delta)
+    bytes), then feed ``table_changes(v0, v1)`` — which reads ONLY the
+    delta directory — into ``refresh_incremental``. The priority
+    rollup answered FROM THE REFRESHED PARTIALS must equal DuckDB's
+    aggregate over the WHOLE orders table, so a feed that leaked base
+    rows (double-count), missed delta rows, or a fold that corrupted
+    untouched groups flips the row red. Gates: ``mv_served`` (the
+    answer's file index is MV data only — no base rescan) and
+    ``feed_io_gate`` (the refresh input's file index contains NO v0
+    file — the O(changes) maintenance claim, checked on the real
+    scan). This is the loop a 100 TB nightly rollup runs: append,
+    read the feed, fold the partials; nothing in it is proportional
+    to the base."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.matview import refresh_incremental
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        read_version,
+        table_changes,
+        write_version,
+    )
+
+    split = "1997-01-01"
+    orders = read_table(spark, sf_dir, "orders")
+    table_root = session_tmpdir("mv_chain_orders_")
+    v0 = write_version(orders.filter(F.col("o_orderdate") < split), table_root)
+    mv_dir = session_tmpdir("orders_mv_cdf_")
+    create_matview(
+        read_version(spark, table_root, v0).withColumn(
+            "o_year", F.year("o_orderdate")
+        ),
+        mv_dir,
+        group_cols=["o_orderpriority", "o_orderstatus", "o_year"],
+        measures=[("sum", "o_totalprice"), ("count", None)],
+    )
+    v1 = append_version(orders.filter(F.col("o_orderdate") >= split), table_root)
+
+    feed = table_changes(spark, table_root, v0, v1).withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    feed_io_ok = all(f"/v={v0}/" not in p for p in feed.inputFiles())
+    refresh_incremental(spark, mv_dir, feed)
+
+    df, served = answer_aggregate(
+        spark,
+        mv_dir,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n_orders": ("count", None),
+            "total_price": ("sum", "o_totalprice"),
+        },
+        base_loader=lambda: read_version(spark, table_root, v1),
+    )
+    data_prefix = os.path.join(mv_dir, "data_v")
+    mv_only = served and all(data_prefix in f for f in df.inputFiles())
+    return df.select(
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        F.lit(1 if mv_only else 0).cast("long").alias("mv_served"),
+        F.lit(1 if feed_io_ok else 0).cast("long").alias("feed_io_gate"),
+    ).orderBy("o_orderpriority")
