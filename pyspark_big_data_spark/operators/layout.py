@@ -85,3 +85,68 @@ def cluster_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def morton_interleave_n(cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` of N non-negative longs: output bit
+    j*N + i = bit j of column i — the N-dimensional Morton code. Same
+    fixed-width shift/mask chain as the 2-D version (whole-stage
+    codegen, no UDF); keep N*bits <= 62 so the key fits a long."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton interleave needs >= 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} dims x {bits} bits overflows a long key")
+    acc: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            acc = acc + F.shiftleft(bit, j * n + i)
+    return acc
+
+
+def zorder_key_n(
+    df: DataFrame, cols: list[str], bits: int | None = None
+) -> DataFrame:
+    """Attach ``_zkey`` = N-dim morton over rank-scaled columns. Bits
+    per dimension default to 48 // N (16 at N=3 — the same per-dim
+    resolution as the 2-D path at N<=3, degrading gracefully for more
+    dimensions, which is also the honest Z-order caveat: each added
+    dimension SPENDS resolution, so past ~4 columns the clustering
+    stops paying and a hierarchical layout wins)."""
+    if bits is None:
+        bits = max(4, 48 // len(cols))
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_{c}_lo"))
+        aggs.append(F.max(c).alias(f"_{c}_hi"))
+    stats = df.agg(*aggs)
+    with_stats = df.crossJoin(F.broadcast(stats))
+    scaled = [
+        _rank_scaled(F.col(c), F.col(f"_{c}_lo"), F.col(f"_{c}_hi"), bits)
+        for c in cols
+    ]
+    key = morton_interleave_n(scaled, bits)
+    drop = [f"_{c}_lo" for c in cols] + [f"_{c}_hi" for c in cols]
+    return with_stats.withColumn("_zkey", key).drop(*drop)
+
+
+def cluster_write_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int | None = None,
+) -> None:
+    """N-dimensional ``cluster_write``: range-partition + sort by the
+    N-dim Z-key, so every file covers a small hyper-rectangle of ALL
+    clustered columns and predicates on ANY of them skip files/row
+    groups via footer stats."""
+    keyed = zorder_key_n(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1736,3 +1736,102 @@ def null_stats_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFram
         "bal_sum",
         F.lit(gate).cast("long").alias("prune_gate"),
     )
+
+
+_Z3_ORACLE = """
+WITH bounds AS (
+    SELECT CAST(FLOOR(MAX(user_id) / 8.0) AS BIGINT) AS uhi,
+           CAST(FLOOR(MAX(value) / 2.0) AS DOUBLE) AS vlo,
+           CAST(FLOOR(MAX(event_id) / 8.0) AS BIGINT) AS ehi
+    FROM events
+), u AS (
+    SELECT COUNT(*) AS rows_user,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_user
+    FROM events, bounds WHERE user_id <= uhi
+), v AS (
+    SELECT COUNT(*) AS rows_value,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+    FROM events, bounds WHERE value >= vlo
+), e AS (
+    SELECT COUNT(*) AS rows_event,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_event
+    FROM events, bounds WHERE event_id <= ehi
+)
+SELECT rows_user, sum_user, rows_value, sum_value, rows_event, sum_event,
+       CAST(1 AS BIGINT) AS prune_gate_user,
+       CAST(1 AS BIGINT) AS prune_gate_value,
+       CAST(1 AS BIGINT) AS prune_gate_event
+FROM u, v, e
+"""
+
+
+@register("zorder3_pruned_read_witness", oracle=_Z3_ORACLE, driver=False)
+def zorder3_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-dimensional Z-order composed with footer-stats pruning
+    (operators/layout.py::zorder_key_n / morton_interleave_n — the
+    N-dim generalization of the 2-D layout lever): commit an events
+    snapshot clustered on (user_id, value, event_id) by the 3-dim
+    Morton key (16 bits per dimension, 64 range files = 2 prefix bits
+    per dim) with a footer-stats manifest over all three columns, then
+    answer a narrow range predicate on EACH dimension through
+    ``read_version_pruned`` — low user band, high value tail, low
+    event band. A sort by any ONE column makes the other TWO
+    unprunable; 2-D Z-order covers two; only the N-dim interleave
+    makes all three gates passable simultaneously. Emits each pruned
+    read's (rows, decimal-exact value sum) — DuckDB recomputes all
+    three on the raw table, so a wrongly pruned file flips the row
+    red — plus a per-dimension strict-subset gate. The docstring
+    caveat is part of the operator's contract: every added dimension
+    SPENDS key resolution (48//N bits each), so past ~4 columns
+    hierarchical layouts win — stated, not hidden."""
+    import math
+
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.layout import zorder_key_n
+    from pyspark_big_data_spark.operators.versioned import (
+        pruned_file_plan,
+        read_version_pruned,
+        write_version,
+    )
+
+    root = session_tmpdir("z3pruned_events_")
+    base = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    row = base.agg(F.max("user_id"), F.max("value"), F.max("event_id")).collect()[0]
+    uhi = int(row[0]) // 8
+    vlo = float(math.floor(row[1] / 2.0))
+    ehi = int(row[2]) // 8
+
+    arranged = (
+        zorder_key_n(base, ["user_id", "value", "event_id"], bits=16)
+        .repartitionByRange(64, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    v = write_version(
+        arranged, root, stats_cols=["user_id", "value", "event_id"]
+    )
+
+    _, n_u, total = pruned_file_plan(spark, root, "user_id", upper=uhi, version=v)
+    _, n_v, _ = pruned_file_plan(spark, root, "value", lower=vlo, version=v)
+    _, n_e, _ = pruned_file_plan(spark, root, "event_id", upper=ehi, version=v)
+    agg_u = read_version_pruned(spark, root, "user_id", upper=uhi, version=v).agg(
+        F.count(F.lit(1)).alias("rows_user"), dsum("value", "sum_user")
+    )
+    agg_v = read_version_pruned(spark, root, "value", lower=vlo, version=v).agg(
+        F.count(F.lit(1)).alias("rows_value"), dsum("value", "sum_value")
+    )
+    agg_e = read_version_pruned(spark, root, "event_id", upper=ehi, version=v).agg(
+        F.count(F.lit(1)).alias("rows_event"), dsum("value", "sum_event")
+    )
+    return agg_u.crossJoin(agg_v).crossJoin(agg_e).select(
+        "rows_user",
+        "sum_user",
+        "rows_value",
+        "sum_value",
+        "rows_event",
+        "sum_event",
+        F.lit(1 if n_u < total else 0).cast("long").alias("prune_gate_user"),
+        F.lit(1 if n_v < total else 0).cast("long").alias("prune_gate_value"),
+        F.lit(1 if n_e < total else 0).cast("long").alias("prune_gate_event"),
+    )

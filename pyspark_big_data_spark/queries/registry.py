@@ -270,10 +270,12 @@ DRIVER_EXCLUDED: set[str] = set()
 # columns, composed with equality vectors on one read — and
 # null_stats_pruned_read_witness — footer null-count statistics:
 # metadata-only null census + IS-NOT-NULL file pruning of provably
-# all-null files — and matview_cdf_refresh_witness — the MV
+# all-null files — matview_cdf_refresh_witness — the MV
 # maintenance loop composed end-to-end: append commit → change data
-# feed → incremental partial fold, with feed-IO and mv-served gates)
-# queues as an r12 HEAD,
+# feed → incremental partial fold, with feed-IO and mv-served gates —
+# and zorder3_pruned_read_witness — THREE-dimensional Z-order composed
+# with footer-stats pruning, per-dimension strict-subset gates) queues
+# as an r12 HEAD,
 # registered-oldest-first, AHEAD of r12's re-cycles — never by
 # waiving additional r7 rows past the 12 justified by name.
 #
