@@ -173,6 +173,9 @@ _SCALAR_BROADCAST_OK = {
     "kcore_copurchase",
     # r10: (bigram lift rows) x (1-row corpus token total) attach
     "pmi_collocations",
+    # r10: three 1-row pruned-read aggregates attach, plus
+    # zorder_key_n's 1-row global min/max stats attach
+    "zorder3_pruned_read_witness",
 }
 
 
