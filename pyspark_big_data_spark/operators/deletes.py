@@ -297,13 +297,26 @@ def with_positions(
     the parquet reader's ``_metadata`` struct. This is the scan a
     MERGE/DELETE planner runs to DECIDE positional tombstones — the
     address columns are reader state, not data, so the scan costs the
-    same as the plain read."""
+    same as the plain read. Raises if the data schema already uses the
+    reserved address names — a silent duplicate column would corrupt
+    the anti-join."""
     base = read_version(spark, root, version)
+    _guard_reserved_address_cols(base)
     return base.select(
         F.col("_metadata.file_name").alias(FILE_COL),
         F.col("_metadata.row_index").alias(POS_COL),
         "*",
     )
+
+
+def _guard_reserved_address_cols(df: DataFrame) -> None:
+    clash = {FILE_COL, POS_COL} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"snapshot schema uses reserved positional-delete address "
+            f"column(s) {sorted(clash)}; rename them before using "
+            "positional deletes"
+        )
 
 
 def delete_positions(
@@ -356,7 +369,9 @@ def read_version_mor_pos(
     masked by ``deleted_keys`` when the version carries those too (both
     vector types apply, the Iceberg v2 read contract)."""
     version = _resolve_version(spark, root, version)
-    base = read_version(spark, root, version).select(
+    base = read_version(spark, root, version)
+    _guard_reserved_address_cols(base)
+    base = base.select(
         F.col("_metadata.file_name").alias(FILE_COL),
         F.col("_metadata.row_index").alias(POS_COL),
         "*",

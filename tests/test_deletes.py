@@ -307,3 +307,13 @@ def test_positional_delete_contracts(spark, tmp_path):
     delete_positions(spark, root, ok, version=0)
     with pytest.raises(ValueError, match="deletion vectors"):
         compact_version(spark, root, target_files=1)
+
+
+def test_positional_reserved_name_guard(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import with_positions
+
+    root = str(tmp_path / "vds")
+    clash = _df(spark, 10).withColumnRenamed("x", "_pos")
+    write_version(clash, root)
+    with pytest.raises(ValueError, match="reserved"):
+        with_positions(spark, root, 0)
