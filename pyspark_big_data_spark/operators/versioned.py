@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -90,6 +91,12 @@ def latest_version(spark: SparkSession, root: str) -> int | None:
 
 
 MANIFEST_NAME = "_manifest.json"
+
+# MERGE commits stage their positional deletion vectors INSIDE the
+# committed version dir under this name (underscore-prefixed: hidden
+# from parquet data scans), so delta files + vectors publish in ONE
+# atomic rename. Readers: operators/deletes.py::_embedded_deletes_dir.
+EMBEDDED_DELETES_DIR = "_merge_deletes"
 
 # Per-file Bloom parameters: k hash probes; bits sized at ~16 per
 # distinct key (next power of two, floored at _BLOOM_MIN_BITS) so the
@@ -326,6 +333,9 @@ def write_version(
     manifest_extra: dict | None = None,
     _append: bool = False,
     _base_override: int | None = None,
+    _append_evolution: bool = False,
+    _allow_base_tombstones: bool = False,
+    embedded_pos_deletes: DataFrame | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
     number. With ``stats_cols``, a footer-stats manifest
@@ -372,16 +382,37 @@ def write_version(
 
     ``manifest_extra`` merges caller keys into the manifest doc (e.g. a
     streaming sink's ``writer_batch_id`` idempotence marker,
-    streaming/sinks.py); reserved manifest keys are refused."""
+    streaming/sinks.py); reserved manifest keys are refused.
+
+    ``embedded_pos_deletes`` (MERGE commits only, requires ``_append``)
+    stages a positional deletion vector under the version's own
+    ``_merge_deletes/`` dir, so delta data files AND the vectors that
+    retire the rows they replace publish in the SAME atomic rename —
+    the single-commit MERGE shape. The vector schema must be exactly
+    ``(_file string, _pos long)`` (operators/deletes.py addresses).
+
+    Every manifest carries ``committed_at`` (epoch seconds at commit
+    build time) for AS-OF-TIMESTAMP resolution (``version_as_of``)."""
     if manifest_extra:
         reserved = {
             "manifest_version", "sharded", "shards", "stats_cols",
             "bloom_cols", "files", "file_rows", "blooms",
-            "base_version", "n_shards",
+            "base_version", "n_shards", "committed_at", "pos_delete_rows",
         } & set(manifest_extra)
         if reserved:
             raise ValueError(
                 f"manifest_extra may not override reserved keys: {sorted(reserved)}"
+            )
+    if embedded_pos_deletes is not None:
+        if not _append:
+            raise ValueError(
+                "embedded_pos_deletes is a MERGE-commit feature and "
+                "requires an append commit (_append=True)"
+            )
+        if set(embedded_pos_deletes.columns) != {"_file", "_pos"}:
+            raise ValueError(
+                "embedded_pos_deletes must have exactly the address "
+                f"columns ['_file', '_pos']; got {sorted(embedded_pos_deletes.columns)}"
             )
     spark = df.sparkSession
     fs, hroot, jvm = _fs(spark, root)
@@ -404,9 +435,32 @@ def write_version(
             base_version = _base_override
         else:
             base_version = latest if _append else None
+        if _append:
+            # Re-validated on EVERY retry against the recomputed base:
+            # a lost commit race re-bases on the interloper, and the
+            # interloper may have a different schema or carry deletion
+            # vectors — validating only once (pre-loop) would let a
+            # racing writer publish a chain member that violates the
+            # exact-match/additive contract or resurrects deleted rows
+            # (r10 advice items).
+            _validate_append_base(
+                spark,
+                root,
+                base_version,
+                df.columns,
+                allow_evolution=_append_evolution,
+                allow_base_tombstones=_allow_base_tombstones,
+            )
         staging = f"{root.rstrip('/')}/.staging_v{n}"
         fs.delete(Path(staging), True)  # sweep a crashed predecessor
         df.write.mode("overwrite").parquet(staging)
+        pos_delete_rows = None
+        if embedded_pos_deletes is not None:
+            emb = f"{staging}/{EMBEDDED_DELETES_DIR}"
+            embedded_pos_deletes.write.mode("overwrite").parquet(emb)
+            spark.catalog.refreshByPath(emb)
+            # footer-only count: prices the MOR anti-join without a job
+            pos_delete_rows = spark.read.parquet(emb).count()
         if stats_cols or bloom_cols or _append or manifest_extra:
             files = _list_parquet_files(fs, jvm, staging)
             stats, file_nulls, file_rows = _collect_file_stats(
@@ -453,11 +507,14 @@ def write_version(
                     "sharded": True,
                     "shards": shard_names,
                     "stats_cols": list(stats_cols or []),
+                    "committed_at": time.time(),
                 }
                 if bloom_cols:
                     doc["bloom_cols"] = list(bloom_cols)
                 if base_version is not None:
                     doc["base_version"] = base_version
+                if pos_delete_rows is not None:
+                    doc["pos_delete_rows"] = pos_delete_rows
                 if manifest_extra:
                     doc.update(manifest_extra)
                 _write_json(MANIFEST_NAME, doc)
@@ -468,12 +525,15 @@ def write_version(
                     "files": stats,
                     "file_nulls": file_nulls,
                     "file_rows": file_rows,
+                    "committed_at": time.time(),
                 }
                 if bloom_cols:
                     doc["bloom_cols"] = list(bloom_cols)
                     doc["blooms"] = blooms
                 if base_version is not None:
                     doc["base_version"] = base_version
+                if pos_delete_rows is not None:
+                    doc["pos_delete_rows"] = pos_delete_rows
                 if manifest_extra:
                     doc.update(manifest_extra)
                 _write_json(MANIFEST_NAME, doc)
@@ -516,6 +576,63 @@ def commit_staged(fs, jvm, root: str, staging: str, n: int, prefix: str = "v=") 
     return False
 
 
+def _validate_append_base(
+    spark: SparkSession,
+    root: str,
+    base_version: int,
+    delta_cols: list[str],
+    allow_evolution: bool,
+    allow_base_tombstones: bool,
+) -> None:
+    """The append-commit contract, checked against the ACTUAL base
+    (write_version re-runs this on every commit retry, so a lost race
+    re-validates against the interloper it re-bases on):
+
+    - schema: exact set-match, or additive when evolution is opted in;
+    - deletion vectors: appending onto a chain that carries EXTERNAL
+      tombstones (delete_keys / delete_positions) is refused unless
+      ``allow_base_tombstones`` — the chained read of the new version
+      via plain ``read_version`` would serve the base's physical files
+      with the deletes invisible, silently resurrecting GDPR-deleted
+      rows on the next micro-batch (r10 advice, high). MOR reads
+      (``read_version_mor``) resolve ancestor vectors correctly, so
+      callers that live on the MOR path (MERGE commits do) opt in
+      explicitly. MERGE-embedded vectors in ancestors do NOT trip the
+      guard: they are part of committed versions by construction, and
+      every read of such a chain is documented as MOR-only."""
+    from pyspark_big_data_spark.operators.deletes import (
+        list_delete_commits,
+        list_pos_delete_commits,
+    )
+
+    base_cols = set(read_version(spark, root, base_version).columns)
+    if allow_evolution:
+        missing = base_cols - set(delta_cols)
+        if missing:
+            raise ValueError(
+                "append evolution is ADDITIVE only: delta is missing base "
+                f"column(s) {sorted(missing)} (drops/renames refused)"
+            )
+    elif set(delta_cols) != base_cols:
+        raise ValueError(
+            f"append schema mismatch: base {sorted(base_cols)} "
+            f"vs delta {sorted(delta_cols)}"
+        )
+    if allow_base_tombstones:
+        return
+    for v in version_chain(spark, root, base_version):
+        if list_delete_commits(spark, root, v) or list_pos_delete_commits(
+            spark, root, v
+        ):
+            raise ValueError(
+                f"v={v} in the base chain of this append carries deletion "
+                "vectors; a chained read through plain read_version would "
+                "resurrect the deleted rows — run materialize_deletes "
+                "first, or pass allow_base_tombstones=True if every "
+                "consumer reads via read_version_mor"
+            )
+
+
 def append_version(
     df: DataFrame,
     root: str,
@@ -524,6 +641,8 @@ def append_version(
     manifest_shard_files: int | None = None,
     manifest_extra: dict | None = None,
     allow_evolution: bool = False,
+    allow_base_tombstones: bool = False,
+    embedded_pos_deletes: DataFrame | None = None,
 ) -> int:
     """APPEND commit: publish ``df`` as the next version WITHOUT
     copying the base — the committed ``v=N`` directory holds ONLY the
@@ -568,25 +687,21 @@ def append_version(
     columns for pre-evolution rows — the add-column evolution contract
     every table format ships. Reads of a mixed-schema chain pay the
     per-member footer union (``mergeSchema``), which is O(files) like
-    the listing itself."""
+    the listing itself.
+
+    Deletion-vector interaction (r11): appending onto a chain that
+    carries EXTERNAL tombstones is refused unless
+    ``allow_base_tombstones=True`` — see ``_validate_append_base``
+    (the validation runs inside write_version's commit-retry loop, so
+    it always checks the base actually appended onto).
+    ``embedded_pos_deletes`` stages a positional vector inside the new
+    version dir itself (single-rename MERGE commits,
+    operators/merge.py)."""
     base = latest_version(df.sparkSession, root)
     if base is None:
         raise ValueError(
             f"append needs a base version under {root}; commit the "
             "initial snapshot with write_version first"
-        )
-    base_cols = set(read_version(df.sparkSession, root, base).columns)
-    if allow_evolution:
-        missing = base_cols - set(df.columns)
-        if missing:
-            raise ValueError(
-                "append evolution is ADDITIVE only: delta is missing base "
-                f"column(s) {sorted(missing)} (drops/renames refused)"
-            )
-    elif set(df.columns) != base_cols:
-        raise ValueError(
-            f"append schema mismatch: base {sorted(base_cols)} "
-            f"vs delta {sorted(df.columns)}"
         )
     return write_version(
         df,
@@ -596,6 +711,9 @@ def append_version(
         manifest_shard_files=manifest_shard_files,
         manifest_extra=manifest_extra,
         _append=True,
+        _append_evolution=allow_evolution,
+        _allow_base_tombstones=allow_base_tombstones,
+        embedded_pos_deletes=embedded_pos_deletes,
     )
 
 
@@ -707,6 +825,34 @@ def pruned_file_plan(
     return selected, len(selected), n_total
 
 
+def _read_selected_aligned(
+    spark: SparkSession, root: str, version: int, selected: list[str]
+) -> DataFrame:
+    """Read a pruned file subset with a PRUNING-INDEPENDENT schema.
+
+    On an evolved append chain, which files survive pruning decides
+    what ``mergeSchema`` can see: a predicate whose survivors all live
+    in pre-evolution members would return a frame MISSING the evolved
+    column(s), breaking the documented 'bit-identical to full read +
+    filter' equivalence (r10 advice, medium). So chain reads always
+    merge schemas and then reconcile to ``read_version``'s full chain
+    schema — null-filling any column absent from the selected subset
+    and fixing column order — regardless of which files survive. The
+    reconciliation is metadata-only (the full read is planned for its
+    schema, never executed)."""
+    for d in sorted({os.path.dirname(p) for p in selected}):
+        spark.catalog.refreshByPath(d)
+    if len(version_chain(spark, root, version)) == 1:
+        return spark.read.parquet(*selected)
+    df = spark.read.option("mergeSchema", "true").parquet(*selected)
+    full = read_version(spark, root, version).schema
+    have = set(df.columns)
+    for field in full.fields:
+        if field.name not in have:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df.select(*[field.name for field in full.fields])
+
+
 def read_version_pruned(
     spark: SparkSession,
     root: str,
@@ -729,13 +875,7 @@ def read_version_pruned(
         # predicate excludes every file: empty frame, correct schema
         base = read_version(spark, root, version)
         return base.filter(F.lit(False))
-    sel_dirs = {os.path.dirname(p) for p in selected}
-    for d in sel_dirs:
-        spark.catalog.refreshByPath(d)
-    reader = spark.read
-    if len(sel_dirs) > 1:
-        reader = reader.option("mergeSchema", "true")  # evolved chains
-    df = reader.parquet(*selected)
+    df = _read_selected_aligned(spark, root, version, selected)
     if lower is not None:
         df = df.filter(F.col(col) >= F.lit(lower))
     if upper is not None:
@@ -816,13 +956,8 @@ def read_version_point(
     selected, _, _ = bloom_file_plan(spark, root, col, value, version)
     if not selected:
         return read_version(spark, root, version).filter(F.lit(False))
-    sel_dirs = {os.path.dirname(p) for p in selected}
-    for d in sel_dirs:
-        spark.catalog.refreshByPath(d)
-    reader = spark.read
-    if len(sel_dirs) > 1:
-        reader = reader.option("mergeSchema", "true")  # evolved chains
-    return reader.parquet(*selected).filter(F.col(col) == F.lit(value))
+    df = _read_selected_aligned(spark, root, version, selected)
+    return df.filter(F.col(col) == F.lit(value))
 
 
 def expire_versions(
@@ -1017,23 +1152,20 @@ def compact_version(
     sequential read + write of the snapshot with no shuffle at all.
     Reference parity note: the reference engine (src/query1-4.py) has
     no storage-maintenance surface; this is extension surface."""
-    from pyspark_big_data_spark.operators.deletes import (
-        list_delete_commits,
-        list_pos_delete_commits,
-    )
+    from pyspark_big_data_spark.operators.deletes import has_any_delete_vectors
 
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     version = _resolve_version(spark, root, version)
     if version not in list_versions(spark, root):
         raise ValueError(f"version {version} does not exist under {root}")
-    if list_delete_commits(spark, root, version) or list_pos_delete_commits(
-        spark, root, version
-    ):
+    # chain-wide: an ancestor's vectors (external OR MERGE-embedded)
+    # would be resurrected by compacting the physical chain read
+    if has_any_delete_vectors(spark, root, version):
         raise ValueError(
-            f"v={version} under {root} has deletion vectors; compacting the "
-            "data files alone would resurrect deleted rows — run "
-            "materialize_deletes first"
+            f"v={version} under {root} has deletion vectors on its chain; "
+            "compacting the data files alone would resurrect deleted rows "
+            "— run materialize_deletes first"
         )
     fs, _, jvm = _fs(spark, root)
     # logical census: an append chain's file count spans every member
@@ -1116,11 +1248,20 @@ def table_changes(
     snapshots)) remains queries/quality.py::snapshot_diff.
 
     Sound only when every version in ``(from_version, to_version]`` is
-    an APPEND onto its direct predecessor — a full rewrite in the range
-    means the delta dirs do not represent the change, so this raises
-    (ask snapshot_diff instead) rather than returning wrong rows. Both
-    endpoints must be on the same chain; ``from_version ==
+    a PURE APPEND onto its direct predecessor — a full rewrite in the
+    range means the delta dirs do not represent the change, and a
+    version carrying deletion vectors (a post-hoc ``delete_keys`` /
+    ``delete_positions``, or a MERGE commit's embedded vectors) means
+    the change includes REMOVALS an adds-only feed cannot express — so
+    both raise (ask snapshot_diff instead) rather than returning wrong
+    rows. Both endpoints must be on the same chain; ``from_version ==
     to_version`` is an empty feed with the correct schema."""
+    from pyspark_big_data_spark.operators.deletes import (
+        _embedded_deletes_dir,
+        list_delete_commits,
+        list_pos_delete_commits,
+    )
+
     committed = set(list_versions(spark, root))
     for v in (from_version, to_version):
         if v not in committed:
@@ -1143,6 +1284,17 @@ def table_changes(
                 f"v={to_version} do not represent the change; use a keyed "
                 "snapshot diff instead"
             )
+        if (
+            list_delete_commits(spark, root, v)
+            or list_pos_delete_commits(spark, root, v)
+            or _embedded_deletes_dir(spark, root, v) is not None
+        ):
+            raise ValueError(
+                f"v={v} under {root} carries deletion vectors — the range "
+                f"(v={from_version}, v={to_version}] is not append-only and "
+                "an adds-only feed would misstate the change; use a keyed "
+                "snapshot diff instead"
+            )
         dirs.append(f"{root.rstrip('/')}/v={v}")
         v = base
         if v < from_version:
@@ -1158,7 +1310,12 @@ def table_changes(
     return reader.parquet(*dirs)
 
 
-def restore_version(spark: SparkSession, root: str, version: int) -> int:
+def restore_version(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    allow_base_tombstones: bool = False,
+) -> int:
     """METADATA-ONLY rollback (the table formats' RESTORE): make the
     dataset's CURRENT state equal to historical ``v=version`` again by
     committing a new version that is an EMPTY delta based on it — the
@@ -1194,6 +1351,7 @@ def restore_version(spark: SparkSession, root: str, version: int) -> int:
         manifest_extra={"restored_from": version},
         _append=True,
         _base_override=version,
+        _allow_base_tombstones=allow_base_tombstones,
     )
 
 
@@ -1277,10 +1435,5 @@ def read_version_not_null(
     selected, _, _ = not_null_file_plan(spark, root, col, version)
     if not selected:
         return read_version(spark, root, version).filter(F.lit(False))
-    sel_dirs = {os.path.dirname(p) for p in selected}
-    for d in sel_dirs:
-        spark.catalog.refreshByPath(d)
-    reader = spark.read
-    if len(sel_dirs) > 1:
-        reader = reader.option("mergeSchema", "true")  # evolved chains
-    return reader.parquet(*selected).filter(F.col(col).isNotNull())
+    df = _read_selected_aligned(spark, root, version, selected)
+    return df.filter(F.col(col).isNotNull())

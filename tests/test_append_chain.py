@@ -369,3 +369,33 @@ def test_restore_contracts(spark, tmp_path):
         restore_version(spark, root, 5)
     with pytest.raises(ValueError, match="no-op"):
         restore_version(spark, root, 0)
+
+
+def test_evolved_chain_pruned_schema_is_pruning_independent(spark, tmp_path):
+    """Which files survive pruning must not decide the result schema:
+    a predicate whose survivors all live in pre-evolution members still
+    returns the full chain-merged schema (evolved columns null-filled),
+    bit-identical to the full read + filter (r10 advice item)."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root, stats_cols=["k"])
+    evolved = _df(spark, 100, 200).withColumn("y", F.lit("new"))
+    append_version(evolved, root, allow_evolution=True, stats_cols=["k"])
+
+    full_cols = read_version(spark, root, 1).columns
+    got = read_version_pruned(spark, root, "k", upper=50, version=1)
+    assert got.columns == full_cols  # evolved column present, same order
+    assert got.filter(F.col("y").isNotNull()).count() == 0
+    want = read_version(spark, root, 1).filter(F.col("k") <= 50)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # survivors spanning both eras and the empty selection agree too
+    both = read_version_pruned(spark, root, "k", 50, 150, version=1)
+    assert both.columns == full_cols
+    empty = read_version_pruned(spark, root, "k", 10_000, 20_000, version=1)
+    assert empty.columns == full_cols and empty.count() == 0
+
+    # the not-null fast path gets the same reconciliation
+    from pyspark_big_data_spark.operators.versioned import read_version_not_null
+
+    nn = read_version_not_null(spark, root, "k", version=1)
+    assert nn.columns == full_cols

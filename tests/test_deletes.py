@@ -317,3 +317,176 @@ def test_positional_reserved_name_guard(spark, tmp_path):
     write_version(clash, root)
     with pytest.raises(ValueError, match="reserved"):
         with_positions(spark, root, 0)
+
+
+# ---------------------------------------------------------------------------
+# Chain-wide vector resolution, sequence rules, thresholds (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_append_onto_tombstoned_base_refused(spark, tmp_path):
+    """The GDPR-resurrection guard: appending onto a chain carrying
+    EXTERNAL tombstones raises (mirrors compact_version); the explicit
+    opt-in commits, and the MOR read of the new head keeps the deleted
+    rows gone."""
+    from pyspark_big_data_spark.operators.versioned import append_version
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [1, 2]), "k")
+    with pytest.raises(ValueError, match="resurrect"):
+        append_version(_df(spark, 5), root)
+    v1 = append_version(_df(spark, 5), root, allow_base_tombstones=True)
+    assert read_version_mor(spark, root, v1).count() == 103  # 98 + 5
+
+
+def test_chain_mor_equality_is_sequence_aware(spark, tmp_path):
+    """A vector against member M masks only rows living in members <= M:
+    a key re-inserted by a LATER append survives; a vector against the
+    HEAD masks the whole chain."""
+    from pyspark_big_data_spark.operators.versioned import append_version
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)  # v0: k in [0, 100)
+    delete_keys(spark, root, _keys(spark, [1, 2]), "k", version=0)
+    v1 = append_version(_df(spark, 5), root, allow_base_tombstones=True)
+
+    mor = read_version_mor(spark, root, v1)
+    assert mor.count() == 103
+    # k=1 was deleted at v0 and re-inserted by the v1 delta: ONE copy
+    assert mor.filter(F.col("k") == 1).count() == 1
+    assert mor.filter(F.col("k") == 50).count() == 1
+
+    # head-targeted vector masks the whole chain (it IS the newest seq)
+    delete_keys(spark, root, _keys(spark, [50]), "k", version=v1)
+    mor2 = read_version_mor(spark, root, v1)
+    assert mor2.count() == 102
+    assert mor2.filter(F.col("k") == 50).count() == 0
+    assert mor2.filter(F.col("k") == 1).count() == 1
+
+
+def test_chain_mor_resolves_ancestor_positional(spark, tmp_path):
+    """Positional vectors against a base member keep applying through
+    later appends, and their addresses are VERSION-QUALIFIED."""
+    from pyspark_big_data_spark.operators.deletes import (
+        delete_positions,
+        with_positions,
+    )
+    from pyspark_big_data_spark.operators.versioned import append_version
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    addr = with_positions(spark, root, 0).filter(F.col("k").isin(7, 8))
+    qualified = {r["_file"] for r in addr.select("_file").collect()}
+    assert all(f.startswith("v=0/") for f in qualified)
+    delete_positions(spark, root, addr, version=0)
+    v1 = append_version(_df(spark, 5), root, allow_base_tombstones=True)
+    got = read_version_mor(spark, root, v1)
+    assert got.count() == 103
+    assert got.filter(F.col("k").isin(7, 8)).count() == 0
+
+
+def test_broadcast_threshold_drops_hint(spark, tmp_path):
+    """Above the tombstone-row threshold the broadcast hint is dropped:
+    with auto-broadcast disabled, the anti-join plans as a shuffle join
+    instead of OOM-ing the driver on a giant vector."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [1]), "k")
+    hinted = read_version_mor(spark, root, 0)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = read_version_mor(
+            spark, root, 0, broadcast_threshold_rows=0
+        )
+        plan2 = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+        assert "LeftAnti" in plan2
+        assert unhinted.count() == 99  # semantics unchanged, plan slower
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_embedded_merge_vectors_single_commit(spark, tmp_path):
+    """A MERGE-shaped commit: delta files + positional vectors publish
+    in ONE rename (the vectors live INSIDE the version dir), the MOR
+    read retires exactly the addressed rows, and the manifest prices
+    the vector."""
+    from pyspark_big_data_spark.operators.deletes import with_positions
+    from pyspark_big_data_spark.operators.versioned import append_version
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)  # v0: x = 2k
+    addr = with_positions(spark, root, 0).filter(F.col("k") < 3).select(
+        "_file", "_pos"
+    )
+    updated = spark.range(0, 3).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0 + 1).alias("x")
+    )
+    v1 = append_version(updated, root, embedded_pos_deletes=addr)
+    assert os.path.exists(f"{root}/v={v1}/_merge_deletes")
+    assert not os.path.exists(f"{root}/_pos_deletes")
+    assert manifest(spark, root, v1)["pos_delete_rows"] == 3
+
+    got = read_version_mor(spark, root, v1)
+    assert got.count() == 100
+    assert got.filter(F.col("k") == 0).collect()[0]["x"] == 1.0  # updated
+    assert got.filter(F.col("k") == 50).collect()[0]["x"] == 100.0
+
+    with pytest.raises(ValueError, match="append"):
+        write_version(_df(spark, 5), root, embedded_pos_deletes=addr)
+    bad = addr.withColumnRenamed("_pos", "_position")
+    with pytest.raises(ValueError, match="address"):
+        append_version(updated, root, embedded_pos_deletes=bad)
+
+
+def test_compact_refuses_ancestor_vectors_and_materialize_folds(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import append_version
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    delete_keys(spark, root, _keys(spark, [1, 2]), "k", version=0)
+    v1 = append_version(_df(spark, 5), root, allow_base_tombstones=True)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        compact_version(spark, root, target_files=1, version=v1)
+    v2 = materialize_deletes(spark, root, v1)
+    assert read_version(spark, root, v2).count() == 103
+    assert _rows(read_version(spark, root, v2)) == _rows(
+        read_version_mor(spark, root, v1)
+    )
+    res = compact_version(spark, root, target_files=1, version=v2)
+    assert read_version(spark, root, res["version"]).count() == 103
+
+
+def test_table_changes_refuses_vectored_ranges(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import with_positions
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        table_changes,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark), root)
+    v1 = append_version(_df(spark, 5), root)
+    delete_keys(spark, root, _keys(spark, [3]), "k", version=v1)
+    with pytest.raises(ValueError, match="not append-only"):
+        table_changes(spark, root, 0, v1)
+    # vectors against the BASE endpoint (outside the range) are fine
+    root2 = str(tmp_path / "vds2")
+    write_version(_df(spark), root2)
+    delete_keys(spark, root2, _keys(spark, [3]), "k", version=0)
+    v1b = append_version(_df(spark, 5), root2, allow_base_tombstones=True)
+    assert table_changes(spark, root2, 0, v1b).count() == 5
+    # MERGE-embedded vectors also poison the range
+    root3 = str(tmp_path / "vds3")
+    write_version(_df(spark), root3)
+    addr = with_positions(spark, root3, 0).filter(F.col("k") < 2).select(
+        "_file", "_pos"
+    )
+    vm = append_version(_df(spark, 2), root3, embedded_pos_deletes=addr)
+    with pytest.raises(ValueError, match="not append-only"):
+        table_changes(spark, root3, 0, vm)
