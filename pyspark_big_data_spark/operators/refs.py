@@ -142,20 +142,37 @@ def read_by_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # BRANCHES: mutable named refs (r10) — the other half of the Iceberg
-# ref model. A branch is a repointable pointer under
-# root/_refs/branches/<name>.json; commits land in the same global
-# version log (every version number is unique dataset-wide), the
-# branch just tracks which commit is ITS head. Isolation is BY REF:
-# read_branch(name) follows the pointer, and a branch APPEND bases on
-# the BRANCH head (not the global latest), so two branches grow
-# divergent chains over a shared ancestry without copying it.
-# ``latest_version`` remains "the newest commit on ANY branch" — the
-# commit log, not a branch view — which is exactly Iceberg's
-# snapshot-log-vs-ref split. Retention protects every branch head and
-# (via the chain walk in expire_versions) its whole ancestry.
+# ref model. Commits land in the same global version log (every
+# version number is unique dataset-wide), the branch just tracks which
+# commit is ITS head. Isolation is BY REF: read_branch(name) follows
+# the pointer, and a branch APPEND bases on the BRANCH head (not the
+# global latest), so two branches grow divergent chains over a shared
+# ancestry without copying it. ``latest_version`` remains "the newest
+# commit on ANY branch" — the commit log, not a branch view — which is
+# exactly Iceberg's snapshot-log-vs-ref split. Retention protects
+# every branch head and (via the chain walk in expire_versions) its
+# whole ancestry.
+#
+# Storage (r11): a branch is an append-only SEQUENCE LOG, not a
+# mutable pointer file::
+#
+#     root/_refs/branches/<name>/s=0/doc.json   (create)
+#     root/_refs/branches/<name>/s=1/doc.json   (first repoint)
+#     ...
+#
+# The head is the highest committed sequence entry. Every repoint
+# publishes s=K+1 by the SAME verified dir-rename as write_version
+# (commit_staged), so compare-and-set is arbitrated by an IMMUTABLE
+# artifact: at most one writer can ever own s=K+1, and a loser always
+# observes its loss — the r10 advice's lost-update window (two writers
+# passing a check-then-write on a mutable pointer, the second silently
+# burying the first) is structurally gone. Entries are a few hundred
+# bytes; delete_branch reclaims the whole log.
 # ---------------------------------------------------------------------------
 
 _BRANCHES_DIR = "branches"
+
+_S_RE = re.compile(r"^s=(\d+)$")
 
 
 class BranchConflict(RuntimeError):
@@ -163,83 +180,106 @@ class BranchConflict(RuntimeError):
     the caller read it (or another writer repointed concurrently)."""
 
 
-def _branch_path(root: str, name: str) -> str:
+def _branch_dir(root: str, name: str) -> str:
     if not _NAME_RE.match(name):
         raise ValueError(f"invalid branch name: {name!r}")
-    return f"{_refs_root(root)}/{_BRANCHES_DIR}/{name}.json"
+    return f"{_refs_root(root)}/{_BRANCHES_DIR}/{name}"
 
 
-def _write_ref_doc(fs, jvm, root: str, target: str, name: str, doc: dict) -> None:
-    """Stage + rename a ref doc onto ``target``, then verify by nonce
-    read-back (the create_tag arbitration, reused for repoints).
-    LocalFileSystem renames ONTO an existing file atomically (POSIX
-    replace); HDFS-style stores refuse — there the repoint is
-    delete+rename, a two-step whose lost races the read-back still
-    catches (callers see BranchConflict, never silent corruption)."""
+def _branch_seqs(fs, jvm, bdir: str) -> list[int]:
     Path = jvm.org.apache.hadoop.fs.Path
-    staging = (
-        f"{_refs_root(root)}/{_BRANCHES_DIR}/"
-        f".staging_{name}.{doc['writer'][:12]}.json"
-    )
-    out = fs.create(Path(staging), True)
+    if not fs.exists(Path(bdir)):
+        return []
+    out = []
+    for status in fs.listStatus(Path(bdir)):
+        if not status.isDirectory():
+            continue
+        m = _S_RE.match(status.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _branch_state(
+    spark: SparkSession, root: str, name: str
+) -> tuple[int, dict]:
+    """``(seq, doc)`` of the branch's newest committed log entry."""
+    bdir = _branch_dir(root, name)
+    fs, _, jvm = _fs(spark, root)
+    seqs = _branch_seqs(fs, jvm, bdir)
+    if not seqs:
+        raise FileNotFoundError(f"no branch {name!r} at {root}")
+    seq = seqs[-1]
+    return seq, _read_json(fs, jvm, f"{bdir}/s={seq}/doc.json")
+
+
+def _commit_branch_entry(
+    spark: SparkSession, root: str, name: str, seq: int, doc: dict
+) -> bool:
+    """Publish ``doc`` as log entry ``s=seq`` via the verified rename;
+    False when another writer owns that sequence slot (the CAS loss)."""
+    from pyspark_big_data_spark.operators.versioned import commit_staged
+
+    bdir = _branch_dir(root, name)
+    fs, _, jvm = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(bdir))
+    # writer-unique staging: racers must never share staged bytes
+    staging = f"{bdir}/.staging_{doc['writer'][:16]}"
+    fs.delete(Path(staging), True)
+    out = fs.create(Path(f"{staging}/doc.json"), True)
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
         out.close()
-    if not fs.rename(Path(staging), Path(target)):
-        fs.delete(Path(target), False)
-        if not fs.rename(Path(staging), Path(target)):
-            fs.delete(Path(staging), False)
-            raise BranchConflict(f"branch {name!r} repoint failed at {root}")
-    published = _read_json(fs, jvm, target)
-    if published.get("writer") != doc["writer"]:
-        raise BranchConflict(f"branch {name!r} was updated concurrently at {root}")
+    return commit_staged(fs, jvm, bdir, staging, seq, prefix="s=")
 
 
 def create_branch(
     spark: SparkSession, root: str, name: str, version: int
 ) -> dict:
-    """Create a branch pointing at ``version``. First-writer-wins like
-    create_tag (an existing branch is never silently repointed by a
-    create — use update_branch)."""
+    """Create a branch pointing at ``version``. First-writer-wins: the
+    create is the commit of log entry s=0, so two racing creators
+    cannot both succeed (an existing branch is never silently
+    repointed by a create — use update_branch)."""
     import uuid
 
     if version not in list_versions(spark, root):
         raise ValueError(
             f"cannot branch from uncommitted version v={version} at {root}"
         )
-    target = _branch_path(root, name)
     fs, _, jvm = _fs(spark, root)
-    Path = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(Path(target)):
+    if _branch_seqs(fs, jvm, _branch_dir(root, name)):
         raise ValueError(f"branch {name!r} already exists at {root}")
-    fs.mkdirs(Path(f"{_refs_root(root)}/{_BRANCHES_DIR}"))
-    doc = {"version": int(version), "writer": uuid.uuid4().hex}
-    _write_ref_doc(fs, jvm, root, target, name, doc)
+    doc = {"version": int(version), "seq": 0, "writer": uuid.uuid4().hex}
+    if not _commit_branch_entry(spark, root, name, 0, doc):
+        raise ValueError(f"branch {name!r} was created concurrently at {root}")
     return doc
 
 
 def branch_head(spark: SparkSession, root: str, name: str) -> int:
-    target = _branch_path(root, name)
-    fs, _, jvm = _fs(spark, root)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(target)):
-        raise FileNotFoundError(f"no branch {name!r} at {root}")
-    return int(_read_json(fs, jvm, target)["version"])
+    return int(_branch_state(spark, root, name)[1]["version"])
 
 
 def list_branches(spark: SparkSession, root: str) -> dict[str, int]:
     fs, _, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
-    bdir = Path(f"{_refs_root(root)}/{_BRANCHES_DIR}")
-    if not fs.exists(bdir):
+    broot = Path(f"{_refs_root(root)}/{_BRANCHES_DIR}")
+    if not fs.exists(broot):
         return {}
     out: dict[str, int] = {}
-    for status in fs.listStatus(bdir):
-        fname = status.getPath().getName()
-        if not status.isFile() or not fname.endswith(".json") or fname.startswith("."):
+    for status in fs.listStatus(broot):
+        name = status.getPath().getName()
+        if not status.isDirectory() or name.startswith("."):
             continue
-        doc = _read_json(fs, jvm, str(status.getPath().toUri().getPath()))
-        out[fname[: -len(".json")]] = int(doc["version"])
+        seqs = _branch_seqs(fs, jvm, str(status.getPath().toUri().getPath()))
+        if not seqs:
+            continue  # an empty dir is an uncommitted create: invisible
+        doc = _read_json(
+            fs, jvm,
+            f"{_refs_root(root)}/{_BRANCHES_DIR}/{name}/s={seqs[-1]}/doc.json",
+        )
+        out[name] = int(doc["version"])
     return out
 
 
@@ -250,35 +290,47 @@ def update_branch(
     new_version: int,
     expected_head: int,
 ) -> None:
-    """Optimistic repoint (compare-and-set): moves ``name`` to
-    ``new_version`` iff its head still equals ``expected_head`` —
-    raises BranchConflict otherwise, so two writers cannot silently
-    clobber each other's commits (the loser re-reads, rebases, and
-    retries, exactly the transactions.py discipline)."""
+    """Compare-and-set repoint: moves ``name`` to ``new_version`` iff
+    its head still equals ``expected_head`` — raises BranchConflict
+    otherwise. The set is the commit of an immutable log entry at the
+    next sequence number, so the CAS is ARBITRATED, not just checked:
+    two writers that both pass the expected_head comparison race on
+    the same s=K+1 rename and exactly one can win; the loser raises
+    instead of silently burying the winner's repoint (r10 advice
+    item). The loser re-reads, rebases, and retries — exactly the
+    transactions.py discipline."""
     import uuid
 
     if new_version not in list_versions(spark, root):
         raise ValueError(
             f"cannot point branch at uncommitted version v={new_version}"
         )
-    current = branch_head(spark, root, name)
+    seq, doc = _branch_state(spark, root, name)
+    current = int(doc["version"])
     if current != expected_head:
         raise BranchConflict(
             f"branch {name!r} moved: expected head v={expected_head}, "
             f"found v={current}"
         )
-    fs, _, jvm = _fs(spark, root)
-    doc = {"version": int(new_version), "writer": uuid.uuid4().hex}
-    _write_ref_doc(fs, jvm, root, _branch_path(root, name), name, doc)
+    new_doc = {
+        "version": int(new_version),
+        "seq": seq + 1,
+        "writer": uuid.uuid4().hex,
+    }
+    if not _commit_branch_entry(spark, root, name, seq + 1, new_doc):
+        raise BranchConflict(
+            f"branch {name!r} was updated concurrently at {root} "
+            f"(lost the s={seq + 1} commit race)"
+        )
 
 
 def delete_branch(spark: SparkSession, root: str, name: str) -> None:
-    target = _branch_path(root, name)
+    bdir = _branch_dir(root, name)
     fs, _, jvm = _fs(spark, root)
-    hp = jvm.org.apache.hadoop.fs.Path(target)
+    hp = jvm.org.apache.hadoop.fs.Path(bdir)
     if not fs.exists(hp):
         raise FileNotFoundError(f"no branch {name!r} at {root}")
-    fs.delete(hp, False)
+    fs.delete(hp, True)
 
 
 def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:

@@ -232,3 +232,40 @@ def test_fast_forward_branch(spark, tmp_path):
     v2 = commit_to_branch(_bdf(spark, 0, 3), root, "dev2")  # not an append
     with pytest.raises(ValueError, match="divergent"):
         fast_forward_branch(spark, root, "main", v2)
+
+
+def test_branch_cas_is_arbitrated_not_checked(spark, tmp_path):
+    """The r11 CAS redesign: a repoint is the commit of an IMMUTABLE
+    sequence-log entry, so two writers that both passed the
+    expected_head check still race on the same s=K+1 rename and
+    exactly one wins — the check-then-write lost-update window of a
+    mutable pointer file is structurally gone."""
+    import uuid
+
+    from pyspark_big_data_spark.operators.refs import (
+        _branch_state,
+        _commit_branch_entry,
+        branch_head,
+        create_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 100), root)
+    write_version(_bdf(spark, 0, 50), root)
+    write_version(_bdf(spark, 0, 20), root)
+    create_branch(spark, root, "main", 0)
+
+    # both writers read (seq=0, head=0) and both pass the CAS check;
+    # they then race on the s=1 commit — exactly one rename can win
+    seq, doc = _branch_state(spark, root, "main")
+    a = {"version": 1, "seq": seq + 1, "writer": uuid.uuid4().hex}
+    b = {"version": 2, "seq": seq + 1, "writer": uuid.uuid4().hex}
+    won_a = _commit_branch_entry(spark, root, "main", seq + 1, a)
+    won_b = _commit_branch_entry(spark, root, "main", seq + 1, b)
+    assert won_a and not won_b  # the second writer OBSERVES its loss
+    assert branch_head(spark, root, "main") == 1  # winner never buried
+
+    # the branch log is append-only history: every transition auditable
+    seq2, doc2 = _branch_state(spark, root, "main")
+    assert (seq2, doc2["version"]) == (1, 1)
