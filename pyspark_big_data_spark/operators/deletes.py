@@ -439,6 +439,7 @@ def read_version_mor(
     lower=None,
     upper=None,
     broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
+    keep_addresses: bool = False,
 ) -> DataFrame:
     """Merge-on-read: the LOGICAL state of ``v=version`` = the pinned
     physical snapshot minus every committed deletion vector — equality
@@ -466,7 +467,12 @@ def read_version_mor(
     ``read_version_pruned`` first — footer-stats file pruning COMPOSES
     with merge-on-read (prune, then anti-join the survivors), which is
     the plan a 100 TB range query over a deleted-from snapshot needs:
-    file skip first, tombstone mask second, both before any wide op."""
+    file skip first, tombstone mask second, both before any wide op.
+
+    ``keep_addresses=True`` retains the ``(_file, _pos)`` address
+    columns of the SURVIVING rows — the planner scan a MERGE runs to
+    decide which live rows its own positional vectors retire
+    (operators/merge.py)."""
     version = _resolve_version(spark, root, version)
     if pruned_col is not None:
         base = read_version_pruned(spark, root, pruned_col, lower, upper, version)
@@ -474,14 +480,21 @@ def read_version_mor(
         base = read_version(spark, root, version)
     eq, pos_paths, total_rows = _chain_vectors(spark, root, version)
     if not eq and not pos_paths:
-        return base
+        if not keep_addresses:
+            return base
+        _guard_reserved_address_cols(base)
+        return base.select(
+            _qualified_file_expr().alias(FILE_COL),
+            F.col("_metadata.row_index").alias(POS_COL),
+            "*",
+        )
 
     hint = total_rows <= broadcast_threshold_rows
     members = version_chain(spark, root, version)
     # vectors against the head mask the whole chain; only INTERIOR
     # vectors need the per-row member sequence
     need_member = any(m != version for m, _, _ in eq) and len(members) > 1
-    need_pos = bool(pos_paths)
+    need_pos = bool(pos_paths) or keep_addresses
 
     proj = []
     if need_pos:
@@ -495,7 +508,7 @@ def read_version_mor(
         _guard_reserved_address_cols(base)
         base = base.select(*proj, "*")
 
-    if need_pos:
+    if pos_paths:
         for p in pos_paths:
             spark.catalog.refreshByPath(p)
         tomb = spark.read.parquet(*pos_paths).select(FILE_COL, POS_COL).distinct()
@@ -516,7 +529,12 @@ def read_version_mor(
         else:
             base = base.join(side, kcol, "left_anti")
 
-    drop = [c for c in (FILE_COL, POS_COL, _MEMBER_COL) if c in base.columns]
+    keep = (FILE_COL, POS_COL) if keep_addresses else ()
+    drop = [
+        c
+        for c in (FILE_COL, POS_COL, _MEMBER_COL)
+        if c in base.columns and c not in keep
+    ]
     return base.drop(*drop) if drop else base
 
 

@@ -1,0 +1,200 @@
+"""MERGE INTO for versioned snapshots: the clause-complete upsert the
+lakehouse formats ship, planned as ONE scan of the target and committed
+as ONE atomic version.
+
+``merge_into`` implements the canonical three-clause MERGE over an
+append chain (operators/versioned.py)::
+
+    MERGE INTO target USING source ON target.k = source.k
+    WHEN MATCHED [AND <delete_cond>] THEN DELETE
+    WHEN MATCHED [AND <update_cond>] THEN UPDATE SET *
+    WHEN NOT MATCHED [AND <insert_cond>] THEN INSERT *
+
+Execution shape (the 100 TB plan):
+
+1. **One target pass.** The target is the MERGE-ON-READ state of the
+   chain head WITH row addresses attached
+   (``read_version_mor(keep_addresses=True)`` — ancestor deletion
+   vectors already resolved, so sequential MERGEs compose). It joins
+   the broadcast source INNER on the key: the target streams through a
+   BroadcastHashJoin, no shuffle of the big side, and the matched set
+   (O(|source|)) is cached once and reused by every clause.
+2. **Clauses become a deletion vector + a delta.** Matched rows that
+   delete or update contribute their ``(_file, _pos)`` addresses to a
+   positional vector; updates contribute the SOURCE row to the delta;
+   not-matched source rows (an anti-join against the broadcast matched
+   KEYS, never against the target) contribute inserts.
+3. **One commit.** The delta files and the vector publish together:
+   ``append_version(..., embedded_pos_deletes=...)`` stages the vector
+   INSIDE the new version dir (``v=N/_merge_deletes`` — hidden from
+   data scans) so the single rename is the whole transaction. A crash
+   anywhere before the rename publishes nothing; there is no window
+   where the deletes are visible without the updates or vice versa.
+
+Semantics pinned (where engines differ, we follow Delta/Iceberg):
+
+- clause ORDER is delete-first: a matched row satisfying both the
+  delete and update conditions is deleted;
+- the source must be KEY-UNIQUE — two source rows matching one target
+  row make the update non-deterministic, so it raises (Delta's
+  "multiple source rows matched" error);
+- duplicate target copies per key are all retired together and
+  replaced by the single source row (UPDATE SET * collapses copies);
+- condition strings are SQL over the aliases ``target`` and ``source``
+  (e.g. ``"source.o_totalprice > target.o_totalprice"``); ``True``
+  means unconditional, ``None``/``False`` disables the clause.
+
+Reads of the merged table MUST be merge-on-read
+(``read_version_mor``); plain ``read_version`` serves the physical
+chain and is wrong the moment any vector exists — the same contract as
+every DV-bearing format. ``materialize_deletes`` folds back to a
+vector-free physical snapshot on the maintenance cadence.
+
+Reference parity note: the reference engine (src/query1-4.py) is
+read-only; MERGE is extension surface (VERDICT r10 next-step #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_big_data_spark.operators.deletes import (
+    FILE_COL,
+    POS_COL,
+    read_version_mor,
+)
+from pyspark_big_data_spark.operators.versioned import (
+    _resolve_version,
+    append_version,
+    read_version,
+)
+
+
+def _clause_cond(clause):
+    """Normalize a clause argument: True -> always, None/False ->
+    disabled, str -> SQL expr over the target/source aliases."""
+    if clause is None or clause is False:
+        return None
+    if clause is True:
+        return F.lit(True)
+    return F.expr(clause)
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+    when_matched_update=True,
+    when_matched_delete=None,
+    when_not_matched_insert=True,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
+    "n_inserted"}`` (the new version is None when every clause matched
+    nothing — an empty MERGE burns no version number)."""
+    version = _resolve_version(spark, root, None)
+    target_cols = read_version(spark, root, version).columns
+    if key not in target_cols:
+        raise ValueError(f"merge key {key!r} is not a target column")
+    if set(source.columns) != set(target_cols):
+        raise ValueError(
+            "UPDATE SET * / INSERT * merge needs a source with exactly the "
+            f"target schema; target {sorted(target_cols)} vs source "
+            f"{sorted(source.columns)}"
+        )
+    upd = _clause_cond(when_matched_update)
+    dele = _clause_cond(when_matched_delete)
+    ins = _clause_cond(when_not_matched_insert)
+    if upd is None and dele is None and ins is None:
+        raise ValueError("merge with every clause disabled is a no-op")
+
+    # key-unique source, or updates are non-deterministic (Delta's
+    # 'multiple source rows matched' refusal)
+    counts = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("nd"),
+        F.sum(F.col(key).isNull().cast("long")).alias("nn"),
+    ).collect()[0]
+    if counts["nn"]:
+        raise ValueError("merge source carries NULL keys")
+    if counts["n"] != counts["nd"]:
+        raise ValueError(
+            f"merge source is not key-unique on {key!r} "
+            f"({counts['n']} rows, {counts['nd']} distinct keys) — "
+            "multiple source rows matching one target row make UPDATE "
+            "non-deterministic"
+        )
+
+    # ONE pass over the (MOR-resolved) target: stream it through a
+    # broadcast inner join against the source; cache the matched set
+    # (O(|source|)) for the clause fan-out.
+    target = read_version_mor(spark, root, version, keep_addresses=True)
+    matched = (
+        target.alias("target")
+        .join(
+            F.broadcast(source.alias("source")),
+            F.col(f"target.{key}") == F.col(f"source.{key}"),
+            "inner",
+        )
+        .persist()
+    )
+    try:
+        always_false = F.lit(False)
+        dele_c = dele if dele is not None else always_false
+        upd_c = upd if upd is not None else always_false
+        # clause order: DELETE evaluates first (a row passing both is
+        # deleted); every retired copy contributes its address
+        retire = matched.filter(dele_c | upd_c)
+        vector = retire.select(
+            F.col(f"target.{FILE_COL}").alias(FILE_COL),
+            F.col(f"target.{POS_COL}").alias(POS_COL),
+        )
+        n_retired = retire.count()
+        updates = (
+            matched.filter(~dele_c & upd_c)
+            .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
+            .dropDuplicates([key])  # collapse duplicate TARGET copies
+        )
+        n_updated = updates.count()
+        # target copies retired by the DELETE clause specifically
+        n_deleted = matched.filter(dele_c).count() if dele is not None else 0
+        if ins is not None:
+            matched_keys = (
+                matched.select(F.col(f"source.{key}").alias(key)).distinct()
+            )
+            inserts = (
+                source.alias("source")
+                .join(F.broadcast(matched_keys), key, "left_anti")
+                .filter(ins)
+                .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
+            )
+        else:
+            inserts = source.filter(F.lit(False)).select(*source.columns)
+        delta = updates.unionByName(inserts)
+        n_inserted = delta.count() - n_updated
+
+        if n_retired == 0 and n_updated == 0 and n_inserted == 0:
+            return {
+                "version": None,
+                "n_deleted": 0,
+                "n_updated": 0,
+                "n_inserted": 0,
+            }
+        # ONE atomic commit: delta files + the positional vector that
+        # retires the rows they replace, published by a single rename
+        new_v = append_version(
+            delta.select(*target_cols),
+            root,
+            stats_cols=stats_cols,
+            allow_base_tombstones=True,  # MERGE lives on the MOR read path
+            embedded_pos_deletes=vector if n_retired else None,
+        )
+        return {
+            "version": new_v,
+            "n_deleted": int(n_deleted),
+            "n_updated": int(n_updated),
+            "n_inserted": int(n_inserted),
+        }
+    finally:
+        matched.unpersist()

@@ -1835,3 +1835,97 @@ def zorder3_pruned_read_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if n_v < total else 0).cast("long").alias("prune_gate_value"),
         F.lit(1 if n_e < total else 0).cast("long").alias("prune_gate_event"),
     )
+
+
+_MERGE_ORACLE = """
+WITH target AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 2
+), src AS (
+    SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 = 0
+), matched AS (
+    SELECT s.o_orderkey, s.o_totalprice FROM src s
+    JOIN target t ON s.o_orderkey = t.o_orderkey
+), final AS (
+    SELECT t.o_orderkey, t.o_totalprice FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM matched)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM matched WHERE o_orderkey % 2 <> 0
+    UNION ALL
+    SELECT s.o_orderkey, s.o_totalprice FROM src s
+    WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM matched)
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       (SELECT COUNT(*) FROM matched WHERE o_orderkey % 2 = 0) AS n_deleted,
+       (SELECT COUNT(*) FROM matched WHERE o_orderkey % 2 <> 0) AS n_updated,
+       (SELECT COUNT(*) FROM src
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM matched)) AS n_inserted,
+       CAST(1 AS BIGINT) AS single_commit_gate
+FROM final
+"""
+
+
+@register("merge_into_witness", oracle=_MERGE_ORACLE, driver=False)
+def merge_into_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-complete MERGE INTO driver-verified (operators/merge.py —
+    matched-update / matched-delete / not-matched-insert planned over
+    ONE broadcast-joined pass of the target chain and committed as ONE
+    atomic version: delta files + the positional vector that retires
+    the replaced rows publish in a single rename, the VERDICT r10
+    next-step #2 shape): commit orders%3<>2 as the target, MERGE a
+    source of orders%5=0 with bumped prices — matched even keys DELETE,
+    matched odd keys UPDATE SET *, unmatched INSERT * — then emit the
+    merged MOR state's (n_rows, decimal-exact price_sum) plus the
+    engine's own clause tallies. DuckDB replays the same MERGE
+    declaratively (anti-join survivors + conditional updates + anti-
+    join inserts), so a clause that fired on the wrong rows, a vector
+    that retired too much/little, or a lost delta flips the row red.
+    ``single_commit_gate`` = 1 iff the MERGE burned exactly one version
+    whose vector is EMBEDDED (no external tombstone tree exists) —
+    the atomicity witness."""
+    import os as _os
+
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_into
+    from pyspark_big_data_spark.operators.versioned import (
+        list_versions,
+        write_version,
+    )
+
+    root = session_tmpdir("merge_dim_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 != 2)
+    write_version(target, root)
+    src = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("o_totalprice")
+    )
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "o_orderkey",
+        when_matched_update=True,
+        when_matched_delete="source.o_orderkey % 2 = 0",
+        when_not_matched_insert=True,
+    )
+    single_commit = (
+        list_versions(spark, root) == [0, 1]
+        and _os.path.exists(f"{root}/v=1/_merge_deletes")
+        and not _os.path.exists(f"{root}/_pos_deletes")
+        and not _os.path.exists(f"{root}/_deletes")
+    )
+    return read_version_mor(spark, root, res["version"]).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+    ).select(
+        "n_rows",
+        "price_sum",
+        F.lit(res["n_deleted"]).cast("long").alias("n_deleted"),
+        F.lit(res["n_updated"]).cast("long").alias("n_updated"),
+        F.lit(res["n_inserted"]).cast("long").alias("n_inserted"),
+        F.lit(1 if single_commit else 0).cast("long").alias("single_commit_gate"),
+    )

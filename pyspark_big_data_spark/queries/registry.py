@@ -300,6 +300,17 @@ DRIVER_EXCLUDED: set[str] = set()
 # evolution on append chains: opt-in add-column appends, chain reads
 # merge schemas and null-fill pre-evolution rows, drops refused —
 # both refusals gated).
+#
+# r11 new capabilities (registered driver=False this round, queued as
+# r12 HEADS per the overflow rule, registered-oldest-first behind the
+# 10 r10-overflow rows named above): merge_into_witness
+# (clause-complete MERGE INTO: one broadcast-joined target pass, one
+# atomic commit of delta + embedded positional vector, vs a DuckDB
+# declarative MERGE replay), time_travel_as_of_witness (AS-OF-TIMESTAMP
+# resolution from manifest commit times), streaming_cdf_replay_witness
+# (continuous readStream over the append chain == the batch change
+# feed), branch_merge_witness (three-way branch merge of divergent
+# append chains with conflict refusal).
 
 # Superseded variants OUT OF THE CYCLING POOL for good (see the policy
 # amendment above); structurally excluded from the driver surface in

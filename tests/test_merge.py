@@ -1,0 +1,173 @@
+"""MERGE INTO on versioned chains (operators/merge.py): clause
+semantics, single-commit atomicity, chain composition, and the
+one-target-pass plan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.operators.deletes import read_version_mor
+from pyspark_big_data_spark.operators.merge import merge_into
+from pyspark_big_data_spark.operators.versioned import (
+    list_versions,
+    manifest,
+    read_version,
+    write_version,
+)
+
+
+def _df(spark, lo, hi, mark=0.0):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0 + mark).alias("x")
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["x"]) for r in df.collect())
+
+
+def test_merge_update_insert_delete(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root)  # x = 2k
+
+    # source: keys 90..110 with new values; delete the even matched keys
+    src = _df(spark, 90, 110, mark=1.0)  # x = 2k + 1
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        when_matched_update=True,
+        when_matched_delete="source.k % 2 = 0",
+        when_not_matched_insert=True,
+    )
+    assert res["version"] == 1
+    assert res["n_deleted"] == 5  # 90,92,94,96,98
+    assert res["n_updated"] == 5  # 91,93,95,97,99
+    assert res["n_inserted"] == 10  # 100..109
+
+    got = read_version_mor(spark, root, 1)
+    assert got.count() == 100 - 5 + 10
+    # deleted keys gone; updated keys carry source values; untouched intact
+    assert got.filter(F.col("k") == 90).count() == 0
+    assert got.filter(F.col("k") == 91).collect()[0]["x"] == 91 * 2.0 + 1
+    assert got.filter(F.col("k") == 105).collect()[0]["x"] == 105 * 2.0 + 1
+    assert got.filter(F.col("k") == 10).collect()[0]["x"] == 20.0
+
+    # the whole MERGE is ONE commit: vector embedded in the version dir
+    assert os.path.exists(f"{root}/v=1/_merge_deletes")
+    assert not os.path.exists(f"{root}/_pos_deletes")
+    assert manifest(spark, root, 1)["pos_delete_rows"] == 10
+    # physical base untouched
+    assert read_version(spark, root, 0).count() == 100
+
+
+def test_merge_is_sql_equivalent(spark, tmp_path):
+    """The MOR state after MERGE equals the declarative replay:
+    (target minus matched) union (updates) union (inserts)."""
+    root = str(tmp_path / "vds")
+    target = _df(spark, 0, 200)
+    write_version(target, root)
+    src = _df(spark, 150, 260, mark=3.0)
+    merge_into(
+        spark, root, src, "k",
+        when_matched_update="source.x > target.x",
+        when_not_matched_insert=True,
+    )
+    got = read_version_mor(spark, root, 1)
+    want = (
+        target.join(src.select("k"), "k", "left_anti")
+        .unionByName(src.filter(F.col("k") < 200))   # updates (cond true)
+        .unionByName(src.filter(F.col("k") >= 200))  # inserts
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_sequential_merges_compose(spark, tmp_path):
+    """MERGE after MERGE: ancestor embedded vectors stay resolved."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 50), root)
+    merge_into(spark, root, _df(spark, 40, 60, mark=1.0), "k")
+    merge_into(spark, root, _df(spark, 55, 70, mark=2.0), "k")
+    got = read_version_mor(spark, root)
+    assert got.count() == 70
+    assert got.filter(F.col("k") == 45).collect()[0]["x"] == 45 * 2.0 + 1
+    assert got.filter(F.col("k") == 58).collect()[0]["x"] == 58 * 2.0 + 2
+    assert got.filter(F.col("k") == 10).collect()[0]["x"] == 20.0
+    # key-space exact: one copy per key
+    assert got.select("k").distinct().count() == 70
+
+
+def test_merge_collapses_duplicate_target_copies(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    dup = _df(spark, 0, 10).unionByName(_df(spark, 0, 10))
+    write_version(dup, root)
+    merge_into(spark, root, _df(spark, 3, 5, mark=1.0), "k")
+    got = read_version_mor(spark, root)
+    assert got.count() == 18  # 8 untouched keys x2 copies + 2 merged singles
+    assert got.filter(F.col("k") == 3).count() == 1
+    assert got.filter(F.col("k") == 7).count() == 2  # untouched dups stay
+
+
+def test_merge_contracts(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    dup_src = _df(spark, 0, 3).unionByName(_df(spark, 2, 3))
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into(spark, root, dup_src, "k")
+    with pytest.raises(ValueError, match="NULL keys"):
+        merge_into(
+            spark, root,
+            _df(spark, 0, 3).withColumn("k", F.lit(None).cast("long")),
+            "k",
+        )
+    with pytest.raises(ValueError, match="target schema"):
+        merge_into(spark, root, _df(spark, 0, 3).drop("x"), "k")
+    with pytest.raises(ValueError, match="no-op"):
+        merge_into(
+            spark, root, _df(spark, 0, 3), "k",
+            when_matched_update=None, when_not_matched_insert=None,
+        )
+    # empty merge burns no version
+    res = merge_into(
+        spark, root, _df(spark, 100, 105), "k",
+        when_matched_update=True, when_not_matched_insert=None,
+    )
+    assert res["version"] is None
+    assert list_versions(spark, root) == [0]
+
+
+def test_merge_pure_delete(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 30), root)
+    res = merge_into(
+        spark, root, _df(spark, 10, 15), "k",
+        when_matched_update=None,
+        when_matched_delete=True,
+        when_not_matched_insert=None,
+    )
+    assert (res["n_deleted"], res["n_updated"], res["n_inserted"]) == (5, 0, 0)
+    got = read_version_mor(spark, root)
+    assert got.count() == 25
+    assert got.filter(F.col("k").between(10, 14)).count() == 0
+
+
+def test_merge_plan_broadcasts_source_and_streams_target(spark, tmp_path):
+    """The matched set is a BroadcastHashJoin with the SOURCE broadcast:
+    the 100 TB target streams, nothing big shuffles."""
+    from pyspark_big_data_spark.operators.deletes import read_version_mor as mor
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 1000), root)
+    src = _df(spark, 500, 520, mark=1.0)
+    target = mor(spark, root, 0, keep_addresses=True)
+    matched = target.alias("target").join(
+        F.broadcast(src.alias("source")), F.col("target.k") == F.col("source.k"), "inner"
+    )
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
