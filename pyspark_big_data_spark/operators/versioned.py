@@ -1202,6 +1202,95 @@ def compact_version(
     }
 
 
+def version_commit_times(spark: SparkSession, root: str) -> dict[int, float]:
+    """Epoch-seconds commit time per committed version: the manifest's
+    ``committed_at`` when present (stamped at commit build time since
+    r11), else the ``v=N`` directory's modification time (the commit
+    rename sets it — 1s granularity, the pre-r11 fallback). Metadata
+    only; zero data pages."""
+    fs, _, jvm = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out: dict[int, float] = {}
+    for v in list_versions(spark, root):
+        m = manifest(spark, root, v)
+        if m is not None and m.get("committed_at") is not None:
+            out[v] = float(m["committed_at"])
+        else:
+            st = fs.getFileStatus(Path(f"{root.rstrip('/')}/v={v}"))
+            out[v] = st.getModificationTime() / 1000.0
+    return out
+
+
+def _as_epoch_seconds(ts) -> float:
+    """Accept epoch seconds (int/float), a datetime, or an ISO-8601
+    string; naive datetimes/strings are taken as LOCAL time (the
+    clock ``committed_at`` is stamped from)."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        return ts.timestamp()
+    raise TypeError(f"unsupported timestamp type: {type(ts).__name__}")
+
+
+def version_as_of(spark: SparkSession, root: str, ts) -> int:
+    """AS-OF-TIMESTAMP resolution (the form users actually type): the
+    LATEST version whose commit time is <= ``ts`` — Delta/Iceberg's
+    boundary rule ("the table as it stood at that moment"). Ties on
+    commit time resolve to the higher version number (the later
+    commit). Raises when ``ts`` predates the first commit — reading
+    "before the table existed" must fail loudly, never serve v=0."""
+    t = _as_epoch_seconds(ts)
+    times = version_commit_times(spark, root)
+    if not times:
+        raise ValueError(f"versioned dataset at {root} has no versions")
+    eligible = [v for v, ct in times.items() if ct <= t]
+    if not eligible:
+        first = min(times.values())
+        raise ValueError(
+            f"timestamp {t} predates the first commit ({first}) at {root}"
+        )
+    return max(eligible, key=lambda v: (times[v], v))
+
+
+def read_version_as_of(spark: SparkSession, root: str, ts) -> DataFrame:
+    """Time travel by timestamp: ``read_version`` at the resolved
+    version (chain-resolved like any read)."""
+    return read_version(spark, root, version_as_of(spark, root, ts))
+
+
+def restore_version_as_of(
+    spark: SparkSession, root: str, ts, allow_base_tombstones: bool = False
+) -> int:
+    """RESTORE TO TIMESTAMP: metadata-only rollback to the version the
+    table stood at ``ts`` (see ``restore_version``)."""
+    return restore_version(
+        spark,
+        root,
+        version_as_of(spark, root, ts),
+        allow_base_tombstones=allow_base_tombstones,
+    )
+
+
+def table_changes_as_of(
+    spark: SparkSession, root: str, from_ts, to_ts
+) -> DataFrame:
+    """Change data feed between two TIMESTAMPS: the rows added after
+    the version the table stood at ``from_ts``, up to and including
+    the version it stood at ``to_ts`` (both resolved by the
+    ``version_as_of`` boundary rule; same append-only soundness guards
+    as ``table_changes``)."""
+    return table_changes(
+        spark,
+        root,
+        version_as_of(spark, root, from_ts),
+        version_as_of(spark, root, to_ts),
+    )
+
+
 def snapshot_history(spark: SparkSession, root: str) -> list[dict]:
     """DESCRIBE HISTORY for a versioned dataset: one dict per committed
     version — version number, file count, manifest row count (None for

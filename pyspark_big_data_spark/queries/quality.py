@@ -1929,3 +1929,69 @@ def merge_into_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(res["n_inserted"]).cast("long").alias("n_inserted"),
         F.lit(1 if single_commit else 0).cast("long").alias("single_commit_gate"),
     )
+
+
+_ASOF_TT_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal_sum,
+       CAST(1 AS BIGINT) AS mid_gate,
+       CAST(1 AS BIGINT) AS latest_gate,
+       CAST(1 AS BIGINT) AS predate_gate
+FROM customer
+"""
+
+
+@register("time_travel_as_of_witness", oracle=_ASOF_TT_ORACLE, driver=False)
+def time_travel_as_of_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel driver-verified
+    (operators/versioned.py::version_as_of — resolution from the
+    manifests' ``committed_at`` stamps, the form users actually type;
+    VERDICT r10 next-step #4): commit three versions of the customer
+    dimension (half / FULL / third), then resolve a timestamp strictly
+    between the 2nd and 3rd commits — the boundary rule (latest version
+    with commit time <= ts) must land on the FULL middle version, whose
+    (n_rows, decimal-exact bal_sum) DuckDB recomputes from the raw
+    table; a resolver that rounds the wrong way, reads the wrong
+    version, or drifts off the manifest clock flips the row red. Gates
+    (all replayed in-plan): ``mid_gate`` = the mid-timestamp resolves
+    to v1 AND reads exactly the full snapshot's row count;
+    ``latest_gate`` = a post-everything timestamp resolves to the last
+    version; ``predate_gate`` = a timestamp before the first commit
+    raises (never silently serves v=0)."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version_as_of,
+        version_as_of,
+        version_commit_times,
+        write_version,
+    )
+
+    root = session_tmpdir("asof_tt_dim_")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_version(cust.filter(F.col("c_custkey") % 2 == 0), root,
+                  stats_cols=["c_custkey"])
+    write_version(cust, root, stats_cols=["c_custkey"])
+    write_version(cust.filter(F.col("c_custkey") % 3 == 0), root,
+                  stats_cols=["c_custkey"])
+
+    times = version_commit_times(spark, root)
+    mid = (times[1] + times[2]) / 2.0
+    mid_v = version_as_of(spark, root, mid)
+    latest_v = version_as_of(spark, root, times[2] + 3600.0)
+    try:
+        version_as_of(spark, root, times[0] - 3600.0)
+        predates = False
+    except ValueError:
+        predates = True
+
+    asof = read_version_as_of(spark, root, mid)
+    return asof.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("c_acctbal", "bal_sum")
+    ).select(
+        "n_rows",
+        "bal_sum",
+        F.lit(1 if mid_v == 1 else 0).cast("long").alias("mid_gate"),
+        F.lit(1 if latest_v == 2 else 0).cast("long").alias("latest_gate"),
+        F.lit(1 if predates else 0).cast("long").alias("predate_gate"),
+    )

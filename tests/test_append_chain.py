@@ -399,3 +399,40 @@ def test_evolved_chain_pruned_schema_is_pruning_independent(spark, tmp_path):
 
     nn = read_version_not_null(spark, root, "k", version=1)
     assert nn.columns == full_cols
+
+
+def test_as_of_timestamp_resolution(spark, tmp_path):
+    """AS-OF-TIMESTAMP: latest version with commit time <= ts; before
+    the first commit raises; datetime/ISO inputs accepted."""
+    import datetime as dt
+
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version_as_of,
+        table_changes_as_of,
+        version_as_of,
+        version_commit_times,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root, stats_cols=["k"])
+    append_version(_df(spark, 100, 150), root, stats_cols=["k"])
+    write_version(_df(spark, 0, 10), root, stats_cols=["k"])
+
+    times = version_commit_times(spark, root)
+    assert sorted(times) == [0, 1, 2]
+    t0, t1, t2 = times[0], times[1], times[2]
+    assert t0 < t1 < t2  # committed_at stamps are strictly ordered
+
+    mid = (t1 + t2) / 2
+    assert version_as_of(spark, root, mid) == 1
+    assert version_as_of(spark, root, t2) == 2      # boundary: <= ts
+    assert version_as_of(spark, root, t2 + 60) == 2
+    assert version_as_of(spark, root, dt.datetime.fromtimestamp(mid)) == 1
+    assert version_as_of(
+        spark, root, dt.datetime.fromtimestamp(mid).isoformat()
+    ) == 1
+    with pytest.raises(ValueError, match="predates"):
+        version_as_of(spark, root, t0 - 60)
+
+    assert read_version_as_of(spark, root, mid).count() == 150
+    assert table_changes_as_of(spark, root, (t0 + t1) / 2, mid).count() == 50
