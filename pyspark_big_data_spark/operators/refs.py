@@ -345,6 +345,8 @@ def commit_to_branch(
     append: bool = False,
     expected_head: int | None = None,
     stats_cols: list[str] | None = None,
+    allow_evolution: bool = False,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new version on branch ``name`` and repoint
     the branch — the two-phase (commit-then-CAS) that makes branch
@@ -357,10 +359,7 @@ def commit_to_branch(
     between read and repoint, BranchConflict fires and the data commit
     becomes an unreferenced version that retention reclaims — the
     loser's bytes never corrupt the branch."""
-    from pyspark_big_data_spark.operators.versioned import (
-        read_version,
-        write_version,
-    )
+    from pyspark_big_data_spark.operators.versioned import write_version
 
     spark = df.sparkSession
     head = branch_head(spark, root, name)
@@ -369,25 +368,159 @@ def commit_to_branch(
             f"branch {name!r} moved: expected head v={expected_head}, "
             f"found v={head}"
         )
-    if append:
-        # same contract as append_version: exact schema match (branch
-        # appends do not support evolution — a schema drift here would
-        # silently merge-read as accidental evolution)
-        head_cols = set(read_version(spark, root, head).columns)
-        if set(df.columns) != head_cols:
-            raise ValueError(
-                f"branch append schema mismatch: head {sorted(head_cols)} "
-                f"vs delta {sorted(df.columns)}"
-            )
+    # append contract (schema exact-match / additive evolution, base
+    # tombstone guard) is validated by write_version against the
+    # pinned base on every commit retry
     new_v = write_version(
         df,
         root,
         stats_cols=stats_cols,
+        manifest_extra=manifest_extra,
         _append=append,
         _base_override=head if append else None,
+        _append_evolution=allow_evolution,
     )
     update_branch(spark, root, name, new_v, expected_head=head)
     return new_v
+
+
+def _merge_reachable(spark: SparkSession, root: str, version: int) -> set[int]:
+    """Every version whose ROWS are incorporated in ``version``: its
+    own append chain plus, recursively, the chains of every merge
+    commit's recorded ``merged_from`` head. This is the DAG ancestry a
+    git commit gets from its two parents — the chain link is parent 1,
+    the manifest's ``merged_from`` is parent 2 — and it is what lets a
+    re-merge resolve to a noop and a sequential merge ship only the
+    NEW delta instead of re-appending rows already merged."""
+    from pyspark_big_data_spark.operators.versioned import (
+        manifest,
+        version_chain,
+    )
+
+    seen: set[int] = set()
+    stack = [version]
+    while stack:
+        for v in version_chain(spark, root, stack.pop()):
+            if v in seen:
+                continue
+            seen.add(v)
+            mf = (manifest(spark, root, v) or {}).get("merged_from")
+            if mf is not None and int(mf) not in seen:
+                stack.append(int(mf))
+    return seen
+
+
+def merge_base(
+    spark: SparkSession, root: str, version_a: int, version_b: int
+) -> int:
+    """The three-way merge base: the NEWEST member of ``version_a``'s
+    chain already incorporated in ``version_b`` (via its chain or past
+    merges). Raises when the histories are unrelated (one side was
+    rewritten from scratch — its chain no longer passes through any
+    shared commit, so there is nothing sound to merge onto)."""
+    from pyspark_big_data_spark.operators.versioned import version_chain
+
+    reach_b = _merge_reachable(spark, root, version_b)
+    for v in version_chain(spark, root, version_a):  # newest first
+        if v in reach_b:
+            return v
+    raise ValueError(
+        f"v={version_a} and v={version_b} under {root} share no ancestor — "
+        "unrelated histories (a full rewrite broke the chain); merge them "
+        "with an explicit commit instead"
+    )
+
+
+def merge_branch(
+    spark: SparkSession, root: str, source: str, into: str
+) -> dict:
+    """THREE-WAY branch merge with conflict detection — the piece that
+    completes the branching story past ``fast_forward_branch``.
+    Returns ``{"mode", "version", "base"}``.
+
+    Resolution ladder (each rung metadata-checked before any data
+    moves):
+
+    - ``noop``: the source head is already in the target's ancestry —
+      nothing to merge;
+    - ``fast-forward``: the target head is an ancestor of the source
+      head — metadata-only repoint, no new commit;
+    - ``merge``: histories DIVERGED from a common base. Because branch
+      commits are file-level APPENDS, the two sides touched DISJOINT
+      FILES by construction, so the auto-merge is sound exactly like a
+      git merge of non-overlapping hunks: commit the SOURCE side's
+      added rows (``table_changes(base, source_head)`` — O(source
+      delta), guards included) as one append onto the TARGET head,
+      CAS-protected by the branch log. Source-side additive schema
+      evolution merges (the append evolves the target the same way).
+
+    A merge commit records its second parent in the manifest
+    (``merged_from`` = the source head), so the ancestry is a true DAG:
+    re-merging an already-merged branch is a noop, and a branch that
+    keeps appending after a merge ships ONLY the new delta next time
+    (the base resolves to the previously-merged head, git-style).
+
+    REFUSED loudly (the conflicts appends cannot arbitrate):
+
+    - unrelated histories (no common ancestor — a rewrite on either
+      side), via ``merge_base``;
+    - deletion vectors on the source's divergent path (a delete is not
+      an append; merging it needs row-level semantics — materialize or
+      replay the delete on the target explicitly); vectors on the
+      TARGET's chain are refused by the append guard itself;
+    - target-side evolution the source delta does not carry (the
+      additive append contract fails: merging would silently null a
+      column the target guarantees).
+
+    100 TB: the decision is manifest walks; the merge itself copies
+    only the source-side delta bytes (the same bill a git-style rebase
+    pays), never either snapshot."""
+    from pyspark_big_data_spark.operators.deletes import (
+        _embedded_deletes_dir,
+        list_delete_commits,
+        list_pos_delete_commits,
+    )
+    from pyspark_big_data_spark.operators.versioned import (
+        table_changes,
+        version_chain,
+    )
+
+    head_s = branch_head(spark, root, source)
+    head_t = branch_head(spark, root, into)
+    if head_s in _merge_reachable(spark, root, head_t):
+        return {"mode": "noop", "version": head_t, "base": head_s}
+    if head_t in version_chain(spark, root, head_s):
+        fast_forward_branch(spark, root, into, head_s)
+        return {"mode": "fast-forward", "version": head_s, "base": head_t}
+
+    base = merge_base(spark, root, head_s, head_t)
+    for v in version_chain(spark, root, head_s):
+        if v == base:
+            break
+        if (
+            list_delete_commits(spark, root, v)
+            or list_pos_delete_commits(spark, root, v)
+            or _embedded_deletes_dir(spark, root, v) is not None
+        ):
+            raise ValueError(
+                f"branch {source!r} carries deletion vectors on v={v} "
+                f"(diverged past the merge base v={base}); deletes are "
+                "not appends — materialize or replay them explicitly "
+                "before merging"
+            )
+    # the source side's rows since the base; table_changes re-checks
+    # the append-only range and serves ONLY the delta dirs
+    delta = table_changes(spark, root, base, head_s)
+    new_v = commit_to_branch(
+        delta,
+        root,
+        into,
+        append=True,
+        expected_head=head_t,
+        allow_evolution=True,
+        manifest_extra={"merged_from": head_s},
+    )
+    return {"mode": "merge", "version": new_v, "base": base}
 
 
 def fast_forward_branch(

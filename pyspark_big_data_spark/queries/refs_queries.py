@@ -190,3 +190,98 @@ def branch_isolation_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _agg("dev").unionByName(_agg("main")).orderBy("branch")
+
+
+_MERGE_BRANCH_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+), dev_delta AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+), main_delta AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 2
+), merged AS (
+    SELECT * FROM base
+    UNION ALL SELECT * FROM main_delta
+    UNION ALL SELECT * FROM dev_delta
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       (SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM dev_delta)
+           AS dev_rows,
+       CAST(1 AS BIGINT) AS mode_gate,
+       CAST(1 AS BIGINT) AS conflict_gate
+FROM merged
+"""
+
+
+@register("branch_merge_witness", oracle=_MERGE_BRANCH_ORACLE, driver=False)
+def branch_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-WAY branch merge driver-verified
+    (operators/refs.py::merge_branch — divergent append chains over a
+    shared base auto-merge because file-level appends touch disjoint
+    files, the git-merge-of-disjoint-hunks rule; VERDICT r10 next-step
+    #6): branch main and dev off an orders%4==0 base, append the %4==2
+    slice on main and the %4==1 slice on dev (DIVERGED), merge dev
+    into main, and emit the merged branch read's (n_rows, decimal-exact
+    price_sum) — DuckDB recomputes base ∪ both deltas from the raw
+    table, so a lost delta, a doubled base, or rows leaking between
+    branches flips the row red. ``dev_rows`` pins that the SOURCE
+    branch is untouched by its own merge. Gates: ``mode_gate`` = the
+    resolution took the true three-way path (mode == "merge", base ==
+    the shared ancestor) and a SECOND merge is a noop;
+    ``conflict_gate`` = a deletion vector committed on a divergent
+    path makes the next merge REFUSE loudly (the row-semantics
+    conflict appends cannot arbitrate)."""
+    from pyspark_big_data_spark.operators.deletes import delete_keys
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        create_branch,
+        merge_branch,
+        read_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = session_tmpdir("branch_merge_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    rem = lambda r: orders.filter(F.col("o_orderkey") % 4 == r)  # noqa: E731
+    write_version(rem(0), root)
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+    v_dev = commit_to_branch(rem(1), root, "dev", append=True)
+    commit_to_branch(rem(2), root, "main", append=True)
+
+    res = merge_branch(spark, root, "dev", "main")
+    res2 = merge_branch(spark, root, "dev", "main")
+    mode_ok = (
+        res["mode"] == "merge" and res["base"] == 0 and res2["mode"] == "noop"
+    )
+    dev_rows = read_branch(spark, root, "dev").count()  # source untouched
+
+    # a delete on dev past the (new) base must make the NEXT merge refuse
+    commit_to_branch(rem(3), root, "dev", append=True)
+    delete_keys(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 4 == 3).select("o_orderkey"),
+        "o_orderkey",
+        version=None,  # the delete targets dev's new head (global latest)
+    )
+    try:
+        merge_branch(spark, root, "dev", "main")
+        conflict_ok = False
+    except ValueError:
+        conflict_ok = True
+
+    from pyspark_big_data_spark.functions.aggregates import dsum
+
+    return read_branch(spark, root, "main").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+    ).select(
+        "n_rows",
+        "price_sum",
+        F.lit(dev_rows).cast("long").alias("dev_rows"),
+        F.lit(1 if mode_ok else 0).cast("long").alias("mode_gate"),
+        F.lit(1 if conflict_ok else 0).cast("long").alias("conflict_gate"),
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pyspark_big_data_spark.operators.refs import (
     create_tag,
     delete_tag,
@@ -269,3 +271,136 @@ def test_branch_cas_is_arbitrated_not_checked(spark, tmp_path):
     # the branch log is append-only history: every transition auditable
     seq2, doc2 = _branch_state(spark, root, "main")
     assert (seq2, doc2["version"]) == (1, 1)
+
+
+def _mk_branches(spark, root):
+    from pyspark_big_data_spark.operators.refs import create_branch
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    write_version(_bdf(spark, 0, 50), root)
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+
+
+def test_merge_branch_three_way(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        commit_to_branch,
+        merge_branch,
+        read_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)
+    commit_to_branch(_bdf(spark, 100, 130), root, "dev", append=True)
+    commit_to_branch(_bdf(spark, 200, 220), root, "main", append=True)
+
+    res = merge_branch(spark, root, "dev", "main")
+    assert res["mode"] == "merge" and res["base"] == 0
+    merged = read_branch(spark, root, "main")
+    want = (
+        _bdf(spark, 0, 50)
+        .unionByName(_bdf(spark, 100, 130))
+        .unionByName(_bdf(spark, 200, 220))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+    # source branch untouched; merged read == union replay
+    assert read_branch(spark, root, "dev").count() == 80
+    assert branch_head(spark, root, "main") == res["version"]
+
+
+def test_merge_branch_fast_forward_and_noop(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        commit_to_branch,
+        merge_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)
+    v_dev = commit_to_branch(_bdf(spark, 100, 110), root, "dev", append=True)
+    res = merge_branch(spark, root, "dev", "main")
+    assert res["mode"] == "fast-forward"
+    assert branch_head(spark, root, "main") == v_dev
+    res2 = merge_branch(spark, root, "dev", "main")
+    assert res2["mode"] == "noop"
+
+
+def test_merge_branch_refuses_conflicts(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark_big_data_spark.operators.deletes import delete_keys
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        merge_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)
+    v_dev = commit_to_branch(_bdf(spark, 100, 110), root, "dev", append=True)
+    commit_to_branch(_bdf(spark, 200, 210), root, "main", append=True)
+    # deletion vector on the divergent path: not an append, refused
+    delete_keys(
+        spark, root, spark.createDataFrame([(105,)], "k long"), "k", version=v_dev
+    )
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        merge_branch(spark, root, "dev", "main")
+
+    # unrelated histories (rewrite on a branch): refused
+    root2 = str(tmp_path / "vds2")
+    _mk_branches(spark, root2)
+    commit_to_branch(_bdf(spark, 0, 5), root2, "dev", append=False)  # rewrite
+    commit_to_branch(_bdf(spark, 200, 210), root2, "main", append=True)
+    with _pytest.raises(ValueError, match="no ancestor"):
+        merge_branch(spark, root2, "dev", "main")
+
+
+def test_merge_branch_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        merge_branch,
+        read_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)
+    commit_to_branch(
+        _bdf(spark, 100, 110).withColumn("y", F.lit("dev")),
+        root, "dev", append=True, allow_evolution=True,
+    )
+    commit_to_branch(_bdf(spark, 200, 210), root, "main", append=True)
+    res = merge_branch(spark, root, "dev", "main")
+    assert res["mode"] == "merge"
+    merged = read_branch(spark, root, "main")
+    assert set(merged.columns) == {"k", "x", "y"}
+    assert merged.filter(F.col("y").isNotNull()).count() == 10
+    assert merged.count() == 70
+
+
+def test_sequential_merges_ship_only_new_delta(spark, tmp_path):
+    """After dev merges into main and keeps appending, the next merge
+    resolves its base to the previously-merged head (the merged_from
+    DAG link) and appends ONLY the new rows — never re-appending the
+    already-merged delta."""
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        merge_branch,
+        read_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)
+    v_dev1 = commit_to_branch(_bdf(spark, 100, 120), root, "dev", append=True)
+    commit_to_branch(_bdf(spark, 200, 210), root, "main", append=True)
+    assert merge_branch(spark, root, "dev", "main")["mode"] == "merge"
+    assert read_branch(spark, root, "main").count() == 80
+
+    commit_to_branch(_bdf(spark, 300, 305), root, "dev", append=True)
+    res = merge_branch(spark, root, "dev", "main")
+    assert res["mode"] == "merge"
+    assert res["base"] == v_dev1  # NOT the original fork point
+    merged = read_branch(spark, root, "main")
+    assert merged.count() == 85  # +5, the already-merged 20 not doubled
+    assert merged.filter((F.col("k") >= 100) & (F.col("k") < 120)).count() == 20
