@@ -186,6 +186,41 @@ FROM agg, t
 """
 
 
+# The basket self-join is QUADRATIC in basket size (a basket of n items
+# emits n(n-1)/2 pairs): a single 10^4-item basket alone is ~5*10^7
+# edges. TPC-H baskets are <= 7 items, but the guard is what lets this
+# query be pointed at an arbitrary corpus without silently detonating —
+# the same input-size discipline the all-pairs ANN truth sides carry
+# (r10 verdict, What's-wrong #2).
+_MAX_BASKET_ITEMS = 1024
+
+
+def _copurchase_edges(op: DataFrame, max_basket_items: int = _MAX_BASKET_ITEMS) -> DataFrame:
+    """Ordered co-purchase pairs (src < dst) from (ok, part) basket
+    rows, guarded: raises when any basket exceeds ``max_basket_items``
+    (one cheap max-of-counts aggregate — metadata-scale next to the
+    join it gates). Callers with genuinely huge baskets should cap or
+    sample baskets upstream, explicitly."""
+    biggest = (
+        op.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if biggest is not None and biggest > max_basket_items:
+        raise ValueError(
+            f"largest basket has {biggest} items (> {max_basket_items}); "
+            f"the pair fan-out is quadratic (~{biggest * (biggest - 1) // 2} "
+            "pairs from that basket alone) — cap or sample baskets before "
+            "building co-purchase edges"
+        )
+    a = op.select("ok", F.col("part").alias("src"))
+    b = op.select(F.col("ok").alias("ok_b"), F.col("part").alias("dst"))
+    return a.join(
+        b, (F.col("ok") == F.col("ok_b")) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+
+
 @register("copurchase_triangles", oracle=_TRI_ORACLE, driver=False)
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the part co-purchase graph (parts are
@@ -209,12 +244,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
     ).distinct()
-    a = op.select("ok", F.col("part").alias("src"))
-    b = op.select(F.col("ok").alias("ok_b"), F.col("part").alias("dst"))
-    edges = a.join(
-        b, (F.col("ok") == F.col("ok_b")) & (F.col("src") < F.col("dst"))
-    ).select("src", "dst")
-    return triangle_count(edges)
+    return triangle_count(_copurchase_edges(op))
 
 
 # ---------------------------------------------------------------------------
@@ -301,14 +331,12 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
     ).distinct()
-    a = op.select("ok", F.col("part").alias("src"))
-    b = op.select(F.col("ok").alias("ok_b"), F.col("part").alias("dst"))
     # support >= 2 edges (pairs co-purchased in at least two orders):
     # the raw basket graph is clique-per-order and everything survives
     # a k=3 peel; the support threshold is what recommender pipelines
     # apply anyway, and it makes the peel CASCADE at driver scale
     edges = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("src") < F.col("dst")))
+        _copurchase_edges(op)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
