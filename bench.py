@@ -166,6 +166,17 @@ HEADLINE = [
     "copurchase_triangles",
     "kcore_copurchase",
     "chi2_token_label",
+    # round-11 additions (appended): the throughput-bearing r11 shapes.
+    # merge = the clause-complete MERGE cycle over orders (one
+    # broadcast-joined target pass + one atomic delta+vector commit +
+    # the merged MOR read); cdf stream = the availableNow micro-batch
+    # replay of two fact-sized appends through the chain_cdf source
+    # (per-file Arrow tasks) plus the restart increment. The
+    # metadata-gated r11 ops (as-of resolution, branch merge, CAS log)
+    # are constant-dominated at sf0.1 and live in PERFORMANCE.md's twin
+    # table per the bracket policy above.
+    "merge_into_witness",
+    "streaming_cdf_replay_witness",
 ]
 
 
