@@ -89,10 +89,21 @@ def merge_into(
     when_matched_delete=None,
     when_not_matched_insert=True,
     stats_cols: list[str] | None = None,
+    prune_with_stats: bool = True,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
     "n_inserted"}`` (the new version is None when every clause matched
-    nothing — an empty MERGE burns no version number)."""
+    nothing — an empty MERGE burns no version number).
+
+    ``prune_with_stats`` (default on): when every chain member's
+    manifest carries footer stats for the merge key, the target scan is
+    FILE-PRUNED to the source's [min(key), max(key)] range before the
+    join — the Iceberg merge-on-read file-skipping move. A MERGE whose
+    source touches one day of a year-partitioned-by-key table then
+    reads ~1/365th of the files; rows outside the pruned range are
+    untouched by definition (they cannot match), so the result is
+    identical. Falls back to the full scan silently when stats are
+    absent."""
     version = _resolve_version(spark, root, None)
     target_cols = read_version(spark, root, version).columns
     if key not in target_cols:
@@ -128,8 +139,28 @@ def merge_into(
 
     # ONE pass over the (MOR-resolved) target: stream it through a
     # broadcast inner join against the source; cache the matched set
-    # (O(|source|)) for the clause fan-out.
-    target = read_version_mor(spark, root, version, keep_addresses=True)
+    # (O(|source|)) for the clause fan-out. With manifest stats on the
+    # key, "one pass" shrinks to "one pass over the files the source
+    # keys can live in".
+    target = None
+    if prune_with_stats:
+        bounds = source.agg(
+            F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+        ).collect()[0]
+        try:
+            target = read_version_mor(
+                spark,
+                root,
+                version,
+                pruned_col=key,
+                lower=bounds["lo"],
+                upper=bounds["hi"],
+                keep_addresses=True,
+            )
+        except ValueError:
+            target = None  # no/partial manifest stats: full scan below
+    if target is None:
+        target = read_version_mor(spark, root, version, keep_addresses=True)
     matched = (
         target.alias("target")
         .join(

@@ -171,3 +171,31 @@ def test_merge_plan_broadcasts_source_and_streams_target(spark, tmp_path):
     plan = matched._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_merge_prunes_target_scan_with_stats(spark, tmp_path):
+    """With manifest stats on the key, the MERGE's target pass reads
+    only the files the source key range can live in — and the result
+    is identical to the full-scan merge."""
+    from pyspark_big_data_spark.operators.versioned import pruned_file_plan
+
+    root = str(tmp_path / "vds")
+    write_version(
+        _df(spark, 0, 1000).repartitionByRange(8, "k"), root, stats_cols=["k"]
+    )
+    src = _df(spark, 100, 120, mark=1.0)  # narrow key range
+    # the pruning the merge will use: a strict subset of files
+    _, n_sel, n_total = pruned_file_plan(spark, root, "k", 100, 119, version=0)
+    assert 0 < n_sel < n_total
+
+    res = merge_into(spark, root, src, "k")
+    got = read_version_mor(spark, root, res["version"])
+    assert got.count() == 1000
+    assert got.filter(F.col("k") == 105).collect()[0]["x"] == 105 * 2.0 + 1
+    assert got.filter(F.col("k") == 500).collect()[0]["x"] == 1000.0
+
+    # identical to the full-scan merge on a twin table
+    root2 = str(tmp_path / "vds2")
+    write_version(_df(spark, 0, 1000).repartitionByRange(8, "k"), root2)
+    res2 = merge_into(spark, root2, src, "k")  # no stats: full scan
+    assert _rows(got) == _rows(read_version_mor(spark, root2, res2["version"]))
