@@ -90,6 +90,7 @@ def merge_into(
     when_not_matched_insert=True,
     stats_cols: list[str] | None = None,
     prune_with_stats: bool = True,
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
     "n_inserted"}`` (the new version is None when every clause matched
@@ -108,11 +109,13 @@ def merge_into(
     target_cols = read_version(spark, root, version).columns
     if key not in target_cols:
         raise ValueError(f"merge key {key!r} is not a target column")
-    if set(source.columns) != set(target_cols):
+    missing = set(target_cols) - set(source.columns)
+    if missing:
         raise ValueError(
-            "UPDATE SET * / INSERT * merge needs a source with exactly the "
-            f"target schema; target {sorted(target_cols)} vs source "
-            f"{sorted(source.columns)}"
+            "UPDATE SET * / INSERT * merge needs a source carrying every "
+            f"target column; missing {sorted(missing)} (extra source "
+            "columns are allowed — visible to clause conditions, never "
+            "written)"
         )
     upd = _clause_cond(when_matched_update)
     dele = _clause_cond(when_matched_delete)
@@ -213,12 +216,18 @@ def merge_into(
                 "n_inserted": 0,
             }
         # ONE atomic commit: delta files + the positional vector that
-        # retires the rows they replace, published by a single rename
+        # retires the rows they replace, published by a single rename.
+        # expected_base pins the version this merge PLANNED against —
+        # a concurrent commit raises WriteConflict (Delta's conflict
+        # rule) instead of silently publishing a merge that never
+        # match-scanned the interloper's rows.
         new_v = append_version(
             delta.select(*target_cols),
             root,
             stats_cols=stats_cols,
             allow_base_tombstones=True,  # MERGE lives on the MOR read path
+            expected_base=version,
+            manifest_extra=manifest_extra,
             embedded_pos_deletes=vector if n_retired else None,
         )
         return {

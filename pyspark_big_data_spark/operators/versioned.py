@@ -323,6 +323,14 @@ class AuditFailed(RuntimeError):
     staged bytes were deleted and NO version was published."""
 
 
+class WriteConflict(RuntimeError):
+    """A commit that pinned its expected base lost the race: another
+    writer committed first, and silently re-basing would be unsound for
+    THIS commit (e.g. a MERGE whose deletion vector was planned against
+    the old head — the interloper's rows were never match-scanned).
+    Nothing was published; the caller re-plans against the new head."""
+
+
 def write_version(
     df: DataFrame,
     root: str,
@@ -335,6 +343,7 @@ def write_version(
     _base_override: int | None = None,
     _append_evolution: bool = False,
     _allow_base_tombstones: bool = False,
+    _expected_base: int | None = None,
     embedded_pos_deletes: DataFrame | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot version and return its
@@ -435,6 +444,17 @@ def write_version(
             base_version = _base_override
         else:
             base_version = latest if _append else None
+        if _append and _expected_base is not None and base_version != _expected_base:
+            # Delta-style conflict detection: this commit's CONTENT was
+            # planned against a specific base (a MERGE's vector, a
+            # read-modify-write), so re-basing on an interloper would
+            # publish a version whose semantics never saw the
+            # interloper's rows. Refuse loudly; the caller re-plans.
+            raise WriteConflict(
+                f"expected to append onto v={_expected_base} under {root}, "
+                f"but the head moved to v={base_version} — re-plan against "
+                "the new head and retry"
+            )
         if _append:
             # Re-validated on EVERY retry against the recomputed base:
             # a lost commit race re-bases on the interloper, and the
@@ -642,6 +662,7 @@ def append_version(
     manifest_extra: dict | None = None,
     allow_evolution: bool = False,
     allow_base_tombstones: bool = False,
+    expected_base: int | None = None,
     embedded_pos_deletes: DataFrame | None = None,
 ) -> int:
     """APPEND commit: publish ``df`` as the next version WITHOUT
@@ -713,6 +734,7 @@ def append_version(
         _append=True,
         _append_evolution=allow_evolution,
         _allow_base_tombstones=allow_base_tombstones,
+        _expected_base=expected_base,
         embedded_pos_deletes=embedded_pos_deletes,
     )
 

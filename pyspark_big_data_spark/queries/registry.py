@@ -310,7 +310,10 @@ DRIVER_EXCLUDED: set[str] = set()
 # resolution from manifest commit times), streaming_cdf_replay_witness
 # (continuous readStream over the append chain == the batch change
 # feed), branch_merge_witness (three-way branch merge of divergent
-# append chains with conflict refusal).
+# append chains with conflict refusal), and
+# streaming_merge_replay_witness (the exactly-once streaming MERGE
+# sink — CDC-apply batches as atomic delta+vector commits, redelivery
+# skipped by marker, vs a DuckDB declarative fold).
 
 # Superseded variants OUT OF THE CYCLING POOL for good (see the policy
 # amendment above); structurally excluded from the driver surface in

@@ -954,3 +954,118 @@ def streaming_cdf_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if sym_diff == 0 else 0).cast("long").alias("batch_equiv_gate"),
         F.lit(1 if restart_ok else 0).cast("long").alias("restart_gate"),
     )
+
+
+_MERGE_SINK_ORACLE = """
+WITH final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 2000.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       CAST(1 AS BIGINT) AS skip_gate,
+       CAST(1 AS BIGINT) AS marker_gate
+FROM final
+"""
+
+
+@register("streaming_merge_replay_witness", oracle=_MERGE_SINK_ORACLE, driver=False)
+def streaming_merge_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING MERGE sink driver-verified
+    (streaming/sinks.py::exactly_once_merge_sink — the
+    CDC-apply-to-lakehouse loop: each micro-batch lands as one atomic
+    MERGE commit of delta + embedded vector, marker-idempotent): replay
+    three batches over an orders%3==0 base — batch 1 UPDATES the %6==0
+    keys (+1000) and INSERTS the %3==1 slice, batch 2 DELETES the
+    %9==0 keys (flag column) and UPDATES the inserted slice (+2000) —
+    then REDELIVER batch 2 on purpose with corrupted content. Emits
+    the final MOR state's (n_rows, decimal-exact price_sum); DuckDB
+    recomputes the whole fold declaratively, so a clause that fired on
+    the wrong rows, a lost batch, or a redelivery that re-applied
+    flips the row red. Gates: ``skip_gate`` = 1 iff the redelivery
+    added NO version and changed NO value (idempotence observed
+    structurally AND by content); ``marker_gate`` = 1 iff every merge
+    commit carries its writer_batch_id marker on the chain."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.versioned import (
+        latest_version,
+        list_versions,
+        manifest,
+        version_chain,
+    )
+    from pyspark_big_data_spark.streaming.sinks import exactly_once_merge_sink
+
+    root = session_tmpdir("merge_sink_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    sink = exactly_once_merge_sink(root, "o_orderkey", delete_col="is_del")
+
+    def _b(df, deleted=False):
+        return df.withColumn("is_del", F.lit(bool(deleted)))
+
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    sink(_b(base), 0)
+    b1 = _b(
+        base.filter(F.col("o_orderkey") % 6 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("o_totalprice")
+        )
+    ).unionByName(
+        _b(
+            orders.filter(F.col("o_orderkey") % 3 == 1).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+            )
+        )
+    )
+    sink(b1, 1)
+    b2 = _b(
+        base.filter(F.col("o_orderkey") % 9 == 0).select(
+            "o_orderkey", F.lit(0.0).alias("o_totalprice")
+        ),
+        deleted=True,
+    ).unionByName(
+        _b(
+            orders.filter(F.col("o_orderkey") % 3 == 1).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 2000.0).alias("o_totalprice"),
+            )
+        )
+    )
+    sink(b2, 2)
+
+    versions_before = list_versions(spark, root)
+    state_before = read_version_mor(spark, root).agg(
+        F.sum("o_totalprice").alias("s")
+    ).collect()[0]["s"]
+    # crash-redelivery with CORRUPTED content: only the id matters
+    sink(_b(orders.limit(5).select("o_orderkey", F.lit(-1.0).alias("o_totalprice"))), 2)
+    state_after = read_version_mor(spark, root).agg(
+        F.sum("o_totalprice").alias("s")
+    ).collect()[0]["s"]
+    skip_ok = (
+        list_versions(spark, root) == versions_before
+        and state_before == state_after
+    )
+    markers = set()
+    for v in version_chain(spark, root, latest_version(spark, root)):
+        m = manifest(spark, root, v)
+        if m and "writer_batch_id" in m:
+            markers.add(int(m["writer_batch_id"]))
+    marker_ok = markers == {0, 1, 2}
+
+    return read_version_mor(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+    ).select(
+        "n_rows",
+        "price_sum",
+        F.lit(1 if skip_ok else 0).cast("long").alias("skip_gate"),
+        F.lit(1 if marker_ok else 0).cast("long").alias("marker_gate"),
+    )

@@ -142,3 +142,115 @@ def exactly_once_append_chain_sink(
                 )
 
     return write
+
+
+def exactly_once_merge_sink(
+    root: str,
+    key: str,
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function applying each micro-batch as a
+    MERGE INTO the versioned chain (operators/merge.py) — the
+    CDC-apply-to-lakehouse loop: upserts land as matched-update /
+    not-matched-insert, rows flagged in ``delete_col`` become
+    matched-deletes, and every commit is the single-rename atomic
+    delta+vector MERGE shape. Exactly-once under redelivery by the
+    same ``writer_batch_id`` manifest marker as the append-chain sink:
+    a redelivered batch whose id is already on the chain is skipped
+    before any scan.
+
+    ``seq_col`` (CDC sequencing): when a micro-batch can carry several
+    ops per key, keep only the row with the HIGHEST sequence per key —
+    (key, seq) must be unique, or the fold is refused (the
+    operators/cdc.py contract). Without ``seq_col``, the batch must
+    already be key-unique (merge_into raises otherwise). ``delete_col``
+    and ``seq_col`` ride the source as condition-only columns — never
+    written to the table.
+
+    First batch on an empty root commits the base snapshot (delete
+    rows dropped — there is nothing to delete from). MOR reads serve
+    the current state; materialize/compact on the maintenance cadence.
+
+    Single-writer contract, enforced not assumed: the MERGE pins its
+    planned base (expected_base), so a foreign concurrent commit makes
+    the batch fail with WriteConflict and Structured Streaming retries
+    it — the marker check then decides idempotently."""
+    from pyspark.sql import Window
+
+    from pyspark_big_data_spark.operators.merge import merge_into
+    from pyspark_big_data_spark.operators.versioned import (
+        latest_version,
+        manifest,
+        version_chain,
+        write_version,
+    )
+
+    def _chain_markers(spark, latest: int) -> set[int]:
+        seen: set[int] = set()
+        for v in version_chain(spark, root, latest):
+            m = manifest(spark, root, v)
+            if m is None:
+                continue
+            if "writer_batch_id" in m:
+                seen.add(int(m["writer_batch_id"]))
+            seen.update(int(b) for b in m.get("writer_batch_ids", []))
+        return seen
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = batch_df
+        if seq_col is not None:
+            # last-sequence-wins fold; duplicate (key, seq) refused
+            dup = (
+                src.groupBy(key, seq_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"micro-batch carries duplicate ({key}, {seq_col}) "
+                    "pairs — the last-wins fold would be non-deterministic"
+                )
+            w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", seq_col)
+            )
+        latest = latest_version(spark, root)
+        if latest is None:
+            base = src
+            if delete_col is not None:
+                base = base.filter(~F.col(delete_col)).drop(delete_col)
+            write_version(
+                base,
+                root,
+                stats_cols=stats_cols,
+                manifest_extra={"writer_batch_id": int(batch_id)},
+            )
+            return
+        if int(batch_id) in _chain_markers(spark, latest):
+            return  # redelivery: this batch already committed
+        merge_into(
+            spark,
+            root,
+            src,
+            key,
+            when_matched_update=(
+                f"NOT source.{delete_col}" if delete_col is not None else True
+            ),
+            when_matched_delete=(
+                f"source.{delete_col}" if delete_col is not None else None
+            ),
+            when_not_matched_insert=(
+                f"NOT source.{delete_col}" if delete_col is not None else True
+            ),
+            stats_cols=stats_cols,
+            manifest_extra={"writer_batch_id": int(batch_id)},
+        )
+
+    return write

@@ -125,7 +125,7 @@ def test_merge_contracts(spark, tmp_path):
             _df(spark, 0, 3).withColumn("k", F.lit(None).cast("long")),
             "k",
         )
-    with pytest.raises(ValueError, match="target schema"):
+    with pytest.raises(ValueError, match="every target column"):
         merge_into(spark, root, _df(spark, 0, 3).drop("x"), "k")
     with pytest.raises(ValueError, match="no-op"):
         merge_into(
@@ -199,3 +199,108 @@ def test_merge_prunes_target_scan_with_stats(spark, tmp_path):
     write_version(_df(spark, 0, 1000).repartitionByRange(8, "k"), root2)
     res2 = merge_into(spark, root2, src, "k")  # no stats: full scan
     assert _rows(got) == _rows(read_version_mor(spark, root2, res2["version"]))
+
+
+def test_merge_detects_concurrent_writes(spark, tmp_path):
+    """A commit pinned to its planned base refuses to re-base on an
+    interloper (Delta's conflict rule): the merge's vector never
+    match-scanned the interloper's rows, so publishing would be
+    unsound. Nothing is published; the caller re-plans."""
+    from pyspark_big_data_spark.operators.versioned import (
+        WriteConflict,
+        append_version,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 100), root)
+    # another writer lands an append AFTER this merge "planned" (we
+    # simulate the race at the commit layer: expected_base pins v=0)
+    append_version(_df(spark, 100, 110), root)
+    with pytest.raises(WriteConflict, match="head moved"):
+        append_version(_df(spark, 110, 120), root, expected_base=0)
+    assert list_versions(spark, root) == [0, 1]  # nothing published
+
+    # an un-raced merge pins and commits cleanly
+    res = merge_into(spark, root, _df(spark, 50, 55, mark=1.0), "k")
+    assert res["version"] == 2
+
+
+def test_exactly_once_merge_sink(spark, tmp_path):
+    """The CDC-apply loop: batches of upserts/deletes MERGE into the
+    chain with marker idempotence and last-sequence-wins folding."""
+    from pyspark_big_data_spark.streaming.sinks import exactly_once_merge_sink
+
+    root = str(tmp_path / "vds")
+    sink = exactly_once_merge_sink(root, "k", delete_col="is_del", seq_col="seq")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, x double, is_del boolean, seq long"
+        )
+
+    # batch 0: base (deletes dropped — nothing to delete from)
+    sink(batch([(1, 1.0, False, 1), (2, 2.0, False, 1), (9, 9.0, True, 1)]), 0)
+    got0 = read_version_mor(spark, root)
+    assert sorted(r["k"] for r in got0.collect()) == [1, 2]
+
+    # batch 1: update k=1 (two ops, last seq wins), delete k=2, insert k=3
+    sink(
+        batch(
+            [
+                (1, 10.0, False, 1),
+                (1, 11.0, False, 2),  # last wins
+                (2, 0.0, True, 1),
+                (3, 3.0, False, 1),
+            ]
+        ),
+        1,
+    )
+    got1 = read_version_mor(spark, root)
+    assert sorted((r["k"], r["x"]) for r in got1.collect()) == [(1, 11.0), (3, 3.0)]
+
+    # redelivery of batch 1: marker makes it a no-op (same state, no commit)
+    versions_before = list_versions(spark, root)
+    sink(
+        batch([(1, 99.0, False, 9), (3, 0.0, True, 9)]), 1
+    )  # even with DIFFERENT content — the id is what matters
+    assert list_versions(spark, root) == versions_before
+    got2 = read_version_mor(spark, root)
+    assert sorted((r["k"], r["x"]) for r in got2.collect()) == [(1, 11.0), (3, 3.0)]
+
+    # duplicate (key, seq) refused
+    with pytest.raises(ValueError, match="non-deterministic"):
+        sink(batch([(5, 1.0, False, 1), (5, 2.0, False, 1)]), 2)
+
+
+def test_merge_sink_through_real_stream(spark, tmp_path):
+    """The sink behind an actual availableNow foreachBatch loop."""
+    import json as _json
+
+    from pyspark_big_data_spark.streaming.sinks import exactly_once_merge_sink
+
+    root = str(tmp_path / "vds")
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    b0 = [{"k": i, "x": float(i), "is_del": False} for i in range(10)]
+    b1 = [{"k": 5, "x": 50.0, "is_del": False}, {"k": 6, "x": 0.0, "is_del": True},
+          {"k": 20, "x": 20.0, "is_del": False}]
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{drop}/b{i}.jsonl", "w") as fh:
+            fh.write("\n".join(_json.dumps(r) for r in rows))
+
+    sink = exactly_once_merge_sink(root, "k", delete_col="is_del")
+    q = (
+        spark.readStream.schema("k long, x double, is_del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(drop)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = read_version_mor(spark, root)
+    assert got.count() == 10  # 10 - 1 deleted + 1 inserted
+    assert got.filter(F.col("k") == 5).collect()[0]["x"] == 50.0
+    assert got.filter(F.col("k") == 6).count() == 0
+    assert got.filter(F.col("k") == 20).count() == 1
