@@ -177,6 +177,10 @@ HEADLINE = [
     # table per the bracket policy above.
     "merge_into_witness",
     "streaming_cdf_replay_witness",
+    # late-r11 addition (appended): the CDC-apply loop — three MERGE
+    # commits (update/insert/delete batches) + a corrupted redelivery
+    # skipped by marker + the final MOR read.
+    "streaming_merge_replay_witness",
 ]
 
 
