@@ -104,11 +104,17 @@ def merge_into(
     reads ~1/365th of the files; rows outside the pruned range are
     untouched by definition (they cannot match), so the result is
     identical. Falls back to the full scan silently when stats are
-    absent."""
+    absent (for a COMPOSITE key, the FIRST key column drives pruning).
+
+    ``key`` may be one column name or a list (composite merge keys:
+    the ON condition is the conjunction of per-column equalities, and
+    key-uniqueness applies to the tuple)."""
+    keys = [key] if isinstance(key, str) else list(key)
     version = _resolve_version(spark, root, None)
     target_cols = read_version(spark, root, version).columns
-    if key not in target_cols:
-        raise ValueError(f"merge key {key!r} is not a target column")
+    for k in keys:
+        if k not in target_cols:
+            raise ValueError(f"merge key {k!r} is not a target column")
     missing = set(target_cols) - set(source.columns)
     if missing:
         raise ValueError(
@@ -125,16 +131,20 @@ def merge_into(
 
     # key-unique source, or updates are non-deterministic (Delta's
     # 'multiple source rows matched' refusal)
+    null_any = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_any = c if null_any is None else (null_any | c)
     counts = source.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(key)).alias("nd"),
-        F.sum(F.col(key).isNull().cast("long")).alias("nn"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+        F.sum(null_any.cast("long")).alias("nn"),
     ).collect()[0]
     if counts["nn"]:
         raise ValueError("merge source carries NULL keys")
     if counts["n"] != counts["nd"]:
         raise ValueError(
-            f"merge source is not key-unique on {key!r} "
+            f"merge source is not key-unique on {keys} "
             f"({counts['n']} rows, {counts['nd']} distinct keys) — "
             "multiple source rows matching one target row make UPDATE "
             "non-deterministic"
@@ -143,19 +153,19 @@ def merge_into(
     # ONE pass over the (MOR-resolved) target: stream it through a
     # broadcast inner join against the source; cache the matched set
     # (O(|source|)) for the clause fan-out. With manifest stats on the
-    # key, "one pass" shrinks to "one pass over the files the source
-    # keys can live in".
+    # (first) key, "one pass" shrinks to "one pass over the files the
+    # source keys can live in".
     target = None
     if prune_with_stats:
         bounds = source.agg(
-            F.min(F.col(key)).alias("lo"), F.max(F.col(key)).alias("hi")
+            F.min(F.col(keys[0])).alias("lo"), F.max(F.col(keys[0])).alias("hi")
         ).collect()[0]
         try:
             target = read_version_mor(
                 spark,
                 root,
                 version,
-                pruned_col=key,
+                pruned_col=keys[0],
                 lower=bounds["lo"],
                 upper=bounds["hi"],
                 keep_addresses=True,
@@ -164,13 +174,13 @@ def merge_into(
             target = None  # no/partial manifest stats: full scan below
     if target is None:
         target = read_version_mor(spark, root, version, keep_addresses=True)
+    on = None
+    for k in keys:
+        c = F.col(f"target.{k}") == F.col(f"source.{k}")
+        on = c if on is None else (on & c)
     matched = (
         target.alias("target")
-        .join(
-            F.broadcast(source.alias("source")),
-            F.col(f"target.{key}") == F.col(f"source.{key}"),
-            "inner",
-        )
+        .join(F.broadcast(source.alias("source")), on, "inner")
         .persist()
     )
     try:
@@ -188,18 +198,18 @@ def merge_into(
         updates = (
             matched.filter(~dele_c & upd_c)
             .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
-            .dropDuplicates([key])  # collapse duplicate TARGET copies
+            .dropDuplicates(keys)  # collapse duplicate TARGET copies
         )
         n_updated = updates.count()
         # target copies retired by the DELETE clause specifically
         n_deleted = matched.filter(dele_c).count() if dele is not None else 0
         if ins is not None:
-            matched_keys = (
-                matched.select(F.col(f"source.{key}").alias(key)).distinct()
-            )
+            matched_keys = matched.select(
+                *[F.col(f"source.{k}").alias(k) for k in keys]
+            ).distinct()
             inserts = (
                 source.alias("source")
-                .join(F.broadcast(matched_keys), key, "left_anti")
+                .join(F.broadcast(matched_keys), keys, "left_anti")
                 .filter(ins)
                 .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
             )

@@ -304,3 +304,32 @@ def test_merge_sink_through_real_stream(spark, tmp_path):
     assert got.filter(F.col("k") == 5).collect()[0]["x"] == 50.0
     assert got.filter(F.col("k") == 6).count() == 0
     assert got.filter(F.col("k") == 20).count() == 1
+
+
+def test_merge_composite_key(spark, tmp_path):
+    """MERGE on a composite key: the ON condition is the conjunction,
+    uniqueness applies to the tuple."""
+    root = str(tmp_path / "vds")
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 11.0), (2, "a", 20.0)], "k1 long, k2 string, x double"
+    )
+    write_version(tgt, root)
+    src = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "b", 200.0)], "k1 long, k2 string, x double"
+    )
+    res = merge_into(spark, root, src, ["k1", "k2"])
+    got = read_version_mor(spark, root, res["version"])
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "a", 100.0),  # updated
+        (1, "b", 11.0),   # untouched (k2 differs)
+        (2, "a", 20.0),   # untouched
+        (2, "b", 200.0),  # inserted
+    ]
+    # tuple-uniqueness: same k1, different k2 is legal in the source
+    assert res["n_updated"] == 1 and res["n_inserted"] == 1
+
+    dup = src.unionByName(
+        spark.createDataFrame([(1, "a", 0.0)], "k1 long, k2 string, x double")
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into(spark, root, dup, ["k1", "k2"])
