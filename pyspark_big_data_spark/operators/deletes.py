@@ -440,6 +440,7 @@ def read_version_mor(
     upper=None,
     broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
     keep_addresses: bool = False,
+    selected_files: list[str] | None = None,
 ) -> DataFrame:
     """Merge-on-read: the LOGICAL state of ``v=version`` = the pinned
     physical snapshot minus every committed deletion vector — equality
@@ -472,9 +473,26 @@ def read_version_mor(
     ``keep_addresses=True`` retains the ``(_file, _pos)`` address
     columns of the SURVIVING rows — the planner scan a MERGE runs to
     decide which live rows its own positional vectors retire
-    (operators/merge.py)."""
+    (operators/merge.py).
+
+    ``selected_files`` (a caller-computed pruning plan, e.g.
+    ``bloom_file_plan_multi``'s) reads only that file subset — a
+    SUPERSET pre-cut contract like every pruning here: the caller's
+    own predicate/join provides exactness. An empty list is the
+    provably-no-file case (empty frame, correct schema)."""
     version = _resolve_version(spark, root, version)
-    if pruned_col is not None:
+    if selected_files is not None:
+        if pruned_col is not None:
+            raise ValueError("pass pruned_col OR selected_files, not both")
+        if selected_files:
+            from pyspark_big_data_spark.operators.versioned import (
+                _read_selected_aligned,
+            )
+
+            base = _read_selected_aligned(spark, root, version, selected_files)
+        else:
+            base = read_version(spark, root, version).filter(F.lit(False))
+    elif pruned_col is not None:
         base = read_version_pruned(spark, root, pruned_col, lower, upper, version)
     else:
         base = read_version(spark, root, version)

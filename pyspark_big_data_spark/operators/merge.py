@@ -90,6 +90,7 @@ def merge_into(
     when_not_matched_insert=True,
     stats_cols: list[str] | None = None,
     prune_with_stats: bool = True,
+    bloom_prune_max_keys: int = 100_000,
     manifest_extra: dict | None = None,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
@@ -105,6 +106,15 @@ def merge_into(
     untouched by definition (they cannot match), so the result is
     identical. Falls back to the full scan silently when stats are
     absent (for a COMPOSITE key, the FIRST key column drives pruning).
+    When the stats range cuts NOTHING (hash-scattered keys span every
+    file's [min, max]) or stats are absent, the ladder falls to
+    per-file BLOOM probing — for a source of at most
+    ``bloom_prune_max_keys`` keys (collected to the driver, bounded),
+    every file whose filter rejects ALL source keys is skipped: the
+    CDC-upsert-on-UUID file-skipping shape, where min/max can never
+    help but the Blooms pin each key to ~1 file. Both cuts are
+    SUPERSETS (missing stats/blooms degrade to reading a file, never
+    to missing a match).
 
     ``key`` may be one column name or a list (composite merge keys:
     the ON condition is the conjunction of per-column equalities, and
@@ -157,21 +167,45 @@ def merge_into(
     # source keys can live in".
     target = None
     if prune_with_stats:
+        from pyspark_big_data_spark.operators.versioned import (
+            bloom_file_plan_multi,
+            pruned_file_plan,
+        )
+
         bounds = source.agg(
             F.min(F.col(keys[0])).alias("lo"), F.max(F.col(keys[0])).alias("hi")
         ).collect()[0]
+        selected = None
         try:
+            sel, n_sel, n_total = pruned_file_plan(
+                spark, root, keys[0], bounds["lo"], bounds["hi"], version
+            )
+            if n_sel < n_total:
+                selected = sel
+        except ValueError:
+            pass  # no/partial manifest stats for the key
+        if selected is None and counts["n"] <= bloom_prune_max_keys:
+            # the stats range cut nothing (or could not run): probe the
+            # per-file Blooms with the source's keys — bounded collect
+            try:
+                probes = [
+                    r[keys[0]] for r in source.select(keys[0]).collect()
+                ]
+                sel, n_sel, n_total = bloom_file_plan_multi(
+                    spark, root, keys[0], probes, version
+                )
+                if n_sel < n_total:
+                    selected = sel
+            except ValueError:
+                pass  # no blooms for the key
+        if selected is not None:
             target = read_version_mor(
                 spark,
                 root,
                 version,
-                pruned_col=keys[0],
-                lower=bounds["lo"],
-                upper=bounds["hi"],
                 keep_addresses=True,
+                selected_files=selected,
             )
-        except ValueError:
-            target = None  # no/partial manifest stats: full scan below
     if target is None:
         target = read_version_mor(spark, root, version, keep_addresses=True)
     on = None

@@ -963,6 +963,59 @@ def bloom_file_plan(
     return selected, len(selected), n_total
 
 
+def bloom_file_plan_multi(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values,
+    version: int | None = None,
+) -> tuple[list[str], int, int]:
+    """Multi-probe Bloom pruning plan: the files whose filter for
+    ``col`` MIGHT contain ANY of ``values`` (plus files missing a
+    bloom — degrade to reading, never to skipping a match). This is
+    the MERGE/CDC file-skipping shape for HASH-SCATTERED keys, where
+    every file spans the whole [min, max] range and stats prune
+    nothing but each file's Bloom pins which of the source's keys
+    could live there. Probing is driver-side bit math: O(|values| ×
+    files × k) with early exit on first hit per file."""
+    import base64
+
+    version = _resolve_version(spark, root, version)
+    probes = [str(v) for v in values]
+    selected: list[str] = []
+    n_total = 0
+    for v in version_chain(spark, root, version):
+        m = manifest(spark, root, v)
+        if m is None:
+            raise ValueError(
+                f"v={v} under {root} has no {MANIFEST_NAME}: "
+                "commit it with write_version(df, root, bloom_cols=[...])"
+            )
+        if col not in m.get("bloom_cols", []):
+            raise ValueError(f"manifest of v={v} has no bloom for {col!r}")
+        vdir = f"{root.rstrip('/')}/v={v}"
+        col_blooms = m["blooms"][col]
+        all_files = (
+            sorted(m["file_rows"]) if m.get("file_rows") else sorted(col_blooms)
+        )
+        n_total += len(all_files)
+        for fname in all_files:
+            entry = col_blooms.get(fname)
+            if entry is None:
+                selected.append(f"{vdir}/{fname}")
+                continue
+            bits = int(entry["bits"])
+            arr = base64.b64decode(entry["b64"])
+            for probe in probes:
+                if all(
+                    arr[pos >> 3] & (1 << (pos & 7))
+                    for pos in _bloom_positions(probe, bits)
+                ):
+                    selected.append(f"{vdir}/{fname}")
+                    break
+    return selected, len(selected), n_total
+
+
 def read_version_point(
     spark: SparkSession,
     root: str,

@@ -333,3 +333,41 @@ def test_merge_composite_key(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="key-unique"):
         merge_into(spark, root, dup, ["k1", "k2"])
+
+
+def test_merge_bloom_prunes_hash_scattered_target(spark, tmp_path):
+    """Hash-scattered keys span every file's [min, max] — stats prune
+    nothing — but the per-file Blooms pin each source key to ~1 file:
+    the MERGE ladder falls through to bloom probing, reads a strict
+    file subset, and the result equals the full-scan merge."""
+    from pyspark_big_data_spark.operators.versioned import (
+        bloom_file_plan_multi,
+        pruned_file_plan,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(
+        _df(spark, 0, 2000).repartition(8, "k"),  # hash layout
+        root,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    src = _df(spark, 100, 103, mark=1.0)
+    # stats are blind on this layout; blooms cut
+    _, n_stats, n_total = pruned_file_plan(spark, root, "k", 100, 102, version=0)
+    assert n_stats == n_total
+    _, n_bloom, _ = bloom_file_plan_multi(spark, root, "k", [100, 101, 102], 0)
+    assert 0 < n_bloom < n_total
+
+    res = merge_into(spark, root, src, "k")
+    got = read_version_mor(spark, root, res["version"])
+    assert got.count() == 2000
+    for k in (100, 101, 102):
+        assert got.filter(F.col("k") == k).collect()[0]["x"] == k * 2.0 + 1
+    assert got.filter(F.col("k") == 50).collect()[0]["x"] == 100.0
+
+    # twin without pruning: identical result
+    root2 = str(tmp_path / "vds2")
+    write_version(_df(spark, 0, 2000).repartition(8, "k"), root2)
+    res2 = merge_into(spark, root2, src, "k", prune_with_stats=False)
+    assert _rows(got) == _rows(read_version_mor(spark, root2, res2["version"]))
