@@ -321,17 +321,19 @@ DRIVER_EXCLUDED: set[str] = set()
 # kcore_copurchase, chi2_token_label, restore_rollback_witness,
 # branch_isolation_witness, pmi_collocations,
 # positional_delete_read_witness, null_stats_pruned_read_witness,
-# matview_cdf_refresh_witness, zorder3_pruned_read_witness) + the 5
+# matview_cdf_refresh_witness, zorder3_pruned_read_witness) + the 6
 # r11 registrations listed above (merge_into_witness,
 # time_travel_as_of_witness, streaming_cdf_replay_witness,
-# branch_merge_witness, streaming_merge_replay_witness); then the 12
+# branch_merge_witness, streaming_merge_replay_witness, and
+# gopher_quality_filter — the named-rule Gopher document filter,
+# registered late-r11); then the 12
 # r7 rows waived-to-r12 by name in the r11 policy
 # (semantic_dedup_np_agreement, json_typed_agreement,
 # brp_lsh_ml_witness, minhash_ml_witness, q1_top_months_string_slice,
 # q2_event_time_bins, multimodal_frame_sample,
 # multimodal_audio_resample, bpe_pair_counts, doc_chunk_overlap,
 # boilerplate_prefixes, latest_order_per_customer — aged 5 rounds,
-# their turn is not negotiable); the remaining 50 - 15 - 12 = 23
+# their turn is not negotiable); the remaining 50 - 16 - 12 = 22
 # slots fill with r8-stale rows OLDEST-REGISTERED-FIRST. Any NEW r12
 # registration beyond the heads queues as an r13 head — never by
 # displacing the waived-r7 dozen.

@@ -725,3 +725,95 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter (r11): the NAMED-rule document
+# filter of Rae et al. 2021 (public) — each rule a deterministic
+# predicate over exact token statistics, the per-rule verdicts emitted
+# alongside the overall pass so a filter report can attribute every
+# removal. Thresholds are tuned to the synthetic corpus's shape (20-80
+# word docs) so the filter genuinely SPLITS it; swap for the paper's
+# values on web text.
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 40, 1000
+_GOPHER_MIN_WLEN, _GOPHER_MAX_WLEN = 3.0, 7.0
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+
+_GOPHER_ORACLE = f"""
+SELECT doc_id,
+       n_words,
+       ROUND(avg_wlen, 6) AS avg_word_len,
+       stop_hits,
+       ROUND(alpha_frac, 6) AS alpha_word_frac,
+       CAST(r_len AS BIGINT) AS rule_word_count,
+       CAST(r_wlen AS BIGINT) AS rule_word_len,
+       CAST(r_stop AS BIGINT) AS rule_stopwords,
+       CAST(r_alpha AS BIGINT) AS rule_alpha_words,
+       CAST(r_len AND r_wlen AND r_stop AND r_alpha AS BIGINT) AS passes
+FROM (
+    SELECT doc_id, n_words, avg_wlen, stop_hits, alpha_frac,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS r_len,
+           avg_wlen >= {_GOPHER_MIN_WLEN} AND avg_wlen <= {_GOPHER_MAX_WLEN} AS r_wlen,
+           stop_hits >= {_GOPHER_MIN_STOP_HITS} AS r_stop,
+           alpha_frac >= {_GOPHER_MIN_ALPHA_FRAC} AS r_alpha
+    FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS avg_wlen,
+               CAST({{marker}} AS BIGINT) AS stop_hits,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS alpha_frac
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+)
+ORDER BY doc_id
+""".replace("{marker}", _dd_marker_count("en"))
+
+
+@register("gopher_quality_filter", oracle=_GOPHER_ORACLE, driver=False)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style NAMED-rule quality filter (Rae et al. 2021, public
+    pipeline shape): per-document verdicts for word-count bounds, mean
+    word length bounds, minimum stopword hits, and minimum
+    alphabetic-word fraction, plus the conjunction ``passes`` — the
+    attribution-friendly form a corpus filter report needs (every
+    removal names its rule). ONE codegen pass over documents: all four
+    statistics come from the same token array, no shuffle, no UDF;
+    at 100 TB this is a map-only scan. DuckDB recomputes every
+    statistic and verdict from the raw text, so a threshold drift, a
+    tokenization mismatch, or a rule wired to the wrong statistic
+    flips the row red."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    avg_wlen = total_len.cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    stop_hits = TX.lid_score(toks, "en").cast("long")
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    r_len = (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+    r_wlen = (avg_wlen >= _GOPHER_MIN_WLEN) & (avg_wlen <= _GOPHER_MAX_WLEN)
+    r_stop = stop_hits >= _GOPHER_MIN_STOP_HITS
+    r_alpha = alpha_frac >= _GOPHER_MIN_ALPHA_FRAC
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        stop_hits.alias("stop_hits"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        r_len.cast("long").alias("rule_word_count"),
+        r_wlen.cast("long").alias("rule_word_len"),
+        r_stop.cast("long").alias("rule_stopwords"),
+        r_alpha.cast("long").alias("rule_alpha_words"),
+        (r_len & r_wlen & r_stop & r_alpha).cast("long").alias("passes"),
+    ).orderBy("doc_id")
