@@ -67,6 +67,27 @@ def _list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
+_S_RE = re.compile(r"^s=(\d+)$")
+
+
+def _branch_head(root: str, name: str) -> int:
+    """Resolve a branch head from its sequence log (os-level twin of
+    operators/refs.py::branch_head — the Python DataSource runs outside
+    the JVM)."""
+    bdir = os.path.join(root, "_refs", "branches", name)
+    seqs = sorted(
+        int(m.group(1))
+        for m in (_S_RE.match(d) for d in os.listdir(bdir))
+        if m and os.path.isdir(os.path.join(bdir, m.group(0)))
+    ) if os.path.isdir(bdir) else []
+    if not seqs:
+        raise ValueError(f"no branch {name!r} at {root}")
+    with open(
+        os.path.join(bdir, f"s={seqs[-1]}", "doc.json"), encoding="utf-8"
+    ) as fh:
+        return int(json.load(fh)["version"])
+
+
 def _manifest(root: str, version: int) -> dict | None:
     p = os.path.join(root, f"v={version}", "_manifest.json")
     if not os.path.exists(p):
@@ -131,7 +152,18 @@ class ChainCDFStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("chain_cdf requires .option('path', <chain root>)")
         self.from_version = options.get("from_version")
+        # with .option("branch", name) the stream follows THAT branch's
+        # head (its CAS log) instead of the global version counter —
+        # on a branched table the global latest may not chain through
+        # the offset at all (another branch's commit), which would
+        # fail the feed loudly but pointlessly
+        self.branch = options.get("branch")
         self._arrow_schema = _chain_schema(self.root)
+
+    def _head(self) -> int:
+        if self.branch is not None:
+            return _branch_head(self.root, self.branch)
+        return _list_versions(self.root)[-1]
 
     # ---- offsets -----------------------------------------------------
     def initialOffset(self) -> dict:
@@ -142,11 +174,10 @@ class ChainCDFStreamReader(DataSourceStreamReader):
                     f"from_version {v} does not exist under {self.root}"
                 )
             return {"version": v}
-        versions = _list_versions(self.root)
-        return {"version": versions[-1]}  # serve only FUTURE appends
+        return {"version": self._head()}  # serve only FUTURE appends
 
     def latestOffset(self) -> dict:
-        return {"version": _list_versions(self.root)[-1]}
+        return {"version": self._head()}
 
     # ---- planning (driver, metadata-only) ----------------------------
     def partitions(self, start: dict, end: dict) -> list[_DeltaFile]:

@@ -120,3 +120,39 @@ def test_evolved_chain_streams_full_schema(spark, tmp_path):
     assert set(got.columns) == {"k", "x", "y"}
     assert got.count() == 20
     assert got.filter(F.col("y").isNotNull()).count() == 10
+
+
+def test_branch_scoped_stream(spark, tmp_path):
+    """On a branched table the stream follows its branch's head (the
+    CAS log), so another branch's commits neither break the feed nor
+    leak into it."""
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        create_branch,
+    )
+
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    write_version(_df(spark, 0, 50), root)
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+    commit_to_branch(_df(spark, 100, 120), root, "main", append=True)
+    commit_to_branch(_df(spark, 900, 903), root, "dev", append=True)  # noise
+
+    def sink(batch, _bid):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("chain_cdf")
+        .option("path", root)
+        .option("from_version", 0)
+        .option("branch", "main")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 120))
