@@ -105,16 +105,18 @@ def _member_files(root: str, version: int) -> list[str]:
     )
 
 
-def _chain_schema(root: str) -> "object":
-    """Arrow schema of the LATEST version's whole chain (merged across
+def _chain_schema(root: str, head: int | None = None) -> "object":
+    """Arrow schema of the head version's whole chain (merged across
     members, base columns first — the same shape the batch chain read
-    serves)."""
+    serves). ``head`` defaults to the global latest; a branch-scoped
+    stream passes ITS head, so another branch's evolution never leaks
+    into this stream's schema."""
     import pyarrow.parquet as papq
 
     versions = _list_versions(root)
     if not versions:
         raise ValueError(f"versioned dataset at {root} has no versions")
-    chain = [versions[-1]]
+    chain = [versions[-1] if head is None else int(head)]
     while True:
         m = _manifest(root, chain[-1])
         base = m.get("base_version") if m else None
@@ -158,7 +160,9 @@ class ChainCDFStreamReader(DataSourceStreamReader):
         # the offset at all (another branch's commit), which would
         # fail the feed loudly but pointlessly
         self.branch = options.get("branch")
-        self._arrow_schema = _chain_schema(self.root)
+        self._arrow_schema = _chain_schema(
+            self.root, _branch_head(self.root, self.branch) if self.branch else None
+        )
 
     def _head(self) -> int:
         if self.branch is not None:
@@ -246,7 +250,11 @@ class ChainCDFDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(_chain_schema(self.options["path"]))
+        root = self.options["path"]
+        branch = self.options.get("branch")
+        return from_arrow_schema(
+            _chain_schema(root, _branch_head(root, branch) if branch else None)
+        )
 
     def streamReader(self, schema: StructType) -> ChainCDFStreamReader:
         return ChainCDFStreamReader(self.options)

@@ -202,7 +202,13 @@ def exactly_once_merge_sink(
         spark = batch_df.sparkSession
         src = batch_df
         if seq_col is not None:
-            # last-sequence-wins fold; duplicate (key, seq) refused
+            # last-sequence-wins fold; duplicate (key, seq) and NULL
+            # sequences refused (a null seq would sort arbitrarily)
+            if src.filter(F.col(seq_col).isNull()).limit(1).count():
+                raise ValueError(
+                    f"micro-batch carries NULL {seq_col} values — the "
+                    "last-wins fold would be non-deterministic"
+                )
             dup = (
                 src.groupBy(key, seq_col)
                 .count()
