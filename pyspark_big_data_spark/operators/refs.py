@@ -333,6 +333,40 @@ def delete_branch(spark: SparkSession, root: str, name: str) -> None:
     fs.delete(hp, True)
 
 
+def prune_branch_log(
+    spark: SparkSession, root: str, name: str, keep_last: int = 100
+) -> list[int]:
+    """Retention for a branch's repoint log: delete every committed
+    ``s=K`` entry except the newest ``keep_last`` (>= 1), plus dead
+    staging dirs, and return the pruned sequence numbers. The HEAD is
+    never pruned (the branch stays resolvable); older entries are
+    audit history only, a few hundred bytes each — this exists so a
+    hot branch repointed thousands of times a day has a bounded log,
+    like any other metadata retention here. Dead staging = any
+    ``.staging_*`` dir (each is writer-unique; one survives a crash at
+    most until its writer's CAS seq is taken, after which it can never
+    publish — sweeping ALL of them is safe because a LIVE writer's
+    rename has either already happened or will simply lose its CAS and
+    retry from scratch)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    bdir = _branch_dir(root, name)
+    fs, _, jvm = _fs(spark, root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    seqs = _branch_seqs(fs, jvm, bdir)
+    if not seqs:
+        raise FileNotFoundError(f"no branch {name!r} at {root}")
+    pruned = seqs[:-keep_last] if len(seqs) > keep_last else []
+    for s in pruned:
+        fs.delete(Path(f"{bdir}/s={s}"), True)
+    if fs.exists(Path(bdir)):
+        for status in fs.listStatus(Path(bdir)):
+            n = status.getPath().getName()
+            if status.isDirectory() and n.startswith(".staging_"):
+                fs.delete(status.getPath(), True)
+    return pruned
+
+
 def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read a branch's head snapshot (chain-resolved like any read)."""
     return read_version(spark, root, branch_head(spark, root, name))

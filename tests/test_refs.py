@@ -404,3 +404,30 @@ def test_sequential_merges_ship_only_new_delta(spark, tmp_path):
     merged = read_branch(spark, root, "main")
     assert merged.count() == 85  # +5, the already-merged 20 not doubled
     assert merged.filter((F.col("k") >= 100) & (F.col("k") < 120)).count() == 20
+
+
+def test_prune_branch_log(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        create_branch,
+        prune_branch_log,
+        update_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = str(tmp_path / "vds")
+    for lo in range(5):
+        write_version(_bdf(spark, 0, 10 + lo), root)
+    create_branch(spark, root, "main", 0)
+    head = 0
+    for v in (1, 2, 3, 4):
+        update_branch(spark, root, "main", v, expected_head=head)
+        head = v
+    pruned = prune_branch_log(spark, root, "main", keep_last=2)
+    assert pruned == [0, 1, 2]
+    assert branch_head(spark, root, "main") == 4  # head intact
+    # CAS keeps working on the pruned log
+    update_branch(spark, root, "main", 0, expected_head=4)
+    assert branch_head(spark, root, "main") == 0
+    with pytest.raises(ValueError, match=">= 1"):
+        prune_branch_log(spark, root, "main", keep_last=0)
