@@ -92,6 +92,7 @@ def merge_into(
     prune_with_stats: bool = True,
     bloom_prune_max_keys: int = 100_000,
     manifest_extra: dict | None = None,
+    base_version: int | None = None,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
     "n_inserted"}`` (the new version is None when every clause matched
@@ -118,9 +119,14 @@ def merge_into(
 
     ``key`` may be one column name or a list (composite merge keys:
     the ON condition is the conjunction of per-column equalities, and
-    key-uniqueness applies to the tuple)."""
+    key-uniqueness applies to the tuple).
+
+    ``base_version`` pins the snapshot the merge plans AND commits
+    against (a BRANCH head — ``merge_to_branch`` passes it; linearity
+    is then the branch CAS's job, not the global counter's). Default:
+    the global latest, with WriteConflict protection."""
     keys = [key] if isinstance(key, str) else list(key)
-    version = _resolve_version(spark, root, None)
+    version = _resolve_version(spark, root, base_version)
     target_cols = read_version(spark, root, version).columns
     for k in keys:
         if k not in target_cols:
@@ -270,7 +276,10 @@ def merge_into(
             root,
             stats_cols=stats_cols,
             allow_base_tombstones=True,  # MERGE lives on the MOR read path
-            expected_base=version,
+            # pinned-base merges (branch heads) commit onto their base
+            # explicitly; global merges pin via conflict detection
+            expected_base=None if base_version is not None else version,
+            base_override=version if base_version is not None else None,
             manifest_extra=manifest_extra,
             embedded_pos_deletes=vector if n_retired else None,
         )
@@ -282,3 +291,34 @@ def merge_into(
         }
     finally:
         matched.unpersist()
+
+
+def merge_to_branch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    source: DataFrame,
+    key,
+    **merge_kwargs,
+) -> dict:
+    """MERGE INTO a BRANCH: plan and commit the merge against the
+    branch's head chain (NOT the global latest — other branches'
+    commits are invisible to it), then CAS-repoint the branch to the
+    merge commit. A concurrent repoint makes the CAS raise
+    BranchConflict and the merge commit becomes an unreferenced
+    version that retention reclaims — the loser's bytes never corrupt
+    the branch (the commit_to_branch discipline, with the merge's
+    atomic delta+vector commit in the middle). A no-op merge leaves
+    the branch untouched."""
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        update_branch,
+    )
+
+    head = branch_head(spark, root, name)
+    res = merge_into(
+        spark, root, source, key, base_version=head, **merge_kwargs
+    )
+    if res["version"] is not None:
+        update_branch(spark, root, name, res["version"], expected_head=head)
+    return res

@@ -663,6 +663,7 @@ def append_version(
     allow_evolution: bool = False,
     allow_base_tombstones: bool = False,
     expected_base: int | None = None,
+    base_override: int | None = None,
     embedded_pos_deletes: DataFrame | None = None,
 ) -> int:
     """APPEND commit: publish ``df`` as the next version WITHOUT
@@ -735,6 +736,7 @@ def append_version(
         _append_evolution=allow_evolution,
         _allow_base_tombstones=allow_base_tombstones,
         _expected_base=expected_base,
+        _base_override=base_override,
         embedded_pos_deletes=embedded_pos_deletes,
     )
 

@@ -371,3 +371,41 @@ def test_merge_bloom_prunes_hash_scattered_target(spark, tmp_path):
     write_version(_df(spark, 0, 2000).repartition(8, "k"), root2)
     res2 = merge_into(spark, root2, src, "k", prune_with_stats=False)
     assert _rows(got) == _rows(read_version_mor(spark, root2, res2["version"]))
+
+
+def test_merge_to_branch(spark, tmp_path):
+    """MERGE plans against the BRANCH head (other branches invisible)
+    and repoints via the CAS; the other branch is untouched."""
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        commit_to_branch,
+        create_branch,
+        read_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 50), root)
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+    commit_to_branch(_df(spark, 900, 910), root, "dev", append=True)  # noise
+
+    res = merge_to_branch(
+        spark, root, "main", _df(spark, 40, 60, mark=1.0), "k"
+    )
+    assert branch_head(spark, root, "main") == res["version"]
+    got = read_version_mor(spark, root, branch_head(spark, root, "main"))
+    assert got.count() == 60  # base 50, 10 updated in place, 10 inserted
+    assert got.filter(F.col("k") == 45).collect()[0]["x"] == 45 * 2.0 + 1
+    # dev branch never saw any of it
+    assert read_branch(spark, root, "dev").count() == 60
+    assert read_branch(spark, root, "dev").filter(F.col("k") == 45).collect()[0][
+        "x"
+    ] == 90.0
+    # no-op merge leaves the branch untouched
+    res2 = merge_to_branch(
+        spark, root, "main", _df(spark, 200, 205), "k",
+        when_matched_update=True, when_not_matched_insert=None,
+    )
+    assert res2["version"] is None
+    assert branch_head(spark, root, "main") == res["version"]
