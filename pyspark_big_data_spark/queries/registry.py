@@ -324,16 +324,17 @@ DRIVER_EXCLUDED: set[str] = set()
 # matview_cdf_refresh_witness, zorder3_pruned_read_witness) + the 6
 # r11 registrations listed above (merge_into_witness,
 # time_travel_as_of_witness, streaming_cdf_replay_witness,
-# branch_merge_witness, streaming_merge_replay_witness, and
-# gopher_quality_filter — the named-rule Gopher document filter,
-# registered late-r11); then the 12
-# r7 rows waived-to-r12 by name in the r11 policy
+# branch_merge_witness, streaming_merge_replay_witness,
+# gopher_quality_filter — the named-rule Gopher document filter —
+# and ccnet_perplexity_buckets — unigram-LM mean-logprob tercile
+# partitioning, the CCNet shape, both registered late-r11); then the
+# 12 r7 rows waived-to-r12 by name in the r11 policy
 # (semantic_dedup_np_agreement, json_typed_agreement,
 # brp_lsh_ml_witness, minhash_ml_witness, q1_top_months_string_slice,
 # q2_event_time_bins, multimodal_frame_sample,
 # multimodal_audio_resample, bpe_pair_counts, doc_chunk_overlap,
 # boilerplate_prefixes, latest_order_per_customer — aged 5 rounds,
-# their turn is not negotiable); the remaining 50 - 16 - 12 = 22
+# their turn is not negotiable); the remaining 50 - 17 - 12 = 21
 # slots fill with r8-stale rows OLDEST-REGISTERED-FIRST. Any NEW r12
 # registration beyond the heads queues as an r13 head — never by
 # displacing the waived-r7 dozen.

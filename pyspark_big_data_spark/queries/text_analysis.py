@@ -817,3 +817,86 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_alpha.cast("long").alias("rule_alpha_words"),
         (r_len & r_wlen & r_stop & r_alpha).cast("long").alias("passes"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (r11): score every document by its
+# mean unigram log-probability under a language model trained on the
+# corpus itself, then cut head/middle/tail terciles — the public CCNet
+# (Wenzek et al. 2019) quality-partition shape, with a unigram LM
+# standing in for KenLM (same operator skeleton: train counts -> score
+# docs -> bucket; swap the scorer for a real LM off-sandbox). Log
+# arithmetic follows the repo's bit-stable device (geomean/DSIR rows):
+# per-token round(ln(c/N), 9) summed as decimals, so scores AND
+# bucket boundaries match DuckDB bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_CCNET_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(toks) AS token
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), lm AS (
+    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), n AS (
+    SELECT COUNT(*) AS n FROM tok
+), scored AS (
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(ln(CAST(lm.c AS DOUBLE) / n.n), 9)
+                              AS DECIMAL(38,12)) ) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_logprob
+    FROM tok t JOIN lm ON t.token = lm.token CROSS JOIN n
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, mean_logprob,
+       CAST(NTILE(3) OVER (ORDER BY mean_logprob DESC, doc_id) AS BIGINT)
+           AS bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE, driver=False)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partitioning: train a unigram LM on the
+    corpus (one token-keyed count aggregate), score every document by
+    mean log-probability (explode → broadcast LM join → per-doc
+    decimal-exact fold of 9dp-rounded ln — the repo's bit-stable log
+    device), and cut head/middle/tail TERCILES (bucket 1 = most
+    predictable text, the slice CCNet keeps). 100 TB shape: the LM is
+    vocabulary-sized (broadcast while it fits; drop the hint for
+    web-scale vocabularies and let AQE shuffle), scoring is one explode
+    + one broadcast join + one doc-keyed aggregate; the exact global
+    NTILE pays one single-partition window over DOC-count rows (the
+    same audited concession as price_histogram_equidepth — the sampled
+    sketch variant is the named 100 TB escape). DuckDB retrains and
+    rescores from raw text, so a count drift, a ln-policy mismatch, or
+    a tercile boundary off by one flips the row red."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n_total = tok.count()
+    logprob = F.round(
+        F.log(F.col("c").cast("double") / F.lit(float(n_total))), 9
+    ).cast("decimal(38,12)")
+    scored = (
+        tok.join(F.broadcast(lm.select("token", logprob.alias("lp"))), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    w = Window.orderBy(F.col("mean_logprob").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "mean_logprob",
+        F.ntile(3).over(w).cast("long").alias("bucket"),
+    ).orderBy("doc_id")
