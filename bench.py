@@ -181,6 +181,10 @@ HEADLINE = [
     # commits (update/insert/delete batches) + a corrupted redelivery
     # skipped by marker + the final MOR read.
     "streaming_merge_replay_witness",
+    # late-r11 text additions (appended): one codegen token pass with
+    # named-rule verdicts; unigram-LM scoring + tercile partition.
+    "gopher_quality_filter",
+    "ccnet_perplexity_buckets",
 ]
 
 
