@@ -1995,3 +1995,63 @@ def time_travel_as_of_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if latest_v == 2 else 0).cast("long").alias("latest_gate"),
         F.lit(1 if predates else 0).cast("long").alias("predate_gate"),
     )
+
+
+_NDV_ORACLE = """
+SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS ndv_segment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys_exact,
+       CAST(1 AS BIGINT) AS estimate_gate,
+       CAST(1 AS BIGINT) AS chain_gate
+FROM customer
+"""
+
+
+@register("snapshot_ndv_witness", oracle=_NDV_ORACLE, driver=False)
+def snapshot_ndv_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style NDV statistics driver-verified
+    (operators/versioned.py::snapshot_ndv — per-file Datasketches HLL
+    sketches committed IN the manifest, merged at query time with
+    hll_union_agg: the fourth metadata-only query shape next to COUNT
+    / MIN-MAX / NULLS, and the mergeability demonstration — an append
+    chain answers NDV by unioning every member's sketches with zero
+    data pages): commit the customer dimension as a CHAIN (even keys,
+    then odd keys appended), both members sketched on c_custkey and
+    c_mktsegment. Emits the sketch's segment NDV (tiny cardinality —
+    the sketch is in exact list mode, so DuckDB's COUNT DISTINCT must
+    match it to the integer) and the EXACT key census (value-pinned by
+    DuckDB). Gates: ``estimate_gate`` = the chain-merged key-NDV
+    estimate is within 5% of exact (lgK=12 RSE is ~1.6%);
+    ``chain_gate`` = the estimate strictly exceeds either single
+    member's (the union really merged, not picked one side)."""
+    from pyspark_big_data_spark.io import session_tmpdir
+    from pyspark_big_data_spark.operators.versioned import (
+        append_version,
+        snapshot_ndv,
+        write_version,
+    )
+
+    root = session_tmpdir("ndv_dim_")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_version(
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        root,
+        ndv_cols=["c_custkey", "c_mktsegment"],
+    )
+    base_est = snapshot_ndv(spark, root, "c_custkey", version=0)
+    v1 = append_version(
+        cust.filter(F.col("c_custkey") % 2 == 1),
+        root,
+        ndv_cols=["c_custkey", "c_mktsegment"],
+    )
+    est = snapshot_ndv(spark, root, "c_custkey", version=v1)
+    seg = snapshot_ndv(spark, root, "c_mktsegment", version=v1)
+    exact = cust.agg(F.count_distinct("c_custkey").alias("n")).collect()[0]["n"]
+    est_ok = abs(est / max(exact, 1) - 1.0) <= 0.05
+    chain_ok = est > base_est
+
+    return spark.createDataFrame(
+        [(int(seg), int(exact), 1 if est_ok else 0, 1 if chain_ok else 0)],
+        "ndv_segment long, n_keys_exact long, estimate_gate long, chain_gate long",
+    )

@@ -436,3 +436,30 @@ def test_as_of_timestamp_resolution(spark, tmp_path):
 
     assert read_version_as_of(spark, root, mid).count() == 150
     assert table_changes_as_of(spark, root, (t0 + t1) / 2, mid).count() == 50
+
+
+def test_snapshot_ndv_sketches(spark, tmp_path):
+    """Manifest NDV: exact in list mode (tiny cardinalities), ~1.6%
+    RSE at lgK=12, chain-merged across members, missing-col refused."""
+    from pyspark_big_data_spark.operators.versioned import snapshot_ndv
+
+    root = str(tmp_path / "vds")
+    seg = (F.col("k") % 7).cast("string").alias("seg")
+    write_version(
+        _df(spark, 0, 5000).select("k", "x", seg).repartition(4),
+        root,
+        ndv_cols=["k", "seg"],
+    )
+    assert snapshot_ndv(spark, root, "seg") == 7  # list mode: exact
+    est = snapshot_ndv(spark, root, "k")
+    assert abs(est / 5000 - 1.0) <= 0.05
+    append_version(
+        _df(spark, 5000, 8000).select("k", "x", seg).repartition(2),
+        root,
+        ndv_cols=["k", "seg"],
+    )
+    est2 = snapshot_ndv(spark, root, "k")
+    assert abs(est2 / 8000 - 1.0) <= 0.05
+    assert est2 > est  # the chain union really merged
+    with pytest.raises(ValueError, match="no NDV sketch"):
+        snapshot_ndv(spark, root, "x")
