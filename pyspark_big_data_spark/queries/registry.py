@@ -327,16 +327,17 @@ DRIVER_EXCLUDED: set[str] = set()
 # branch_merge_witness, streaming_merge_replay_witness,
 # gopher_quality_filter — the named-rule Gopher document filter —
 # ccnet_perplexity_buckets — unigram-LM mean-logprob tercile
-# partitioning, the CCNet shape — and snapshot_ndv_witness —
+# partitioning, the CCNet shape — snapshot_ndv_witness —
 # ANALYZE-style NDV from per-file manifest HLL sketches, chain-merged
-# — all registered late-r11); then the
+# — and tokenizer_fertility_by_lang — per-language BPE-per-word
+# fertility census — all registered late-r11); then the
 # 12 r7 rows waived-to-r12 by name in the r11 policy
 # (semantic_dedup_np_agreement, json_typed_agreement,
 # brp_lsh_ml_witness, minhash_ml_witness, q1_top_months_string_slice,
 # q2_event_time_bins, multimodal_frame_sample,
 # multimodal_audio_resample, bpe_pair_counts, doc_chunk_overlap,
 # boilerplate_prefixes, latest_order_per_customer — aged 5 rounds,
-# their turn is not negotiable); the remaining 50 - 18 - 12 = 20
+# their turn is not negotiable); the remaining 50 - 19 - 12 = 19
 # slots fill with r8-stale rows OLDEST-REGISTERED-FIRST. Any NEW r12
 # registration beyond the heads queues as an r13 head — never by
 # displacing the waived-r7 dozen.

@@ -900,3 +900,60 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_logprob",
         F.ntile(3).over(w).cast("long").alias("bucket"),
     ).orderBy("doc_id")
+
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / greatest(SUM(n_words), 1), 6)
+           AS fertility
+FROM (
+    SELECT lang,
+           len({_TOKS}) AS n_words,
+           length(regexp_extract_all(text, '{{bpe}}')) AS n_bpe
+    FROM documents
+)
+GROUP BY lang
+ORDER BY lang
+""".replace("{bpe}", "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+
+
+@register("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE, driver=False)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: BPE-ish tokens emitted per
+    whitespace word — the statistic that decides vocabulary budgets
+    and per-language compute in multilingual tokenizer training (a
+    language at fertility 2.5 pays 2.5x the sequence length of one at
+    1.1). One map-only codegen pass (two regexp counts per doc) + one
+    language-keyed aggregate; exact integer sums, one final double
+    division rounded 6dp — bit-stable. DuckDB recomputes both token
+    censuses from raw text, so a tokenizer-pattern drift between
+    engines flips the row red."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        TX.word_count(F.col("text")).cast("long").alias("n_words"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
