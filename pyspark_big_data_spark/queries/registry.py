@@ -341,6 +341,24 @@ DRIVER_EXCLUDED: set[str] = set()
 # slots fill with r8-stale rows OLDEST-REGISTERED-FIRST. Any NEW r12
 # registration beyond the heads queues as an r13 head — never by
 # displacing the waived-r7 dozen.
+#
+# r13 POLICY (settled NOW, same arithmetic): heads first — any NEW
+# r12 registrations (registered driver=False this round, queued
+# oldest-first); then the 31 remaining r8-stale rows
+# OLDEST-REGISTERED-FIRST (hybrid_rrf_topk, ann_topk_pq_prebuilt,
+# multimodal_resize, multimodal_real_resize,
+# planted_lsh_recall_witness, q1_top_months_per_year_sql,
+# q2_event_time_bins_sql, q3_segment_profile_top, q4_avg_distance,
+# q4_avg_distance_pandas_udf, referential_integrity_audit,
+# user_erasure_audit, upsert_merge_witness, embedding_quantize_int8,
+# json_props_extract, stats_by_returnflag, orders_per_customer_array,
+# unpivot_lineitem_metrics, value_zscore_by_type, ab_test_readout,
+# approx_quantile_witness, streaming_cms_replay_witness,
+# streaming_ann_replay_witness, streaming_ivm_replay_witness,
+# streaming_scd2_replay_witness, text_token_stats,
+# bpe_tokenize_corpus, nation_rank_dense_ntile, ann_ivfpq_witness,
+# minhash_fast_tier_witness, pca_project_witness); remaining slots
+# fill with r9-stale rows oldest-registered-first.
 
 # Superseded variants OUT OF THE CYCLING POOL for good (see the policy
 # amendment above); structurally excluded from the driver surface in
@@ -364,74 +382,73 @@ PERMANENT_REST: set[str] = {
     "q4_avg_distance_geodesic",  # behind the haversine-delta gate (D1)
 }
 ROTATE_IN: set[str] = {
-    # r11: the frozen heads-heavy surface, EXECUTED exactly as the r10
-    # policy comment settled it — 36 heads (the 46 never-green oracled
-    # rows minus the 10 overflow-rule r10 registrations queued as r12
-    # heads: copurchase_triangles, kcore_copurchase, chi2_token_label,
-    # restore_rollback_witness, branch_isolation_witness,
-    # pmi_collocations, positional_delete_read_witness,
-    # null_stats_pruned_read_witness, matview_cdf_refresh_witness,
-    # zorder3_pruned_read_witness) + 14 r7-stale re-cycles (the 26
-    # r7-stale rows minus the 12 waived-to-r12 named in the policy).
-    # 36 + 14 = 50 exactly; all 50 verified bit-exact in the judge's
-    # r10 230-row sweep, and every member of this set was registered
-    # driver=False, so ROTATE_IN covers the whole surface; ROTATE_OUT
-    # rests every other driver=True registration.
-    "ann_ivf_kmeans_witness",
-    "append_commit_read_witness",
-    "append_evolution_read_witness",
-    "asof_last_purchase_before_click",
-    "asof_next_error_after_signup",
-    "bfs_trade_hops",
-    "bloom_semi_join_witness",
-    "bm25_from_index_topk",
-    "bpe_merges_learned",
-    "cdc_apply_changes_witness",
-    "char_entropy_quality",
-    "contrastive_triplets_topk",
-    "copurchase_part_pairs",
-    "dedup_longest_survivors",
-    "delete_vector_read_witness",
-    "event_value_anomalies",
-    "geomean_price_by_priority",
-    "hll_distinct_witness",
-    "inverted_index_search_witness",
-    "lsh_recall_witness",
-    "matview_fallback_distinct",
-    "matview_incremental_refresh",
-    "matview_rollup_orders",
-    "multimodal_real_decode",
-    "ohlc_purchase_hourly",
-    "percentiles_by_priority",
-    "phrase_search_witness",
-    "price_balance_correlation",
-    "price_histogram_equidepth",
-    "price_histogram_equidepth_sampled",
-    "priority_time_in_state",
-    "pseudonymize_referential_witness",
-    "sharded_manifest_witness",
-    "skyline_lineitem_3d",
-    "skyline_parts_price_size",
-    "snapshot_compaction_witness",
-    "snapshot_history_witness",
-    "snapshot_tag_protected_witness",
-    "sorted_export_witness",
-    "spatial_radius_pairs",
-    "streaming_append_chain_replay_witness",
-    "streaming_index_replay_witness",
-    "surrogate_keys_customers",
-    "table_changes_feed_witness",
-    "txn_disjoint_rebase_witness",
-    "value_mad_outliers",
-    "wap_publish_witness",
-    "weighted_sample_quality",
+    # r12: the settled rotation EXECUTED exactly as the r11 policy
+    # comment froze it — 19 heads (the 10 r10-overflow rows + the 9
+    # late-r11 registrations, every one never-green in a driver
+    # CORRECTNESS row and every one bit-exact in the judge's r11
+    # 239-row sweep) + the 12 r7 rows waived-to-r12 by name (aged 5
+    # rounds; their turn is not negotiable) + 19 r8-stale re-cycles
+    # OLDEST-REGISTERED-FIRST (the 50 r8-green rows minus
+    # PERMANENT_REST, first 19 by registration order). 19+12+19 = 50
+    # exactly; recomputed mechanically this round from
+    # CORRECTNESS_r01..r11 (tools/rotation gives the same split).
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "boilerplate_prefixes",
+    "bpe_pair_counts",
+    "branch_isolation_witness",
+    "branch_merge_witness",
+    "brp_lsh_ml_witness",
+    "ccnet_perplexity_buckets",
+    "chi2_token_label",
+    "contrastive_triplets",
+    "copurchase_triangles",
+    "customer_set_ops",
+    "decontaminate_semantic",
+    "dedup_minhash_incremental_steady",
+    "dedup_soft_weights_from_map",
+    "dedup_triangle_audit",
+    "distinct_users_by_type",
+    "doc_chunk_overlap",
+    "doc_embed_near_dup",
+    "dsir_importance_weights",
+    "gopher_quality_filter",
+    "grouping_sets_status_segment",
+    "json_typed_agreement",
+    "kcore_copurchase",
+    "latest_order_per_customer",
+    "matview_cdf_refresh_witness",
+    "merge_into_witness",
+    "minhash_ml_witness",
+    "multi_touch_attribution",
+    "multimodal_audio_resample",
+    "multimodal_frame_sample",
+    "nation_volume_shipping",
+    "null_stats_pruned_read_witness",
+    "orders_above_customer_avg",
+    "pmi_collocations",
+    "positional_delete_read_witness",
+    "q1_top_months_string_slice",
+    "q2_event_time_bins",
+    "restore_rollback_witness",
+    "scd2_point_in_time",
+    "semantic_dedup_np_agreement",
+    "snapshot_ndv_witness",
+    "split_assign_leakage_free",
+    "streaming_cdf_replay_witness",
+    "streaming_merge_replay_witness",
+    "tfidf_top_terms",
+    "time_travel_as_of_witness",
+    "tokenizer_fertility_by_lang",
+    "user_overlap_exact",
+    "zorder3_pruned_read_witness",
 }
 ROTATE_OUT: set[str] = {
-    # r11: every registered driver=True row NOT in the frozen r11
-    # surface rests this round (most recent CORRECTNESS row ≤ 3
-    # rounds old for all of them; the 12 policy-waived r7 rows —
-    # q2_event_time_bins here, the driver=False ones implicitly —
-    # rest one extra round per the named justification above).
+    # r12: every registered driver=True row NOT in the frozen r12
+    # surface rests this round. After r12, the never-green backlog is
+    # ZERO and nothing on the surface is older than r8; the remaining
+    # 31 r8-stale rows (registration order, see r13 policy above)
+    # lead r13's re-cycles.
     "ann_ivfpq_witness",
     "ann_lsh_bucketed",
     "ann_topk_ivf_incremental",
@@ -447,11 +464,9 @@ ROTATE_OUT: set[str] = {
     "decontaminate_vs_probes",
     "dedup_clusters",
     "dedup_exact",
-    "dedup_minhash_incremental_steady",
     "dedup_minhash_lsh",
     "dedup_near_survivors",
     "dedup_simhash",
-    "dedup_soft_weights_from_map",
     "doc_fingerprint_winnow",
     "embedding_near_dup",
     "embedding_quantize_int8",
@@ -459,7 +474,6 @@ ROTATE_OUT: set[str] = {
     "event_transition_matrix",
     "funnel_conversion",
     "fuzzy_name_links",
-    "grouping_sets_status_segment",
     "json_props_extract",
     "kmeans_clusters",
     "mixture_upsample",
@@ -477,7 +491,6 @@ ROTATE_OUT: set[str] = {
     "price_percentiles",
     "pricing_summary",
     "q1_top_months_per_year",
-    "q2_event_time_bins",
     "q3_segment_profile_top",
     "q4_avg_distance",
     "range_join_open_windows",
@@ -489,7 +502,6 @@ ROTATE_OUT: set[str] = {
     "sample_hash_bucket",
     "sample_stratified_quota",
     "scd2_customer_priority",
-    "scd2_point_in_time",
     "semantic_dedup",
     "session_paths",
     "session_window_agg",
@@ -498,6 +510,7 @@ ROTATE_OUT: set[str] = {
     "snapshot_pruned_read_witness",
     "span_dedup_chunks",
     "streaming_ann_replay_witness",
+    "streaming_dedup_replay_witness",
     "streaming_ivm_replay_witness",
     "streaming_scd2_replay_witness",
     "table_profile",
@@ -510,6 +523,7 @@ ROTATE_OUT: set[str] = {
     "tumbling_window_agg",
     "union_priority_counts",
     "upsert_merge_witness",
+    "user_overlap_sketch_witness",
     "vocab_stats",
     "winnow_near_pairs",
 }
