@@ -490,9 +490,14 @@ def merge_branch(
 
     A merge commit records its second parent in the manifest
     (``merged_from`` = the source head), so the ancestry is a true DAG:
-    re-merging an already-merged branch is a noop, and a branch that
+    re-merging an already-merged branch is a noop, a branch that
     keeps appending after a merge ships ONLY the new delta next time
-    (the base resolves to the previously-merged head, git-style).
+    (the base resolves to the previously-merged head, git-style), and
+    a BACK-merge (A→B then B→A) ships only the far side's genuine
+    appends — merge-commit PAYLOADS whose origin versions the target
+    already reaches are skipped, never re-appended, and a payload that
+    MIXES target-reachable and new origins (true criss-cross) is
+    refused loudly rather than split.
 
     REFUSED loudly (the conflicts appends cannot arbitrate):
 
@@ -515,20 +520,28 @@ def merge_branch(
         list_pos_delete_commits,
     )
     from pyspark_big_data_spark.operators.versioned import (
+        manifest,
         table_changes,
         version_chain,
     )
 
     head_s = branch_head(spark, root, source)
     head_t = branch_head(spark, root, into)
-    if head_s in _merge_reachable(spark, root, head_t):
+    reach_t = _merge_reachable(spark, root, head_t)
+    if head_s in reach_t:
         return {"mode": "noop", "version": head_t, "base": head_s}
-    if head_t in version_chain(spark, root, head_s):
+    if head_t in _merge_reachable(spark, root, head_s):
+        # DAG ancestry, not just the linear chain: a target head that
+        # was previously MERGED into the source (merged_from parent) is
+        # fully incorporated too, so the repoint is a pure fast-forward
+        # — taking the merge path here would re-append the target's own
+        # rows back onto itself (the back-merge duplication bug)
         fast_forward_branch(spark, root, into, head_s)
         return {"mode": "fast-forward", "version": head_s, "base": head_t}
 
     base = merge_base(spark, root, head_s, head_t)
-    for v in version_chain(spark, root, head_s):
+    chain_s = version_chain(spark, root, head_s)
+    for v in chain_s:
         if v == base:
             break
         if (
@@ -542,9 +555,57 @@ def merge_branch(
                 "not appends — materialize or replay them explicitly "
                 "before merging"
             )
-    # the source side's rows since the base; table_changes re-checks
-    # the append-only range and serves ONLY the delta dirs
-    delta = table_changes(spark, root, base, head_s)
+    # The source side's NEW rows since the base. A plain append above
+    # the base whose version is not target-reachable is new by
+    # construction — but a MERGE COMMIT's delta dir is a PAYLOAD: a
+    # copy of rows that originally landed on its merged_from side.
+    # Shipping such a payload when the target already reaches those
+    # origins re-appends rows the target has (back-merge: merge A→B
+    # then B→A would double every previously-merged key), so each
+    # chain member is classified by the ORIGIN of its rows:
+    #   - plain append v ∉ reach(target)       → ship its delta dir
+    #   - merge commit, origins ⊆ reach(target) → skip (pure duplicate)
+    #   - merge commit, origins ∩ reach(target) = ∅ → ship
+    #   - partial overlap                       → refuse loudly
+    # where origins(v) = reach(merged_from) \ reach(merge base at the
+    # time), recomputed deterministically from the DAG.
+    ship_dirs: list[str] = []
+    for i, v in enumerate(chain_s):
+        if v == base or v in reach_t:
+            break
+        m = manifest(spark, root, v) or {}
+        mf = m.get("merged_from")
+        if mf is None:
+            ship_dirs.append(f"{root.rstrip('/')}/v={v}")
+            continue
+        parent_v = chain_s[i + 1]
+        base_v = merge_base(spark, root, int(mf), parent_v)
+        origins = _merge_reachable(spark, root, int(mf)) - _merge_reachable(
+            spark, root, base_v
+        )
+        if not origins or origins <= reach_t:
+            continue  # payload rows all target-reachable — skip
+        if origins & reach_t:
+            raise ValueError(
+                f"criss-cross merge at v={v} under {root}: its payload "
+                f"mixes rows the target already has (origins "
+                f"{sorted(origins & reach_t)}) with new ones — an "
+                "append-level merge cannot split a payload; replay the "
+                "missing commits onto the target explicitly"
+            )
+        ship_dirs.append(f"{root.rstrip('/')}/v={v}")
+    if not ship_dirs:
+        # everything above the base is target-reachable payload (the
+        # back-merge tail case): record the merge as an EMPTY append
+        # so future reachability resolves, shipping zero rows
+        delta = table_changes(spark, root, base, base)
+    else:
+        for d in ship_dirs:
+            spark.catalog.refreshByPath(d)
+        reader = spark.read
+        if len(ship_dirs) > 1:
+            reader = reader.option("mergeSchema", "true")  # evolved chains
+        delta = reader.parquet(*ship_dirs)
     new_v = commit_to_branch(
         delta,
         root,
@@ -552,7 +613,7 @@ def merge_branch(
         append=True,
         expected_head=head_t,
         allow_evolution=True,
-        manifest_extra={"merged_from": head_s},
+        manifest_extra={"merged_from": head_s, "merge_base": base},
     )
     return {"mode": "merge", "version": new_v, "base": base}
 
@@ -561,22 +622,20 @@ def fast_forward_branch(
     spark: SparkSession, root: str, name: str, to_version: int
 ) -> None:
     """Fast-forward merge: repoint ``name`` to ``to_version`` iff the
-    branch's current head is an ANCESTOR of the target (on the
-    target's append chain) — the only merge that needs no data
-    semantics, so it is metadata-only and always safe. Divergent
-    histories are refused: merging them means deciding row-level
-    semantics (union? last-writer? keyed MERGE?), which is the
-    caller's job via an explicit commit_to_branch of the merged
-    content. The repoint itself is the optimistic CAS of
-    update_branch, so a concurrent advance still raises
-    BranchConflict instead of being clobbered."""
-    from pyspark_big_data_spark.operators.versioned import version_chain
-
+    branch's current head is a DAG ANCESTOR of the target — on the
+    target's append chain OR incorporated through a past merge commit
+    (``merged_from`` parent), exactly git's fast-forward rule — the
+    only merge that needs no data semantics, so it is metadata-only
+    and always safe. Divergent histories are refused: merging them
+    means deciding row-level semantics (union? last-writer? keyed
+    MERGE?), which is the caller's job via an explicit
+    commit_to_branch of the merged content. The repoint itself is the
+    optimistic CAS of update_branch, so a concurrent advance still
+    raises BranchConflict instead of being clobbered."""
     head = branch_head(spark, root, name)
     if to_version == head:
         return  # already there
-    chain = version_chain(spark, root, to_version)
-    if head not in chain:
+    if head not in _merge_reachable(spark, root, to_version):
         raise ValueError(
             f"cannot fast-forward branch {name!r}: its head v={head} is "
             f"not an ancestor of v={to_version} (divergent histories need "

@@ -406,6 +406,98 @@ def test_sequential_merges_ship_only_new_delta(spark, tmp_path):
     assert merged.filter((F.col("k") >= 100) & (F.col("k") < 120)).count() == 20
 
 
+def test_back_merge_fast_forwards_without_duplicates(spark, tmp_path):
+    """merge A->B then B->A: the target head is DAG-reachable from the
+    source (via the first merge's merged_from parent), so the back-
+    merge is a pure fast-forward repoint — never a data commit that
+    would re-append every previously-merged key (the r11 duplication
+    bug: A ended with 25 rows instead of 20)."""
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        commit_to_branch,
+        merge_branch,
+        read_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)  # v0 = 50 rows, branches main + dev
+    commit_to_branch(_bdf(spark, 100, 105), root, "dev", append=True)
+    commit_to_branch(_bdf(spark, 200, 205), root, "main", append=True)
+    res1 = merge_branch(spark, root, "dev", "main")  # A->B
+    assert res1["mode"] == "merge"
+    assert read_branch(spark, root, "main").count() == 60
+
+    res2 = merge_branch(spark, root, "main", "dev")  # B->A: back-merge
+    assert res2["mode"] == "fast-forward"
+    assert branch_head(spark, root, "dev") == res1["version"]
+    dev = read_branch(spark, root, "dev")
+    assert dev.count() == 60  # NOT 65: nothing re-appended
+    assert dev.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_back_merge_with_new_rows_skips_merged_payload(spark, tmp_path):
+    """merge A->B, then BOTH sides keep appending, then merge B->A:
+    the merge commit on B's chain is a PAYLOAD of A's own rows, so the
+    back-merge must ship only B's genuine appends — skipping the
+    payload whose origin versions A already reaches."""
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        merge_branch,
+        read_branch,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)  # v0 = 50 rows
+    commit_to_branch(_bdf(spark, 100, 105), root, "dev", append=True)
+    commit_to_branch(_bdf(spark, 200, 205), root, "main", append=True)
+    assert merge_branch(spark, root, "dev", "main")["mode"] == "merge"
+    commit_to_branch(_bdf(spark, 110, 115), root, "dev", append=True)
+    commit_to_branch(_bdf(spark, 210, 215), root, "main", append=True)
+
+    res = merge_branch(spark, root, "main", "dev")  # B->A, divergent
+    assert res["mode"] == "merge"
+    dev = read_branch(spark, root, "dev")
+    assert dev.count() == 70  # 50 + 5 + 5 + 5 + 5, dev's own 5 not doubled
+    assert dev.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    # and the criss-cross completion converges too: merging dev back
+    # into main skips main's rows (payload + own) and ships dev's new 5
+    res2 = merge_branch(spark, root, "dev", "main")
+    main = read_branch(spark, root, "main")
+    assert main.count() == 70
+    assert main.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    assert sorted(map(tuple, main.collect())) == sorted(map(tuple, dev.collect()))
+
+
+def test_merge_refuses_partial_payload_overlap(spark, tmp_path):
+    """A merge-commit payload that MIXES rows the target already has
+    with rows it does not (true criss-cross: C merged into B at c1,
+    then C+c2 merged into A, then A->B) cannot be split at the append
+    level — refused loudly instead of duplicating or dropping."""
+    import pytest as _pytest
+
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        create_branch,
+        merge_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 50), root)
+    for b in ("main", "dev", "feat"):
+        create_branch(spark, root, b, 0)
+    commit_to_branch(_bdf(spark, 300, 305), root, "feat", append=True)  # c1
+    commit_to_branch(_bdf(spark, 200, 205), root, "main", append=True)
+    assert merge_branch(spark, root, "feat", "main")["mode"] == "merge"
+    commit_to_branch(_bdf(spark, 310, 315), root, "feat", append=True)  # c2
+    commit_to_branch(_bdf(spark, 100, 105), root, "dev", append=True)
+    # dev absorbs feat's c1+c2 as ONE merge payload
+    assert merge_branch(spark, root, "feat", "dev")["mode"] == "merge"
+    # main already has c1 but not c2: the dev->main payload is partial
+    with _pytest.raises(ValueError, match="criss-cross"):
+        merge_branch(spark, root, "dev", "main")
+
+
 def test_prune_branch_log(spark, tmp_path):
     from pyspark_big_data_spark.operators.refs import (
         branch_head,
