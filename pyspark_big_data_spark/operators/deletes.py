@@ -399,16 +399,28 @@ def delete_positions(
             return k
 
 
+def _has_rows_sidecar(spark: SparkSession, commit_dir: str) -> bool:
+    fs, _, jvm = _fs(spark, commit_dir)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{commit_dir}/_rows.json"))
+
+
 def _chain_vectors(spark: SparkSession, root: str, version: int):
     """Census of every deletion vector visible to a MOR read of
-    ``v=version``: ``(eq, pos_paths, total_rows)`` where ``eq`` is
-    ``[(member, keys_df, key_col)]`` newest-first and ``pos_paths`` is
-    every positional-vector parquet dir (external commits + embedded
-    MERGE vectors) across the chain. ``total_rows`` is priced from the
-    commit row-count sidecars / manifests — zero Spark jobs on the
+    ``v=version``: ``(eq, pos_paths, legacy_pos_paths, total_rows)``
+    where ``eq`` is ``[(member, keys_df, key_col)]`` newest-first and
+    ``pos_paths`` is every positional-vector parquet dir (external
+    commits + embedded MERGE vectors) across the chain.
+    ``legacy_pos_paths`` are external commits that PREDATE the r11
+    version-qualified address format (detected by the absence of the
+    ``_rows.json`` sidecar, which the same r11 change started writing
+    into every staging dir): their ``_file`` column holds bare
+    basenames, so the MOR read must match them by basename or those
+    tombstones silently stop masking. ``total_rows`` is priced from
+    the commit row-count sidecars / manifests — zero Spark jobs on the
     sidecar-bearing path."""
     eq: list[tuple[int, DataFrame, str]] = []
     pos_paths: list[str] = []
+    legacy_pos_paths: list[str] = []
     total_rows = 0
     for v in version_chain(spark, root, version):
         keys_df, kcol = deleted_keys(spark, root, v)
@@ -420,15 +432,20 @@ def _chain_vectors(spark: SparkSession, root: str, version: int):
         proot = _pos_deletes_root(root, v)
         for k in list_pos_delete_commits(spark, root, v):
             p = f"{proot}/d={k}"
-            pos_paths.append(p)
+            if _has_rows_sidecar(spark, p):
+                pos_paths.append(p)
+            else:  # pre-r11 commit: bare-basename addresses
+                legacy_pos_paths.append(p)
             total_rows += _commit_rows(spark, p)
         emb = _embedded_deletes_dir(spark, root, v)
         if emb is not None:
+            # embedded vectors arrived WITH the qualified format —
+            # never legacy
             pos_paths.append(emb)
             m = manifest(spark, root, v)
             n = (m or {}).get("pos_delete_rows")
             total_rows += int(n) if n is not None else _commit_rows(spark, emb)
-    return eq, pos_paths, total_rows
+    return eq, pos_paths, legacy_pos_paths, total_rows
 
 
 def read_version_mor(
@@ -496,8 +513,8 @@ def read_version_mor(
         base = read_version_pruned(spark, root, pruned_col, lower, upper, version)
     else:
         base = read_version(spark, root, version)
-    eq, pos_paths, total_rows = _chain_vectors(spark, root, version)
-    if not eq and not pos_paths:
+    eq, pos_paths, legacy_pos, total_rows = _chain_vectors(spark, root, version)
+    if not eq and not pos_paths and not legacy_pos:
         if not keep_addresses:
             return base
         _guard_reserved_address_cols(base)
@@ -512,7 +529,7 @@ def read_version_mor(
     # vectors against the head mask the whole chain; only INTERIOR
     # vectors need the per-row member sequence
     need_member = any(m != version for m, _, _ in eq) and len(members) > 1
-    need_pos = bool(pos_paths) or keep_addresses
+    need_pos = bool(pos_paths) or bool(legacy_pos) or keep_addresses
 
     proj = []
     if need_pos:
@@ -525,6 +542,9 @@ def read_version_mor(
     if proj:
         _guard_reserved_address_cols(base)
         base = base.select(*proj, "*")
+    added = {FILE_COL, POS_COL} if need_pos else set()
+    if need_member:
+        added.add(_MEMBER_COL)
 
     if pos_paths:
         for p in pos_paths:
@@ -533,6 +553,32 @@ def read_version_mor(
         if hint:
             tomb = F.broadcast(tomb)
         base = base.join(tomb, [FILE_COL, POS_COL], "left_anti")
+
+    if legacy_pos:
+        # pre-r11 vectors hold bare basenames: match on the basename of
+        # the qualified address (part-file names are write-UUID-unique,
+        # so the basename is unambiguous within a chain)
+        for p in legacy_pos:
+            spark.catalog.refreshByPath(p)
+        ltomb = (
+            spark.read.parquet(*legacy_pos)
+            .select(
+                F.col(FILE_COL).alias("__legacy_file"),
+                F.col(POS_COL).alias("__legacy_pos"),
+            )
+            .distinct()
+        )
+        if hint:
+            ltomb = F.broadcast(ltomb)
+        base = base.join(
+            ltomb,
+            (
+                F.element_at(F.split(F.col(FILE_COL), "/"), -1)
+                == F.col("__legacy_file")
+            )
+            & (F.col(POS_COL) == F.col("__legacy_pos")),
+            "left_anti",
+        )
 
     for m, keys_df, kcol in eq:
         side = F.broadcast(keys_df) if hint else keys_df
@@ -547,12 +593,11 @@ def read_version_mor(
         else:
             base = base.join(side, kcol, "left_anti")
 
+    # drop ONLY the address columns this read itself projected — a
+    # data column that legitimately shares a reserved name (possible on
+    # the equality-only path, where no guard fires) stays intact
     keep = (FILE_COL, POS_COL) if keep_addresses else ()
-    drop = [
-        c
-        for c in (FILE_COL, POS_COL, _MEMBER_COL)
-        if c in base.columns and c not in keep
-    ]
+    drop = [c for c in added if c not in keep]
     return base.drop(*drop) if drop else base
 
 

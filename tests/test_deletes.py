@@ -319,6 +319,60 @@ def test_positional_reserved_name_guard(spark, tmp_path):
         with_positions(spark, root, 0)
 
 
+def test_legacy_bare_basename_vectors_still_mask(spark, tmp_path):
+    """Positional vectors committed BEFORE the r11 version-qualified
+    address format hold bare part-file basenames and no _rows.json
+    sidecar. The MOR read must detect the vintage (sidecar absence)
+    and match those tombstones by basename — not silently stop
+    masking, resurrecting deleted rows."""
+    import glob
+    import json as _json
+
+    from pyspark_big_data_spark.operators.deletes import (
+        delete_positions,
+        with_positions,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 100).repartition(4, "k"), root)
+    addr = with_positions(spark, root, 0).filter(F.col("k") % 10 == 3)
+    delete_positions(spark, root, addr, version=0)
+
+    # rewrite the commit the way pre-r11 code left it: bare basenames,
+    # no sidecar
+    cdir = f"{root}/_pos_deletes/v=0/d=0"
+    tomb = spark.read.parquet(cdir).toPandas()
+    assert tomb["_file"].str.contains("/").all()  # modern format today
+    tomb["_file"] = tomb["_file"].str.split("/").str[-1]
+    import pandas as pd  # noqa: F401
+
+    for f in glob.glob(f"{cdir}/*.parquet") + glob.glob(f"{cdir}/_rows.json"):
+        os.remove(f)
+    tomb.to_parquet(f"{cdir}/part-legacy.parquet", index=False)
+    spark.catalog.refreshByPath(cdir)
+
+    got = read_version_mor(spark, root, 0)
+    assert _rows(got) == _rows(
+        read_version(spark, root, 0).filter(F.col("k") % 10 != 3)
+    )
+    assert got.columns == ["k", "x"]
+
+
+def test_equality_only_mor_keeps_data_column_named_file(spark, tmp_path):
+    """A snapshot legitimately carrying a data column named ``_file``
+    survives an equality-vectors-only MOR read intact: the trailing
+    drop removes only address columns THIS read projected, never data
+    columns that happen to share a reserved name."""
+    root = str(tmp_path / "vds")
+    df = _df(spark, 20).withColumn("_file", F.concat(F.lit("doc-"), F.col("k")))
+    write_version(df, root)
+    delete_keys(spark, root, _keys(spark, [3, 7]), "k", version=0)
+    got = read_version_mor(spark, root, 0)
+    assert set(got.columns) == {"k", "x", "_file"}
+    assert got.count() == 18
+    assert got.filter(F.col("_file") == "doc-5").count() == 1
+
+
 # ---------------------------------------------------------------------------
 # Chain-wide vector resolution, sequence rules, thresholds (r11)
 # ---------------------------------------------------------------------------
