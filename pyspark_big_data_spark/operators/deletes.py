@@ -616,6 +616,7 @@ def materialize_deletes(
     root: str,
     version: int | None = None,
     target_files: int | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Fold every deletion vector visible to ``v=version`` (its own and
     its chain ancestors', equality and positional alike) into a NEW
@@ -628,7 +629,20 @@ def materialize_deletes(
     working until retention expires them. With ``target_files``, the
     rewrite also bin-packs (a delete wave often strands small files;
     folding the compaction into the same rewrite saves a second full
-    pass)."""
+    pass).
+
+    The rewrite CUTS the chain (no base link), so like the streaming
+    sinks' compaction it CARRIES the folded chain's ``writer_batch_id``
+    markers forward as ``writer_batch_ids`` in its own manifest — a
+    micro-batch redelivered right after maintenance still resolves to
+    a no-op instead of re-applying (the exactly-once contract of
+    streaming/sinks.py). ``manifest_extra`` adds caller keys on top
+    (reserved keys refused by write_version; an explicit
+    ``writer_batch_ids`` overrides the carried set)."""
+    from pyspark_big_data_spark.operators.versioned import (
+        chain_writer_markers,
+    )
+
     version = _resolve_version(spark, root, version)
     if not has_any_delete_vectors(spark, root, version):
         raise ValueError(
@@ -637,7 +651,18 @@ def materialize_deletes(
     m = manifest(spark, root, version)
     stats_cols = list(m["stats_cols"]) if m and m.get("stats_cols") else None
     bloom_cols = list(m["bloom_cols"]) if m and m.get("bloom_cols") else None
+    extra = dict(manifest_extra or {})
+    if "writer_batch_ids" not in extra:
+        markers = chain_writer_markers(spark, root, version)
+        if markers:
+            extra["writer_batch_ids"] = sorted(markers)
     df = read_version_mor(spark, root, version)
     if target_files is not None:
         df = df.coalesce(target_files)
-    return write_version(df, root, stats_cols=stats_cols, bloom_cols=bloom_cols)
+    return write_version(
+        df,
+        root,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        manifest_extra=extra or None,
+    )

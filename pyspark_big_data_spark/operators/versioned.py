@@ -851,6 +851,26 @@ def version_chain(
         cur = base
 
 
+def chain_writer_markers(
+    spark: SparkSession, root: str, version: int | None = None
+) -> set[int]:
+    """Every ``writer_batch_id`` visible on the chain of ``version``
+    (default: latest): singular markers stamped per commit plus the
+    ``writer_batch_ids`` sets that compactions/materializations carry
+    forward when they cut the chain. This is the redelivery-idempotence
+    state of the exactly-once streaming sinks (streaming/sinks.py) —
+    driver-side manifest JSON, O(chain), no jobs."""
+    seen: set[int] = set()
+    for v in version_chain(spark, root, version):
+        m = manifest(spark, root, v)
+        if m is None:
+            continue
+        if "writer_batch_id" in m:
+            seen.add(int(m["writer_batch_id"]))
+        seen.update(int(b) for b in m.get("writer_batch_ids", []))
+    return seen
+
+
 def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

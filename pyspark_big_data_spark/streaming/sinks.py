@@ -90,29 +90,18 @@ def exactly_once_append_chain_sink(
     even with a compaction in between — still replays into a no-op."""
     from pyspark_big_data_spark.operators.versioned import (
         append_version,
+        chain_writer_markers,
         compact_version,
         latest_version,
-        manifest,
         version_chain,
         write_version,
     )
-
-    def _chain_markers(spark, latest: int) -> set[int]:
-        seen: set[int] = set()
-        for v in version_chain(spark, root, latest):
-            m = manifest(spark, root, v)
-            if m is None:
-                continue
-            if "writer_batch_id" in m:
-                seen.add(int(m["writer_batch_id"]))
-            seen.update(int(b) for b in m.get("writer_batch_ids", []))
-        return seen
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         latest = latest_version(spark, root)
         if latest is not None:
-            if int(batch_id) in _chain_markers(spark, latest):
+            if int(batch_id) in chain_writer_markers(spark, root, latest):
                 return  # redelivery: this batch already committed
             append_version(
                 batch_df,
@@ -137,7 +126,7 @@ def exactly_once_append_chain_sink(
                     target_files=compact_target_files,
                     version=tip,
                     manifest_extra={
-                        "writer_batch_ids": sorted(_chain_markers(spark, tip))
+                        "writer_batch_ids": sorted(chain_writer_markers(spark, root, tip))
                     },
                 )
 
@@ -171,7 +160,12 @@ def exactly_once_merge_sink(
 
     First batch on an empty root commits the base snapshot (delete
     rows dropped — there is nothing to delete from). MOR reads serve
-    the current state; materialize/compact on the maintenance cadence.
+    the current state; materialize/compact on the maintenance cadence —
+    both of which CUT the chain, so both carry the chain's marker set
+    forward as ``writer_batch_ids`` (materialize_deletes does this
+    automatically; compact_version via manifest_extra like the
+    append-chain sink) and a batch redelivered right after maintenance
+    still resolves to a no-op.
 
     Single-writer contract, enforced not assumed: the MERGE pins its
     planned base (expected_base), so a foreign concurrent commit makes
@@ -181,22 +175,10 @@ def exactly_once_merge_sink(
 
     from pyspark_big_data_spark.operators.merge import merge_into
     from pyspark_big_data_spark.operators.versioned import (
+        chain_writer_markers,
         latest_version,
-        manifest,
-        version_chain,
         write_version,
     )
-
-    def _chain_markers(spark, latest: int) -> set[int]:
-        seen: set[int] = set()
-        for v in version_chain(spark, root, latest):
-            m = manifest(spark, root, v)
-            if m is None:
-                continue
-            if "writer_batch_id" in m:
-                seen.add(int(m["writer_batch_id"]))
-            seen.update(int(b) for b in m.get("writer_batch_ids", []))
-        return seen
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -239,7 +221,7 @@ def exactly_once_merge_sink(
                 manifest_extra={"writer_batch_id": int(batch_id)},
             )
             return
-        if int(batch_id) in _chain_markers(spark, latest):
+        if int(batch_id) in chain_writer_markers(spark, root, latest):
             return  # redelivery: this batch already committed
         merge_into(
             spark,

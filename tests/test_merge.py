@@ -272,6 +272,37 @@ def test_exactly_once_merge_sink(spark, tmp_path):
         sink(batch([(5, 1.0, False, 1), (5, 2.0, False, 1)]), 2)
 
 
+def test_merge_sink_markers_survive_materialize(spark, tmp_path):
+    """The maintenance step the sink's docstring prescribes must not
+    break idempotence: materialize_deletes cuts the chain (full
+    rewrite, no base link), so it carries the chain's writer_batch_id
+    markers forward as writer_batch_ids — a batch redelivered right
+    after maintenance is still skipped, not re-applied."""
+    from pyspark_big_data_spark.operators.deletes import materialize_deletes
+    from pyspark_big_data_spark.streaming.sinks import exactly_once_merge_sink
+
+    root = str(tmp_path / "vds")
+    sink = exactly_once_merge_sink(root, "k", delete_col="is_del")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, x double, is_del boolean")
+
+    sink(batch([(1, 1.0, False), (2, 2.0, False), (3, 3.0, False)]), 0)
+    sink(batch([(2, 0.0, True), (4, 4.0, False)]), 1)  # delete k=2, insert k=4
+    state = sorted((r["k"], r["x"]) for r in read_version_mor(spark, root).collect())
+    assert state == [(1, 1.0), (3, 3.0), (4, 4.0)]
+
+    materialize_deletes(spark, root)  # maintenance: chain cut here
+    versions_before = list_versions(spark, root)
+
+    # redeliver batch 1 (crash between maintenance and checkpoint):
+    # the marker must have been carried — no new commit, no re-apply
+    sink(batch([(2, 0.0, True), (4, 99.0, False)]), 1)
+    assert list_versions(spark, root) == versions_before
+    got = sorted((r["k"], r["x"]) for r in read_version_mor(spark, root).collect())
+    assert got == state
+
+
 def test_merge_sink_through_real_stream(spark, tmp_path):
     """The sink behind an actual availableNow foreachBatch loop."""
     import json as _json
