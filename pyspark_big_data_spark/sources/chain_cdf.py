@@ -24,11 +24,22 @@ rewrite, an external deletion vector, or a MERGE commit's embedded
 vector in the range raises loudly (the stream fails rather than
 misstating removals as an adds-only feed).
 
-Filesystem note: this source addresses the chain with ``os``-level
-paths (the Python DataSource API runs outside the JVM), so roots must
-be POSIX-visible — the test/bench topology here. A production
-deployment swaps the three small helpers below onto ``pyarrow.fs``
-(S3/HDFS) without touching the offset or partition logic.
+Filesystem note: the chain is addressed through ``pyarrow.fs`` —
+``FileSystem.from_uri`` resolves plain paths to the local filesystem
+and ``s3://`` / ``hdfs://`` / ``gs://`` roots to their native
+filesystems, so the stream follows a chain on object storage with the
+same offset and partition logic (the Python DataSource API runs
+outside the JVM, so Hadoop's FileSystem is not available here).
+Executors re-resolve the filesystem from the root URI per partition —
+nothing filesystem-bound is pickled into the plan.
+
+Trigger note: the Python DataSource API does not (yet) expose
+``SupportsTriggerAvailableNow``, so under ``Trigger.AvailableNow``
+Spark logs a fallback and runs ONE batch covering everything up to the
+latest offset at start, then stops — same rows, one commit instead of
+per-version commits. The replay witnesses account for this: offset
+semantics are exercised with multi-batch restarts, not AvailableNow
+batch boundaries.
 
 Reference parity note: the reference engine (src/query1-4.py) has no
 streaming surface; this is extension surface (VERDICT r10 next-step
@@ -38,7 +49,6 @@ streaming surface; this is extension surface (VERDICT r10 next-step
 from __future__ import annotations
 
 import json
-import os
 import re
 from collections.abc import Iterator
 
@@ -56,13 +66,47 @@ _EXTERNAL_DELETES = ("_deletes", "_pos_deletes")
 _EMBEDDED_DELETES = "_merge_deletes"
 
 
+def _fs_for(root: str):
+    """Resolve ``root`` (plain path or URI) to ``(filesystem,
+    fs-internal path)`` via ``pyarrow.fs.FileSystem.from_uri`` — the
+    one seam every helper below goes through."""
+    from pyarrow.fs import FileSystem
+
+    fs, path = FileSystem.from_uri(root)
+    return fs, path.rstrip("/")
+
+
+def _is_dir(fs, path: str) -> bool:
+    from pyarrow.fs import FileType
+
+    return fs.get_file_info(path).type == FileType.Directory
+
+
+def _listdir(fs, path: str):
+    """Immediate children of ``path`` as FileInfo, empty when the dir
+    does not exist (object stores have no empty directories anyway)."""
+    from pyarrow.fs import FileSelector
+
+    return fs.get_file_info(FileSelector(path, allow_not_found=True))
+
+
+def _read_json(fs, path: str) -> dict | None:
+    from pyarrow.fs import FileType
+
+    if fs.get_file_info(path).type != FileType.File:
+        return None
+    with fs.open_input_stream(path) as fh:
+        return json.loads(fh.read().decode("utf-8"))
+
+
 def _list_versions(root: str) -> list[int]:
-    if not os.path.isdir(root):
-        return []
+    from pyarrow.fs import FileType
+
+    fs, base = _fs_for(root)
     out = []
-    for name in os.listdir(root):
-        m = _V_RE.match(name)
-        if m and os.path.isdir(os.path.join(root, name)):
+    for info in _listdir(fs, base):
+        m = _V_RE.match(info.base_name)
+        if m and info.type == FileType.Directory:
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -71,37 +115,36 @@ _S_RE = re.compile(r"^s=(\d+)$")
 
 
 def _branch_head(root: str, name: str) -> int:
-    """Resolve a branch head from its sequence log (os-level twin of
+    """Resolve a branch head from its sequence log (pyarrow.fs twin of
     operators/refs.py::branch_head — the Python DataSource runs outside
     the JVM)."""
-    bdir = os.path.join(root, "_refs", "branches", name)
+    fs, base = _fs_for(root)
+    bdir = f"{base}/_refs/branches/{name}"
     seqs = sorted(
         int(m.group(1))
-        for m in (_S_RE.match(d) for d in os.listdir(bdir))
-        if m and os.path.isdir(os.path.join(bdir, m.group(0)))
-    ) if os.path.isdir(bdir) else []
+        for m in (_S_RE.match(info.base_name) for info in _listdir(fs, bdir))
+        if m
+    )
     if not seqs:
         raise ValueError(f"no branch {name!r} at {root}")
-    with open(
-        os.path.join(bdir, f"s={seqs[-1]}", "doc.json"), encoding="utf-8"
-    ) as fh:
-        return int(json.load(fh)["version"])
+    doc = _read_json(fs, f"{bdir}/s={seqs[-1]}/doc.json")
+    return int(doc["version"])
 
 
 def _manifest(root: str, version: int) -> dict | None:
-    p = os.path.join(root, f"v={version}", "_manifest.json")
-    if not os.path.exists(p):
-        return None
-    with open(p, encoding="utf-8") as fh:
-        return json.load(fh)
+    fs, base = _fs_for(root)
+    return _read_json(fs, f"{base}/v={version}/_manifest.json")
 
 
 def _member_files(root: str, version: int) -> list[str]:
-    vdir = os.path.join(root, f"v={version}")
+    """Data-file paths of ``v=version`` — fs-internal paths paired with
+    the root's filesystem (resolve with ``_fs_for(root)`` to read)."""
+    fs, base = _fs_for(root)
     return sorted(
-        os.path.join(vdir, f)
-        for f in os.listdir(vdir)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        info.path
+        for info in _listdir(fs, f"{base}/v={version}")
+        if info.base_name.endswith(".parquet")
+        and not info.base_name.startswith(("_", "."))
     )
 
 
@@ -113,6 +156,7 @@ def _chain_schema(root: str, head: int | None = None) -> "object":
     into this stream's schema."""
     import pyarrow.parquet as papq
 
+    fs, _ = _fs_for(root)
     versions = _list_versions(root)
     if not versions:
         raise ValueError(f"versioned dataset at {root} has no versions")
@@ -129,7 +173,9 @@ def _chain_schema(root: str, head: int | None = None) -> "object":
         files = _member_files(root, v)
         if not files:
             continue
-        for field in papq.ParquetFile(files[0]).schema_arrow:
+        with fs.open_input_file(files[0]) as fh:
+            schema = papq.ParquetFile(fh).schema_arrow
+        for field in schema:
             if field.name not in seen:
                 seen.add(field.name)
                 # declared nullable regardless of footer required-ness:
@@ -144,8 +190,9 @@ def _chain_schema(root: str, head: int | None = None) -> "object":
 
 
 class _DeltaFile(InputPartition):
-    def __init__(self, path: str):
-        self.path = path
+    def __init__(self, root: str, path: str):
+        self.root = root  # original root string: executors re-resolve fs
+        self.path = path  # fs-internal path
 
 
 class ChainCDFStreamReader(DataSourceStreamReader):
@@ -185,44 +232,43 @@ class ChainCDFStreamReader(DataSourceStreamReader):
 
     # ---- planning (driver, metadata-only) ----------------------------
     def partitions(self, start: dict, end: dict) -> list[_DeltaFile]:
+        fs, base = _fs_for(self.root)
         lo, hi = int(start["version"]), int(end["version"])
         files: list[str] = []
         v = hi
         while v != lo:
             m = _manifest(self.root, v)
-            base = m.get("base_version") if m else None
-            if base is None:
+            mbase = m.get("base_version") if m else None
+            if mbase is None:
                 raise ValueError(
                     f"v={v} under {self.root} is a full rewrite, not an "
                     "append — the change feed cannot represent it; "
                     "restart the stream from a version at or above it"
                 )
             if any(
-                os.path.isdir(os.path.join(self.root, t, f"v={v}"))
-                for t in _EXTERNAL_DELETES
-            ) or os.path.isdir(
-                os.path.join(self.root, f"v={v}", _EMBEDDED_DELETES)
-            ):
+                _is_dir(fs, f"{base}/{t}/v={v}") for t in _EXTERNAL_DELETES
+            ) or _is_dir(fs, f"{base}/v={v}/{_EMBEDDED_DELETES}"):
                 raise ValueError(
                     f"v={v} under {self.root} carries deletion vectors — "
                     "the range is not append-only and an adds-only feed "
                     "would misstate the change"
                 )
             files.extend(_member_files(self.root, v))
-            v = int(base)
+            v = int(mbase)
             if v < lo:
                 raise ValueError(
                     f"v={hi} under {self.root} does not chain through "
                     f"v={lo} (chain skips to v={v})"
                 )
-        return [_DeltaFile(p) for p in files]
+        return [_DeltaFile(self.root, p) for p in files]
 
     # ---- execution (executors, one task per delta file) --------------
     def read(self, partition: _DeltaFile) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as papq
 
-        table = papq.read_table(partition.path)
+        fs, _ = _fs_for(partition.root)
+        table = papq.read_table(partition.path, filesystem=fs)
         n = table.num_rows
         cols = []
         for field in self._arrow_schema:
@@ -241,7 +287,10 @@ class ChainCDFDataSource(DataSource):
     """``spark.readStream.format("chain_cdf").option("path", root)
     [.option("from_version", K)]`` — each micro-batch is the rows
     appended in ``(last offset, latest version]``; default start is the
-    latest version at stream open (future appends only)."""
+    latest version at stream open (future appends only). ``path``
+    accepts a plain POSIX path or any ``pyarrow.fs`` URI (``s3://``,
+    ``hdfs://``, ``gs://``). Under ``Trigger.AvailableNow`` Spark falls
+    back to a single batch (see module docstring)."""
 
     @classmethod
     def name(cls) -> str:

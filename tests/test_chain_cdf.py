@@ -156,3 +156,19 @@ def test_branch_scoped_stream(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out)
     assert sorted(r["k"] for r in got.collect()) == list(range(100, 120))
+
+
+def test_file_uri_root_streams(spark, tmp_path):
+    """The pyarrow.fs seam: a root given as a file:// URI resolves
+    through FileSystem.from_uri — the exact code path an s3:// or
+    hdfs:// root takes — and serves the same feed as the plain-path
+    root."""
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    write_version(_df(spark, 0, 50), root)
+    append_version(_df(spark, 50, 70), root)
+
+    _run(spark, f"file://{root}", out, ckpt)
+    got = spark.read.parquet(out)
+    want = table_changes(spark, root, 0, 1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
