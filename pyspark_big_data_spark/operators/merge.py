@@ -16,9 +16,15 @@ Execution shape (the 100 TB plan):
    chain head WITH row addresses attached
    (``read_version_mor(keep_addresses=True)`` — ancestor deletion
    vectors already resolved, so sequential MERGEs compose). It joins
-   the broadcast source INNER on the key: the target streams through a
-   BroadcastHashJoin, no shuffle of the big side, and the matched set
-   (O(|source|)) is cached once and reused by every clause.
+   the source INNER on the key — broadcast while the source's exact
+   row count (already paid for by the uniqueness aggregate) stays at
+   or under ``broadcast_threshold_rows``, so the target streams
+   through a BroadcastHashJoin with no shuffle of the big side; a
+   larger source drops the hint and AQE plans a shuffle join (slower,
+   never a driver OOM). The matched set (O(|source|)) is cached once
+   and reused by every clause; the source itself is persisted across
+   its multiple evaluations (uniqueness, stats bounds, bloom probe,
+   join).
 2. **Clauses become a deletion vector + a delta.** Matched rows that
    delete or update contribute their ``(_file, _pos)`` addresses to a
    positional vector; updates contribute the SOURCE row to the delta;
@@ -59,6 +65,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark_big_data_spark.operators.deletes import (
+    BROADCAST_THRESHOLD_ROWS,
     FILE_COL,
     POS_COL,
     read_version_mor,
@@ -93,6 +100,7 @@ def merge_into(
     bloom_prune_max_keys: int = 100_000,
     manifest_extra: dict | None = None,
     base_version: int | None = None,
+    broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
     "n_inserted"}`` (the new version is None when every clause matched
@@ -145,152 +153,169 @@ def merge_into(
     if upd is None and dele is None and ins is None:
         raise ValueError("merge with every clause disabled is a no-op")
 
-    # key-unique source, or updates are non-deterministic (Delta's
-    # 'multiple source rows matched' refusal)
-    null_any = None
-    for k in keys:
-        c = F.col(k).isNull()
-        null_any = c if null_any is None else (null_any | c)
-    counts = source.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
-        F.sum(null_any.cast("long")).alias("nn"),
-    ).collect()[0]
-    if counts["nn"]:
-        raise ValueError("merge source carries NULL keys")
-    if counts["n"] != counts["nd"]:
-        raise ValueError(
-            f"merge source is not key-unique on {keys} "
-            f"({counts['n']} rows, {counts['nd']} distinct keys) — "
-            "multiple source rows matching one target row make UPDATE "
-            "non-deterministic"
-        )
+    # The source is evaluated up to 4 times below (uniqueness
+    # aggregate, stats bounds, bloom probe collect, the join itself) —
+    # for a derived CDC pipeline that is 4 plan executions, so pin it
+    # once; released in the same finally as `matched`.
+    source = source.persist()
 
-    # ONE pass over the (MOR-resolved) target: stream it through a
-    # broadcast inner join against the source; cache the matched set
-    # (O(|source|)) for the clause fan-out. With manifest stats on the
-    # (first) key, "one pass" shrinks to "one pass over the files the
-    # source keys can live in".
-    target = None
-    if prune_with_stats:
-        from pyspark_big_data_spark.operators.versioned import (
-            bloom_file_plan_multi,
-            pruned_file_plan,
-        )
-
-        bounds = source.agg(
-            F.min(F.col(keys[0])).alias("lo"), F.max(F.col(keys[0])).alias("hi")
+    try:
+        # key-unique source, or updates are non-deterministic (Delta's
+        # 'multiple source rows matched' refusal)
+        null_any = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_any = c if null_any is None else (null_any | c)
+        counts = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+            F.sum(null_any.cast("long")).alias("nn"),
         ).collect()[0]
-        selected = None
-        try:
-            sel, n_sel, n_total = pruned_file_plan(
-                spark, root, keys[0], bounds["lo"], bounds["hi"], version
+        if counts["nn"]:
+            raise ValueError("merge source carries NULL keys")
+        if counts["n"] != counts["nd"]:
+            raise ValueError(
+                f"merge source is not key-unique on {keys} "
+                f"({counts['n']} rows, {counts['nd']} distinct keys) — "
+                "multiple source rows matching one target row make UPDATE "
+                "non-deterministic"
             )
-            if n_sel < n_total:
-                selected = sel
-        except ValueError:
-            pass  # no/partial manifest stats for the key
-        if selected is None and counts["n"] <= bloom_prune_max_keys:
-            # the stats range cut nothing (or could not run): probe the
-            # per-file Blooms with the source's keys — bounded collect
+
+        # ONE pass over the (MOR-resolved) target: stream it through a
+        # broadcast inner join against the source; cache the matched set
+        # (O(|source|)) for the clause fan-out. With manifest stats on the
+        # (first) key, "one pass" shrinks to "one pass over the files the
+        # source keys can live in".
+        target = None
+        if prune_with_stats:
+            from pyspark_big_data_spark.operators.versioned import (
+                bloom_file_plan_multi,
+                pruned_file_plan,
+            )
+
+            bounds = source.agg(
+                F.min(F.col(keys[0])).alias("lo"), F.max(F.col(keys[0])).alias("hi")
+            ).collect()[0]
+            selected = None
             try:
-                probes = [
-                    r[keys[0]] for r in source.select(keys[0]).collect()
-                ]
-                sel, n_sel, n_total = bloom_file_plan_multi(
-                    spark, root, keys[0], probes, version
+                sel, n_sel, n_total = pruned_file_plan(
+                    spark, root, keys[0], bounds["lo"], bounds["hi"], version
                 )
                 if n_sel < n_total:
                     selected = sel
             except ValueError:
-                pass  # no blooms for the key
-        if selected is not None:
-            target = read_version_mor(
-                spark,
-                root,
-                version,
-                keep_addresses=True,
-                selected_files=selected,
+                pass  # no/partial manifest stats for the key
+            if selected is None and counts["n"] <= bloom_prune_max_keys:
+                # the stats range cut nothing (or could not run): probe the
+                # per-file Blooms with the source's keys — bounded collect
+                try:
+                    probes = [
+                        r[keys[0]] for r in source.select(keys[0]).collect()
+                    ]
+                    sel, n_sel, n_total = bloom_file_plan_multi(
+                        spark, root, keys[0], probes, version
+                    )
+                    if n_sel < n_total:
+                        selected = sel
+                except ValueError:
+                    pass  # no blooms for the key
+            if selected is not None:
+                target = read_version_mor(
+                    spark,
+                    root,
+                    version,
+                    keep_addresses=True,
+                    selected_files=selected,
+                )
+        if target is None:
+            target = read_version_mor(spark, root, version, keep_addresses=True)
+        on = None
+        for k in keys:
+            c = F.col(f"target.{k}") == F.col(f"source.{k}")
+            on = c if on is None else (on & c)
+        # PRICED broadcast (the DV-threshold pattern, deletes.py): the
+        # uniqueness aggregate above already paid for an exact source
+        # row count, so the design assumption "CDC sources are small"
+        # is enforced, not assumed — a 500M-row backfill source drops
+        # the hint and lets AQE plan a shuffle join instead of OOMing
+        # the driver.
+        small_source = counts["n"] <= broadcast_threshold_rows
+        src_side = source.alias("source")
+        if small_source:
+            src_side = F.broadcast(src_side)
+        matched = target.alias("target").join(src_side, on, "inner").persist()
+        try:
+            always_false = F.lit(False)
+            dele_c = dele if dele is not None else always_false
+            upd_c = upd if upd is not None else always_false
+            # clause order: DELETE evaluates first (a row passing both is
+            # deleted); every retired copy contributes its address
+            retire = matched.filter(dele_c | upd_c)
+            vector = retire.select(
+                F.col(f"target.{FILE_COL}").alias(FILE_COL),
+                F.col(f"target.{POS_COL}").alias(POS_COL),
             )
-    if target is None:
-        target = read_version_mor(spark, root, version, keep_addresses=True)
-    on = None
-    for k in keys:
-        c = F.col(f"target.{k}") == F.col(f"source.{k}")
-        on = c if on is None else (on & c)
-    matched = (
-        target.alias("target")
-        .join(F.broadcast(source.alias("source")), on, "inner")
-        .persist()
-    )
-    try:
-        always_false = F.lit(False)
-        dele_c = dele if dele is not None else always_false
-        upd_c = upd if upd is not None else always_false
-        # clause order: DELETE evaluates first (a row passing both is
-        # deleted); every retired copy contributes its address
-        retire = matched.filter(dele_c | upd_c)
-        vector = retire.select(
-            F.col(f"target.{FILE_COL}").alias(FILE_COL),
-            F.col(f"target.{POS_COL}").alias(POS_COL),
-        )
-        n_retired = retire.count()
-        updates = (
-            matched.filter(~dele_c & upd_c)
-            .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
-            .dropDuplicates(keys)  # collapse duplicate TARGET copies
-        )
-        n_updated = updates.count()
-        # target copies retired by the DELETE clause specifically
-        n_deleted = matched.filter(dele_c).count() if dele is not None else 0
-        if ins is not None:
-            matched_keys = matched.select(
-                *[F.col(f"source.{k}").alias(k) for k in keys]
-            ).distinct()
-            inserts = (
-                source.alias("source")
-                .join(F.broadcast(matched_keys), keys, "left_anti")
-                .filter(ins)
+            n_retired = retire.count()
+            updates = (
+                matched.filter(~dele_c & upd_c)
                 .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
+                .dropDuplicates(keys)  # collapse duplicate TARGET copies
             )
-        else:
-            inserts = source.filter(F.lit(False)).select(*source.columns)
-        delta = updates.unionByName(inserts)
-        n_inserted = delta.count() - n_updated
+            n_updated = updates.count()
+            # target copies retired by the DELETE clause specifically
+            n_deleted = matched.filter(dele_c).count() if dele is not None else 0
+            if ins is not None:
+                matched_keys = matched.select(
+                    *[F.col(f"source.{k}").alias(k) for k in keys]
+                ).distinct()
+                if small_source:  # |matched keys| <= |source| — same price
+                    matched_keys = F.broadcast(matched_keys)
+                inserts = (
+                    source.alias("source")
+                    .join(matched_keys, keys, "left_anti")
+                    .filter(ins)
+                    .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
+                )
+            else:
+                inserts = source.filter(F.lit(False)).select(*source.columns)
+            delta = updates.unionByName(inserts)
+            n_inserted = delta.count() - n_updated
 
-        if n_retired == 0 and n_updated == 0 and n_inserted == 0:
+            if n_retired == 0 and n_updated == 0 and n_inserted == 0:
+                return {
+                    "version": None,
+                    "n_deleted": 0,
+                    "n_updated": 0,
+                    "n_inserted": 0,
+                }
+            # ONE atomic commit: delta files + the positional vector that
+            # retires the rows they replace, published by a single rename.
+            # expected_base pins the version this merge PLANNED against —
+            # a concurrent commit raises WriteConflict (Delta's conflict
+            # rule) instead of silently publishing a merge that never
+            # match-scanned the interloper's rows.
+            new_v = append_version(
+                delta.select(*target_cols),
+                root,
+                stats_cols=stats_cols,
+                allow_base_tombstones=True,  # MERGE lives on the MOR read path
+                # pinned-base merges (branch heads) commit onto their base
+                # explicitly; global merges pin via conflict detection
+                expected_base=None if base_version is not None else version,
+                base_override=version if base_version is not None else None,
+                manifest_extra=manifest_extra,
+                embedded_pos_deletes=vector if n_retired else None,
+            )
             return {
-                "version": None,
-                "n_deleted": 0,
-                "n_updated": 0,
-                "n_inserted": 0,
+                "version": new_v,
+                "n_deleted": int(n_deleted),
+                "n_updated": int(n_updated),
+                "n_inserted": int(n_inserted),
             }
-        # ONE atomic commit: delta files + the positional vector that
-        # retires the rows they replace, published by a single rename.
-        # expected_base pins the version this merge PLANNED against —
-        # a concurrent commit raises WriteConflict (Delta's conflict
-        # rule) instead of silently publishing a merge that never
-        # match-scanned the interloper's rows.
-        new_v = append_version(
-            delta.select(*target_cols),
-            root,
-            stats_cols=stats_cols,
-            allow_base_tombstones=True,  # MERGE lives on the MOR read path
-            # pinned-base merges (branch heads) commit onto their base
-            # explicitly; global merges pin via conflict detection
-            expected_base=None if base_version is not None else version,
-            base_override=version if base_version is not None else None,
-            manifest_extra=manifest_extra,
-            embedded_pos_deletes=vector if n_retired else None,
-        )
-        return {
-            "version": new_v,
-            "n_deleted": int(n_deleted),
-            "n_updated": int(n_updated),
-            "n_inserted": int(n_inserted),
-        }
+        finally:
+            matched.unpersist()
     finally:
-        matched.unpersist()
+        source.unpersist()
 
 
 def merge_to_branch(

@@ -173,6 +173,52 @@ def test_merge_plan_broadcasts_source_and_streams_target(spark, tmp_path):
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
 
 
+def _sql_plans_since(spark, mark: int) -> list[str]:
+    """Physical plan descriptions of every SQL execution after ``mark``
+    (the SQL status store index — local-mode test introspection)."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return [lst.apply(i).physicalPlanDescription() for i in range(mark, lst.size())]
+
+
+def _sql_exec_count(spark) -> int:
+    return spark._jsparkSession.sharedState().statusStore().executionsList().size()
+
+
+def test_merge_broadcast_is_priced(spark, tmp_path):
+    """The source broadcast is enforced, not assumed: a source above
+    broadcast_threshold_rows (priced by the uniqueness aggregate's
+    exact count — zero extra jobs) drops both broadcast hints, so with
+    auto-broadcast disabled the merge plans shuffle joins instead of
+    OOM-ing the driver on an unbounded backfill source. Semantics are
+    identical either way."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 1000), root)
+    src = _df(spark, 900, 1100, mark=1.0)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        mark = _sql_exec_count(spark)
+        res = merge_into(spark, root, src, "k", broadcast_threshold_rows=10)
+        plans = _sql_plans_since(spark, mark)
+        assert plans and not any("BroadcastHashJoin" in p for p in plans)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert (res["n_updated"], res["n_inserted"]) == (100, 100)
+    got = read_version_mor(spark, root, res["version"])
+    assert got.count() == 1100
+    assert got.filter((F.col("k") == 950) & (F.col("x") == 1901.0)).count() == 1
+
+    # and the small-source default still takes the broadcast fast path
+    root2 = str(tmp_path / "vds2")
+    write_version(_df(spark, 0, 1000), root2)
+    mark = _sql_exec_count(spark)
+    merge_into(spark, root2, _df(spark, 900, 1100, mark=1.0), "k")
+    plans = _sql_plans_since(spark, mark)
+    assert any("BroadcastHashJoin" in p for p in plans)
+
+
 def test_merge_prunes_target_scan_with_stats(spark, tmp_path):
     """With manifest stats on the key, the MERGE's target pass reads
     only the files the source key range can live in — and the result
