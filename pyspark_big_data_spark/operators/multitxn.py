@@ -1,0 +1,243 @@
+"""MULTI-TABLE atomic commits over versioned snapshots — the
+cross-table write-audit-publish shape.
+
+``operators/versioned.py`` makes each TABLE's commit atomic (one
+rename); a pipeline that must publish ``orders`` and ``lineitem``
+together still has a window where a reader joins the new orders
+against the old lineitem. This module closes it with one more level of
+the same primitive: a transaction GROUP is a directory whose tables
+are ordinary versioned datasets, plus a top-level transaction log::
+
+    group_root/
+        orders/v=0 v=1 ...          # plain versioned datasets
+        lineitem/v=0 v=1 ...
+        _txn/t=K/manifest.json      # {"tables": {"orders": 1, ...}}
+
+A transaction writes each table's data as a NORMAL per-table version
+(crash-safe, but UNREFERENCED — nothing reads it yet), then publishes
+ONE manifest naming every table's pinned version via the shared
+verified-rename seam (``commit_staged``, ``t=K``). Readers resolve
+every table through the latest transaction manifest
+(``read_txn_table``), so they observe either ALL of a transaction's
+table versions or NONE — a crash between the data writes and the
+manifest rename leaves the group at ``t=K-1`` with the half-written
+versions invisible (retention reclaims them like any unreferenced
+version).
+
+Concurrency is optimistic, table-granular: losing the ``t=K`` rename
+re-reads the winner's manifest — if the winner touched a DISJOINT set
+of tables, the loser's map is rebased (merged) and re-published at
+``t=K+1``; any table overlap raises ``TxnConflict`` (the loser's data
+versions stay unreferenced; the caller re-derives against the new
+state). ``expected_txn`` pins the planning snapshot for callers doing
+their own read-modify-write reasoning.
+
+100 TB: the transaction layer is pure metadata — one tiny JSON per
+transaction, O(1) regardless of table sizes; data bytes are written
+exactly once through the per-table commit machinery (appends stay
+O(delta)).
+
+Reference parity note: the reference engine (src/query1-4.py) is
+read-only; this extends the mutation surface (VERDICT r11 next-step
+#4: "multi-table atomic commit — the cross-table WAP shape").
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_big_data_spark.operators.versioned import (
+    _fs,
+    commit_staged,
+    read_version,
+    write_version,
+)
+
+_TXN_DIR = "_txn"
+_T_RE = re.compile(r"^t=(\d+)$")
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,99}$")
+
+
+class TxnConflict(RuntimeError):
+    """A concurrent transaction touched one of this transaction's
+    tables. Nothing was published under a live manifest; the caller
+    re-derives against the new state."""
+
+
+def _txn_root(group_root: str) -> str:
+    return f"{group_root.rstrip('/')}/{_TXN_DIR}"
+
+
+def _table_root(group_root: str, table: str) -> str:
+    if not _NAME_RE.match(table):
+        raise ValueError(f"invalid table name: {table!r}")
+    return f"{group_root.rstrip('/')}/{table}"
+
+
+def list_txns(spark: SparkSession, group_root: str) -> list[int]:
+    """Committed transaction ids, ascending (the rename is the commit;
+    staging dirs never match)."""
+    troot = _txn_root(group_root)
+    fs, hroot, jvm = _fs(spark, troot)
+    if not fs.exists(hroot):
+        return []
+    out = []
+    for status in fs.listStatus(hroot):
+        if not status.isDirectory():
+            continue
+        m = _T_RE.match(status.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_txn(spark: SparkSession, group_root: str) -> int | None:
+    txns = list_txns(spark, group_root)
+    return txns[-1] if txns else None
+
+
+def txn_manifest(
+    spark: SparkSession, group_root: str, txn: int | None = None
+) -> dict:
+    """The manifest of transaction ``t=txn`` (default: latest).
+    ``manifest["tables"]`` maps table name -> pinned version."""
+    if txn is None:
+        txn = latest_txn(spark, group_root)
+        if txn is None:
+            raise ValueError(f"transaction group at {group_root} has no commits")
+    elif txn not in list_txns(spark, group_root):
+        raise ValueError(f"transaction t={txn} does not exist under {group_root}")
+    p = f"{_txn_root(group_root)}/t={txn}/manifest.json"
+    fs, hp, jvm = _fs(spark, p)
+    stream = fs.open(hp)
+    try:
+        return json.loads(bytes(stream.readAllBytes()))
+    finally:
+        stream.close()
+
+
+def read_txn_table(
+    spark: SparkSession,
+    group_root: str,
+    table: str,
+    txn: int | None = None,
+) -> DataFrame:
+    """Read ``table`` AT transaction ``txn`` (default: latest) — the
+    only read path with the cross-table guarantee: every table resolved
+    through one manifest, so a reader can never join table A's new
+    version against table B's old one."""
+    m = txn_manifest(spark, group_root, txn)
+    if table not in m["tables"]:
+        raise ValueError(
+            f"table {table!r} is not part of transaction group {group_root} "
+            f"(tables: {sorted(m['tables'])})"
+        )
+    return read_version(
+        spark, _table_root(group_root, table), int(m["tables"][table])
+    )
+
+
+def commit_txn(
+    spark: SparkSession,
+    group_root: str,
+    writes: dict[str, DataFrame],
+    append: bool = False,
+    expected_txn: int | None = None,
+    stats_cols: dict[str, list[str]] | None = None,
+) -> int:
+    """Atomically publish new versions of every table in ``writes``
+    and return the new transaction id.
+
+    Phase 1 writes each table's data as an ordinary per-table version
+    (``append=True`` chains onto the table's version AS PINNED BY the
+    current transaction manifest — never the bare per-table latest,
+    which could include a concurrent loser's unreferenced commit).
+    Phase 2 publishes ONE manifest carrying forward the untouched
+    tables' pins: the single rename is the whole cross-table
+    transaction.
+
+    On a lost rename: disjoint-table winners rebase automatically
+    (their map merges with ours); a winner that touched any of OUR
+    tables raises ``TxnConflict``. ``expected_txn`` additionally pins
+    the transaction this write was PLANNED against — if the group
+    moved past it at all, the commit is refused before any data is
+    written."""
+    if not writes:
+        raise ValueError("commit_txn with no table writes is a no-op")
+    current = latest_txn(spark, group_root)
+    if expected_txn is not None and current != expected_txn:
+        raise TxnConflict(
+            f"group {group_root} moved: expected t={expected_txn}, "
+            f"found t={current}"
+        )
+    base_map: dict[str, int] = (
+        dict(txn_manifest(spark, group_root, current)["tables"])
+        if current is not None
+        else {}
+    )
+    if append:
+        missing = sorted(set(writes) - set(base_map))
+        if missing:
+            raise ValueError(
+                f"cannot append to tables not yet in the group: {missing}"
+            )
+
+    new_map = dict(base_map)
+    for table, df in sorted(writes.items()):
+        new_map[table] = write_version(
+            df,
+            _table_root(group_root, table),
+            stats_cols=(stats_cols or {}).get(table),
+            _append=append,
+            _base_override=base_map[table] if append else None,
+        )
+
+    fs, _, jvm = _fs(spark, group_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    troot = _txn_root(group_root)
+    fs.mkdirs(Path(troot))
+    my_tables = set(writes)
+    k_planned = (current + 1) if current is not None else 0
+    while True:
+        latest = latest_txn(spark, group_root)
+        k = (latest + 1) if latest is not None else 0
+        if k != k_planned:
+            # someone committed between our planning read and now:
+            # rebase iff they touched none of our tables
+            winner = dict(txn_manifest(spark, group_root, latest)["tables"])
+            touched = {
+                t
+                for t in winner
+                if t not in base_map or base_map[t] != winner[t]
+            }
+            if touched & my_tables:
+                raise TxnConflict(
+                    f"concurrent transaction changed {sorted(touched & my_tables)} "
+                    f"under {group_root}; re-derive and retry"
+                )
+            merged = dict(winner)
+            merged.update({t: new_map[t] for t in my_tables})
+            new_map = merged
+            base_map = winner
+            k_planned = k
+        doc = {
+            "tables": {t: int(v) for t, v in sorted(new_map.items())},
+            "base_txn": current,
+            "writer": uuid.uuid4().hex,
+        }
+        staging = f"{troot}/.staging_t{k}.{doc['writer'][:12]}"
+        fs.delete(Path(staging), True)
+        fs.mkdirs(Path(staging))
+        out = fs.create(Path(f"{staging}/manifest.json"), True)
+        try:
+            out.write(bytearray(json.dumps(doc).encode("utf-8")))
+        finally:
+            out.close()
+        if commit_staged(fs, jvm, troot, staging, k, prefix="t="):
+            return k
+        # lost the rename: loop re-reads the winner and re-arbitrates
+        current = latest_txn(spark, group_root)

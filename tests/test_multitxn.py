@@ -1,0 +1,158 @@
+"""Multi-table atomic commits (operators/multitxn.py): cross-table
+publish atomicity, the crash window, optimistic table-granular
+concurrency, and transaction time travel."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.operators.multitxn import (
+    TxnConflict,
+    commit_txn,
+    latest_txn,
+    list_txns,
+    read_txn_table,
+    txn_manifest,
+)
+from pyspark_big_data_spark.operators.versioned import write_version
+
+
+def _orders(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("o_id"), (F.col("id") * 10.0).alias("o_total")
+    )
+
+
+def _items(spark, lo, hi, per=2):
+    return (
+        spark.range(lo, hi)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(per))).alias("ln"), "id")
+        .select(F.col("id").alias("o_id"), "ln", (F.col("id") + 0.5).alias("qty"))
+    )
+
+
+def test_commit_and_read_are_cross_table_consistent(spark, tmp_path):
+    g = str(tmp_path / "grp")
+    t0 = commit_txn(
+        spark, g, {"orders": _orders(spark, 0, 10), "items": _items(spark, 0, 10)}
+    )
+    assert t0 == 0
+    assert latest_txn(spark, g) == 0
+    m = txn_manifest(spark, g)
+    assert m["tables"] == {"items": 0, "orders": 0}
+    assert read_txn_table(spark, g, "orders").count() == 10
+    assert read_txn_table(spark, g, "items").count() == 20
+
+    # append txn: both tables advance under ONE manifest
+    t1 = commit_txn(
+        spark,
+        g,
+        {"orders": _orders(spark, 10, 15), "items": _items(spark, 10, 15)},
+        append=True,
+    )
+    assert t1 == 1
+    assert txn_manifest(spark, g)["tables"] == {"items": 1, "orders": 1}
+    assert read_txn_table(spark, g, "orders").count() == 15
+    # time travel: the t=0 pair still reads consistently
+    assert read_txn_table(spark, g, "orders", txn=0).count() == 10
+    assert read_txn_table(spark, g, "items", txn=0).count() == 20
+
+
+def test_crash_window_publishes_nothing(spark, tmp_path):
+    """Phase 1 (per-table data versions) without phase 2 (the manifest
+    rename) must be invisible: a reader resolving through the
+    transaction log never observes table A's new version without B's."""
+    g = str(tmp_path / "grp")
+    commit_txn(
+        spark, g, {"orders": _orders(spark, 0, 10), "items": _items(spark, 0, 10)}
+    )
+    # simulate the crash: new versions land on BOTH tables, but the
+    # process dies before the t=1 manifest rename
+    write_version(_orders(spark, 0, 99), f"{g}/orders")
+    write_version(_items(spark, 0, 99), f"{g}/items")
+    # ...and a torn staging dir in the txn log must not count either
+    os.makedirs(f"{g}/_txn/.staging_t1.deadbeef", exist_ok=True)
+
+    assert latest_txn(spark, g) == 0
+    assert list_txns(spark, g) == [0]
+    assert read_txn_table(spark, g, "orders").count() == 10
+    assert read_txn_table(spark, g, "items").count() == 20
+
+    # the next committed transaction seals over the debris
+    t = commit_txn(spark, g, {"orders": _orders(spark, 0, 30)})
+    assert t == 1
+    assert read_txn_table(spark, g, "orders").count() == 30
+    assert read_txn_table(spark, g, "items").count() == 20  # carried pin
+
+
+def test_expected_txn_pin_refuses_stale_plan(spark, tmp_path):
+    g = str(tmp_path / "grp")
+    commit_txn(spark, g, {"orders": _orders(spark, 0, 10)})
+    commit_txn(spark, g, {"orders": _orders(spark, 0, 20)})
+    with pytest.raises(TxnConflict, match="moved"):
+        commit_txn(spark, g, {"orders": _orders(spark, 0, 5)}, expected_txn=0)
+
+
+def test_concurrent_disjoint_tables_rebase(spark, tmp_path, monkeypatch):
+    """A writer that loses the publish to a winner touching DISJOINT
+    tables rebases: its map merges over the winner's and lands at the
+    next id — both writers' tables advance, neither's pins lost."""
+    import pyspark_big_data_spark.operators.multitxn as MT
+
+    g = str(tmp_path / "grp")
+    commit_txn(
+        spark, g, {"orders": _orders(spark, 0, 10), "items": _items(spark, 0, 10)}
+    )
+    commit_txn(spark, g, {"items": _items(spark, 0, 30)})  # the "winner" (t=1)
+
+    # make the loser PLAN against t=0 (stale), then see reality
+    real = MT.latest_txn
+    state = {"first": True}
+
+    def stale_once(spark_, root_):
+        if state["first"]:
+            state["first"] = False
+            return 0
+        return real(spark_, root_)
+
+    monkeypatch.setattr(MT, "latest_txn", stale_once)
+    t = commit_txn(spark, g, {"orders": _orders(spark, 0, 40)})
+    assert t == 2
+    m = txn_manifest(spark, g)["tables"]
+    assert read_txn_table(spark, g, "orders").count() == 40  # loser's write
+    assert read_txn_table(spark, g, "items").count() == 60  # winner's kept
+
+
+def test_concurrent_same_table_conflicts(spark, tmp_path, monkeypatch):
+    import pyspark_big_data_spark.operators.multitxn as MT
+
+    g = str(tmp_path / "grp")
+    commit_txn(spark, g, {"orders": _orders(spark, 0, 10)})
+    commit_txn(spark, g, {"orders": _orders(spark, 0, 20)})  # winner (t=1)
+
+    real = MT.latest_txn
+    state = {"first": True}
+
+    def stale_once(spark_, root_):
+        if state["first"]:
+            state["first"] = False
+            return 0
+        return real(spark_, root_)
+
+    monkeypatch.setattr(MT, "latest_txn", stale_once)
+    with pytest.raises(TxnConflict, match="orders"):
+        commit_txn(spark, g, {"orders": _orders(spark, 0, 5)})
+    # nothing published: the group still reads the winner's state
+    assert latest_txn(spark, g) == 1
+    assert read_txn_table(spark, g, "orders").count() == 20
+
+
+def test_append_to_unknown_table_refused(spark, tmp_path):
+    g = str(tmp_path / "grp")
+    commit_txn(spark, g, {"orders": _orders(spark, 0, 10)})
+    with pytest.raises(ValueError, match="not yet in the group"):
+        commit_txn(spark, g, {"items": _items(spark, 0, 5)}, append=True)
