@@ -642,3 +642,125 @@ def fast_forward_branch(
             "an explicit merge commit)"
         )
     update_branch(spark, root, name, to_version, expected_head=head)
+
+
+def _keyed_changes(spark: SparkSession, root: str, base_v: int, head_v: int, keys: list[str]):
+    """Key-level change extract between the MERGE-ON-READ states of two
+    chain-related versions: ``(upserts, deleted, changed_keys)`` where
+    ``upserts`` are the head's rows for inserted-or-updated keys,
+    ``deleted`` the base's rows for keys gone at the head, and
+    ``changed_keys`` the union of both key sets. One co-partitioned
+    full-outer join on the key; unchanged keys (the vast majority at
+    100 TB) never leave their joined partition."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    old = read_version_mor(spark, root, base_v)
+    new = read_version_mor(spark, root, head_v)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"keyed merge needs matching schemas between v={base_v} and "
+            f"v={head_v} (got {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}); reconcile evolution explicitly first"
+        )
+    nonkey = [c for c in new.columns if c not in keys]
+
+    def _h(df):
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in sorted(nonkey)
+                ],
+            )
+        )
+
+    o = old.select(*keys, _h(old).alias("__oh"), F.lit(1).alias("__o"))
+    n = new.select(*new.columns, _h(new).alias("__nh"), F.lit(1).alias("__n"))
+    j = o.join(n, keys, "full_outer")
+    upsert_keys = j.filter(
+        F.col("__o").isNull() | (F.col("__oh") != F.col("__nh"))
+    ).select(*keys)
+    deleted_keys = j.filter(F.col("__n").isNull()).select(*keys)
+    upserts = new.join(upsert_keys, keys, "left_semi")
+    deleted = old.join(deleted_keys, keys, "left_semi")
+    changed = upsert_keys.unionByName(deleted_keys).distinct()
+    return upserts, deleted, changed
+
+
+def merge_branch_keyed(
+    spark: SparkSession, root: str, source: str, into: str, key
+) -> dict:
+    """KEY-LEVEL three-way branch merge — the resolution for the cases
+    the append-level ``merge_branch`` refuses (deletion vectors or
+    MERGE commits on a divergent path): compute each side's key-level
+    changes since the merge base, prove the changed KEY SETS disjoint,
+    and replay the source side's changes onto the target as ONE
+    MERGE-INTO-branch commit (updates + inserts + deletes, atomic
+    delta+vector). Overlapping key sets are refused loudly with a
+    sample of the conflicting keys — exactly git's line-level conflict,
+    at key granularity.
+
+    The merge commit records ``merged_from`` = the source head, so DAG
+    ancestry composes with ``merge_branch``: a later back-merge
+    fast-forwards, a re-merge is a noop.
+
+    Resolution ladder shares the cheap rungs with ``merge_branch``
+    (noop when already reachable, fast-forward when the target is a
+    DAG ancestor); only the divergent rung differs — keyed replay
+    instead of file-level append. 100 TB: the change extract is two
+    MOR scans and one co-partitioned full-outer join per side (the
+    price of row-level semantics the file-level path avoids); the
+    commit ships only the changed rows."""
+    keys = [key] if isinstance(key, str) else list(key)
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+
+    head_s = branch_head(spark, root, source)
+    head_t = branch_head(spark, root, into)
+    if head_s in _merge_reachable(spark, root, head_t):
+        return {"mode": "noop", "version": head_t, "base": head_s}
+    if head_t in _merge_reachable(spark, root, head_s):
+        fast_forward_branch(spark, root, into, head_s)
+        return {"mode": "fast-forward", "version": head_s, "base": head_t}
+
+    base = merge_base(spark, root, head_s, head_t)
+    s_up, s_del, s_changed = _keyed_changes(spark, root, base, head_s, keys)
+    _, _, t_changed = _keyed_changes(spark, root, base, head_t, keys)
+    conflicts = [
+        tuple(r[k] for k in keys)
+        for r in s_changed.join(t_changed, keys, "left_semi").limit(5).collect()
+    ]
+    if conflicts:
+        raise ValueError(
+            f"keyed merge of {source!r} into {into!r} conflicts: both "
+            f"branches changed key(s) {conflicts} since base v={base}; "
+            "resolve by an explicit merge commit on one branch first"
+        )
+
+    src = s_up.withColumn("__del", F.lit(False)).unionByName(
+        s_del.withColumn("__del", F.lit(True))
+    )
+    res = merge_to_branch(
+        spark,
+        root,
+        into,
+        src,
+        keys if len(keys) > 1 else keys[0],
+        when_matched_update="NOT source.__del",
+        when_matched_delete="source.__del",
+        when_not_matched_insert="NOT source.__del",
+        manifest_extra={
+            "merged_from": head_s,
+            "merge_base": base,
+            "merge_mode": "keyed",
+        },
+    )
+    mode = "keyed-merge" if res["version"] is not None else "noop"
+    out_v = res["version"] if res["version"] is not None else head_t
+    return {"mode": mode, "version": out_v, "base": base, **{
+        k: res[k] for k in ("n_deleted", "n_updated", "n_inserted")
+    }}

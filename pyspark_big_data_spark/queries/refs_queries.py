@@ -285,3 +285,118 @@ def branch_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if mode_ok else 0).cast("long").alias("mode_gate"),
         F.lit(1 if conflict_ok else 0).cast("long").alias("conflict_gate"),
     )
+
+
+_KEYED_MERGE_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+), after AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 16 = 0 THEN o_totalprice + 1.0
+                WHEN o_orderkey % 16 = 4 THEN o_totalprice + 2.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM base WHERE o_orderkey % 16 <> 8
+), merged AS (
+    SELECT * FROM after
+    UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 2
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       CAST(1 AS BIGINT) AS refuse_gate,
+       CAST(1 AS BIGINT) AS mode_gate,
+       CAST(1 AS BIGINT) AS conflict_gate
+FROM merged
+"""
+
+
+@register("keyed_branch_merge_witness", oracle=_KEYED_MERGE_ORACLE, driver=False)
+def keyed_branch_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-LEVEL three-way branch merge driver-verified
+    (operators/refs.py::merge_branch_keyed — the resolution for the
+    cases the append-level merge_branch refuses; VERDICT r11 next-step
+    #5): branch main and dev off an orders%4==0 base, run a MERGE INTO
+    on each branch touching DISJOINT key sets (dev: update %16==0 by
+    +1, insert the %4==1 slice, delete %16==8; main: update %16==4 by
+    +2, insert the %4==2 slice — both sides now carry embedded
+    deletion vectors on divergent paths), then keyed-merge dev into
+    main and value-pin the merged read against DuckDB reconstructing
+    the same edits declaratively. Gates: ``refuse_gate`` = the
+    append-level merge_branch REFUSED this divergence first (DVs on
+    the divergent path); ``mode_gate`` = merge_branch_keyed took the
+    keyed path and a re-merge is a noop; ``conflict_gate`` = a
+    follow-up edit to a key the TARGET side already changed makes the
+    next keyed merge refuse loudly with the conflicting key named."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        create_branch,
+        merge_branch,
+        merge_branch_keyed,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    root = session_tmpdir("keyed_merge_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    rem = lambda r, m=4: orders.filter(F.col("o_orderkey") % m == r)  # noqa: E731
+    write_version(rem(0), root)
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+
+    # dev: update %16==0 (+1), insert %4==1, delete %16==8
+    dev_src = (
+        rem(0, 16)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("__del", F.lit(False))
+        .unionByName(rem(1).withColumn("__del", F.lit(False)))
+        .unionByName(rem(8, 16).withColumn("__del", F.lit(True)))
+    )
+    merge_to_branch(
+        spark, root, "dev", dev_src, "o_orderkey",
+        when_matched_update="NOT source.__del",
+        when_matched_delete="source.__del",
+        when_not_matched_insert="NOT source.__del",
+    )
+    # main: update %16==4 (+2), insert %4==2
+    main_src = (
+        rem(4, 16)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2.0)
+        .unionByName(rem(2))
+    )
+    merge_to_branch(spark, root, "main", main_src, "o_orderkey")
+
+    try:
+        merge_branch(spark, root, "dev", "main")
+        refuse_ok = False
+    except ValueError:
+        refuse_ok = True
+
+    res = merge_branch_keyed(spark, root, "dev", "main", "o_orderkey")
+    res2 = merge_branch_keyed(spark, root, "dev", "main", "o_orderkey")
+    mode_ok = res["mode"] == "keyed-merge" and res2["mode"] == "noop"
+
+    # conflicting follow-up: dev edits a key main already changed
+    conflict_src = rem(4, 16).limit(1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 9.0
+    )
+    merge_to_branch(spark, root, "dev", conflict_src, "o_orderkey")
+    try:
+        merge_branch_keyed(spark, root, "dev", "main", "o_orderkey")
+        conflict_ok = False
+    except ValueError:
+        conflict_ok = True
+
+    merged = read_version_mor(spark, root, branch_head(spark, root, "main"))
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "price_sum")
+    ).select(
+        "n_rows",
+        "price_sum",
+        F.lit(1 if refuse_ok else 0).cast("long").alias("refuse_gate"),
+        F.lit(1 if mode_ok else 0).cast("long").alias("mode_gate"),
+        F.lit(1 if conflict_ok else 0).cast("long").alias("conflict_gate"),
+    )

@@ -498,6 +498,86 @@ def test_merge_refuses_partial_payload_overlap(spark, tmp_path):
         merge_branch(spark, root, "dev", "main")
 
 
+def test_keyed_merge_resolves_dv_bearing_divergence(spark, tmp_path):
+    """Both branches ran MERGE INTO (DV-bearing divergent paths — the
+    append-level merge_branch refuses), but they changed DISJOINT keys:
+    merge_branch_keyed proves disjointness and replays the source
+    side's updates/inserts/deletes onto the target as one atomic
+    merge commit."""
+    import pytest as _pytest
+
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import (
+        merge_branch,
+        merge_branch_keyed,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)  # v0 = k 0..49, branches main + dev
+
+    def _src(spark, rows):
+        return spark.createDataFrame(rows, "k long, x double")
+
+    # dev: update k=1, insert k=100, delete k=2
+    merge_to_branch(
+        spark, root, "dev",
+        _src(spark, [(1, 111.0), (100, 100.0), (2, 0.0)]).withColumn(
+            "__del", F.col("k") == 2
+        ),
+        "k",
+        when_matched_update="NOT source.__del",
+        when_matched_delete="source.__del",
+        when_not_matched_insert="NOT source.__del",
+    )
+    # main: update k=10, insert k=200 (disjoint keys)
+    merge_to_branch(spark, root, "main", _src(spark, [(10, 1010.0), (200, 200.0)]), "k")
+
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        merge_branch(spark, root, "dev", "main")
+
+    res = merge_branch_keyed(spark, root, "dev", "main", "k")
+    assert res["mode"] == "keyed-merge"
+    assert (res["n_updated"], res["n_inserted"], res["n_deleted"]) == (1, 1, 1)
+    from pyspark_big_data_spark.operators.refs import branch_head
+
+    merged = read_version_mor(spark, root, branch_head(spark, root, "main"))
+    rows = {r["k"]: r["x"] for r in merged.collect()}
+    assert rows[1] == 111.0 and rows[10] == 1010.0
+    assert rows[100] == 100.0 and rows[200] == 200.0
+    assert 2 not in rows
+    assert len(rows) == 51  # 50 - 1 deleted + 2 inserted
+
+    # re-merge is a noop (merged_from ancestry), back-merge fast-forwards
+    assert merge_branch_keyed(spark, root, "dev", "main", "k")["mode"] == "noop"
+    assert merge_branch_keyed(spark, root, "main", "dev", "k")["mode"] == "fast-forward"
+    dev_rows = {
+        r["k"]: r["x"]
+        for r in read_version_mor(
+            spark, root, branch_head(spark, root, "dev")
+        ).collect()
+    }
+    assert dev_rows == rows
+
+
+def test_keyed_merge_refuses_overlapping_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import merge_branch_keyed
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)
+
+    def _src(spark, rows):
+        return spark.createDataFrame(rows, "k long, x double")
+
+    merge_to_branch(spark, root, "dev", _src(spark, [(5, 55.0)]), "k")
+    merge_to_branch(spark, root, "main", _src(spark, [(5, 505.0)]), "k")
+    with _pytest.raises(ValueError, match="both\n?.*branches changed|conflicts"):
+        merge_branch_keyed(spark, root, "dev", "main", "k")
+
+
 def test_prune_branch_log(spark, tmp_path):
     from pyspark_big_data_spark.operators.refs import (
         branch_head,
