@@ -1,0 +1,267 @@
+"""SQL-text front for the mutation layer — MERGE / time travel /
+RESTORE / branches / tags as statements, not just Python calls.
+
+The reference treats SQL as a co-equal surface for its queries
+(src/query1.py:94-115 runs every query twice, DataFrame and
+``spark.sql``); this module extends that principle to the extension
+surface: every mutation primitive (operators/merge.py,
+operators/versioned.py, operators/refs.py) gets a documented statement
+form, parsed here and dispatched to the SAME Python implementation —
+so the two surfaces cannot drift (the parity tests assert statement ==
+API call on identical inputs).
+
+Grammar (a DOCUMENTED SUBSET — anything else refuses loudly rather
+than mis-parsing; case-insensitive keywords, ``--`` comments
+stripped)::
+
+    MERGE INTO <table> USING <view> ON target.<k> = source.<k>
+        [AND target.<k2> = source.<k2> ...]
+        [WHEN MATCHED AND <cond> THEN DELETE]
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+
+    SELECT ... FROM <table> VERSION AS OF <n> ...
+    SELECT ... FROM <table> TIMESTAMP AS OF '<ts>' ...
+
+    RESTORE TABLE <table> TO VERSION AS OF <n>
+    CREATE BRANCH <name> ON <table> [AT VERSION <n>]
+    MERGE BRANCH <src> INTO <dst> ON <table>
+    CREATE TAG <name> ON <table> AT VERSION <n> [NOTE '<text>']
+
+Tables resolve through an explicit CATALOG (``{name: chain root}``) —
+no global registry, no ambient state: the caller owns the namespace
+exactly as it owns SparkSession temp views. ``USING <view>`` names a
+registered temp view (create it with ``df.createOrReplaceTempView`` —
+the same way ``spark.sql`` gets any other relation). Clause conditions
+pass through VERBATIM as the SQL-over-target/source-aliases strings
+``merge_into`` already accepts, so the statement form has exactly the
+clause power of the API, by construction.
+
+Time-travel SELECTs resolve ``<table> VERSION|TIMESTAMP AS OF`` to the
+pinned chain read, register it as a scoped temp view, rewrite the
+statement to reference the view, and hand the REST of the SQL to
+Catalyst untouched — the front parses only the travel suffix, never
+the query.
+
+100 TB: parsing is driver-side string work; every statement executes
+as the identical plan its Python twin builds.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+def _strip_comments(sql: str) -> str:
+    return re.sub(r"--[^\n]*", " ", sql).strip().rstrip(";").strip()
+
+
+def _root(catalog: dict[str, str], table: str) -> str:
+    if table not in catalog:
+        raise ValueError(
+            f"unknown table {table!r}; catalog has {sorted(catalog)}"
+        )
+    return catalog[table]
+
+
+_MERGE_RE = re.compile(
+    rf"^MERGE\s+INTO\s+(?P<table>{_IDENT})\s+USING\s+(?P<view>{_IDENT})\s+"
+    rf"ON\s+(?P<on>.+?)\s*(?P<clauses>\bWHEN\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_RE = re.compile(
+    rf"^target\.(?P<t>{_IDENT})\s*=\s*source\.(?P<s>{_IDENT})$", re.IGNORECASE
+)
+_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"(?P<action>DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRAVEL_RE = re.compile(
+    rf"\b(?P<table>{_IDENT})\s+(?:(?P<kind>VERSION)\s+AS\s+OF\s+(?P<v>\d+)"
+    rf"|(?P<kind2>TIMESTAMP)\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    rf"^RESTORE\s+TABLE\s+(?P<table>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<v>\d+)$",
+    re.IGNORECASE,
+)
+_CREATE_BRANCH_RE = re.compile(
+    rf"^CREATE\s+BRANCH\s+(?P<name>{_IDENT})\s+ON\s+(?P<table>{_IDENT})"
+    r"(?:\s+AT\s+VERSION\s+(?P<v>\d+))?$",
+    re.IGNORECASE,
+)
+_MERGE_BRANCH_RE = re.compile(
+    rf"^MERGE\s+BRANCH\s+(?P<src>{_IDENT})\s+INTO\s+(?P<dst>{_IDENT})\s+"
+    rf"ON\s+(?P<table>{_IDENT})$",
+    re.IGNORECASE,
+)
+_CREATE_TAG_RE = re.compile(
+    rf"^CREATE\s+TAG\s+(?P<name>{_IDENT})\s+ON\s+(?P<table>{_IDENT})\s+"
+    r"AT\s+VERSION\s+(?P<v>\d+)(?:\s+NOTE\s+'(?P<note>[^']*)')?$",
+    re.IGNORECASE,
+)
+
+
+def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
+    from pyspark_big_data_spark.operators.merge import merge_into
+
+    keys = []
+    for part in re.split(r"\s+AND\s+", m["on"].strip(), flags=re.IGNORECASE):
+        om = _ON_RE.match(part.strip())
+        if not om:
+            raise ValueError(
+                f"unsupported ON term {part.strip()!r}: the statement form "
+                "supports equi-conditions 'target.<k> = source.<k>' only"
+            )
+        if om["t"].lower() != om["s"].lower():
+            raise ValueError(
+                f"ON term {part.strip()!r} joins different column names; "
+                "the UPDATE SET * / INSERT * form needs matching names"
+            )
+        keys.append(om["t"])
+    clauses_text = m["clauses"].strip()
+    leftover = clauses_text
+    for c in _CLAUSE_RE.finditer(clauses_text):
+        leftover = leftover.replace(c.group(0), "", 1)
+    if leftover.strip():
+        raise ValueError(
+            f"unsupported MERGE clause text {leftover.strip()!r}; supported "
+            "actions: DELETE, UPDATE SET *, INSERT *"
+        )
+    upd = None
+    dele = None
+    ins = None
+    for c in _CLAUSE_RE.finditer(clauses_text):
+        action = re.sub(r"\s+", " ", c["action"].upper())
+        cond = c["cond"].strip() if c["cond"] else True
+        if c["not"]:
+            if action != "INSERT *":
+                raise ValueError("WHEN NOT MATCHED supports INSERT * only")
+            if ins is not None:
+                raise ValueError("duplicate WHEN NOT MATCHED clause")
+            ins = cond
+        elif action == "DELETE":
+            if dele is not None:
+                raise ValueError("duplicate WHEN MATCHED ... DELETE clause")
+            dele = cond
+        elif action == "UPDATE SET *":
+            if upd is not None:
+                raise ValueError("duplicate WHEN MATCHED ... UPDATE clause")
+            upd = cond
+        else:
+            raise ValueError(f"unsupported matched action {action!r}")
+    if dele is True and upd is not None:
+        raise ValueError(
+            "an unconditional WHEN MATCHED THEN DELETE shadows the UPDATE "
+            "clause; give DELETE a condition"
+        )
+    source = spark.table(m["view"])
+    return merge_into(
+        spark,
+        _root(catalog, m["table"]),
+        source,
+        keys if len(keys) > 1 else keys[0],
+        when_matched_update=upd,
+        when_matched_delete=dele,
+        when_not_matched_insert=ins,
+    )
+
+
+def run_mutation_sql(
+    spark: SparkSession, sql: str, catalog: dict[str, str]
+) -> DataFrame | dict | int | None:
+    """Execute one statement of the documented subset. Returns what the
+    underlying API returns: a DataFrame for SELECTs, the merge result
+    dict for MERGE INTO / MERGE BRANCH, the new version for RESTORE,
+    the head/pin for branch/tag creation."""
+    stmt = _strip_comments(sql)
+
+    m = _RESTORE_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.versioned import restore_version
+
+        return restore_version(spark, _root(catalog, m["table"]), int(m["v"]))
+
+    m = _CREATE_BRANCH_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.refs import create_branch
+        from pyspark_big_data_spark.operators.versioned import latest_version
+
+        root = _root(catalog, m["table"])
+        v = int(m["v"]) if m["v"] is not None else latest_version(spark, root)
+        create_branch(spark, root, m["name"], v)
+        return v
+
+    m = _MERGE_BRANCH_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.refs import merge_branch
+
+        return merge_branch(
+            spark, _root(catalog, m["table"]), m["src"], m["dst"]
+        )
+
+    m = _CREATE_TAG_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.refs import create_tag
+
+        return create_tag(
+            spark,
+            _root(catalog, m["table"]),
+            m["name"],
+            int(m["v"]),
+            note=m["note"] or "",
+        )
+
+    m = _MERGE_RE.match(stmt)
+    if m:
+        return _parse_merge(spark, m, catalog)
+
+    if re.match(r"^SELECT\b", stmt, re.IGNORECASE) and _TRAVEL_RE.search(stmt):
+        return _run_travel_select(spark, stmt, catalog)
+
+    raise ValueError(
+        "statement not in the documented mutation-SQL subset (MERGE INTO, "
+        "SELECT ... VERSION/TIMESTAMP AS OF, RESTORE TABLE, CREATE BRANCH, "
+        f"MERGE BRANCH, CREATE TAG): {stmt[:120]!r}"
+    )
+
+
+def _run_travel_select(
+    spark: SparkSession, stmt: str, catalog: dict[str, str]
+) -> DataFrame:
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version,
+        read_version_as_of,
+    )
+
+    views: list[str] = []
+
+    def _sub(m: re.Match) -> str:
+        table = m["table"]
+        if table not in catalog:
+            # not one of ours (e.g. a column alias that happened to
+            # precede the keyword) — leave untouched
+            return m.group(0)
+        root = catalog[table]
+        if m["kind"]:
+            df = read_version(spark, root, int(m["v"]))
+            vname = f"__travel_{table}_v{m['v']}"
+        else:
+            df = read_version_as_of(spark, root, m["ts"])
+            vname = f"__travel_{table}_ts{len(views)}"
+        df.createOrReplaceTempView(vname)
+        views.append(vname)
+        return vname
+
+    rewritten = _TRAVEL_RE.sub(_sub, stmt)
+    if not views:
+        raise ValueError(
+            "VERSION/TIMESTAMP AS OF names no table in the catalog"
+        )
+    return spark.sql(rewritten)

@@ -1,0 +1,164 @@
+"""SQL-text front for the mutation layer
+(operators/mutation_sql.py): every statement form asserted EQUAL to
+its Python-API twin on identical inputs — the two surfaces cannot
+drift (the reference's SQL-co-equal principle, src/query1.py:94-115,
+extended to the extension surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_big_data_spark.operators.deletes import read_version_mor
+from pyspark_big_data_spark.operators.merge import merge_into
+from pyspark_big_data_spark.operators.mutation_sql import run_mutation_sql
+from pyspark_big_data_spark.operators.versioned import (
+    latest_version,
+    read_version,
+    write_version,
+)
+
+
+def _df(spark, lo, hi, mark=0.0):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0 + mark).alias("x")
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["x"]) for r in df.collect())
+
+
+def test_merge_statement_equals_api(spark, tmp_path):
+    api_root = str(tmp_path / "api")
+    sql_root = str(tmp_path / "sql")
+    for r in (api_root, sql_root):
+        write_version(_df(spark, 0, 100), r)
+    src = _df(spark, 90, 110, mark=1.0).withColumn(
+        "is_del", (F.col("k") % 2 == 0) & (F.col("k") < 100)
+    )
+    src.createOrReplaceTempView("cdc_batch")
+
+    api = merge_into(
+        spark,
+        api_root,
+        src,
+        "k",
+        when_matched_update="NOT source.is_del",
+        when_matched_delete="source.is_del",
+        when_not_matched_insert="NOT source.is_del",
+    )
+    got = run_mutation_sql(
+        spark,
+        """
+        MERGE INTO t USING cdc_batch ON target.k = source.k
+        WHEN MATCHED AND source.is_del THEN DELETE
+        WHEN MATCHED AND NOT source.is_del THEN UPDATE SET *
+        WHEN NOT MATCHED AND NOT source.is_del THEN INSERT *
+        """,
+        {"t": sql_root},
+    )
+    assert {k: got[k] for k in ("n_deleted", "n_updated", "n_inserted")} == {
+        k: api[k] for k in ("n_deleted", "n_updated", "n_inserted")
+    }
+    assert _rows(read_version_mor(spark, sql_root)) == _rows(
+        read_version_mor(spark, api_root)
+    )
+
+
+def test_time_travel_select_statements(spark, tmp_path):
+    from pyspark_big_data_spark.operators.versioned import (
+        read_version_as_of,
+        version_commit_times,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    write_version(_df(spark, 0, 30), root)
+
+    got = run_mutation_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 0",
+        {"t": root},
+    )
+    assert got.collect()[0]["n"] == read_version(spark, root, 0).count() == 10
+
+    import datetime as _dt
+
+    ts = _dt.datetime.fromtimestamp(
+        version_commit_times(spark, root)[0]
+    ).isoformat()
+    got2 = run_mutation_sql(
+        spark,
+        f"SELECT SUM(x) AS s FROM t TIMESTAMP AS OF '{ts}'",
+        {"t": root},
+    )
+    want = read_version_as_of(spark, root, ts).agg(F.sum("x").alias("s"))
+    assert got2.collect()[0]["s"] == want.collect()[0]["s"]
+
+
+def test_restore_branch_tag_statements(spark, tmp_path):
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        list_branches,
+        read_tag,
+    )
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    write_version(_df(spark, 0, 30), root)
+
+    v = run_mutation_sql(
+        spark, "RESTORE TABLE t TO VERSION AS OF 0", {"t": root}
+    )
+    assert v == latest_version(spark, root)
+    assert read_version(spark, root, v).count() == 10
+
+    run_mutation_sql(spark, "CREATE BRANCH main ON t AT VERSION 0", {"t": root})
+    run_mutation_sql(spark, "CREATE BRANCH dev ON t AT VERSION 0", {"t": root})
+    assert set(list_branches(spark, root)) == {"main", "dev"}
+
+    from pyspark_big_data_spark.operators.refs import commit_to_branch
+
+    commit_to_branch(_df(spark, 100, 105), root, "dev", append=True)
+    res = run_mutation_sql(
+        spark, "MERGE BRANCH dev INTO main ON t", {"t": root}
+    )
+    assert res["mode"] == "fast-forward"
+    assert branch_head(spark, root, "main") == branch_head(spark, root, "dev")
+
+    run_mutation_sql(
+        spark, "CREATE TAG rel ON t AT VERSION 0 NOTE 'first cut'", {"t": root}
+    )
+    assert read_tag(spark, root, "rel") == 0
+
+
+def test_subset_refusals_are_loud(spark, tmp_path):
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 5), root)
+    _df(spark, 0, 3).createOrReplaceTempView("srcv")
+    cat = {"t": root}
+    with pytest.raises(ValueError, match="documented mutation-SQL subset"):
+        run_mutation_sql(spark, "DROP TABLE t", cat)
+    with pytest.raises(ValueError, match="equi-conditions"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING srcv ON target.k > source.k "
+            "WHEN MATCHED THEN UPDATE SET *",
+            cat,
+        )
+    with pytest.raises(ValueError, match="unknown table"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO nope USING srcv ON target.k = source.k "
+            "WHEN MATCHED THEN UPDATE SET *",
+            cat,
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING srcv ON target.k = source.k "
+            "WHEN MATCHED THEN UPDATE SET x = 1",
+            cat,
+        )
