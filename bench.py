@@ -185,6 +185,16 @@ HEADLINE = [
     # named-rule verdicts; unigram-LM scoring + tercile partition.
     "gopher_quality_filter",
     "ccnet_perplexity_buckets",
+    # round-12 additions (appended): the r12 mutation-layer shapes.
+    # multi-table txn = two-table atomic publish cycle (two slice
+    # writes + append + manifests + the txn-resolved join);
+    # keyed branch merge = two MERGE-bearing branches diffed key-level
+    # (two MOR full-outer extracts) + the disjointness proof + one
+    # keyed replay commit; mutation sql = the full MERGE cycle run
+    # TWICE (statement form + API twin) + the state-equality proof.
+    "multi_table_txn_witness",
+    "keyed_branch_merge_witness",
+    "mutation_sql_parity_witness",
 ]
 
 
