@@ -22,10 +22,14 @@ stripped)::
 
     SELECT ... FROM <table> VERSION AS OF <n> ...
     SELECT ... FROM <table> TIMESTAMP AS OF '<ts>' ...
+    SELECT ... FROM <table> BRANCH <name> ...
+    SELECT ... FROM <table> TAG <name> ...
 
     RESTORE TABLE <table> TO VERSION AS OF <n>
+    RESTORE TABLE <table> TO TIMESTAMP AS OF '<ts>'
     CREATE BRANCH <name> ON <table> [AT VERSION <n>]
     MERGE BRANCH <src> INTO <dst> ON <table>
+    MERGE BRANCH <src> INTO <dst> ON <table> BY KEY <k>[, <k2> ...]
     CREATE TAG <name> ON <table> AT VERSION <n> [NOTE '<text>']
 
 Tables resolve through an explicit CATALOG (``{name: chain root}``) —
@@ -83,12 +87,15 @@ _CLAUSE_RE = re.compile(
 )
 _TRAVEL_RE = re.compile(
     rf"\b(?P<table>{_IDENT})\s+(?:(?P<kind>VERSION)\s+AS\s+OF\s+(?P<v>\d+)"
-    rf"|(?P<kind2>TIMESTAMP)\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    rf"|(?P<kind2>TIMESTAMP)\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    rf"|(?P<kind3>BRANCH)\s+(?P<branch>{_IDENT})"
+    rf"|(?P<kind4>TAG)\s+(?P<tag>{_IDENT}))",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
-    rf"^RESTORE\s+TABLE\s+(?P<table>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
-    r"(?P<v>\d+)$",
+    rf"^RESTORE\s+TABLE\s+(?P<table>{_IDENT})\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')$",
     re.IGNORECASE,
 )
 _CREATE_BRANCH_RE = re.compile(
@@ -98,7 +105,8 @@ _CREATE_BRANCH_RE = re.compile(
 )
 _MERGE_BRANCH_RE = re.compile(
     rf"^MERGE\s+BRANCH\s+(?P<src>{_IDENT})\s+INTO\s+(?P<dst>{_IDENT})\s+"
-    rf"ON\s+(?P<table>{_IDENT})$",
+    rf"ON\s+(?P<table>{_IDENT})"
+    rf"(?:\s+BY\s+KEY\s+(?P<keys>{_IDENT}(?:\s*,\s*{_IDENT})*))?$",
     re.IGNORECASE,
 )
 _CREATE_TAG_RE = re.compile(
@@ -184,9 +192,15 @@ def run_mutation_sql(
 
     m = _RESTORE_RE.match(stmt)
     if m:
-        from pyspark_big_data_spark.operators.versioned import restore_version
+        from pyspark_big_data_spark.operators.versioned import (
+            restore_version,
+            restore_version_as_of,
+        )
 
-        return restore_version(spark, _root(catalog, m["table"]), int(m["v"]))
+        root = _root(catalog, m["table"])
+        if m["v"] is not None:
+            return restore_version(spark, root, int(m["v"]))
+        return restore_version_as_of(spark, root, m["ts"])
 
     m = _CREATE_BRANCH_RE.match(stmt)
     if m:
@@ -200,11 +214,19 @@ def run_mutation_sql(
 
     m = _MERGE_BRANCH_RE.match(stmt)
     if m:
-        from pyspark_big_data_spark.operators.refs import merge_branch
-
-        return merge_branch(
-            spark, _root(catalog, m["table"]), m["src"], m["dst"]
+        from pyspark_big_data_spark.operators.refs import (
+            merge_branch,
+            merge_branch_keyed,
         )
+
+        root = _root(catalog, m["table"])
+        if m["keys"]:
+            keys = [k.strip() for k in m["keys"].split(",")]
+            return merge_branch_keyed(
+                spark, root, m["src"], m["dst"],
+                keys if len(keys) > 1 else keys[0],
+            )
+        return merge_branch(spark, root, m["src"], m["dst"])
 
     m = _CREATE_TAG_RE.match(stmt)
     if m:
@@ -252,9 +274,19 @@ def _run_travel_select(
         if m["kind"]:
             df = read_version(spark, root, int(m["v"]))
             vname = f"__travel_{table}_v{m['v']}"
-        else:
+        elif m["kind2"]:
             df = read_version_as_of(spark, root, m["ts"])
             vname = f"__travel_{table}_ts{len(views)}"
+        elif m["kind3"]:
+            from pyspark_big_data_spark.operators.refs import read_branch
+
+            df = read_branch(spark, root, m["branch"])
+            vname = f"__travel_{table}_br_{m['branch']}"
+        else:
+            from pyspark_big_data_spark.operators.refs import read_by_tag
+
+            df = read_by_tag(spark, root, m["tag"])
+            vname = f"__travel_{table}_tag_{m['tag']}"
         df.createOrReplaceTempView(vname)
         views.append(vname)
         return vname

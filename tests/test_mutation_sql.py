@@ -134,6 +134,61 @@ def test_restore_branch_tag_statements(spark, tmp_path):
     assert read_tag(spark, root, "rel") == 0
 
 
+def test_branch_tag_reads_and_keyed_merge_statements(spark, tmp_path):
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import read_branch
+
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 20), root)
+    cat = {"t": root}
+    run_mutation_sql(spark, "CREATE BRANCH main ON t AT VERSION 0", cat)
+    run_mutation_sql(spark, "CREATE BRANCH dev ON t AT VERSION 0", cat)
+    run_mutation_sql(spark, "CREATE TAG rel ON t AT VERSION 0", cat)
+
+    # divergent MERGEs on both branches -> append-level refuses, the
+    # BY KEY statement resolves (disjoint keys)
+    merge_to_branch(
+        spark, root, "dev",
+        spark.createDataFrame([(1, 111.0)], "k long, x double"), "k",
+    )
+    merge_to_branch(
+        spark, root, "main",
+        spark.createDataFrame([(5, 555.0)], "k long, x double"), "k",
+    )
+    with pytest.raises(ValueError):
+        run_mutation_sql(spark, "MERGE BRANCH dev INTO main ON t", cat)
+    res = run_mutation_sql(spark, "MERGE BRANCH dev INTO main ON t BY KEY k", cat)
+    assert res["mode"] == "keyed-merge"
+
+    got = run_mutation_sql(
+        spark, "SELECT COUNT(*) AS n FROM t BRANCH main", cat
+    ).collect()[0]["n"]
+    # branch head is a MERGE commit: read it MOR like the API would
+    from pyspark_big_data_spark.operators.refs import branch_head
+
+    assert got == read_version(spark, root, branch_head(spark, root, "main")).count()
+
+    tag_n = run_mutation_sql(
+        spark, "SELECT COUNT(*) AS n FROM t TAG rel", cat
+    ).collect()[0]["n"]
+    assert tag_n == 20
+
+    # RESTORE TO TIMESTAMP parity with the API resolver
+    from pyspark_big_data_spark.operators.versioned import (
+        latest_version,
+        version_commit_times,
+    )
+    import datetime as _dt
+
+    ts = _dt.datetime.fromtimestamp(
+        version_commit_times(spark, root)[0]
+    ).isoformat()
+    v = run_mutation_sql(
+        spark, f"RESTORE TABLE t TO TIMESTAMP AS OF '{ts}'", cat
+    )
+    assert v == latest_version(spark, root)
+
+
 def test_subset_refusals_are_loud(spark, tmp_path):
     root = str(tmp_path / "vds")
     write_version(_df(spark, 0, 5), root)
