@@ -342,9 +342,15 @@ DRIVER_EXCLUDED: set[str] = set()
 # registration beyond the heads queues as an r13 head — never by
 # displacing the waived-r7 dozen.
 #
-# r13 POLICY (settled NOW, same arithmetic): heads first — any NEW
+# r13 POLICY (settled NOW, same arithmetic): heads first — the NEW
 # r12 registrations (registered driver=False this round, queued
-# oldest-first); then the 31 remaining r8-stale rows
+# oldest-first: multi_table_txn_witness — cross-table atomic commits
+# through one t=K manifest, crash/travel/conflict-gated —
+# keyed_branch_merge_witness — key-level three-way branch merge for
+# the DV-bearing refusal cases, refuse/mode/conflict-gated — and
+# mutation_sql_parity_witness — the SQL-text mutation front asserted
+# equal to the Python API on the merge scenario); then the 31
+# remaining r8-stale rows
 # OLDEST-REGISTERED-FIRST (hybrid_rrf_topk, ann_topk_pq_prebuilt,
 # multimodal_resize, multimodal_real_resize,
 # planted_lsh_recall_witness, q1_top_months_per_year_sql,
