@@ -156,8 +156,14 @@ def merge_into(
     # The source is evaluated up to 4 times below (uniqueness
     # aggregate, stats bounds, bloom probe collect, the join itself) —
     # for a derived CDC pipeline that is 4 plan executions, so pin it
-    # once; released in the same finally as `matched`.
-    source = source.persist()
+    # once; released in the same finally as `matched`. A source the
+    # CALLER already persisted is left alone (persisting it again
+    # no-ops, and unpersisting would evict the caller's cache).
+    from pyspark.storagelevel import StorageLevel
+
+    we_persisted = source.storageLevel == StorageLevel.NONE
+    if we_persisted:
+        source = source.persist()
 
     try:
         # key-unique source, or updates are non-deterministic (Delta's
@@ -315,7 +321,8 @@ def merge_into(
         finally:
             matched.unpersist()
     finally:
-        source.unpersist()
+        if we_persisted:
+            source.unpersist()
 
 
 def merge_to_branch(

@@ -52,13 +52,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_big_data_spark.operators.versioned import (
     _fs,
+    _read_json,
     commit_staged,
+    list_numbered_dirs,
     read_version,
     write_version,
 )
 
 _TXN_DIR = "_txn"
-_T_RE = re.compile(r"^t=(\d+)$")
 _NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,99}$")
 
 
@@ -81,18 +82,7 @@ def _table_root(group_root: str, table: str) -> str:
 def list_txns(spark: SparkSession, group_root: str) -> list[int]:
     """Committed transaction ids, ascending (the rename is the commit;
     staging dirs never match)."""
-    troot = _txn_root(group_root)
-    fs, hroot, jvm = _fs(spark, troot)
-    if not fs.exists(hroot):
-        return []
-    out = []
-    for status in fs.listStatus(hroot):
-        if not status.isDirectory():
-            continue
-        m = _T_RE.match(status.getPath().getName())
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return list_numbered_dirs(spark, _txn_root(group_root), "t=")
 
 
 def latest_txn(spark: SparkSession, group_root: str) -> int | None:
@@ -112,12 +102,8 @@ def txn_manifest(
     elif txn not in list_txns(spark, group_root):
         raise ValueError(f"transaction t={txn} does not exist under {group_root}")
     p = f"{_txn_root(group_root)}/t={txn}/manifest.json"
-    fs, hp, jvm = _fs(spark, p)
-    stream = fs.open(hp)
-    try:
-        return json.loads(bytes(stream.readAllBytes()))
-    finally:
-        stream.close()
+    fs, _, jvm = _fs(spark, p)
+    return _read_json(fs, jvm, p)
 
 
 def read_txn_table(
@@ -162,10 +148,12 @@ def commit_txn(
 
     On a lost rename: disjoint-table winners rebase automatically
     (their map merges with ours); a winner that touched any of OUR
-    tables raises ``TxnConflict``. ``expected_txn`` additionally pins
-    the transaction this write was PLANNED against — if the group
-    moved past it at all, the commit is refused before any data is
-    written."""
+    tables raises ``TxnConflict``. ``expected_txn`` pins the
+    transaction this write was PLANNED against — checked before any
+    data is written AND re-checked at publish: a pinned commit never
+    rebases (the caller's writes may be derived from OTHER tables'
+    state at the pin, which a disjoint-table rebase would silently
+    violate), it refuses on any movement."""
     if not writes:
         raise ValueError("commit_txn with no table writes is a no-op")
     current = latest_txn(spark, group_root)
@@ -206,8 +194,17 @@ def commit_txn(
         latest = latest_txn(spark, group_root)
         k = (latest + 1) if latest is not None else 0
         if k != k_planned:
-            # someone committed between our planning read and now:
-            # rebase iff they touched none of our tables
+            # someone committed between our planning read and now
+            if expected_txn is not None:
+                # the caller PINNED its planning snapshot (it derived
+                # these writes from other tables' state at that txn):
+                # a disjoint-table rebase would still publish data
+                # derived from a stale read — refuse, never rebase
+                raise TxnConflict(
+                    f"group {group_root} moved past pinned t={expected_txn} "
+                    f"(now t={latest}); re-derive and retry"
+                )
+            # unpinned: rebase iff the winner touched none of our tables
             winner = dict(txn_manifest(spark, group_root, latest)["tables"])
             touched = {
                 t
@@ -223,6 +220,7 @@ def commit_txn(
             merged.update({t: new_map[t] for t in my_tables})
             new_map = merged
             base_map = winner
+            current = latest  # base_txn records the ACTUAL rebase base
             k_planned = k
         doc = {
             "tables": {t: int(v) for t, v in sorted(new_map.items())},

@@ -60,8 +60,63 @@ from pyspark.sql import DataFrame, SparkSession
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
 
 
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _split_literals(sql: str) -> list[tuple[str, bool]]:
+    """Segments of ``sql`` as ``(text, is_literal)`` — the one lexical
+    fact the regex front must respect: nothing inside a single-quoted
+    SQL string (with ``''`` escapes) is a comment, a keyword, or a
+    travel suffix."""
+    out: list[tuple[str, bool]] = []
+    pos = 0
+    for m in _LITERAL_RE.finditer(sql):
+        if m.start() > pos:
+            out.append((sql[pos : m.start()], False))
+        out.append((m.group(0), True))
+        pos = m.end()
+    if pos < len(sql):
+        out.append((sql[pos:], False))
+    return out
+
+
 def _strip_comments(sql: str) -> str:
-    return re.sub(r"--[^\n]*", " ", sql).strip().rstrip(";").strip()
+    cleaned = "".join(
+        seg if lit else re.sub(r"--[^\n]*", " ", seg)
+        for seg, lit in _split_literals(sql)
+    )
+    return cleaned.strip().rstrip(";").strip()
+
+
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    return [m.span() for m in _LITERAL_RE.finditer(sql)]
+
+
+def _starts_in_literal(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(lo < pos < hi for lo, hi in spans)
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, sql: str) -> str:
+    """Apply ``pattern.sub`` skipping matches that START inside a
+    string literal. (A match may legitimately CONTAIN one — the
+    TIMESTAMP AS OF '<ts>' form — so segment-wise masking would break
+    it; only the start position decides.)"""
+    spans = _literal_spans(sql)
+
+    def guarded(m: re.Match):
+        if _starts_in_literal(m.start(), spans):
+            return m.group(0)
+        return repl(m)
+
+    return pattern.sub(guarded, sql)
+
+
+def _search_outside_literals(pattern: re.Pattern, sql: str) -> bool:
+    spans = _literal_spans(sql)
+    return any(
+        not _starts_in_literal(m.start(), spans)
+        for m in pattern.finditer(sql)
+    )
 
 
 def _root(catalog: dict[str, str], table: str) -> str:
@@ -145,6 +200,7 @@ def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
     upd = None
     dele = None
     ins = None
+    upd_pos = dele_pos = None
     for c in _CLAUSE_RE.finditer(clauses_text):
         action = re.sub(r"\s+", " ", c["action"].upper())
         cond = c["cond"].strip() if c["cond"] else True
@@ -158,16 +214,33 @@ def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
             if dele is not None:
                 raise ValueError("duplicate WHEN MATCHED ... DELETE clause")
             dele = cond
+            dele_pos = c.start()
         elif action == "UPDATE SET *":
             if upd is not None:
                 raise ValueError("duplicate WHEN MATCHED ... UPDATE clause")
             upd = cond
+            upd_pos = c.start()
         else:
             raise ValueError(f"unsupported matched action {action!r}")
     if dele is True and upd is not None:
         raise ValueError(
             "an unconditional WHEN MATCHED THEN DELETE shadows the UPDATE "
             "clause; give DELETE a condition"
+        )
+    if (
+        upd_pos is not None
+        and dele_pos is not None
+        and upd_pos < dele_pos
+    ):
+        # SQL's first-matching-clause-wins would UPDATE a row satisfying
+        # both conditions; the engine's pinned order is delete-first
+        # (Delta's rule, merge.py docstring) — refuse the ordering whose
+        # semantics would silently diverge instead of reordering it
+        raise ValueError(
+            "WHEN MATCHED ... UPDATE before WHEN MATCHED ... DELETE: this "
+            "engine evaluates DELETE first (Delta's clause order), so a row "
+            "matching both conditions would be deleted, not updated — write "
+            "the DELETE clause first to acknowledge the order"
         )
     source = spark.table(m["view"])
     return merge_into(
@@ -244,7 +317,9 @@ def run_mutation_sql(
     if m:
         return _parse_merge(spark, m, catalog)
 
-    if re.match(r"^SELECT\b", stmt, re.IGNORECASE) and _TRAVEL_RE.search(stmt):
+    if re.match(r"^SELECT\b", stmt, re.IGNORECASE) and _search_outside_literals(
+        _TRAVEL_RE, stmt
+    ):
         return _run_travel_select(spark, stmt, catalog)
 
     raise ValueError(
@@ -257,10 +332,13 @@ def run_mutation_sql(
 def _run_travel_select(
     spark: SparkSession, stmt: str, catalog: dict[str, str]
 ) -> DataFrame:
-    from pyspark_big_data_spark.operators.versioned import (
-        read_version,
-        read_version_as_of,
-    )
+    # Every travel read is MERGE-ON-READ: a chain with MERGE commits or
+    # deletion vectors serves its LOGICAL state (read_version_mor is
+    # the zero-extra-nodes plain read when no vectors exist), so the
+    # statement surface can never resurrect retired rows the API
+    # surface masks.
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.versioned import version_as_of
 
     views: list[str] = []
 
@@ -272,26 +350,26 @@ def _run_travel_select(
             return m.group(0)
         root = catalog[table]
         if m["kind"]:
-            df = read_version(spark, root, int(m["v"]))
+            v = int(m["v"])
             vname = f"__travel_{table}_v{m['v']}"
         elif m["kind2"]:
-            df = read_version_as_of(spark, root, m["ts"])
+            v = version_as_of(spark, root, m["ts"])
             vname = f"__travel_{table}_ts{len(views)}"
         elif m["kind3"]:
-            from pyspark_big_data_spark.operators.refs import read_branch
+            from pyspark_big_data_spark.operators.refs import branch_head
 
-            df = read_branch(spark, root, m["branch"])
+            v = branch_head(spark, root, m["branch"])
             vname = f"__travel_{table}_br_{m['branch']}"
         else:
-            from pyspark_big_data_spark.operators.refs import read_by_tag
+            from pyspark_big_data_spark.operators.refs import read_tag
 
-            df = read_by_tag(spark, root, m["tag"])
+            v = read_tag(spark, root, m["tag"])
             vname = f"__travel_{table}_tag_{m['tag']}"
-        df.createOrReplaceTempView(vname)
+        read_version_mor(spark, root, v).createOrReplaceTempView(vname)
         views.append(vname)
         return vname
 
-    rewritten = _TRAVEL_RE.sub(_sub, stmt)
+    rewritten = _sub_outside_literals(_TRAVEL_RE, _sub, stmt)
     if not views:
         raise ValueError(
             "VERSION/TIMESTAMP AS OF names no table in the catalog"

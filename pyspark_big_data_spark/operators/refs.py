@@ -418,7 +418,9 @@ def commit_to_branch(
     return new_v
 
 
-def _merge_reachable(spark: SparkSession, root: str, version: int) -> set[int]:
+def _merge_reachable(
+    spark: SparkSession, root: str, version: int, _cache: dict | None = None
+) -> set[int]:
     """Every version whose ROWS are incorporated in ``version``: its
     own append chain plus, recursively, the chains of every merge
     commit's recorded ``merged_from`` head. This is the DAG ancestry a
@@ -434,18 +436,25 @@ def _merge_reachable(spark: SparkSession, root: str, version: int) -> set[int]:
     seen: set[int] = set()
     stack = [version]
     while stack:
-        for v in version_chain(spark, root, stack.pop()):
+        for v in version_chain(spark, root, stack.pop(), _cache=_cache):
             if v in seen:
                 continue
             seen.add(v)
-            mf = (manifest(spark, root, v) or {}).get("merged_from")
+            mf = (manifest(spark, root, v, _cache=_cache) or {}).get(
+                "merged_from"
+            )
             if mf is not None and int(mf) not in seen:
                 stack.append(int(mf))
     return seen
 
 
 def merge_base(
-    spark: SparkSession, root: str, version_a: int, version_b: int
+    spark: SparkSession,
+    root: str,
+    version_a: int,
+    version_b: int,
+    _cache: dict | None = None,
+    _reach_b: set[int] | None = None,
 ) -> int:
     """The three-way merge base: the NEWEST member of ``version_a``'s
     chain already incorporated in ``version_b`` (via its chain or past
@@ -454,8 +463,12 @@ def merge_base(
     shared commit, so there is nothing sound to merge onto)."""
     from pyspark_big_data_spark.operators.versioned import version_chain
 
-    reach_b = _merge_reachable(spark, root, version_b)
-    for v in version_chain(spark, root, version_a):  # newest first
+    reach_b = (
+        _reach_b
+        if _reach_b is not None
+        else _merge_reachable(spark, root, version_b, _cache=_cache)
+    )
+    for v in version_chain(spark, root, version_a, _cache=_cache):  # newest first
         if v in reach_b:
             return v
     raise ValueError(
@@ -527,10 +540,11 @@ def merge_branch(
 
     head_s = branch_head(spark, root, source)
     head_t = branch_head(spark, root, into)
-    reach_t = _merge_reachable(spark, root, head_t)
+    mcache: dict = {}  # one manifest read per version for the whole decision
+    reach_t = _merge_reachable(spark, root, head_t, _cache=mcache)
     if head_s in reach_t:
         return {"mode": "noop", "version": head_t, "base": head_s}
-    if head_t in _merge_reachable(spark, root, head_s):
+    if head_t in _merge_reachable(spark, root, head_s, _cache=mcache):
         # DAG ancestry, not just the linear chain: a target head that
         # was previously MERGED into the source (merged_from parent) is
         # fully incorporated too, so the repoint is a pure fast-forward
@@ -539,8 +553,8 @@ def merge_branch(
         fast_forward_branch(spark, root, into, head_s)
         return {"mode": "fast-forward", "version": head_s, "base": head_t}
 
-    base = merge_base(spark, root, head_s, head_t)
-    chain_s = version_chain(spark, root, head_s)
+    base = merge_base(spark, root, head_s, head_t, _cache=mcache, _reach_b=reach_t)
+    chain_s = version_chain(spark, root, head_s, _cache=mcache)
     for v in chain_s:
         if v == base:
             break
@@ -573,16 +587,16 @@ def merge_branch(
     for i, v in enumerate(chain_s):
         if v == base or v in reach_t:
             break
-        m = manifest(spark, root, v) or {}
+        m = manifest(spark, root, v, _cache=mcache) or {}
         mf = m.get("merged_from")
         if mf is None:
             ship_dirs.append(f"{root.rstrip('/')}/v={v}")
             continue
         parent_v = chain_s[i + 1]
-        base_v = merge_base(spark, root, int(mf), parent_v)
-        origins = _merge_reachable(spark, root, int(mf)) - _merge_reachable(
-            spark, root, base_v
-        )
+        base_v = merge_base(spark, root, int(mf), parent_v, _cache=mcache)
+        origins = _merge_reachable(
+            spark, root, int(mf), _cache=mcache
+        ) - _merge_reachable(spark, root, base_v, _cache=mcache)
         if not origins or origins <= reach_t:
             continue  # payload rows all target-reachable — skip
         if origins & reach_t:
@@ -597,8 +611,11 @@ def merge_branch(
     if not ship_dirs:
         # everything above the base is target-reachable payload (the
         # back-merge tail case): record the merge as an EMPTY append
-        # so future reachability resolves, shipping zero rows
-        delta = table_changes(spark, root, base, base)
+        # so future reachability resolves, shipping zero rows — with
+        # the TARGET head's schema (the base's may predate additive
+        # evolution on the target, and the append guard would refuse
+        # a delta missing the evolved columns)
+        delta = table_changes(spark, root, head_t, head_t)
     else:
         for d in ship_dirs:
             spark.catalog.refreshByPath(d)
@@ -664,6 +681,19 @@ def _keyed_changes(spark: SparkSession, root: str, base_v: int, head_v: int, key
             f"v={head_v} (got {sorted(old.columns)} vs "
             f"{sorted(new.columns)}); reconcile evolution explicitly first"
         )
+    # NULL keys would silently vanish from the left_semi extracts below
+    # (NULL never equi-matches) — refuse loudly, never lose rows
+    null_any = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_any = c if null_any is None else (null_any | c)
+    for label, df in (("base", old), ("head", new)):
+        if df.filter(null_any).limit(1).count():
+            raise ValueError(
+                f"keyed merge found NULL {keys} key(s) in the {label} "
+                f"snapshot under {root}; key-level merge semantics need "
+                "non-null keys — clean or re-key the rows first"
+            )
     nonkey = [c for c in new.columns if c not in keys]
 
     def _h(df):
@@ -721,13 +751,15 @@ def merge_branch_keyed(
 
     head_s = branch_head(spark, root, source)
     head_t = branch_head(spark, root, into)
-    if head_s in _merge_reachable(spark, root, head_t):
+    mcache: dict = {}
+    reach_t = _merge_reachable(spark, root, head_t, _cache=mcache)
+    if head_s in reach_t:
         return {"mode": "noop", "version": head_t, "base": head_s}
-    if head_t in _merge_reachable(spark, root, head_s):
+    if head_t in _merge_reachable(spark, root, head_s, _cache=mcache):
         fast_forward_branch(spark, root, into, head_s)
         return {"mode": "fast-forward", "version": head_s, "base": head_t}
 
-    base = merge_base(spark, root, head_s, head_t)
+    base = merge_base(spark, root, head_s, head_t, _cache=mcache, _reach_b=reach_t)
     s_up, s_del, s_changed = _keyed_changes(spark, root, base, head_s, keys)
     _, _, t_changed = _keyed_changes(spark, root, base, head_t, keys)
     conflicts = [

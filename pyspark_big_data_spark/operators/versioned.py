@@ -68,10 +68,12 @@ def _fs(spark: SparkSession, path: str):
 _V_RE = re.compile(r"^v=(\d+)$")
 
 
-def list_versions(spark: SparkSession, root: str) -> list[int]:
-    """Committed version numbers at ``root``, ascending. A version is
-    committed iff its directory sits at ``v=N`` (the rename IS the
-    commit); staging/temp dirs never match the pattern."""
+def list_numbered_dirs(spark: SparkSession, root: str, prefix: str) -> list[int]:
+    """Committed ``<prefix>N`` directory numbers under ``root``,
+    ascending — the one listing every commit-by-rename log uses
+    (versions ``v=``, delete commits ``d=``, branch entries ``s=``,
+    transaction manifests ``t=``). Staging/temp dirs never match."""
+    pat = re.compile(rf"^{re.escape(prefix)}(\d+)$")
     fs, hroot, jvm = _fs(spark, root)
     if not fs.exists(hroot):
         return []
@@ -79,10 +81,17 @@ def list_versions(spark: SparkSession, root: str) -> list[int]:
     for status in fs.listStatus(hroot):
         if not status.isDirectory():
             continue
-        m = _V_RE.match(status.getPath().getName())
+        m = pat.match(status.getPath().getName())
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def list_versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed version numbers at ``root``, ascending. A version is
+    committed iff its directory sits at ``v=N`` (the rename IS the
+    commit); staging/temp dirs never match the pattern."""
+    return list_numbered_dirs(spark, root, "v=")
 
 
 def latest_version(spark: SparkSession, root: str) -> int | None:
@@ -336,9 +345,16 @@ def _read_json(fs, jvm, path: str) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
-def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
+def manifest(
+    spark: SparkSession, root: str, version: int, _cache: dict | None = None
+) -> dict | None:
     """The committed footer-stats manifest of ``v=version`` (None when
     the snapshot was written without ``stats_cols``).
+
+    ``_cache`` (internal): a per-OPERATION memo dict — manifests of
+    committed versions are immutable, so callers that walk the version
+    DAG repeatedly (branch merges) pass one dict for the whole
+    decision and pay each manifest read once instead of O(chain^2).
 
     Transparently merges a SHARDED manifest (manifest_version 3: the
     root ``_manifest.json`` is a manifest LIST naming per-shard JSON
@@ -349,14 +365,22 @@ def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
     min/max) is shard-agnostic. The merge is a driver-side JSON pass —
     O(files) like the flat read; at extreme file counts the shard
     reads parallelize the same way the footer pass does."""
+    if _cache is not None and version in _cache:
+        return _cache[version]
+
+    def _done(res):
+        if _cache is not None:
+            _cache[version] = res
+        return res
+
     vdir = f"{root.rstrip('/')}/v={version}"
     mpath = f"{vdir}/{MANIFEST_NAME}"
     fs, hp, jvm = _fs(spark, mpath)
     if not fs.exists(hp):
-        return None
+        return _done(None)
     doc = _read_json(fs, jvm, mpath)
     if not doc.get("sharded"):
-        return doc
+        return _done(doc)
     merged = {k: v for k, v in doc.items() if k not in ("sharded", "shards")}
     merged["files"] = {}
     merged["file_nulls"] = {}
@@ -372,7 +396,7 @@ def manifest(spark: SparkSession, root: str, version: int) -> dict | None:
     if blooms:
         merged["blooms"] = blooms
     merged["n_shards"] = len(doc["shards"])
-    return merged
+    return _done(merged)
 
 
 class AuditFailed(RuntimeError):
@@ -818,7 +842,10 @@ def append_version(
 
 
 def version_chain(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    _cache: dict | None = None,
 ) -> list[int]:
     """The snapshot chain of ``v=version``, newest first: ``[version,
     base, base-of-base, ...]`` down to the full-snapshot ancestor. A
@@ -833,7 +860,7 @@ def version_chain(
     seen = {version}
     cur = version
     while True:
-        m = manifest(spark, root, cur)
+        m = manifest(spark, root, cur, _cache=_cache)
         base = m.get("base_version") if m else None
         if base is None:
             return chain

@@ -151,6 +151,34 @@ def test_concurrent_same_table_conflicts(spark, tmp_path, monkeypatch):
     assert read_txn_table(spark, g, "orders").count() == 20
 
 
+def test_pinned_commit_never_rebases(spark, tmp_path, monkeypatch):
+    """expected_txn is re-checked at publish: even a DISJOINT-table
+    winner refuses a pinned commit (its writes may be derived from the
+    other tables' state at the pin — rebasing would silently violate
+    the snapshot the caller reasoned from)."""
+    import pyspark_big_data_spark.operators.multitxn as MT
+
+    g = str(tmp_path / "grp")
+    commit_txn(
+        spark, g, {"orders": _orders(spark, 0, 10), "items": _items(spark, 0, 10)}
+    )
+    commit_txn(spark, g, {"items": _items(spark, 0, 30)})  # disjoint winner
+
+    real = MT.latest_txn
+    state = {"first": True}
+
+    def stale_once(spark_, root_):
+        if state["first"]:
+            state["first"] = False
+            return 0
+        return real(spark_, root_)
+
+    monkeypatch.setattr(MT, "latest_txn", stale_once)
+    with pytest.raises(TxnConflict, match="pinned"):
+        commit_txn(spark, g, {"orders": _orders(spark, 0, 40)}, expected_txn=0)
+    assert latest_txn(spark, g) == 1  # nothing published
+
+
 def test_append_to_unknown_table_refused(spark, tmp_path):
     g = str(tmp_path / "grp")
     commit_txn(spark, g, {"orders": _orders(spark, 0, 10)})

@@ -163,10 +163,13 @@ def test_branch_tag_reads_and_keyed_merge_statements(spark, tmp_path):
     got = run_mutation_sql(
         spark, "SELECT COUNT(*) AS n FROM t BRANCH main", cat
     ).collect()[0]["n"]
-    # branch head is a MERGE commit: read it MOR like the API would
+    # branch head is a MERGE commit: the statement surface must read it
+    # MERGE-ON-READ (retired copies masked), exactly like the API
     from pyspark_big_data_spark.operators.refs import branch_head
 
-    assert got == read_version(spark, root, branch_head(spark, root, "main")).count()
+    head = branch_head(spark, root, "main")
+    assert got == read_version_mor(spark, root, head).count() == 20
+    assert read_version(spark, root, head).count() > 20  # physical > logical
 
     tag_n = run_mutation_sql(
         spark, "SELECT COUNT(*) AS n FROM t TAG rel", cat
@@ -187,6 +190,67 @@ def test_branch_tag_reads_and_keyed_merge_statements(spark, tmp_path):
         spark, f"RESTORE TABLE t TO TIMESTAMP AS OF '{ts}'", cat
     )
     assert v == latest_version(spark, root)
+
+
+def test_travel_select_is_merge_on_read(spark, tmp_path):
+    """A MERGE-bearing chain read through the statement surface serves
+    the LOGICAL state: retired target copies are masked, exactly like
+    read_version_mor — never the physical files (which would double
+    updated rows and resurrect deleted ones)."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 50), root)
+    src = _df(spark, 40, 60, mark=1.0)
+    res = merge_into(spark, root, src, "k")
+    got = run_mutation_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t VERSION AS OF {res['version']}",
+        {"t": root},
+    ).collect()[0]["n"]
+    assert got == 60  # 50 - 10 updated-in-place + 20 upserts = 60 logical
+    assert read_version(spark, root, res["version"]).count() == 70  # physical
+
+
+def test_literals_are_lexically_inert(spark, tmp_path):
+    """'--' inside a string is not a comment; travel-shaped text inside
+    a string is not rewritten."""
+    root = str(tmp_path / "vds")
+    write_version(
+        _df(spark, 0, 10).withColumn("note", F.lit("see t VERSION AS OF 2")),
+        root,
+    )
+    got = run_mutation_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 0 "
+        "WHERE note = 'see t VERSION AS OF 2'",
+        {"t": root},
+    ).collect()[0]["n"]
+    assert got == 10
+
+    from pyspark_big_data_spark.operators.refs import read_tag
+
+    run_mutation_sql(
+        spark, "CREATE TAG x ON t AT VERSION 0 NOTE 'pre--launch'", {"t": root}
+    )
+    assert read_tag(spark, root, "x") == 0
+
+
+def test_update_before_delete_order_is_refused(spark, tmp_path):
+    """The engine's clause order is delete-first (Delta's rule); a
+    statement whose textual order implies SQL first-match-wins UPDATE
+    priority is refused instead of silently diverging."""
+    root = str(tmp_path / "vds")
+    write_version(_df(spark, 0, 10), root)
+    _df(spark, 0, 5).withColumn(
+        "is_del", F.col("k") % 2 == 0
+    ).createOrReplaceTempView("ordsrc")
+    with pytest.raises(ValueError, match="DELETE first"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING ordsrc ON target.k = source.k "
+            "WHEN MATCHED AND NOT source.is_del THEN UPDATE SET * "
+            "WHEN MATCHED AND source.is_del THEN DELETE",
+            {"t": root},
+        )
 
 
 def test_subset_refusals_are_loud(spark, tmp_path):

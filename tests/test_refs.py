@@ -560,6 +560,31 @@ def test_keyed_merge_resolves_dv_bearing_divergence(spark, tmp_path):
     assert dev_rows == rows
 
 
+def test_keyed_merge_refuses_null_keys(spark, tmp_path):
+    """A NULL merge key would silently vanish from the left_semi change
+    extracts (NULL never equi-matches) — refused loudly instead."""
+    import pytest as _pytest
+
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import (
+        commit_to_branch,
+        merge_branch_keyed,
+    )
+
+    root = str(tmp_path / "vds")
+    _mk_branches(spark, root)
+    commit_to_branch(
+        spark.createDataFrame([(None, 1.0)], "k long, x double"),
+        root, "dev", append=True,
+    )
+    merge_to_branch(
+        spark, root, "main",
+        spark.createDataFrame([(5, 55.0)], "k long, x double"), "k",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        merge_branch_keyed(spark, root, "dev", "main", "k")
+
+
 def test_keyed_merge_refuses_overlapping_keys(spark, tmp_path):
     import pytest as _pytest
 
