@@ -127,6 +127,9 @@ def read_txn_table(
     )
 
 
+_RESERVED_TXN_KEYS = {"tables", "base_txn", "writer"}
+
+
 def commit_txn(
     spark: SparkSession,
     group_root: str,
@@ -134,6 +137,7 @@ def commit_txn(
     append: bool = False,
     expected_txn: int | None = None,
     stats_cols: dict[str, list[str]] | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Atomically publish new versions of every table in ``writes``
     and return the new transaction id.
@@ -153,9 +157,17 @@ def commit_txn(
     data is written AND re-checked at publish: a pinned commit never
     rebases (the caller's writes may be derived from OTHER tables'
     state at the pin, which a disjoint-table rebase would silently
-    violate), it refuses on any movement."""
+    violate), it refuses on any movement. ``manifest_extra`` adds
+    caller keys to the TRANSACTION manifest (reserved keys refused) —
+    the seam the exactly-once streaming sink stamps its batch markers
+    through."""
     if not writes:
         raise ValueError("commit_txn with no table writes is a no-op")
+    if manifest_extra and _RESERVED_TXN_KEYS & set(manifest_extra):
+        raise ValueError(
+            "manifest_extra may not override reserved txn keys: "
+            f"{sorted(_RESERVED_TXN_KEYS & set(manifest_extra))}"
+        )
     current = latest_txn(spark, group_root)
     if expected_txn is not None and current != expected_txn:
         raise TxnConflict(
@@ -223,6 +235,7 @@ def commit_txn(
             current = latest  # base_txn records the ACTUAL rebase base
             k_planned = k
         doc = {
+            **(manifest_extra or {}),
             "tables": {t: int(v) for t, v in sorted(new_map.items())},
             "base_txn": current,
             "writer": uuid.uuid4().hex,

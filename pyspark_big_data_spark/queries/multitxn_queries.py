@@ -124,3 +124,109 @@ def multi_table_txn_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(conflict_gate).alias("conflict_gate"),
         )
     )
+
+
+_STREAM_ORACLE = """
+WITH facts AS (
+    SELECT o_orderkey, o_orderkey % 3 AS slice, o_orderpriority, o_totalprice
+    FROM orders
+), byprio AS (
+    SELECT slice, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS amt
+    FROM facts GROUP BY slice, o_orderpriority
+)
+SELECT (SELECT COUNT(*) FROM facts) AS n_facts,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+        FROM facts) AS facts_sum,
+       (SELECT COUNT(*) FROM byprio) AS n_byprio,
+       CAST((SELECT SUM(n) FROM byprio) AS BIGINT) AS byprio_total,
+       CAST(1 AS BIGINT) AS atomic_gate,
+       CAST(1 AS BIGINT) AS skip_gate
+"""
+
+
+@register("streaming_multitxn_replay_witness", oracle=_STREAM_ORACLE, driver=False)
+def streaming_multitxn_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once MULTI-TABLE streaming sink driver-verified
+    (streaming/sinks.py::exactly_once_multi_table_sink over
+    operators/multitxn.py): replay three order slices through a
+    splitter fanning each micro-batch into a FACTS table and a
+    per-batch BYPRIO aggregate table — both landing under ONE
+    transaction manifest per batch — then redeliver a batch with
+    corrupted content. Emits the txn-resolved counts/sums of both
+    tables; DuckDB recomputes the fan-out declaratively, so a lost
+    slice, a half-applied batch, or a re-applied redelivery flips the
+    row red. Gates: ``atomic_gate`` = every committed transaction
+    names BOTH tables and carries its writer_batch_id (no transaction
+    ever advanced one table without the other); ``skip_gate`` = the
+    corrupted redelivery added NO transaction and changed NO value."""
+    from pyspark_big_data_spark.functions.aggregates import dsum
+    from pyspark_big_data_spark.operators.multitxn import (
+        list_txns,
+        read_txn_table,
+        txn_manifest,
+    )
+    from pyspark_big_data_spark.streaming.sinks import (
+        exactly_once_multi_table_sink,
+    )
+
+    g = session_tmpdir("multitxn_sink_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 3).alias("slice"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+    def splitter(batch):
+        byprio = batch.groupBy("slice", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("amt"),
+        )
+        return {"facts": batch, "byprio": byprio}
+
+    sink = exactly_once_multi_table_sink(g, splitter)
+    for i in range(3):
+        sink(orders.filter(F.col("slice") == i), i)
+
+    txns_before = list_txns(spark, g)
+    sum_before = read_txn_table(spark, g, "facts").agg(
+        F.sum("o_totalprice").alias("s")
+    ).collect()[0]["s"]
+    # crash-redelivery with CORRUPTED content: only the id matters
+    sink(
+        orders.limit(5).withColumn("o_totalprice", F.lit(-1.0)),
+        1,
+    )
+    skip_ok = (
+        list_txns(spark, g) == txns_before
+        and read_txn_table(spark, g, "facts")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()[0]["s"]
+        == sum_before
+    )
+    atomic_ok = len(txns_before) == 3 and all(
+        set(txn_manifest(spark, g, t)["tables"]) == {"facts", "byprio"}
+        and "writer_batch_id" in txn_manifest(spark, g, t)
+        for t in txns_before
+    )
+
+    facts = read_txn_table(spark, g, "facts")
+    byprio = read_txn_table(spark, g, "byprio")
+    f = facts.agg(
+        F.count(F.lit(1)).alias("n_facts"), dsum("o_totalprice", "facts_sum")
+    )
+    b = byprio.agg(
+        F.count(F.lit(1)).alias("n_byprio"),
+        F.sum("n").cast("long").alias("byprio_total"),
+    )
+    return f.crossJoin(b).select(
+        "n_facts",
+        "facts_sum",
+        "n_byprio",
+        "byprio_total",
+        F.lit(1 if atomic_ok else 0).cast("long").alias("atomic_gate"),
+        F.lit(1 if skip_ok else 0).cast("long").alias("skip_gate"),
+    )

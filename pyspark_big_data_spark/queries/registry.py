@@ -349,8 +349,11 @@ DRIVER_EXCLUDED: set[str] = set()
 # keyed_branch_merge_witness — key-level three-way branch merge for
 # the DV-bearing refusal cases, refuse/mode/conflict-gated — and
 # mutation_sql_parity_witness — the SQL-text mutation front asserted
-# equal to the Python API on the merge scenario); then the 31
-# remaining r8-stale rows
+# equal to the Python API on the merge scenario — and
+# streaming_multitxn_replay_witness — the exactly-once multi-table
+# streaming sink: each micro-batch fans out to several tables under
+# ONE transaction manifest, redelivery skipped by txn marker); then
+# the 31 remaining r8-stale rows
 # OLDEST-REGISTERED-FIRST (hybrid_rrf_topk, ann_topk_pq_prebuilt,
 # multimodal_resize, multimodal_real_resize,
 # planted_lsh_recall_witness, q1_top_months_per_year_sql,

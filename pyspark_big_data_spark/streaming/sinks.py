@@ -242,3 +242,71 @@ def exactly_once_merge_sink(
         )
 
     return write
+
+
+def exactly_once_multi_table_sink(
+    group_root: str,
+    splitter: Callable[[DataFrame], dict[str, DataFrame]],
+    stats_cols: dict[str, list[str]] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """A ``foreachBatch`` function publishing each micro-batch across
+    SEVERAL tables ATOMICALLY (operators/multitxn.py) — the streaming
+    fan-out-to-a-star-schema loop: ``splitter`` maps the batch to
+    ``{table: DataFrame}`` (e.g. facts to one table, a derived
+    dimension delta to another), and ALL of them land under ONE ``t=K``
+    transaction manifest. A reader joining the group's tables can never
+    observe the batch half-applied — the invariant a per-table sink
+    cannot offer, however exactly-once each table is individually.
+
+    Exactly-once under redelivery by the same ``writer_batch_id``
+    marker as the single-table sinks, stamped into the TRANSACTION
+    manifest (``commit_txn(manifest_extra=...)``): a redelivered batch
+    whose id appears in any committed transaction is skipped before
+    any write. The marker walk reads the txn manifests (driver-side
+    JSON, O(transactions)); unlike version chains, the txn log is
+    never cut, so no carry-forward is needed.
+
+    First batch bootstraps the group (full writes); later batches
+    APPEND to every table the splitter names — O(batch) bytes per
+    table per commit. A batch whose splitter yields an empty dict is
+    refused (a silent no-op would desynchronize the marker from the
+    checkpoint). Single-writer contract per group, enforced by the
+    txn CAS: a foreign concurrent commit makes the batch fail with
+    TxnConflict and Structured Streaming retries it — the marker check
+    then decides idempotently."""
+    from pyspark_big_data_spark.operators.multitxn import (
+        commit_txn,
+        latest_txn,
+        list_txns,
+        txn_manifest,
+    )
+
+    def _txn_markers(spark) -> set[int]:
+        seen: set[int] = set()
+        for t in list_txns(spark, group_root):
+            m = txn_manifest(spark, group_root, t)
+            if "writer_batch_id" in m:
+                seen.add(int(m["writer_batch_id"]))
+        return seen
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        writes = splitter(batch_df)
+        if not writes:
+            raise ValueError(
+                "multi-table sink splitter returned no tables for batch "
+                f"{batch_id}; an empty commit would desynchronize the "
+                "redelivery marker from the checkpoint"
+            )
+        if int(batch_id) in _txn_markers(spark):
+            return  # redelivery: this batch already committed atomically
+        commit_txn(
+            spark,
+            group_root,
+            writes,
+            append=latest_txn(spark, group_root) is not None,
+            stats_cols=stats_cols,
+            manifest_extra={"writer_batch_id": int(batch_id)},
+        )
+
+    return write

@@ -184,3 +184,80 @@ def test_append_to_unknown_table_refused(spark, tmp_path):
     commit_txn(spark, g, {"orders": _orders(spark, 0, 10)})
     with pytest.raises(ValueError, match="not yet in the group"):
         commit_txn(spark, g, {"items": _items(spark, 0, 5)}, append=True)
+
+
+def test_multi_table_sink_atomic_and_idempotent(spark, tmp_path):
+    """Each micro-batch fans out to two tables under ONE transaction;
+    a redelivered batch (even with corrupted content) is skipped."""
+    from pyspark_big_data_spark.streaming.sinks import (
+        exactly_once_multi_table_sink,
+    )
+
+    g = str(tmp_path / "grp")
+
+    def splitter(batch):
+        agg = batch.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        return {"facts": batch, "counts": agg}
+
+    sink = exactly_once_multi_table_sink(g, splitter)
+    sink(_orders(spark, 0, 10), 0)
+    sink(_orders(spark, 10, 15), 1)
+    assert list_txns(spark, g) == [0, 1]
+    for t in (0, 1):
+        assert set(txn_manifest(spark, g, t)["tables"]) == {"facts", "counts"}
+    assert read_txn_table(spark, g, "facts").count() == 15
+    assert sorted(
+        r["n"] for r in read_txn_table(spark, g, "counts").collect()
+    ) == [5, 10]
+
+    # corrupted redelivery: no new txn, nothing changes
+    sink(_orders(spark, 0, 99), 1)
+    assert list_txns(spark, g) == [0, 1]
+    assert read_txn_table(spark, g, "facts").count() == 15
+
+    # empty splitter output is refused, not silently skipped
+    with pytest.raises(ValueError, match="no tables"):
+        exactly_once_multi_table_sink(g, lambda b: {})(_orders(spark, 0, 1), 9)
+
+
+def test_multi_table_sink_through_real_stream(spark, tmp_path):
+    """The sink behind an actual availableNow foreachBatch loop."""
+    import json as _json
+    import os
+
+    from pyspark_big_data_spark.streaming.sinks import (
+        exactly_once_multi_table_sink,
+    )
+
+    g = str(tmp_path / "grp")
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    for i in range(3):
+        with open(f"{drop}/b{i}.jsonl", "w") as fh:
+            fh.write(
+                "\n".join(
+                    _json.dumps({"o_id": i * 10 + j, "o_total": float(j)})
+                    for j in range(4)
+                )
+            )
+
+    def splitter(batch):
+        return {
+            "facts": batch,
+            "sums": batch.groupBy().agg(F.sum("o_total").alias("s")),
+        }
+
+    sink = exactly_once_multi_table_sink(g, splitter)
+    q = (
+        spark.readStream.schema("o_id long, o_total double")
+        .option("maxFilesPerTrigger", 1)
+        .json(drop)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert read_txn_table(spark, g, "facts").count() == 12
+    assert read_txn_table(spark, g, "sums").count() == 3
+    assert len(list_txns(spark, g)) == 3
