@@ -252,3 +252,85 @@ def commit_txn(
             return k
         # lost the rename: loop re-reads the winner and re-arbitrates
         current = latest_txn(spark, group_root)
+
+
+def expire_group(
+    spark: SparkSession,
+    group_root: str,
+    keep_last_txns: int,
+    keep_last_versions: int = 1,
+    reclaim_unreferenced: bool = False,
+) -> dict:
+    """Retention vacuum for a transaction GROUP — the only safe way to
+    expire grouped tables: per-table ``expire_versions`` alone does not
+    know about transaction pins, so it could delete a version an older
+    txn manifest still names (breaking transaction time travel the way
+    deleting a tagged version would break tags).
+
+    Keeps the newest ``keep_last_txns`` transaction manifests (>= 1),
+    deletes the older ``t=K`` dirs (time travel to them fails loudly
+    afterwards — the same contract as version retention), then expires
+    each table with every SURVIVING manifest's pin protected
+    (``expire_versions(extra_protected=...)``, which also protects the
+    pins' append chains).
+
+    Crash/conflict DEBRIS (per-table versions no surviving manifest
+    pins): versions BELOW a table's newest pin are reclaimed by the
+    normal pass. A version ABOVE every pin is indistinguishable from a
+    LIVE writer's phase-1 commit whose manifest rename hasn't happened
+    yet, so by default it is left alone — the next committed
+    transaction seals over it and a later vacuum reclaims it (the
+    lifecycle self-heals). ``reclaim_unreferenced=True`` deletes those
+    too; it is the caller's assertion that no transaction is in
+    flight (a quiesced-maintenance-window flag, like the table
+    formats' aggressive VACUUM). Returns ``{"txns": [expired],
+    "versions": {table: [expired]}}``."""
+    if keep_last_txns < 1:
+        raise ValueError("keep_last_txns must be >= 1")
+    from pyspark_big_data_spark.operators.versioned import (
+        expire_versions,
+        list_versions,
+    )
+
+    txns = list_txns(spark, group_root)
+    keep = txns[-keep_last_txns:]
+    drop = [t for t in txns if t not in keep]
+    pins: dict[str, set[int]] = {}
+    tables: set[str] = set()
+    for t in keep:
+        for table, v in txn_manifest(spark, group_root, t)["tables"].items():
+            pins.setdefault(table, set()).add(int(v))
+            tables.add(table)
+
+    fs, _, jvm = _fs(spark, group_root)
+    Path = jvm.org.apache.hadoop.fs.Path
+    for t in drop:
+        fs.delete(Path(f"{_txn_root(group_root)}/t={t}"), True)
+
+    expired: dict[str, list[int]] = {}
+    for table in sorted(tables):
+        troot = _table_root(group_root, table)
+        table_pins = pins.get(table, set())
+        if reclaim_unreferenced and table_pins:
+            # quiesced window: versions above every surviving pin are
+            # provably debris ONLY under the caller's no-writer
+            # assertion; delete them so the newest-kept rule below
+            # anchors on pinned history, not on the debris
+            top = max(table_pins)
+            for v in list_versions(spark, troot):
+                if v > top:
+                    fs.delete(Path(f"{troot}/v={v}"), True)
+                    fs.delete(Path(f"{troot}/_deletes/v={v}"), True)
+                    fs.delete(Path(f"{troot}/_pos_deletes/v={v}"), True)
+                    expired.setdefault(table, []).append(v)
+        expired.setdefault(table, [])
+        expired[table] = sorted(
+            expired[table]
+            + expire_versions(
+                spark,
+                troot,
+                keep_last_versions,
+                extra_protected=table_pins,
+            )
+        )
+    return {"txns": drop, "versions": expired}

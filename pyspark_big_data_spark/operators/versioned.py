@@ -1161,7 +1161,10 @@ def read_version_point(
 
 
 def expire_versions(
-    spark: SparkSession, root: str, keep_last: int
+    spark: SparkSession,
+    root: str,
+    keep_last: int,
+    extra_protected: set[int] | None = None,
 ) -> list[int]:
     """Retention vacuum: delete every committed version except the
     newest ``keep_last`` (>= 1), plus provably-DEAD ``.staging_vN``
@@ -1190,7 +1193,12 @@ def expire_versions(
     depends on them: every chain member of a kept or tagged version is
     protected, because deleting a base out from under a live child
     would silently corrupt the child's reads (the chain resolver fails
-    loudly on a broken link, but retention must not create one)."""
+    loudly on a broken link, but retention must not create one).
+
+    ``extra_protected`` adds caller-owned pins (and their chains) to
+    the protected set — the seam transaction groups use so surviving
+    txn manifests' table pins are never vacuumed out from under the
+    group (operators/multitxn.py::expire_group)."""
     from pyspark_big_data_spark.operators.refs import list_branches, list_tags
 
     if keep_last < 1:
@@ -1203,6 +1211,8 @@ def expire_versions(
     protected = set(list_tags(spark, root).values()) | set(
         list_branches(spark, root).values()
     )
+    if extra_protected:
+        protected |= {int(v) for v in extra_protected}
     survivors = set(versions[-keep_last:]) | protected
     for s in survivors:
         protected.update(version_chain(spark, root, s))

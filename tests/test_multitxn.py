@@ -261,3 +261,40 @@ def test_multi_table_sink_through_real_stream(spark, tmp_path):
     assert read_txn_table(spark, g, "facts").count() == 12
     assert read_txn_table(spark, g, "sums").count() == 3
     assert len(list_txns(spark, g)) == 3
+
+
+def test_expire_group_protects_surviving_pins(spark, tmp_path):
+    """Group retention: old txn manifests expire, surviving manifests'
+    pins (and their chains) survive per-table expiry, unreferenced
+    crash debris is reclaimed, and the surviving txns still read."""
+    from pyspark_big_data_spark.operators.multitxn import expire_group
+    from pyspark_big_data_spark.operators.versioned import list_versions
+
+    g = str(tmp_path / "grp")
+    commit_txn(
+        spark, g, {"orders": _orders(spark, 0, 10), "items": _items(spark, 0, 10)}
+    )
+    commit_txn(spark, g, {"orders": _orders(spark, 10, 15)}, append=True)
+    commit_txn(spark, g, {"items": _items(spark, 10, 12)}, append=True)
+    # crash debris: an unreferenced orders version
+    write_version(_orders(spark, 0, 99), f"{g}/orders")
+    assert list_versions(spark, f"{g}/orders") == [0, 1, 2]
+
+    res = expire_group(spark, g, keep_last_txns=2)
+    assert res["txns"] == [0]
+    assert list_txns(spark, g) == [1, 2]
+    # the DEFAULT pass leaves the above-pin debris alone: it is
+    # indistinguishable from a live writer's phase-1 commit
+    assert list_versions(spark, f"{g}/orders") == [0, 1, 2]
+    assert read_txn_table(spark, g, "orders", txn=1).count() == 15
+    assert read_txn_table(spark, g, "items", txn=2).count() == 24
+    # expired txn time travel fails loudly
+    with pytest.raises(ValueError, match="does not exist"):
+        read_txn_table(spark, g, "orders", txn=0)
+
+    # quiesced vacuum (caller asserts no in-flight writer): the debris
+    # above every pin goes too, pinned history survives
+    res2 = expire_group(spark, g, keep_last_txns=2, reclaim_unreferenced=True)
+    assert 2 in res2["versions"]["orders"]
+    assert list_versions(spark, f"{g}/orders") == [0, 1]
+    assert read_txn_table(spark, g, "orders", txn=1).count() == 15
