@@ -31,6 +31,8 @@ stripped)::
     MERGE BRANCH <src> INTO <dst> ON <table>
     MERGE BRANCH <src> INTO <dst> ON <table> BY KEY <k>[, <k2> ...]
     CREATE TAG <name> ON <table> AT VERSION <n> [NOTE '<text>']
+    COMMIT TRANSACTION ON <group> WRITE <table> FROM <view>
+        [, <table> FROM <view> ...] [APPEND] [EXPECTED <t>]
 
 Tables resolve through an explicit CATALOG (``{name: chain root}``) —
 no global registry, no ambient state: the caller owns the namespace
@@ -163,6 +165,15 @@ _MERGE_BRANCH_RE = re.compile(
     rf"ON\s+(?P<table>{_IDENT})"
     rf"(?:\s+BY\s+KEY\s+(?P<keys>{_IDENT}(?:\s*,\s*{_IDENT})*))?$",
     re.IGNORECASE,
+)
+_COMMIT_TXN_RE = re.compile(
+    rf"^COMMIT\s+TRANSACTION\s+ON\s+(?P<group>{_IDENT})\s+WRITE\s+"
+    rf"(?P<writes>{_IDENT}\s+FROM\s+{_IDENT}(?:\s*,\s*{_IDENT}\s+FROM\s+{_IDENT})*)"
+    r"(?P<append>\s+APPEND)?(?:\s+EXPECTED\s+(?P<exp>\d+))?$",
+    re.IGNORECASE,
+)
+_WRITE_RE = re.compile(
+    rf"^(?P<table>{_IDENT})\s+FROM\s+(?P<view>{_IDENT})$", re.IGNORECASE
 )
 _CREATE_TAG_RE = re.compile(
     rf"^CREATE\s+TAG\s+(?P<name>{_IDENT})\s+ON\s+(?P<table>{_IDENT})\s+"
@@ -313,6 +324,25 @@ def run_mutation_sql(
             note=m["note"] or "",
         )
 
+    m = _COMMIT_TXN_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.multitxn import commit_txn
+
+        writes = {}
+        for part in m["writes"].split(","):
+            wm = _WRITE_RE.match(part.strip())
+            tbl = wm["table"]
+            if tbl in writes:
+                raise ValueError(f"duplicate table {tbl!r} in COMMIT TRANSACTION")
+            writes[tbl] = spark.table(wm["view"])
+        return commit_txn(
+            spark,
+            _root(catalog, m["group"]),
+            writes,
+            append=m["append"] is not None,
+            expected_txn=int(m["exp"]) if m["exp"] is not None else None,
+        )
+
     m = _MERGE_RE.match(stmt)
     if m:
         return _parse_merge(spark, m, catalog)
@@ -325,7 +355,7 @@ def run_mutation_sql(
     raise ValueError(
         "statement not in the documented mutation-SQL subset (MERGE INTO, "
         "SELECT ... VERSION/TIMESTAMP AS OF, RESTORE TABLE, CREATE BRANCH, "
-        f"MERGE BRANCH, CREATE TAG): {stmt[:120]!r}"
+        f"MERGE BRANCH, CREATE TAG, COMMIT TRANSACTION): {stmt[:120]!r}"
     )
 
 

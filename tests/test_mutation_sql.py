@@ -281,3 +281,44 @@ def test_subset_refusals_are_loud(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET x = 1",
             cat,
         )
+
+
+def test_commit_transaction_statement(spark, tmp_path):
+    """COMMIT TRANSACTION == commit_txn: multi-table atomic publish
+    through the statement form, with APPEND and EXPECTED pins."""
+    from pyspark_big_data_spark.operators.multitxn import (
+        TxnConflict,
+        read_txn_table,
+        txn_manifest,
+    )
+
+    g = str(tmp_path / "grp")
+    cat = {"g": g}
+    _df(spark, 0, 10).createOrReplaceTempView("txn_orders")
+    _df(spark, 0, 20).createOrReplaceTempView("txn_items")
+    t0 = run_mutation_sql(
+        spark,
+        "COMMIT TRANSACTION ON g WRITE orders FROM txn_orders, "
+        "items FROM txn_items",
+        cat,
+    )
+    assert t0 == 0
+    assert set(txn_manifest(spark, g)["tables"]) == {"orders", "items"}
+    assert read_txn_table(spark, g, "items").count() == 20
+
+    _df(spark, 10, 15).createOrReplaceTempView("txn_orders2")
+    t1 = run_mutation_sql(
+        spark,
+        "COMMIT TRANSACTION ON g WRITE orders FROM txn_orders2 APPEND EXPECTED 0",
+        cat,
+    )
+    assert t1 == 1
+    assert read_txn_table(spark, g, "orders").count() == 15
+    assert read_txn_table(spark, g, "items").count() == 20  # pin carried
+
+    with pytest.raises(TxnConflict, match="moved"):
+        run_mutation_sql(
+            spark,
+            "COMMIT TRANSACTION ON g WRITE orders FROM txn_orders EXPECTED 0",
+            cat,
+        )
