@@ -195,6 +195,11 @@ HEADLINE = [
     "multi_table_txn_witness",
     "keyed_branch_merge_witness",
     "mutation_sql_parity_witness",
+    # late-r12 addition (appended): the exactly-once multi-table
+    # streaming sink — three fan-out batches (facts + per-batch
+    # aggregate under one txn manifest each) + a corrupted redelivery
+    # skipped by txn marker + the txn-resolved reads.
+    "streaming_multitxn_replay_witness",
 ]
 
 
