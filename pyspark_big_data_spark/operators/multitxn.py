@@ -37,6 +37,13 @@ transaction, O(1) regardless of table sizes; data bytes are written
 exactly once through the per-table commit machinery (appends stay
 O(delta)).
 
+Surrounding surface: the exactly-once STREAMING fan-out sink
+(streaming/sinks.py::exactly_once_multi_table_sink) publishes each
+micro-batch across tables through one ``commit_txn``; the statement
+form is ``COMMIT TRANSACTION ON <group> WRITE t FROM v[, ...]``
+(operators/mutation_sql.py); retention is ``expire_group`` (per-table
+``expire_versions`` alone does not know about transaction pins).
+
 Reference parity note: the reference engine (src/query1-4.py) is
 read-only; this extends the mutation surface (VERDICT r11 next-step
 #4: "multi-table atomic commit — the cross-table WAP shape").
