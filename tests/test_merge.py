@@ -174,15 +174,27 @@ def test_merge_plan_broadcasts_source_and_streams_target(spark, tmp_path):
 
 
 def _sql_plans_since(spark, mark: int) -> list[str]:
-    """Physical plan descriptions of every SQL execution after ``mark``
-    (the SQL status store index — local-mode test introspection)."""
+    """Physical plan descriptions of every SQL execution whose
+    executionId is greater than ``mark`` (local-mode test
+    introspection). Keyed on executionId, NOT list position — the SQL
+    status store EVICTS old entries in long sessions, which shifts
+    indices and would make a position-based mark read an empty tail."""
     store = spark._jsparkSession.sharedState().statusStore()
     lst = store.executionsList()
-    return [lst.apply(i).physicalPlanDescription() for i in range(mark, lst.size())]
+    return [
+        lst.apply(i).physicalPlanDescription()
+        for i in range(lst.size())
+        if lst.apply(i).executionId() > mark
+    ]
 
 
 def _sql_exec_count(spark) -> int:
-    return spark._jsparkSession.sharedState().statusStore().executionsList().size()
+    """The newest executionId in the store (-1 when empty) — the mark
+    for _sql_plans_since."""
+    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+    if lst.size() == 0:
+        return -1
+    return max(lst.apply(i).executionId() for i in range(lst.size()))
 
 
 def test_merge_broadcast_is_priced(spark, tmp_path):

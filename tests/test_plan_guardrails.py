@@ -176,6 +176,9 @@ _SCALAR_BROADCAST_OK = {
     # r10: three 1-row pruned-read aggregates attach, plus
     # zorder_key_n's 1-row global min/max stats attach
     "zorder3_pruned_read_witness",
+    # r12: (1-row facts aggregate) x (1-row byprio aggregate) attach
+    # over the txn-resolved reads
+    "streaming_multitxn_replay_witness",
 }
 
 
