@@ -628,3 +628,70 @@ def test_prune_branch_log(spark, tmp_path):
     assert branch_head(spark, root, "main") == 0
     with pytest.raises(ValueError, match=">= 1"):
         prune_branch_log(spark, root, "main", keep_last=0)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 42, 99])
+def test_merge_dag_model_randomized(spark, tmp_path, seed):
+    """Model-based randomized exercise of the merge DAG: random
+    interleavings of per-branch appends and merges across three
+    branches, with a SET model of which append-batches each branch
+    has incorporated. After every operation the branch read must equal
+    the model exactly — no duplicated batch (the r11 back-merge bug
+    class), no lost batch, monotone incorporation. A criss-cross
+    refusal must leave the target unchanged."""
+    import random
+
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        commit_to_branch,
+        create_branch,
+        merge_branch,
+        read_branch,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    rng = random.Random(seed)
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 10), root)  # batch 0: keys 0..9
+    names = ["a", "b", "c"]
+    for n in names:
+        create_branch(spark, root, n, 0)
+    model = {n: {0} for n in names}  # batch ids incorporated per branch
+    batch_keys = {0: set(range(0, 10))}
+    next_lo = 100
+
+    def expect_keys(branch):
+        return set().union(*(batch_keys[b] for b in model[branch]))
+
+    def check(branch):
+        got = [r["k"] for r in read_branch(spark, root, branch).collect()]
+        assert len(got) == len(set(got)), f"{branch} has duplicate rows (seed {seed})"
+        assert set(got) == expect_keys(branch), f"{branch} diverged from model (seed {seed})"
+
+    for step in range(14):
+        if rng.random() < 0.55:
+            n = rng.choice(names)
+            bid = len(batch_keys)
+            lo = next_lo
+            next_lo += 10
+            batch_keys[bid] = set(range(lo, lo + 5))
+            commit_to_branch(_bdf(spark, lo, lo + 5), root, n, append=True)
+            model[n].add(bid)
+            check(n)
+        else:
+            src, dst = rng.sample(names, 2)
+            before = expect_keys(dst)
+            try:
+                res = merge_branch(spark, root, src, dst)
+            except ValueError:
+                # criss-cross refusal: target must be untouched
+                got = {r["k"] for r in read_branch(spark, root, dst).collect()}
+                assert got == before, f"refused merge mutated {dst} (seed {seed})"
+                continue
+            assert res["mode"] in ("noop", "fast-forward", "merge")
+            model[dst] |= model[src]
+            check(dst)
+            check(src)  # source never mutated by its own merge
+
+    for n in names:
+        check(n)
