@@ -695,3 +695,89 @@ def test_merge_dag_model_randomized(spark, tmp_path, seed):
 
     for n in names:
         check(n)
+
+
+@pytest.mark.parametrize("seed", [3, 58])
+def test_keyed_merge_model_randomized(spark, tmp_path, seed):
+    """Model-based randomized exercise of the keyed merge cycle:
+    repeated rounds of DISJOINT random key edits (update / insert /
+    delete via MERGE) on two branches, keyed-merge one way (replay),
+    then the other (fast-forward) — after every round both branches'
+    MOR reads must equal a dict model exactly. Catches lost deletes,
+    resurrected keys, and wrong-direction replays across repeated
+    DV-bearing merge generations."""
+    import random
+
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import (
+        branch_head,
+        create_branch,
+        merge_branch_keyed,
+    )
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    rng = random.Random(seed)
+    root = str(tmp_path / "vds")
+    write_version(_bdf(spark, 0, 30), root)
+    create_branch(spark, root, "a", 0)
+    create_branch(spark, root, "b", 0)
+    model = {k: float(k * 2) for k in range(30)}  # both branches equal
+    next_key = 1000
+
+    def check(branch):
+        got = {
+            r["k"]: r["x"]
+            for r in read_version_mor(
+                spark, root, branch_head(spark, root, branch)
+            ).collect()
+        }
+        assert got == model, f"{branch} diverged from model (seed {seed})"
+
+    def random_edits(keys_pool, n):
+        nonlocal next_key
+        edits = {}  # k -> ("up", x) | ("del",) | ("ins", x)
+        ks = rng.sample(sorted(keys_pool), min(n, len(keys_pool)))
+        for k in ks:
+            if rng.random() < 0.3:
+                edits[k] = ("del",)
+            else:
+                edits[k] = ("up", float(rng.randint(0, 999)))
+        for _ in range(rng.randint(0, 2)):
+            edits[next_key] = ("ins", float(rng.randint(0, 999)))
+            next_key += 1
+        return edits
+
+    for round_ in range(3):
+        live = set(model)
+        half = rng.sample(sorted(live), len(live) // 2)
+        edits_a = random_edits(set(half), 3)
+        edits_b = random_edits(live - set(half) - set(edits_a), 3)
+        assert not (set(edits_a) & set(edits_b))
+        for name, edits in (("a", edits_a), ("b", edits_b)):
+            rows = []
+            for k, e in edits.items():
+                if e[0] == "del":
+                    rows.append((k, 0.0, True))
+                else:
+                    rows.append((k, e[1], False))
+            src = spark.createDataFrame(rows, "k long, x double, __del boolean")
+            merge_to_branch(
+                spark, root, name, src, "k",
+                when_matched_update="NOT source.__del",
+                when_matched_delete="source.__del",
+                when_not_matched_insert="NOT source.__del",
+            )
+        # apply BOTH branches' edits to the model (disjoint keys)
+        for edits in (edits_a, edits_b):
+            for k, e in edits.items():
+                if e[0] == "del":
+                    model.pop(k, None)
+                else:
+                    model[k] = e[1]
+        res1 = merge_branch_keyed(spark, root, "a", "b", "k")
+        assert res1["mode"] in ("keyed-merge", "noop")
+        check("b")
+        res2 = merge_branch_keyed(spark, root, "b", "a", "k")
+        assert res2["mode"] in ("fast-forward", "noop")
+        check("a")
