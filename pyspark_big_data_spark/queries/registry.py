@@ -391,147 +391,165 @@ PERMANENT_REST: set[str] = {
     "q4_avg_distance_geodesic",  # behind the haversine-delta gate (D1)
 }
 ROTATE_IN: set[str] = {
-    # r12: the settled rotation EXECUTED exactly as the r11 policy
-    # comment froze it — 19 heads (the 10 r10-overflow rows + the 9
-    # late-r11 registrations, every one never-green in a driver
-    # CORRECTNESS row and every one bit-exact in the judge's r11
-    # 239-row sweep) + the 12 r7 rows waived-to-r12 by name (aged 5
-    # rounds; their turn is not negotiable) + 19 r8-stale re-cycles
-    # OLDEST-REGISTERED-FIRST (the 50 r8-green rows minus
-    # PERMANENT_REST, first 19 by registration order). 19+12+19 = 50
-    # exactly; recomputed mechanically this round from
-    # CORRECTNESS_r01..r11 (tools/rotation gives the same split).
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "boilerplate_prefixes",
-    "bpe_pair_counts",
-    "branch_isolation_witness",
-    "branch_merge_witness",
-    "brp_lsh_ml_witness",
-    "ccnet_perplexity_buckets",
-    "chi2_token_label",
-    "contrastive_triplets",
-    "copurchase_triangles",
-    "customer_set_ops",
-    "decontaminate_semantic",
-    "dedup_minhash_incremental_steady",
-    "dedup_soft_weights_from_map",
-    "dedup_triangle_audit",
-    "distinct_users_by_type",
-    "doc_chunk_overlap",
-    "doc_embed_near_dup",
-    "dsir_importance_weights",
-    "gopher_quality_filter",
-    "grouping_sets_status_segment",
-    "json_typed_agreement",
-    "kcore_copurchase",
-    "latest_order_per_customer",
-    "matview_cdf_refresh_witness",
-    "merge_into_witness",
-    "minhash_ml_witness",
-    "multi_touch_attribution",
-    "multimodal_audio_resample",
-    "multimodal_frame_sample",
-    "nation_volume_shipping",
-    "null_stats_pruned_read_witness",
-    "orders_above_customer_avg",
-    "pmi_collocations",
-    "positional_delete_read_witness",
-    "q1_top_months_string_slice",
-    "q2_event_time_bins",
-    "restore_rollback_witness",
-    "scd2_point_in_time",
-    "semantic_dedup_np_agreement",
-    "snapshot_ndv_witness",
-    "split_assign_leakage_free",
-    "streaming_cdf_replay_witness",
-    "streaming_merge_replay_witness",
-    "tfidf_top_terms",
-    "time_travel_as_of_witness",
-    "tokenizer_fertility_by_lang",
-    "user_overlap_exact",
-    "zorder3_pruned_read_witness",
-}
-ROTATE_OUT: set[str] = {
-    # r12: every registered driver=True row NOT in the frozen r12
-    # surface rests this round. After r12, the never-green backlog is
-    # ZERO and nothing on the surface is older than r8; the remaining
-    # 31 r8-stale rows (registration order, see r13 policy above)
-    # lead r13's re-cycles.
+    # r13: the settled rotation EXECUTED exactly as the r12 policy
+    # comment froze it — 4 heads (the r12 registrations, each earning
+    # its FIRST driver CORRECTNESS row: multi_table_txn_witness,
+    # keyed_branch_merge_witness, mutation_sql_parity_witness,
+    # streaming_multitxn_replay_witness) + the 31 r8-stale rows named
+    # in the r13 policy above (last green r8, oldest-registered-first
+    # — the full tier drains to zero) + the 15 OLDEST-REGISTERED
+    # r9-stale rows (ann_lsh_bucketed, bm25_topk,
+    # clean_formatted_currency, composite_key_join,
+    # cube_status_priority, embedding_near_dup, kmeans_clusters,
+    # order_priority_semi_join, pii_scrub, pricing_summary,
+    # revenue_by_nation, salted_skew_join, semantic_dedup,
+    # span_dedup_chunks, union_priority_counts). 4+31+15 = 50 exactly;
+    # recomputed mechanically this round from CORRECTNESS_r01..r12
+    # (tools/rotation.py prints this split verbatim). After r13,
+    # nothing on the cycling catalog is older than r9.
+    "ab_test_readout",
     "ann_ivfpq_witness",
     "ann_lsh_bucketed",
-    "ann_topk_ivf_incremental",
     "ann_topk_pq_prebuilt",
+    "approx_quantile_witness",
+    "bm25_topk",
+    "bpe_tokenize_corpus",
+    "clean_formatted_currency",
+    "composite_key_join",
+    "cube_status_priority",
+    "embedding_near_dup",
+    "embedding_quantize_int8",
+    "hybrid_rrf_topk",
+    "json_props_extract",
+    "keyed_branch_merge_witness",
+    "kmeans_clusters",
+    "minhash_fast_tier_witness",
+    "multi_table_txn_witness",
+    "multimodal_real_resize",
+    "multimodal_resize",
+    "mutation_sql_parity_witness",
+    "nation_rank_dense_ntile",
+    "order_priority_semi_join",
+    "orders_per_customer_array",
+    "pca_project_witness",
+    "pii_scrub",
+    "planted_lsh_recall_witness",
+    "pricing_summary",
+    "q1_top_months_per_year_sql",
+    "q2_event_time_bins_sql",
+    "q3_segment_profile_top",
+    "q4_avg_distance",
+    "q4_avg_distance_pandas_udf",
+    "referential_integrity_audit",
+    "revenue_by_nation",
+    "salted_skew_join",
+    "semantic_dedup",
+    "span_dedup_chunks",
+    "stats_by_returnflag",
+    "streaming_ann_replay_witness",
+    "streaming_cms_replay_witness",
+    "streaming_ivm_replay_witness",
+    "streaming_multitxn_replay_witness",
+    "streaming_scd2_replay_witness",
+    "text_token_stats",
+    "union_priority_counts",
+    "unpivot_lineitem_metrics",
+    "upsert_merge_witness",
+    "user_erasure_audit",
+    "value_zscore_by_type",
+}
+ROTATE_OUT: set[str] = {
+    # r13: every registered driver=True row NOT in the frozen r13
+    # surface rests this round (rows brought in by earlier ROTATE_INs
+    # that were registered driver=False fall back to DRIVER_EXCLUDED
+    # automatically when ROTATE_IN is replaced). After r13 the stale
+    # tail is {r9: 35} — the r14 re-cycle queue, oldest-registered-
+    # first: sample_hash_bucket, sample_stratified_quota, vocab_stats,
+    # decontaminate_vs_probes, mixture_upsample, pack_sequences,
+    # repetition_metrics, bigram_fluency, dedup_minhash_lsh,
+    # ngram_jaccard_pairs, dedup_clusters, dedup_simhash,
+    # simhash_near_pairs, dedup_near_survivors, tumbling_window_agg,
+    # session_window_agg, doc_fingerprint_winnow, winnow_near_pairs,
+    # multimodal_metadata, q1_top_months_per_year,
+    # snapshot_time_travel_witness, snapshot_pruned_read_witness,
+    # schema_evolution_read, range_join_open_windows,
+    # pivot_segment_by_nation, asof_join_last_order, price_percentiles,
+    # training_set_select, text_quality_scores, text_lang_id,
+    # dedup_exact, streaming_ingest_replay_witness,
+    # streaming_hh_replay_witness, running_customer_spend,
+    # event_gaps_lag_lead.
+    "ann_topk_ivf_incremental",
     "ann_topk_quantized",
     "asof_join_last_order",
     "bigram_fluency",
-    "bm25_topk",
-    "clean_formatted_currency",
     "cohort_retention",
-    "composite_key_join",
-    "cube_status_priority",
     "decontaminate_vs_probes",
     "dedup_clusters",
     "dedup_exact",
+    "dedup_minhash_incremental_steady",
     "dedup_minhash_lsh",
     "dedup_near_survivors",
     "dedup_simhash",
+    "dedup_soft_weights",
+    "dedup_soft_weights_from_map",
+    "doc_embed_hash",
+    "doc_embed_lsh_near_dup",
+    "doc_embed_near_dup",
     "doc_fingerprint_winnow",
-    "embedding_near_dup",
-    "embedding_quantize_int8",
+    "dup_span_extract",
     "event_gaps_lag_lead",
     "event_transition_matrix",
     "funnel_conversion",
     "fuzzy_name_links",
-    "json_props_extract",
-    "kmeans_clusters",
+    "grouping_sets_status_segment",
+    "hybrid_rerank_topk",
+    "jaccard_prefix_pairs",
+    "json_props_variant",
     "mixture_upsample",
     "multimodal_audio_features",
+    "multimodal_feature_extract",
     "multimodal_metadata",
     "multimodal_video_frames",
     "ngram_jaccard_pairs",
     "null_safe_code_join",
-    "order_priority_semi_join",
     "pack_sequences",
-    "pii_scrub",
     "pivot_segment_by_nation",
-    "planted_lsh_recall_witness",
     "price_histogram",
     "price_percentiles",
-    "pricing_summary",
     "q1_top_months_per_year",
-    "q3_segment_profile_top",
-    "q4_avg_distance",
+    "q2_event_time_bins",
+    "q3_segment_profile_bottom",
+    "q4_avg_distance_sql_udf",
+    "quality_classifier_score",
     "range_join_open_windows",
-    "referential_integrity_audit",
     "repetition_metrics",
-    "revenue_by_nation",
     "rolling_1h_user_value",
+    "rollup_lineitem_status",
     "running_customer_spend",
     "sample_hash_bucket",
     "sample_stratified_quota",
     "scd2_customer_priority",
-    "semantic_dedup",
+    "scd2_point_in_time",
     "session_paths",
     "session_window_agg",
     "simhash_near_pairs",
+    "sliding_window_agg",
     "snapshot_diff",
     "snapshot_pruned_read_witness",
-    "span_dedup_chunks",
-    "streaming_ann_replay_witness",
+    "split_assign_from_map",
     "streaming_dedup_replay_witness",
-    "streaming_ivm_replay_witness",
-    "streaming_scd2_replay_witness",
+    "split_leakage_audit",
     "table_profile",
     "text_lang_id",
     "text_quality_scores",
     "timeseries_gapfill",
+    "token_freq_cms",
     "trade_communities",
     "trade_pagerank",
+    "training_order_curriculum",
+    "training_order_shuffle",
     "training_set_select",
     "tumbling_window_agg",
-    "union_priority_counts",
-    "upsert_merge_witness",
     "user_overlap_sketch_witness",
     "vocab_stats",
     "winnow_near_pairs",
