@@ -101,10 +101,29 @@ def merge_into(
     manifest_extra: dict | None = None,
     base_version: int | None = None,
     broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
+    update_set: dict[str, str] | None = None,
+    insert_values: dict[str, str] | None = None,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
     "n_inserted"}`` (the new version is None when every clause matched
     nothing — an empty MERGE burns no version number).
+
+    COLUMN-LEVEL clauses (r13). By default the clauses are full-width
+    (``UPDATE SET * / INSERT *``: the source must carry every target
+    column). ``update_set`` switches the update clause to
+    ``UPDATE SET c = expr [, ...]``: a dict of target column -> SQL
+    expression over the ``target`` / ``source`` aliases (e.g.
+    ``{"o_totalprice": "source.delta + target.o_totalprice"}``);
+    unassigned columns carry the TARGET row through, so the source
+    only needs its key columns plus whatever the expressions
+    reference — the partial-update CDC shape. Column-level updates
+    apply ROW-WISE: each matched target copy updates individually
+    (full-width ``SET *`` keeps its collapse-to-source semantics for
+    duplicate target copies). ``insert_values`` likewise switches the
+    insert clause to explicit-column ``INSERT (cols) VALUES (exprs)``
+    — expressions over the ``source`` alias, unassigned columns NULL;
+    the merge keys must be assigned (a NULL-key insert could never be
+    matched again).
 
     ``prune_with_stats`` (default on): when every chain member's
     manifest carries footer stats for the merge key, the target scan is
@@ -135,23 +154,54 @@ def merge_into(
     the global latest, with WriteConflict protection."""
     keys = [key] if isinstance(key, str) else list(key)
     version = _resolve_version(spark, root, base_version)
-    target_cols = read_version(spark, root, version).columns
+    target_schema = read_version(spark, root, version).schema
+    target_cols = [f.name for f in target_schema.fields]
     for k in keys:
         if k not in target_cols:
             raise ValueError(f"merge key {k!r} is not a target column")
-    missing = set(target_cols) - set(source.columns)
+    upd = _clause_cond(when_matched_update)
+    dele = _clause_cond(when_matched_delete)
+    ins = _clause_cond(when_not_matched_insert)
+    if upd is None and dele is None and ins is None:
+        raise ValueError("merge with every clause disabled is a no-op")
+    if update_set is not None and upd is None:
+        raise ValueError("update_set given but the update clause is disabled")
+    if insert_values is not None and ins is None:
+        raise ValueError("insert_values given but the insert clause is disabled")
+    for label, assigns in (("update_set", update_set), ("insert_values", insert_values)):
+        if assigns is not None:
+            if not assigns:
+                raise ValueError(f"{label} needs at least one assignment")
+            bad = set(assigns) - set(target_cols)
+            if bad:
+                raise ValueError(
+                    f"{label} assigns non-existent column(s) {sorted(bad)} "
+                    f"(target schema: {sorted(target_cols)})"
+                )
+    if insert_values is not None:
+        missing_keys = set(keys) - set(insert_values)
+        if missing_keys:
+            raise ValueError(
+                f"insert_values must assign the merge key(s); missing "
+                f"{sorted(missing_keys)} — a NULL-key insert could never "
+                "be matched again"
+            )
+    # full-width clauses need a full-width source; column-level clauses
+    # only need the keys plus whatever their expressions reference
+    needs_full = (upd is not None and update_set is None) or (
+        ins is not None and insert_values is None
+    )
+    required = set(target_cols) if needs_full else set(keys)
+    missing = required - set(source.columns)
     if missing:
         raise ValueError(
             "UPDATE SET * / INSERT * merge needs a source carrying every "
             f"target column; missing {sorted(missing)} (extra source "
             "columns are allowed — visible to clause conditions, never "
             "written)"
+            if needs_full
+            else f"merge source is missing key column(s) {sorted(missing)}"
         )
-    upd = _clause_cond(when_matched_update)
-    dele = _clause_cond(when_matched_delete)
-    ins = _clause_cond(when_not_matched_insert)
-    if upd is None and dele is None and ins is None:
-        raise ValueError("merge with every clause disabled is a no-op")
 
     # The source is evaluated up to 4 times below (uniqueness
     # aggregate, stats bounds, bloom probe collect, the join itself) —
@@ -262,11 +312,26 @@ def merge_into(
                 F.col(f"target.{POS_COL}").alias(POS_COL),
             )
             n_retired = retire.count()
-            updates = (
-                matched.filter(~dele_c & upd_c)
-                .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
-                .dropDuplicates(keys)  # collapse duplicate TARGET copies
-            )
+            if update_set is None:
+                updates = (
+                    matched.filter(~dele_c & upd_c)
+                    .select(*[F.col(f"source.{c}").alias(c) for c in target_cols])
+                    .dropDuplicates(keys)  # collapse duplicate TARGET copies
+                )
+            else:
+                # column-level UPDATE SET: compose each matched TARGET
+                # copy row-wise — assigned columns from the expressions,
+                # the rest carried through from the target row
+                updates = matched.filter(~dele_c & upd_c).select(
+                    *[
+                        F.expr(update_set[c])
+                        .cast(target_schema[c].dataType)
+                        .alias(c)
+                        if c in update_set
+                        else F.col(f"target.{c}").alias(c)
+                        for c in target_cols
+                    ]
+                )
             n_updated = updates.count()
             # target copies retired by the DELETE clause specifically
             n_deleted = matched.filter(dele_c).count() if dele is not None else 0
@@ -276,14 +341,32 @@ def merge_into(
                 ).distinct()
                 if small_source:  # |matched keys| <= |source| — same price
                     matched_keys = F.broadcast(matched_keys)
-                inserts = (
+                not_matched = (
                     source.alias("source")
                     .join(matched_keys, keys, "left_anti")
                     .filter(ins)
-                    .select(*[F.col(f"source.{c}").alias(c) for c in source.columns])
                 )
+                if insert_values is None:
+                    inserts = not_matched.select(
+                        *[F.col(f"source.{c}").alias(c) for c in target_cols]
+                    )
+                else:
+                    # explicit-column INSERT (cols) VALUES (exprs):
+                    # unassigned columns are NULL
+                    inserts = not_matched.select(
+                        *[
+                            F.expr(insert_values[c])
+                            .cast(target_schema[c].dataType)
+                            .alias(c)
+                            if c in insert_values
+                            else F.lit(None)
+                            .cast(target_schema[c].dataType)
+                            .alias(c)
+                            for c in target_cols
+                        ]
+                    )
             else:
-                inserts = source.filter(F.lit(False)).select(*source.columns)
+                inserts = spark.createDataFrame([], target_schema)
             delta = updates.unionByName(inserts)
             n_inserted = delta.count() - n_updated
 
@@ -300,6 +383,10 @@ def merge_into(
             # a concurrent commit raises WriteConflict (Delta's conflict
             # rule) instead of silently publishing a merge that never
             # match-scanned the interloper's rows.
+            # the manifest records the merge keys so the typed change
+            # feed (operators/cdf.py) can pair this commit's retired
+            # rows with their replacements as update_pre/postimage
+            extra = {**(manifest_extra or {}), "merge_keys": keys}
             new_v = append_version(
                 delta.select(*target_cols),
                 root,
@@ -309,7 +396,7 @@ def merge_into(
                 # explicitly; global merges pin via conflict detection
                 expected_base=None if base_version is not None else version,
                 base_override=version if base_version is not None else None,
-                manifest_extra=manifest_extra,
+                manifest_extra=extra,
                 embedded_pos_deletes=vector if n_retired else None,
             )
             return {
@@ -323,6 +410,112 @@ def merge_into(
     finally:
         if we_persisted:
             source.unpersist()
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    condition,
+    base_version: int | None = None,
+    manifest_extra: dict | None = None,
+) -> dict:
+    """``DELETE FROM <table> WHERE <condition>`` as a VERSION-ANCHORED
+    commit: plan the matching rows' ``(_file, _pos)`` addresses on the
+    merge-on-read head and commit an EMPTY delta carrying the vector
+    embedded (``v=N/_merge_deletes``) — the same single-rename shape as
+    a MERGE, so the delete IS a chain version. That is what makes it
+    servable by the typed change feed (operators/cdf.py), unlike the
+    post-hoc ``delete_keys`` / ``delete_positions`` vectors which
+    mutate an existing version after the fact.
+
+    ``condition`` is SQL over the table's own column names (or a
+    Column). Returns ``{"version", "n_deleted"}``; matching nothing
+    burns no version number. One target pass; rows the condition
+    cannot match are never rewritten (the vector is O(matches))."""
+    version = _resolve_version(spark, root, base_version)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    target = read_version_mor(spark, root, version, keep_addresses=True)
+    hit = target.filter(cond).persist()
+    try:
+        n = hit.count()
+        if n == 0:
+            return {"version": None, "n_deleted": 0}
+        vector = hit.select(FILE_COL, POS_COL)
+        empty = read_version(spark, root, version).filter(F.lit(False))
+        new_v = append_version(
+            empty,
+            root,
+            allow_base_tombstones=True,
+            expected_base=None if base_version is not None else version,
+            base_override=version if base_version is not None else None,
+            manifest_extra={**(manifest_extra or {}), "row_mutation": "delete"},
+            embedded_pos_deletes=vector,
+        )
+        return {"version": new_v, "n_deleted": int(n)}
+    finally:
+        hit.unpersist()
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    set_exprs: dict[str, str],
+    condition=True,
+    base_version: int | None = None,
+    manifest_extra: dict | None = None,
+) -> dict:
+    """``UPDATE <table> SET c = expr [, ...] WHERE <condition>`` as a
+    version-anchored commit: the matching rows' addresses become an
+    embedded vector and their RECOMPUTED rows (assigned columns from
+    ``set_exprs``, the rest carried through) become the delta — one
+    atomic commit, each matched row updated individually (row-wise,
+    unlike MERGE's collapse-to-source). Expressions are SQL over the
+    table's own column names (``{"o_totalprice": "o_totalprice * 1.1"}``).
+
+    The manifest records ``row_mutation: update`` so the typed change
+    feed types this commit's rows update_preimage/update_postimage
+    without needing merge keys. Returns ``{"version", "n_updated"}``;
+    matching nothing burns no version number."""
+    version = _resolve_version(spark, root, base_version)
+    target_cols = read_version(spark, root, version).columns
+    bad = set(set_exprs) - set(target_cols)
+    if bad:
+        raise ValueError(
+            f"UPDATE assigns non-existent column(s) {sorted(bad)} "
+            f"(table schema: {sorted(target_cols)})"
+        )
+    if not set_exprs:
+        raise ValueError("UPDATE needs at least one SET assignment")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if cond is True:
+        cond = F.lit(True)
+    target = read_version_mor(spark, root, version, keep_addresses=True)
+    hit = target.filter(cond).persist()
+    try:
+        n = hit.count()
+        if n == 0:
+            return {"version": None, "n_updated": 0}
+        vector = hit.select(FILE_COL, POS_COL)
+        updated = hit.select(
+            *[
+                F.expr(set_exprs[c]).cast(target.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in target_cols
+            ]
+        )
+        new_v = append_version(
+            updated,
+            root,
+            allow_base_tombstones=True,
+            expected_base=None if base_version is not None else version,
+            base_override=version if base_version is not None else None,
+            manifest_extra={**(manifest_extra or {}), "row_mutation": "update"},
+            embedded_pos_deletes=vector,
+        )
+        return {"version": new_v, "n_updated": int(n)}
+    finally:
+        hit.unpersist()
 
 
 def merge_to_branch(

@@ -498,3 +498,100 @@ def test_merge_to_branch(spark, tmp_path):
     )
     assert res2["version"] is None
     assert branch_head(spark, root, "main") == res["version"]
+
+
+# ---------------------------------------------------------------------------
+# Column-level clauses (r13): UPDATE SET c = expr / INSERT (cols) VALUES.
+# ---------------------------------------------------------------------------
+
+
+def _seg_base(spark, n=10):
+    return spark.createDataFrame(
+        [(i, f"u{i}", float(i * 10), i % 3) for i in range(n)],
+        "k int, name string, val double, seg int",
+    )
+
+
+def test_partial_update_source_needs_only_keys_and_refs(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    root = str(tmp_path / "t")
+    write_version(_seg_base(spark), root)
+    src = spark.createDataFrame([(2, 5.0), (4, 7.0), (99, 1.5)], "k int, delta double")
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        when_matched_update=True,
+        when_not_matched_insert=True,
+        update_set={"val": "target.val + source.delta"},
+        insert_values={"k": "source.k", "val": "source.delta", "name": "'new'"},
+    )
+    assert (res["n_updated"], res["n_inserted"], res["n_deleted"]) == (2, 1, 0)
+    got = {
+        r["k"]: (r["name"], r["val"], r["seg"])
+        for r in read_version_mor(spark, root).collect()
+    }
+    assert got[2] == ("u2", 25.0, 2)  # assigned col updated, rest carried
+    assert got[4] == ("u4", 47.0, 1)
+    assert got[99] == ("new", 1.5, None)  # unassigned insert col is NULL
+    assert got[3] == ("u3", 30.0, 0)  # untouched row
+
+
+def test_partial_update_is_row_wise_over_duplicate_copies(spark, tmp_path):
+    """Column-level SET updates EACH matched target copy individually
+    (full-width SET * keeps collapse-to-source)."""
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "k int, val double"
+        ),
+        root,
+    )
+    src = spark.createDataFrame([(1, 100.0)], "k int, bump double")
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        update_set={"val": "target.val + source.bump"},
+        when_not_matched_insert=None,
+    )
+    assert res["n_updated"] == 2
+    got = sorted(
+        r["val"] for r in read_version_mor(spark, root).filter("k = 1").collect()
+    )
+    assert got == [110.0, 120.0]
+
+
+def test_partial_clause_validation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(_seg_base(spark), root)
+    src = spark.createDataFrame([(1, 2.0)], "k int, delta double")
+    with pytest.raises(ValueError, match="non-existent"):
+        merge_into(spark, root, src, "k", update_set={"nope": "1"})
+    with pytest.raises(ValueError, match="update clause is disabled"):
+        merge_into(
+            spark,
+            root,
+            src,
+            "k",
+            when_matched_update=None,
+            when_matched_delete=True,
+            update_set={"val": "1"},
+        )
+    with pytest.raises(ValueError, match="merge key"):
+        merge_into(
+            spark,
+            root,
+            src,
+            "k",
+            update_set={"val": "source.delta"},
+            insert_values={"val": "source.delta"},  # key unassigned
+        )
+    # full-width insert still demands a full-width source
+    with pytest.raises(ValueError, match="missing"):
+        merge_into(spark, root, src, "k", update_set={"val": "source.delta"})
