@@ -24,6 +24,28 @@ rewrite, an external deletion vector, or a MERGE commit's embedded
 vector in the range raises loudly (the stream fails rather than
 misstating removals as an adds-only feed).
 
+TYPED mode (``.option("change_types", "typed")``, r13): the stream
+serves MUTATING chains — ranges whose versions carry EMBEDDED
+positional vectors (MERGE / ``delete_where`` / ``update_where``
+commits) — as typed change rows: the chain schema plus
+``_change_type`` and ``_commit_version``, mirroring the batch
+``operators/cdf.py::table_changes_typed``. Each partition stays
+SELF-CONTAINED (no joins inside a DataSource read), so typing is
+per-commit-kind: a pure append's delta rows are ``insert``; an
+``update_where`` commit's manifest marker types its delta
+``update_postimage`` and its retired preimages ``update_preimage``;
+a ``delete_where`` commit's preimages are ``delete``; a MERGE
+commit serves the keyless changeset — delta rows ``insert``,
+preimages ``delete`` (an update is a delete + an insert; the batch
+feed offers merge-key pairing when pre/post typing is needed).
+Preimage partitions are one per (vector, touched ancestor file):
+the executor re-reads the commit's vector filtered to its file and
+takes the addressed row indices — O(changes) + O(touched ancestor
+files), never a table scan. EXTERNAL post-hoc vectors
+(``delete_keys`` / ``delete_positions``) still refuse in both modes:
+they mutate an already-committed version after the fact, so no
+version-interval feed can place them as events.
+
 Filesystem note: the chain is addressed through ``pyarrow.fs`` —
 ``FileSystem.from_uri`` resolves plain paths to the local filesystem
 and ``s3://`` / ``hdfs://`` / ``gs://`` roots to their native
@@ -189,10 +211,64 @@ def _chain_schema(root: str, head: int | None = None) -> "object":
     return pa.schema(fields)
 
 
+def _typed_schema(chain_schema):
+    """chain schema + the CDF columns (operators/cdf.py names)."""
+    import pyarrow as pa
+
+    names = {f.name for f in chain_schema}
+    clash = {"_change_type", "_commit_version"} & names
+    if clash:
+        raise ValueError(
+            f"table schema uses reserved CDF column(s) {sorted(clash)}"
+        )
+    return chain_schema.append(
+        pa.field("_change_type", pa.string(), nullable=True)
+    ).append(pa.field("_commit_version", pa.int64(), nullable=True))
+
+
+def _vector_files(fs, vec_dir: str) -> list[str]:
+    """Distinct ``_file`` addresses of one embedded vector — driver-
+    side planning metadata: one relative-path string per touched
+    ancestor file (addresses-only column read, never data pages of the
+    table itself)."""
+    import pyarrow.dataset as pads
+
+    paths = [
+        info.path
+        for info in _listdir(fs, vec_dir)
+        if info.base_name.endswith(".parquet")
+        and not info.base_name.startswith(("_", "."))
+    ]
+    if not paths:
+        return []
+    ds = pads.dataset(paths, filesystem=fs, format="parquet")
+    col = ds.to_table(columns=["_file"]).column("_file")
+    return sorted(set(col.to_pylist()))
+
+
 class _DeltaFile(InputPartition):
-    def __init__(self, root: str, path: str):
+    def __init__(self, root: str, path: str, commit_version: int | None = None,
+                 change_type: str | None = None):
         self.root = root  # original root string: executors re-resolve fs
         self.path = path  # fs-internal path
+        # typed mode only (None in adds mode):
+        self.commit_version = commit_version
+        self.change_type = change_type
+
+
+class _PreimageFile(InputPartition):
+    """Typed mode: the rows of ONE ancestor file retired by ONE
+    commit's embedded vector. The executor re-reads the vector
+    (addresses only, filtered to its file) and takes the addressed row
+    indices from the file — self-contained, no joins."""
+
+    def __init__(self, root: str, vec_dir: str, file_rel: str,
+                 commit_version: int, change_type: str):
+        self.root = root
+        self.vec_dir = vec_dir      # fs-internal path of the vector dir
+        self.file_rel = file_rel    # "v=K/part-...parquet" relative address
+        self.commit_version = commit_version
+        self.change_type = change_type
 
 
 class ChainCDFStreamReader(DataSourceStreamReader):
@@ -207,8 +283,17 @@ class ChainCDFStreamReader(DataSourceStreamReader):
         # the offset at all (another branch's commit), which would
         # fail the feed loudly but pointlessly
         self.branch = options.get("branch")
+        mode = (options.get("change_types") or "adds").lower()
+        if mode not in ("adds", "typed"):
+            raise ValueError(
+                f"change_types must be 'adds' or 'typed', got {mode!r}"
+            )
+        self.typed = mode == "typed"
         self._arrow_schema = _chain_schema(
             self.root, _branch_head(self.root, self.branch) if self.branch else None
+        )
+        self._out_schema = (
+            _typed_schema(self._arrow_schema) if self.typed else self._arrow_schema
         )
 
     def _head(self) -> int:
@@ -231,10 +316,10 @@ class ChainCDFStreamReader(DataSourceStreamReader):
         return {"version": self._head()}
 
     # ---- planning (driver, metadata-only) ----------------------------
-    def partitions(self, start: dict, end: dict) -> list[_DeltaFile]:
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         fs, base = _fs_for(self.root)
         lo, hi = int(start["version"]), int(end["version"])
-        files: list[str] = []
+        out: list[InputPartition] = []
         v = hi
         while v != lo:
             m = _manifest(self.root, v)
@@ -245,30 +330,56 @@ class ChainCDFStreamReader(DataSourceStreamReader):
                     "append — the change feed cannot represent it; "
                     "restart the stream from a version at or above it"
                 )
-            if any(
-                _is_dir(fs, f"{base}/{t}/v={v}") for t in _EXTERNAL_DELETES
-            ) or _is_dir(fs, f"{base}/v={v}/{_EMBEDDED_DELETES}"):
+            if any(_is_dir(fs, f"{base}/{t}/v={v}") for t in _EXTERNAL_DELETES):
+                raise ValueError(
+                    f"v={v} under {self.root} carries EXTERNAL deletion "
+                    "vectors (post-hoc delete_keys/delete_positions "
+                    "commits) — no version-interval feed can place them "
+                    "as events; commit removals as versions (delete_where "
+                    "/ update_where / merge_into) to make them streamable"
+                )
+            vec_dir = f"{base}/v={v}/{_EMBEDDED_DELETES}"
+            has_vec = _is_dir(fs, vec_dir)
+            if has_vec and not self.typed:
                 raise ValueError(
                     f"v={v} under {self.root} carries deletion vectors — "
                     "the range is not append-only and an adds-only feed "
-                    "would misstate the change"
+                    "would misstate the change; re-open the stream with "
+                    ".option('change_types', 'typed')"
                 )
-            files.extend(_member_files(self.root, v))
+            if not self.typed:
+                out.extend(_DeltaFile(self.root, p) for p in _member_files(self.root, v))
+            else:
+                mutation = (m or {}).get("row_mutation")
+                delta_type = "update_postimage" if mutation == "update" else "insert"
+                pre_type = (
+                    "update_preimage"
+                    if mutation == "update"
+                    else "delete"  # delete_where AND the keyless MERGE changeset
+                )
+                out.extend(
+                    _DeltaFile(self.root, p, v, delta_type)
+                    for p in _member_files(self.root, v)
+                )
+                if has_vec:
+                    out.extend(
+                        _PreimageFile(self.root, vec_dir, rel, v, pre_type)
+                        for rel in _vector_files(fs, vec_dir)
+                    )
             v = int(mbase)
             if v < lo:
                 raise ValueError(
                     f"v={hi} under {self.root} does not chain through "
                     f"v={lo} (chain skips to v={v})"
                 )
-        return [_DeltaFile(self.root, p) for p in files]
+        return out
 
-    # ---- execution (executors, one task per delta file) --------------
-    def read(self, partition: _DeltaFile) -> Iterator:
+    # ---- execution (executors, one task per file) --------------------
+    def _align(self, table, change_type: str | None, commit_version: int | None):
+        """Null-fill ``table`` to the chain schema; in typed mode
+        append the constant CDF columns."""
         import pyarrow as pa
-        import pyarrow.parquet as papq
 
-        fs, _ = _fs_for(partition.root)
-        table = papq.read_table(partition.path, filesystem=fs)
         n = table.num_rows
         cols = []
         for field in self._arrow_schema:
@@ -276,7 +387,36 @@ class ChainCDFStreamReader(DataSourceStreamReader):
                 cols.append(table.column(field.name).cast(field.type))
             else:  # pre-evolution file: null-fill the late column
                 cols.append(pa.nulls(n, type=field.type))
-        aligned = pa.table(cols, schema=self._arrow_schema)
+        if self.typed:
+            cols.append(pa.array([change_type] * n, type=pa.string()))
+            cols.append(pa.array([commit_version] * n, type=pa.int64()))
+        return pa.table(cols, schema=self._out_schema)
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow.parquet as papq
+
+        fs, base = _fs_for(partition.root)
+        if isinstance(partition, _PreimageFile):
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(partition.vec_dir, filesystem=fs, format="parquet")
+            vec = ds.to_table(
+                columns=["_file", "_pos"],
+                filter=pc.field("_file") == partition.file_rel,
+            )
+            positions = sorted(set(vec.column("_pos").to_pylist()))
+            table = papq.read_table(
+                f"{base}/{partition.file_rel}", filesystem=fs
+            ).take(positions)
+            aligned = self._align(
+                table, partition.change_type, partition.commit_version
+            )
+        else:
+            table = papq.read_table(partition.path, filesystem=fs)
+            aligned = self._align(
+                table, partition.change_type, partition.commit_version
+            )
         yield from aligned.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -289,8 +429,11 @@ class ChainCDFDataSource(DataSource):
     appended in ``(last offset, latest version]``; default start is the
     latest version at stream open (future appends only). ``path``
     accepts a plain POSIX path or any ``pyarrow.fs`` URI (``s3://``,
-    ``hdfs://``, ``gs://``). Under ``Trigger.AvailableNow`` Spark falls
-    back to a single batch (see module docstring)."""
+    ``hdfs://``, ``gs://``). ``.option("change_types", "typed")``
+    serves MUTATING chains (MERGE / delete_where / update_where
+    commits) as typed ``_change_type`` rows — see module docstring.
+    Under ``Trigger.AvailableNow`` Spark falls back to a single batch
+    (see module docstring)."""
 
     @classmethod
     def name(cls) -> str:
@@ -301,9 +444,12 @@ class ChainCDFDataSource(DataSource):
 
         root = self.options["path"]
         branch = self.options.get("branch")
-        return from_arrow_schema(
-            _chain_schema(root, _branch_head(root, branch) if branch else None)
+        chain = _chain_schema(
+            root, _branch_head(root, branch) if branch else None
         )
+        if (self.options.get("change_types") or "adds").lower() == "typed":
+            chain = _typed_schema(chain)
+        return from_arrow_schema(chain)
 
     def streamReader(self, schema: StructType) -> ChainCDFStreamReader:
         return ChainCDFStreamReader(self.options)

@@ -172,3 +172,184 @@ def test_file_uri_root_streams(spark, tmp_path):
     got = spark.read.parquet(out)
     want = table_changes(spark, root, 0, 1)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# TYPED mode (r13): streaming a MUTATING chain as _change_type rows.
+# ---------------------------------------------------------------------------
+
+
+def _run_typed(spark, root, out, ckpt, from_version=0):
+    def sink(batch, _bid):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("chain_cdf")
+        .option("path", root)
+        .option("from_version", from_version)
+        .option("change_types", "typed")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _mutating_chain(spark, root):
+    """v0 base, v1 append, v2 MERGE, v3 update_where, v4 delete_where."""
+    from pyspark_big_data_spark.operators.merge import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"u{i}", float(i * 10)) for i in range(lo, hi)],
+            "k int, name string, val double",
+        )
+
+    write_version(mk(0, 20), root)
+    append_version(mk(20, 25), root)
+    src = spark.createDataFrame(
+        [(i, f"upd{i}", float(i * 100)) for i in range(8)]
+        + [(i, f"new{i}", float(i)) for i in (30, 31)],
+        "k int, name string, val double",
+    )
+    merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        when_matched_update="source.k < 5",
+        when_matched_delete="source.k >= 5",
+        when_not_matched_insert=True,
+    )
+    update_where(spark, root, {"val": "val + 1000"}, "k >= 20 AND k < 23")
+    return delete_where(spark, root, "k = 24")["version"]
+
+
+def test_typed_stream_serves_merge_maintained_chain(spark, tmp_path):
+    """The r12-verdict gap: a table maintained by MERGE can be streamed
+    downstream — typed rows, folding bit-exactly to the MOR head."""
+    from pyspark_big_data_spark.operators.cdf import fold_changes
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.versioned import read_version
+
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    head_v = _mutating_chain(spark, root)
+
+    _run_typed(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in got.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # the MERGE commit (v2) streams the keyless changeset; the marked
+    # row mutations (v3/v4) stream exact update/delete typing
+    # v2's MERGE: 5 updates + 3 deletes retire 8 rows; its delta is
+    # 5 update rows + 2 inserts = 7 adds, streamed as the changeset
+    assert counts == {
+        (1, "insert"): 5,
+        (2, "insert"): 7,
+        (2, "delete"): 8,
+        (3, "update_postimage"): 3,
+        (3, "update_preimage"): 3,
+        (4, "delete"): 1,
+    }
+    folded = fold_changes(read_version(spark, root, 0), got)
+    head = read_version_mor(spark, root, head_v)
+    assert folded.exceptAll(head).count() == 0
+    assert head.exceptAll(folded).count() == 0
+
+
+def test_typed_stream_restart_is_idempotent(spark, tmp_path):
+    from pyspark_big_data_spark.operators.merge import merge_into
+
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    _mutating_chain(spark, root)
+
+    _run_typed(spark, root, out, ckpt)
+    n = spark.read.parquet(out).count()
+    _run_typed(spark, root, out, ckpt)  # nothing new: delivers NOTHING
+    assert spark.read.parquet(out).count() == n
+    # a further MERGE streams exactly its own change rows
+    merge_into(
+        spark,
+        root,
+        spark.createDataFrame([(0, "z", 0.0)], "k int, name string, val double"),
+        "k",
+    )
+    _run_typed(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == n + 2  # delete + insert of the keyless changeset
+    assert sorted(
+        r["_change_type"]
+        for r in got.filter(F.col("_commit_version") == 5).collect()
+    ) == ["delete", "insert"]
+
+
+def test_adds_mode_still_refuses_vector_bearing_range(spark, tmp_path):
+    """The adds-only contract is unchanged — but the refusal now names
+    the typed escape hatch."""
+    from pyspark_big_data_spark.operators.merge import merge_into
+
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    write_version(_df(spark, 0, 50), root)
+    merge_into(
+        spark,
+        root,
+        spark.createDataFrame([(1, 99.0)], "k long, x double"),
+        "k",
+    )
+    with pytest.raises(StreamingQueryException, match="change_types"):
+        _run(spark, root, out, ckpt)
+
+
+def test_typed_stream_refuses_external_vectors(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import delete_keys
+
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    write_version(_df(spark, 0, 50), root)
+    v1 = append_version(_df(spark, 50, 60), root)
+    delete_keys(
+        spark, root, spark.createDataFrame([(55,)], "k long"), "k", version=v1
+    )
+    with pytest.raises(StreamingQueryException, match="EXTERNAL deletion"):
+        _run_typed(spark, root, out, ckpt)
+
+
+def test_typed_stream_equals_batch_typed_feed(spark, tmp_path):
+    """Stream rows == batch table_changes_typed rows (modulo the MERGE
+    commit's changeset-vs-paired typing: compare with pairing folded
+    down to the changeset view)."""
+    from pyspark_big_data_spark.operators.cdf import table_changes_typed
+
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    head_v = _mutating_chain(spark, root)
+    _run_typed(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    want = table_changes_typed(spark, root, 0, head_v)
+    # project pairing down to adds/removes: both surfaces must agree on
+    # WHAT changed even where the stream's typing is coarser
+    def changeset(df):
+        return df.withColumn(
+            "_op",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit("add"),
+            ).otherwise(F.lit("remove")),
+        ).drop("_change_type")
+
+    a, b = changeset(got), changeset(want)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
