@@ -17,8 +17,13 @@ stripped)::
     MERGE INTO <table> USING <view> ON target.<k> = source.<k>
         [AND target.<k2> = source.<k2> ...]
         [WHEN MATCHED AND <cond> THEN DELETE]
-        [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
-        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET *
+                                      | UPDATE SET <c> = <expr> [, ...]]
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+                        | INSERT (<c> [, ...]) VALUES (<expr> [, ...])]
+
+    DELETE FROM <table> [WHERE <cond>]
+    UPDATE <table> SET <c> = <expr> [, ...] [WHERE <cond>]
 
     SELECT ... FROM <table> VERSION AS OF <n> ...
     SELECT ... FROM <table> TIMESTAMP AS OF '<ts>' ...
@@ -139,9 +144,73 @@ _ON_RE = re.compile(
 )
 _CLAUSE_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
-    r"(?P<action>DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
+    r"(?P<action>DELETE|UPDATE\s+SET\s+.+?|INSERT\s+.+?)"
+    r"(?=\s*\bWHEN\b|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
+_ASSIGN_RE = re.compile(
+    rf"^(?P<col>{_IDENT})\s*=\s*(?P<expr>.+)$", re.IGNORECASE | re.DOTALL
+)
+_INSERT_COLS_RE = re.compile(
+    r"^INSERT\s*\((?P<cols>[^()]+)\)\s*VALUES\s*\((?P<vals>.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren depth zero, respecting single-quoted
+    SQL literals — the separator an assignment/expression list uses."""
+    parts: list[str] = []
+    depth = 0
+    in_lit = False
+    cur: list[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_lit:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    cur.append("'")
+                    i += 1  # '' escape stays inside the literal
+                else:
+                    in_lit = False
+        elif ch == "'":
+            in_lit = True
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _parse_assignments(text: str, label: str) -> dict[str, str]:
+    """``c = expr [, ...]`` into an ordered dict; duplicate targets and
+    non-assignment terms refuse."""
+    out: dict[str, str] = {}
+    for part in _split_top_level(text):
+        m = _ASSIGN_RE.match(part)
+        if not m:
+            raise ValueError(f"unsupported {label} term {part!r}; expected '<col> = <expr>'")
+        col = m["col"]
+        if col in out:
+            raise ValueError(f"duplicate {label} assignment to {col!r}")
+        out[col] = m["expr"].strip()
+    if not out:
+        raise ValueError(f"{label} needs at least one assignment")
+    return out
 _TRAVEL_RE = re.compile(
     rf"\b(?P<table>{_IDENT})\s+(?:(?P<kind>VERSION)\s+AS\s+OF\s+(?P<v>\d+)"
     rf"|(?P<kind2>TIMESTAMP)\s+AS\s+OF\s+'(?P<ts>[^']+)'"
@@ -175,6 +244,29 @@ _COMMIT_TXN_RE = re.compile(
 _WRITE_RE = re.compile(
     rf"^(?P<table>{_IDENT})\s+FROM\s+(?P<view>{_IDENT})$", re.IGNORECASE
 )
+_DELETE_STMT_RE = re.compile(
+    rf"^DELETE\s+FROM\s+(?P<table>{_IDENT})"
+    r"(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_STMT_RE = re.compile(
+    rf"^UPDATE\s+(?P<table>{_IDENT})\s+SET\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHERE_SPLIT_RE = re.compile(r"\sWHERE\s", re.IGNORECASE)
+
+
+def _split_where(rest: str) -> tuple[str, str | None]:
+    """Split ``<assignments> [WHERE <cond>]`` on the first WHERE
+    keyword outside a string literal (assignments cannot contain the
+    bare keyword outside literals in the documented subset)."""
+    spans = _literal_spans(rest)
+    for m in _WHERE_SPLIT_RE.finditer(rest):
+        if not _starts_in_literal(m.start() + 1, spans):
+            return rest[: m.start()].strip(), rest[m.end() :].strip()
+    return rest.strip(), None
+
+
 _CREATE_TAG_RE = re.compile(
     rf"^CREATE\s+TAG\s+(?P<name>{_IDENT})\s+ON\s+(?P<table>{_IDENT})\s+"
     r"AT\s+VERSION\s+(?P<v>\d+)(?:\s+NOTE\s+'(?P<note>[^']*)')?$",
@@ -206,31 +298,59 @@ def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
     if leftover.strip():
         raise ValueError(
             f"unsupported MERGE clause text {leftover.strip()!r}; supported "
-            "actions: DELETE, UPDATE SET *, INSERT *"
+            "actions: DELETE, UPDATE SET * | UPDATE SET c = expr [, ...], "
+            "INSERT * | INSERT (cols) VALUES (exprs)"
         )
     upd = None
     dele = None
     ins = None
+    update_set = None
+    insert_values = None
     upd_pos = dele_pos = None
     for c in _CLAUSE_RE.finditer(clauses_text):
-        action = re.sub(r"\s+", " ", c["action"].upper())
+        action_raw = c["action"].strip()
+        action = re.sub(r"\s+", " ", action_raw.upper())
         cond = c["cond"].strip() if c["cond"] else True
         if c["not"]:
-            if action != "INSERT *":
-                raise ValueError("WHEN NOT MATCHED supports INSERT * only")
+            if not action.startswith("INSERT"):
+                raise ValueError("WHEN NOT MATCHED supports INSERT only")
             if ins is not None:
                 raise ValueError("duplicate WHEN NOT MATCHED clause")
             ins = cond
+            if action != "INSERT *":
+                im = _INSERT_COLS_RE.match(action_raw)
+                if not im:
+                    raise ValueError(
+                        f"unsupported INSERT form {action_raw!r}; expected "
+                        "INSERT * or INSERT (cols) VALUES (exprs)"
+                    )
+                cols = [s.strip() for s in im["cols"].split(",")]
+                vals = _split_top_level(im["vals"])
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT names {len(cols)} column(s) but "
+                        f"{len(vals)} value(s)"
+                    )
+                if len(set(cols)) != len(cols):
+                    raise ValueError("duplicate column in INSERT column list")
+                insert_values = dict(zip(cols, vals))
         elif action == "DELETE":
             if dele is not None:
                 raise ValueError("duplicate WHEN MATCHED ... DELETE clause")
             dele = cond
             dele_pos = c.start()
-        elif action == "UPDATE SET *":
+        elif action.startswith("UPDATE SET"):
             if upd is not None:
                 raise ValueError("duplicate WHEN MATCHED ... UPDATE clause")
             upd = cond
             upd_pos = c.start()
+            if action != "UPDATE SET *":
+                sm = re.match(
+                    r"^UPDATE\s+SET\s+(?P<assigns>.+)$",
+                    action_raw,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                update_set = _parse_assignments(sm["assigns"], "UPDATE SET")
         else:
             raise ValueError(f"unsupported matched action {action!r}")
     if dele is True and upd is not None:
@@ -262,6 +382,8 @@ def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
         when_matched_update=upd,
         when_matched_delete=dele,
         when_not_matched_insert=ins,
+        update_set=update_set,
+        insert_values=insert_values,
     )
 
 
@@ -343,6 +465,28 @@ def run_mutation_sql(
             expected_txn=int(m["exp"]) if m["exp"] is not None else None,
         )
 
+    m = _DELETE_STMT_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.merge import delete_where
+
+        return delete_where(
+            spark,
+            _root(catalog, m["table"]),
+            m["cond"].strip() if m["cond"] else "true",
+        )
+
+    m = _UPDATE_STMT_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.merge import update_where
+
+        assigns_text, cond = _split_where(m["rest"])
+        return update_where(
+            spark,
+            _root(catalog, m["table"]),
+            _parse_assignments(assigns_text, "UPDATE SET"),
+            cond if cond is not None else True,
+        )
+
     m = _MERGE_RE.match(stmt)
     if m:
         return _parse_merge(spark, m, catalog)
@@ -354,8 +498,9 @@ def run_mutation_sql(
 
     raise ValueError(
         "statement not in the documented mutation-SQL subset (MERGE INTO, "
-        "SELECT ... VERSION/TIMESTAMP AS OF, RESTORE TABLE, CREATE BRANCH, "
-        f"MERGE BRANCH, CREATE TAG, COMMIT TRANSACTION): {stmt[:120]!r}"
+        "DELETE FROM, UPDATE ... SET, SELECT ... VERSION/TIMESTAMP AS OF, "
+        "RESTORE TABLE, CREATE BRANCH, MERGE BRANCH, CREATE TAG, "
+        f"COMMIT TRANSACTION): {stmt[:120]!r}"
     )
 
 

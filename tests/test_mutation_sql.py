@@ -274,11 +274,20 @@ def test_subset_refusals_are_loud(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET *",
             cat,
         )
+    # r13: column-level SET parses; assigning a non-existent column is
+    # refused by merge_into's validation instead of the parser
+    with pytest.raises(ValueError, match="non-existent"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING srcv ON target.k = source.k "
+            "WHEN MATCHED THEN UPDATE SET nope = 1",
+            cat,
+        )
     with pytest.raises(ValueError, match="unsupported MERGE clause"):
         run_mutation_sql(
             spark,
             "MERGE INTO t USING srcv ON target.k = source.k "
-            "WHEN MATCHED THEN UPDATE SET x = 1",
+            "WHEN MATCHED THEN UPSERT",
             cat,
         )
 
@@ -322,3 +331,139 @@ def test_commit_transaction_statement(spark, tmp_path):
             "COMMIT TRANSACTION ON g WRITE orders FROM txn_orders EXPECTED 0",
             cat,
         )
+
+
+# ---------------------------------------------------------------------------
+# r13 statements: DELETE FROM / UPDATE ... SET and column-level MERGE.
+# ---------------------------------------------------------------------------
+
+
+def _catalog_table(spark, tmp_path, name="t"):
+    root = str(tmp_path / name)
+    write_version(
+        spark.createDataFrame(
+            [(i, f"u{i}", float(i * 10), i % 3) for i in range(10)],
+            "k int, name string, val double, seg int",
+        ),
+        root,
+    )
+    return root, {name: root}
+
+
+def test_delete_from_statement_matches_api(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import delete_where
+
+    root, cat = _catalog_table(spark, tmp_path)
+    root2, _ = _catalog_table(spark, tmp_path, "t2")
+    res = run_mutation_sql(spark, "DELETE FROM t WHERE k >= 7", cat)
+    want = delete_where(spark, root2, "k >= 7")
+    assert res["n_deleted"] == want["n_deleted"] == 3
+    a = read_version_mor(spark, root)
+    b = read_version_mor(spark, root2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_update_statement_matches_api(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import update_where
+
+    root, cat = _catalog_table(spark, tmp_path)
+    root2, _ = _catalog_table(spark, tmp_path, "t2")
+    res = run_mutation_sql(
+        spark, "UPDATE t SET val = val * 2, name = upper(name) WHERE seg = 0", cat
+    )
+    want = update_where(
+        spark, root2, {"val": "val * 2", "name": "upper(name)"}, "seg = 0"
+    )
+    assert res["n_updated"] == want["n_updated"] == 4
+    a = read_version_mor(spark, root)
+    b = read_version_mor(spark, root2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_update_statement_without_where_hits_all_rows(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    _, cat = _catalog_table(spark, tmp_path)
+    res = run_mutation_sql(spark, "UPDATE t SET val = 0", cat)
+    assert res["n_updated"] == 10
+    got = read_version_mor(spark, cat["t"])
+    assert got.filter("val <> 0").count() == 0
+
+
+def test_update_statement_where_inside_literal_not_split(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    _, cat = _catalog_table(spark, tmp_path)
+    res = run_mutation_sql(
+        spark, "UPDATE t SET name = ' where ' WHERE k = 1", cat
+    )
+    assert res["n_updated"] == 1
+    got = read_version_mor(spark, cat["t"]).filter("k = 1").collect()
+    assert got[0]["name"] == " where "
+
+
+def test_merge_statement_column_level_clauses(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_into
+
+    root, cat = _catalog_table(spark, tmp_path)
+    root2, _ = _catalog_table(spark, tmp_path, "t2")
+    src = spark.createDataFrame(
+        [(2, 5.0), (4, 7.0), (99, 1.5)], "k int, delta double"
+    )
+    src.createOrReplaceTempView("cdc_partial_src")
+    res = run_mutation_sql(
+        spark,
+        """
+        MERGE INTO t USING cdc_partial_src ON target.k = source.k
+        WHEN MATCHED THEN UPDATE SET val = target.val + source.delta
+        WHEN NOT MATCHED THEN INSERT (k, val, name)
+            VALUES (source.k, source.delta, 'new')
+        """,
+        cat,
+    )
+    want = merge_into(
+        spark,
+        root2,
+        src,
+        "k",
+        update_set={"val": "target.val + source.delta"},
+        insert_values={"k": "source.k", "val": "source.delta", "name": "'new'"},
+    )
+    assert {k: res[k] for k in ("n_deleted", "n_updated", "n_inserted")} == {
+        k: want[k] for k in ("n_deleted", "n_updated", "n_inserted")
+    }
+    a = read_version_mor(spark, root)
+    b = read_version_mor(spark, root2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_merge_statement_insert_cols_arity_refuses(spark, tmp_path):
+    _, cat = _catalog_table(spark, tmp_path)
+    spark.createDataFrame([(1, 2.0)], "k int, delta double").createOrReplaceTempView(
+        "arity_src"
+    )
+    with pytest.raises(ValueError, match="column"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING arity_src ON target.k = source.k "
+            "WHEN NOT MATCHED THEN INSERT (k, val) VALUES (source.k)",
+            cat,
+        )
+
+
+def test_assignment_list_respects_nested_commas(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    _, cat = _catalog_table(spark, tmp_path)
+    res = run_mutation_sql(
+        spark,
+        "UPDATE t SET name = concat(name, '-', 'x'), val = round(val, 1) "
+        "WHERE k = 2",
+        cat,
+    )
+    assert res["n_updated"] == 1
+    got = read_version_mor(spark, cat["t"]).filter("k = 2").collect()
+    assert got[0]["name"] == "u2-x"
