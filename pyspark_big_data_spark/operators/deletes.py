@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -191,8 +192,9 @@ def delete_keys(
     while True:
         commits = list_delete_commits(spark, root, version)
         k = (commits[-1] + 1) if commits else 0
-        staging = f"{droot}/.staging_d{k}"
-        fs.delete(Path(staging), True)  # sweep a crashed predecessor
+        # writer-unique staging (r13, see write_version): racing
+        # delete committers must never sweep each other's bytes
+        staging = f"{droot}/.staging_d{k}.{uuid.uuid4().hex[:12]}"
         tomb.write.mode("overwrite").parquet(staging)
         _write_rows_sidecar(spark, fs, jvm, staging)
         if commit_staged(fs, jvm, droot, staging, k, prefix="d="):
@@ -391,8 +393,9 @@ def delete_positions(
     while True:
         commits = list_pos_delete_commits(spark, root, version)
         k = (commits[-1] + 1) if commits else 0
-        staging = f"{droot}/.staging_d{k}"
-        fs.delete(Path(staging), True)
+        # writer-unique staging (r13, see write_version): racing
+        # delete committers must never sweep each other's bytes
+        staging = f"{droot}/.staging_d{k}.{uuid.uuid4().hex[:12]}"
         tomb.write.mode("overwrite").parquet(staging)
         _write_rows_sidecar(spark, fs, jvm, staging)
         if commit_staged(fs, jvm, droot, staging, k, prefix="d="):

@@ -54,6 +54,7 @@ time travel.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -166,8 +167,9 @@ def commit_replace_where(
         keep = base.filter(F.col(col).isNull() | ~F.col(col).isin(vals))
         merged = keep.unionByName(slice_df.select(*base.columns))
         n = latest + 1
-        staging = f"{root.rstrip('/')}/.staging_v{n}"
-        fs.delete(Path(staging), True)  # sweep a crashed predecessor
+        # writer-unique staging (r13): concurrent writers must never
+        # share or sweep each other's staging bytes
+        staging = f"{root.rstrip('/')}/.staging_v{n}.{uuid.uuid4().hex[:12]}"
         merged.write.mode("overwrite").parquet(staging)
         doc = {
             "txn_version": 1,

@@ -55,6 +55,7 @@ import json
 import os
 import re
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -450,13 +451,16 @@ def write_version(
     snapshot; readers are shard-agnostic (``manifest`` merges), and
     the shards stage with the data so the commit stays one rename.
 
-    Stage-then-rename: the snapshot is fully written under
-    ``root/.staging_vN`` first, then a single atomic rename publishes
-    it as ``root/v=N``. Concurrent writers race on the rename, and the
-    rename's return value alone is NOT a reliable verdict: HDFS rename
-    fails when the destination exists, but Hadoop's LocalFileSystem
-    rename onto an existing ``v=N`` returns true and moves the staging
-    dir INSIDE it (``v=N/.staging_vN`` — dot-prefixed, invisible to
+    Stage-then-rename: the snapshot is fully written under a
+    WRITER-UNIQUE ``root/.staging_vN.<token>`` first (unique so
+    concurrent writers racing on the same N can never touch each
+    other's staging bytes — r13), then a single atomic rename
+    publishes it as ``root/v=N``. Concurrent writers race on the
+    rename, and the rename's return value alone is NOT a reliable
+    verdict: HDFS rename fails when the destination exists, but
+    Hadoop's LocalFileSystem rename onto an existing ``v=N`` returns
+    true and moves the staging
+    dir INSIDE it (``v=N/.staging_vN.<token>`` — dot-prefixed, invisible to
     parquet readers: a silent lost write). So the commit is verified
     after the rename: the writer owns ``v=N`` only if no nested staging
     dir appeared under it. A race loser on either filesystem deletes
@@ -554,8 +558,16 @@ def write_version(
                 allow_evolution=_append_evolution,
                 allow_base_tombstones=_allow_base_tombstones,
             )
-        staging = f"{root.rstrip('/')}/.staging_v{n}"
-        fs.delete(Path(staging), True)  # sweep a crashed predecessor
+        # WRITER-UNIQUE staging name (r13): concurrent writers racing
+        # on the same v=N must never share a staging dir — with a
+        # deterministic name, writer B's pre-write sweep deletes
+        # writer A's in-flight bytes, and A could then publish B's
+        # HALF-WRITTEN files under the verified rename (the multi-
+        # writer model test caught exactly this). Unique names make
+        # every staging dir single-writer; the rename race stays the
+        # one commit arbiter. Crashed writers' dead staging dirs are
+        # swept by expire_versions (N <= latest is provably dead).
+        staging = f"{root.rstrip('/')}/.staging_v{n}.{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(staging)
         pos_delete_rows = None
         if embedded_pos_deletes is not None:
@@ -1234,7 +1246,9 @@ def expire_versions(
             if not (status.isDirectory() and name.startswith(".staging_v")):
                 continue
             try:
-                n = int(name[len(".staging_v"):])
+                # both shapes: ".staging_v7" (pre-r13) and the
+                # writer-unique ".staging_v7.<token>"
+                n = int(name[len(".staging_v"):].split(".")[0])
             except ValueError:
                 continue
             if n <= latest:

@@ -151,11 +151,13 @@ def test_expire_versions_retention(spark, tmp_path):
     # a dead staging dir (its version already committed) and a live one
     # (targets latest+1, must survive the vacuum)
     os.makedirs(f"{root}/.staging_v2")
+    os.makedirs(f"{root}/.staging_v1.abc123def456")  # r13 writer-unique shape
     os.makedirs(f"{root}/.staging_v5")
 
     assert expire_versions(spark, root, keep_last=2) == [0, 1, 2]
     assert list_versions(spark, root) == [3, 4]
     assert not os.path.exists(f"{root}/.staging_v2")
+    assert not os.path.exists(f"{root}/.staging_v1.abc123def456")
     assert os.path.exists(f"{root}/.staging_v5")
 
     # expired versions fail loudly; survivors read intact
@@ -278,7 +280,10 @@ def test_lost_race_retries_instead_of_nesting(spark, tmp_path, monkeypatch):
     assert list_versions(spark, root) == [0, 1, 2]
     # winner's snapshot untouched, with no nested staging dir left inside
     assert {(r["k"], r["x"]) for r in read_version(spark, root, 1).collect()} == {(3, 3.0)}
-    assert not os.path.exists(f"{root}/v=1/.staging_v1")
+    # (staging names carry a writer-unique token since r13: match by prefix)
+    assert not [
+        d for d in os.listdir(f"{root}/v=1") if d.startswith(".staging_v1")
+    ]
     assert {(r["k"], r["x"]) for r in read_version(spark, root, 2).collect()} == {(4, 4.0)}
 
 
