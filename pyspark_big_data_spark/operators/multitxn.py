@@ -267,6 +267,7 @@ def expire_group(
     keep_last_txns: int,
     keep_last_versions: int = 1,
     reclaim_unreferenced: bool = False,
+    reclaim_older_than: float | None = None,
 ) -> dict:
     """Retention vacuum for a transaction GROUP — the only safe way to
     expire grouped tables: per-table ``expire_versions`` alone does not
@@ -290,8 +291,18 @@ def expire_group(
     lifecycle self-heals). ``reclaim_unreferenced=True`` deletes those
     too; it is the caller's assertion that no transaction is in
     flight (a quiesced-maintenance-window flag, like the table
-    formats' aggressive VACUUM). Returns ``{"txns": [expired],
-    "versions": {table: [expired]}}``."""
+    formats' aggressive VACUUM).
+
+    ``reclaim_older_than`` (seconds, r13) is the middle ground for
+    LIVE groups where a crash-looping writer would otherwise grow the
+    above-pin debris unboundedly: an above-pin version whose directory
+    modification time is older than the threshold is reclaimed WITHOUT
+    the quiesce assertion — a live writer's phase-1 commit is by
+    definition younger than one manifest-publish cycle, so pick an age
+    far above the longest transaction (hours, not seconds) and stale
+    orphans drain on every vacuum while in-flight work is spared.
+
+    Returns ``{"txns": [expired], "versions": {table: [expired]}}``."""
     if keep_last_txns < 1:
         raise ValueError("keep_last_txns must be >= 1")
     from pyspark_big_data_spark.operators.versioned import (
@@ -318,18 +329,32 @@ def expire_group(
     for table in sorted(tables):
         troot = _table_root(group_root, table)
         table_pins = pins.get(table, set())
-        if reclaim_unreferenced and table_pins:
-            # quiesced window: versions above every surviving pin are
-            # provably debris ONLY under the caller's no-writer
-            # assertion; delete them so the newest-kept rule below
-            # anchors on pinned history, not on the debris
+        if table_pins and (reclaim_unreferenced or reclaim_older_than is not None):
+            # quiesced window (reclaim_unreferenced): versions above
+            # every surviving pin are provably debris ONLY under the
+            # caller's no-writer assertion. Age-gated (reclaim_older_
+            # than): an above-pin version older than the threshold is
+            # a stale orphan even with writers live — delete either so
+            # the newest-kept rule below anchors on pinned history,
+            # not on the debris.
+            import time
+
+            now_ms = time.time() * 1000.0
             top = max(table_pins)
             for v in list_versions(spark, troot):
-                if v > top:
-                    fs.delete(Path(f"{troot}/v={v}"), True)
-                    fs.delete(Path(f"{troot}/_deletes/v={v}"), True)
-                    fs.delete(Path(f"{troot}/_pos_deletes/v={v}"), True)
-                    expired.setdefault(table, []).append(v)
+                if v <= top:
+                    continue
+                if not reclaim_unreferenced:
+                    vdir = Path(f"{troot}/v={v}")
+                    age_s = (
+                        now_ms - fs.getFileStatus(vdir).getModificationTime()
+                    ) / 1000.0
+                    if age_s < reclaim_older_than:
+                        continue  # fresh: could be a live writer's phase 1
+                fs.delete(Path(f"{troot}/v={v}"), True)
+                fs.delete(Path(f"{troot}/_deletes/v={v}"), True)
+                fs.delete(Path(f"{troot}/_pos_deletes/v={v}"), True)
+                expired.setdefault(table, []).append(v)
         expired.setdefault(table, [])
         expired[table] = sorted(
             expired[table]

@@ -298,3 +298,124 @@ def test_expire_group_protects_surviving_pins(spark, tmp_path):
     assert 2 in res2["versions"]["orders"]
     assert list_versions(spark, f"{g}/orders") == [0, 1]
     assert read_txn_table(spark, g, "orders", txn=1).count() == 15
+
+
+def test_expire_group_age_based_reclaim(spark, tmp_path):
+    """reclaim_older_than (r13): a STALE above-pin orphan is reclaimed
+    without the quiesce assertion; a fresh one (a live writer's
+    possible phase-1 commit) is spared."""
+    from pyspark_big_data_spark.operators.multitxn import expire_group
+    from pyspark_big_data_spark.operators.versioned import list_versions
+
+    g = str(tmp_path / "grp")
+    commit_txn(
+        spark, g, {"orders": _orders(spark, 0, 10), "items": _items(spark, 0, 10)}
+    )
+    commit_txn(spark, g, {"orders": _orders(spark, 10, 15)}, append=True)
+    # two orphans above the pin: one stale, one fresh
+    write_version(_orders(spark, 0, 99), f"{g}/orders")   # v=2 stale
+    write_version(_orders(spark, 0, 98), f"{g}/orders")   # v=3 fresh
+    import os
+    import time
+
+    old = time.time() - 7200
+    os.utime(f"{g}/orders/v=2", (old, old))
+
+    res = expire_group(spark, g, keep_last_txns=2, reclaim_older_than=3600)
+    assert 2 in res["versions"]["orders"]
+    assert list_versions(spark, f"{g}/orders") == [0, 1, 3]
+    # surviving pins still read
+    assert read_txn_table(spark, g, "orders", txn=1).count() == 15
+    # second vacuum after the fresh orphan ages out drains it too
+    os.utime(f"{g}/orders/v=3", (old, old))
+    res2 = expire_group(spark, g, keep_last_txns=2, reclaim_older_than=3600)
+    assert 3 in res2["versions"]["orders"]
+    assert list_versions(spark, f"{g}/orders") == [0, 1]
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_multi_writer_model_randomized(spark, tmp_path, seed):
+    """Model-based randomized multi-writer exercise of the commit_txn
+    rebase/refuse ladder (r12 verdict What's-missing #5, the pattern of
+    the merge-DAG model tests): N writers with seeded random table
+    subsets run CONCURRENTLY (threads), each retrying on TxnConflict
+    with re-derived writes. Schedule-independent invariants asserted
+    against the manifest history afterwards:
+
+    - no lost transactions: txn ids are contiguous, one per success;
+    - ATOMICITY (no half-applied transaction): the pins that changed
+      at each manifest are exactly ONE writer's declared table set,
+      and every changed pin's table content carries that writer's
+      marker;
+    - no lost pins: untouched tables carry their pins forward
+      unchanged at every step;
+    - every pinned version is readable at its transaction (the
+      cross-table consistency read).
+
+    Plus a deterministic stale-pin coda: expected_txn refuses after an
+    interloper and leaves the manifest history untouched."""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark_big_data_spark.operators.multitxn import TxnConflict
+
+    rng = random.Random(seed)
+    g = str(tmp_path / "grp")
+    tables = ["ta", "tb", "tc", "td"]
+
+    def _payload(writer_id):
+        return spark.createDataFrame(
+            [(i, writer_id) for i in range(5)], "k int, writer string"
+        )
+
+    commit_txn(spark, g, {t: _payload("init") for t in tables})
+
+    plans = [
+        (f"w{i}", sorted(rng.sample(tables, rng.randint(1, 3))))
+        for i in range(8)
+    ]
+
+    def _run(plan):
+        wid, tbls = plan
+        for _ in range(20):
+            try:
+                k = commit_txn(
+                    spark, g, {t: _payload(wid) for t in tbls}
+                )
+                return wid, tbls, k
+            except TxnConflict:
+                continue
+        raise AssertionError(f"writer {wid} starved")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(_run, plans))
+
+    txn_ids = sorted(k for _, _, k in results)
+    assert txn_ids == list(range(1, 9))  # contiguous, one per success
+    by_txn = {k: (wid, tbls) for wid, tbls, k in results}
+
+    prev = txn_manifest(spark, g, 0)["tables"]
+    for k in range(1, 9):
+        cur = txn_manifest(spark, g, k)["tables"]
+        wid, tbls = by_txn[k]
+        changed = sorted(t for t in cur if cur[t] != prev.get(t))
+        assert changed == tbls, (k, wid, changed, tbls)
+        for t in tbls:  # changed pin content carries THIS writer's marker
+            got = read_txn_table(spark, g, t, txn=k)
+            writers = [r["writer"] for r in got.select("writer").distinct().collect()]
+            assert writers == [wid], (k, t, writers)
+        for t in set(prev) - set(tbls):  # untouched pins carried forward
+            assert cur[t] == prev[t], (k, t)
+        prev = cur
+
+    # stale-pin coda: a pinned commit refuses after ANY movement and
+    # publishes nothing
+    before = list_txns(spark, g)
+    pin = before[-1] - 1
+    with pytest.raises(TxnConflict):
+        commit_txn(
+            spark, g, {"ta": _payload("stale")}, expected_txn=pin
+        )
+    assert list_txns(spark, g) == before
+    final = txn_manifest(spark, g)["tables"]
+    assert final == prev  # nothing half-applied by the refused commit
