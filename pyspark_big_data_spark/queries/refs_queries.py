@@ -294,6 +294,7 @@ WITH base AS (
     SELECT o_orderkey,
            CASE WHEN o_orderkey % 16 = 0 THEN o_totalprice + 1.0
                 WHEN o_orderkey % 16 = 4 THEN o_totalprice + 2.0
+                WHEN o_orderkey % 16 = 12 THEN o_totalprice + 3.0
                 ELSE o_totalprice END AS o_totalprice
     FROM base WHERE o_orderkey % 16 <> 8
 ), merged AS (
@@ -305,6 +306,7 @@ SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
        CAST(1 AS BIGINT) AS refuse_gate,
        CAST(1 AS BIGINT) AS mode_gate,
+       CAST(1 AS BIGINT) AS identical_gate,
        CAST(1 AS BIGINT) AS conflict_gate
 FROM merged
 """
@@ -326,7 +328,11 @@ def keyed_branch_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the divergent path); ``mode_gate`` = merge_branch_keyed took the
     keyed path and a re-merge is a noop; ``conflict_gate`` = a
     follow-up edit to a key the TARGET side already changed makes the
-    next keyed merge refuse loudly with the conflicting key named."""
+    next keyed merge refuse loudly with the conflicting key named;
+    ``identical_gate`` (r13) = both branches applying the IDENTICAL
+    edit to the same keys (the git identical-hunk case) merges
+    cleanly as a noop with every such key counted in ``n_identical``
+    instead of refusing."""
     from pyspark_big_data_spark.functions.aggregates import dsum
     from pyspark_big_data_spark.operators.deletes import read_version_mor
     from pyspark_big_data_spark.operators.merge import merge_to_branch
@@ -379,6 +385,19 @@ def keyed_branch_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     res2 = merge_branch_keyed(spark, root, "dev", "main", "o_orderkey")
     mode_ok = res["mode"] == "keyed-merge" and res2["mode"] == "noop"
 
+    # identical edit on BOTH branches (git's identical-hunk case):
+    # merges cleanly as a noop, every key counted, never refused
+    ident_src = rem(12, 16).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 3.0
+    )
+    for br in ("dev", "main"):
+        merge_to_branch(spark, root, br, ident_src, "o_orderkey")
+    res3 = merge_branch_keyed(spark, root, "dev", "main", "o_orderkey")
+    identical_ok = (
+        res3["mode"] == "noop"
+        and res3["n_identical"] == ident_src.count()
+    )
+
     # conflicting follow-up: dev edits a key main already changed
     conflict_src = rem(4, 16).limit(1).withColumn(
         "o_totalprice", F.col("o_totalprice") + 9.0
@@ -398,5 +417,6 @@ def keyed_branch_merge_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_sum",
         F.lit(1 if refuse_ok else 0).cast("long").alias("refuse_gate"),
         F.lit(1 if mode_ok else 0).cast("long").alias("mode_gate"),
+        F.lit(1 if identical_ok else 0).cast("long").alias("identical_gate"),
         F.lit(1 if conflict_ok else 0).cast("long").alias("conflict_gate"),
     )
