@@ -200,6 +200,17 @@ HEADLINE = [
     # aggregate under one txn manifest each) + a corrupted redelivery
     # skipped by txn marker + the txn-resolved reads.
     "streaming_multitxn_replay_witness",
+    # round-13 additions (appended): the typed change-feed shapes.
+    # cdf typed fold = a 4-commit mutating chain (MERGE + UPDATE WHERE
+    # + DELETE WHERE) + the batch typed feed + the multiset fold proof
+    # + two refusal probes; streaming twin = the same chain replayed
+    # through the typed stream (availableNow loop, one task per
+    # delta/preimage file) + restart idempotence; partial merge = the
+    # column-level UPDATE SET / INSERT (cols) merge run twice
+    # (API + statement) + the typed-feed pairing proof.
+    "cdf_typed_fold_witness",
+    "streaming_cdf_typed_replay_witness",
+    "merge_partial_update_witness",
 ]
 
 
