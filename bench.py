@@ -211,6 +211,11 @@ HEADLINE = [
     "cdf_typed_fold_witness",
     "streaming_cdf_typed_replay_witness",
     "merge_partial_update_witness",
+    # late-r13 addition (appended): the SCD-deactivation MERGE — full
+    # target scan (pruning off by construction), matched column bump +
+    # by-source delete/deactivate, run twice (API + statement) + the
+    # typed-feed fold proof.
+    "merge_by_source_witness",
 ]
 
 

@@ -103,6 +103,9 @@ def merge_into(
     broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
     update_set: dict[str, str] | None = None,
     insert_values: dict[str, str] | None = None,
+    when_not_matched_by_source_update=None,
+    when_not_matched_by_source_delete=None,
+    not_matched_by_source_set: dict[str, str] | None = None,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
     "n_inserted"}`` (the new version is None when every clause matched
@@ -124,6 +127,18 @@ def merge_into(
     — expressions over the ``source`` alias, unassigned columns NULL;
     the merge keys must be assigned (a NULL-key insert could never be
     matched again).
+
+    NOT MATCHED BY SOURCE clauses (r13, Delta's SCD shape): target
+    rows whose key appears in NO source row. ``..._delete`` retires
+    them, ``..._update`` rewrites them via ``not_matched_by_source_set``
+    (REQUIRED with the update — there is no source row, so ``SET *``
+    is meaningless; expressions see the ``target`` alias only), with
+    the same delete-first clause order as the matched pair. COST:
+    enabling either clause disables the stats/bloom file-pruning
+    ladder (an unmatched target row can live in any file, so the
+    whole target must be scanned) and adds one more anti-join pass
+    over the target — the same bill every engine pays for these
+    clauses.
 
     ``prune_with_stats`` (default on): when every chain member's
     manifest carries footer stats for the merge key, the target scan is
@@ -162,8 +177,28 @@ def merge_into(
     upd = _clause_cond(when_matched_update)
     dele = _clause_cond(when_matched_delete)
     ins = _clause_cond(when_not_matched_insert)
-    if upd is None and dele is None and ins is None:
+    by_upd = _clause_cond(when_not_matched_by_source_update)
+    by_del = _clause_cond(when_not_matched_by_source_delete)
+    if all(c is None for c in (upd, dele, ins, by_upd, by_del)):
         raise ValueError("merge with every clause disabled is a no-op")
+    if by_upd is not None and not not_matched_by_source_set:
+        raise ValueError(
+            "WHEN NOT MATCHED BY SOURCE ... UPDATE needs "
+            "not_matched_by_source_set (there is no source row, so "
+            "SET * is meaningless)"
+        )
+    if not_matched_by_source_set is not None:
+        if by_upd is None:
+            raise ValueError(
+                "not_matched_by_source_set given but the by-source "
+                "update clause is disabled"
+            )
+        bad = set(not_matched_by_source_set) - set(target_cols)
+        if bad:
+            raise ValueError(
+                f"not_matched_by_source_set assigns non-existent "
+                f"column(s) {sorted(bad)} (target schema: {sorted(target_cols)})"
+            )
     if update_set is not None and upd is None:
         raise ValueError("update_set given but the update clause is disabled")
     if insert_values is not None and ins is None:
@@ -243,6 +278,12 @@ def merge_into(
         # (first) key, "one pass" shrinks to "one pass over the files the
         # source keys can live in".
         target = None
+        by_source = by_upd is not None or by_del is not None
+        if by_source:
+            # an unmatched target row can live in ANY file: the
+            # source-keyed pruning ladder would silently hide rows
+            # from the by-source clauses
+            prune_with_stats = False
         if prune_with_stats:
             from pyspark_big_data_spark.operators.versioned import (
                 bloom_file_plan_multi,
@@ -312,7 +353,12 @@ def merge_into(
                 F.col(f"target.{POS_COL}").alias(POS_COL),
             )
             n_retired = retire.count()
-            if update_set is None:
+            if upd is None:
+                # update clause disabled: never build the projection (a
+                # key-only source could not even RESOLVE the full-width
+                # select, filter-false or not)
+                updates = spark.createDataFrame([], target_schema)
+            elif update_set is None:
                 updates = (
                     matched.filter(~dele_c & upd_c)
                     .select(*[F.col(f"source.{c}").alias(c) for c in target_cols])
@@ -369,6 +415,41 @@ def merge_into(
                 inserts = spark.createDataFrame([], target_schema)
             delta = updates.unionByName(inserts)
             n_inserted = delta.count() - n_updated
+
+            if by_source:
+                # target rows with no source counterpart: one more
+                # anti-join pass over the (unpruned) target, clauses
+                # over the target alias only, delete-first order
+                src_keys = source.select(*keys).distinct()
+                if small_source:
+                    src_keys = F.broadcast(src_keys)
+                nm = target.alias("target").join(src_keys, keys, "left_anti")
+                nm_del_c = by_del if by_del is not None else always_false
+                nm_upd_c = by_upd if by_upd is not None else always_false
+                nm_retire = nm.filter(nm_del_c | nm_upd_c)
+                vector = vector.unionByName(
+                    nm_retire.select(
+                        F.col(f"target.{FILE_COL}").alias(FILE_COL),
+                        F.col(f"target.{POS_COL}").alias(POS_COL),
+                    )
+                )
+                n_retired += nm_retire.count()
+                nm_updates = nm.filter(~nm_del_c & nm_upd_c).select(
+                    *[
+                        F.expr(not_matched_by_source_set[c])
+                        .cast(target_schema[c].dataType)
+                        .alias(c)
+                        if c in (not_matched_by_source_set or {})
+                        else F.col(f"target.{c}").alias(c)
+                        for c in target_cols
+                    ]
+                )
+                n_nm_updated = nm_updates.count()
+                n_updated += n_nm_updated
+                if by_del is not None:
+                    n_deleted += nm.filter(nm_del_c).count()
+                if n_nm_updated:
+                    delta = delta.unionByName(nm_updates)
 
             if n_retired == 0 and n_updated == 0 and n_inserted == 0:
                 return {

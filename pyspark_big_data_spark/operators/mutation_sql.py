@@ -21,6 +21,9 @@ stripped)::
                                       | UPDATE SET <c> = <expr> [, ...]]
         [WHEN NOT MATCHED [AND <cond>] THEN INSERT *
                         | INSERT (<c> [, ...]) VALUES (<expr> [, ...])]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+            UPDATE SET <c> = <expr> [, ...]]
 
     DELETE FROM <table> [WHERE <cond>]
     UPDATE <table> SET <c> = <expr> [, ...] [WHERE <cond>]
@@ -143,7 +146,8 @@ _ON_RE = re.compile(
     rf"^target\.(?P<t>{_IDENT})\s*=\s*source\.(?P<s>{_IDENT})$", re.IGNORECASE
 )
 _CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?P<bysrc>BY\s+SOURCE\s*)?"
+    r"(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
     r"(?P<action>DELETE|UPDATE\s+SET\s+.+?|INSERT\s+.+?)"
     r"(?=\s*\bWHEN\b|\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -306,12 +310,55 @@ def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
     ins = None
     update_set = None
     insert_values = None
+    by_upd = None
+    by_del = None
+    by_set = None
     upd_pos = dele_pos = None
+    by_upd_pos = by_del_pos = None
     for c in _CLAUSE_RE.finditer(clauses_text):
         action_raw = c["action"].strip()
         action = re.sub(r"\s+", " ", action_raw.upper())
         cond = c["cond"].strip() if c["cond"] else True
-        if c["not"]:
+        if c["bysrc"] and not c["not"]:
+            raise ValueError(
+                "MATCHED BY SOURCE is not a clause; did you mean "
+                "WHEN NOT MATCHED BY SOURCE?"
+            )
+        if c["not"] and c["bysrc"]:
+            if action == "DELETE":
+                if by_del is not None:
+                    raise ValueError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE ... DELETE clause"
+                    )
+                by_del = cond
+                by_del_pos = c.start()
+            elif action.startswith("UPDATE SET"):
+                if by_upd is not None:
+                    raise ValueError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE ... UPDATE clause"
+                    )
+                if action == "UPDATE SET *":
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE ... UPDATE SET * is "
+                        "meaningless (there is no source row); name the "
+                        "assignments"
+                    )
+                by_upd = cond
+                by_upd_pos = c.start()
+                sm = re.match(
+                    r"^UPDATE\s+SET\s+(?P<assigns>.+)$",
+                    action_raw,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                by_set = _parse_assignments(
+                    sm["assigns"], "NOT MATCHED BY SOURCE UPDATE SET"
+                )
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports DELETE and "
+                    "UPDATE SET c = expr only"
+                )
+        elif c["not"]:
             if not action.startswith("INSERT"):
                 raise ValueError("WHEN NOT MATCHED supports INSERT only")
             if ins is not None:
@@ -358,6 +405,22 @@ def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
             "an unconditional WHEN MATCHED THEN DELETE shadows the UPDATE "
             "clause; give DELETE a condition"
         )
+    if by_del is True and by_upd is not None:
+        raise ValueError(
+            "an unconditional WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "shadows the by-source UPDATE clause; give DELETE a condition"
+        )
+    if (
+        by_upd_pos is not None
+        and by_del_pos is not None
+        and by_upd_pos < by_del_pos
+    ):
+        raise ValueError(
+            "WHEN NOT MATCHED BY SOURCE ... UPDATE before ... DELETE: "
+            "this engine evaluates the by-source DELETE first, so a row "
+            "matching both conditions would be deleted, not updated — "
+            "write the DELETE clause first to acknowledge the order"
+        )
     if (
         upd_pos is not None
         and dele_pos is not None
@@ -384,6 +447,9 @@ def _parse_merge(spark: SparkSession, m: re.Match, catalog: dict[str, str]):
         when_not_matched_insert=ins,
         update_set=update_set,
         insert_values=insert_values,
+        when_not_matched_by_source_update=by_upd,
+        when_not_matched_by_source_delete=by_del,
+        not_matched_by_source_set=by_set,
     )
 
 

@@ -477,3 +477,119 @@ def merge_partial_update_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if sql_ok else 0).cast("long").alias("sql_parity_gate"),
         F.lit(1 if pair_ok else 0).cast("long").alias("cdf_pair_gate"),
     )
+
+
+_BY_SOURCE_ORACLE = """
+WITH target AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+), final AS (
+    SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, o_orderpriority
+    FROM target WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'X-INACTIVE' AS o_orderpriority
+    FROM target WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS price_sum,
+       (SELECT COUNT(*) FROM target
+        WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0) AS n_deleted,
+       (SELECT COUNT(*) FROM final) AS n_updated,
+       (SELECT COUNT(*) FROM final WHERE o_orderpriority = 'X-INACTIVE')
+           AS n_deactivated,
+       CAST(1 AS BIGINT) AS sql_parity_gate,
+       CAST(1 AS BIGINT) AS cdf_fold_gate
+FROM final
+"""
+
+
+@register("merge_by_source_witness", oracle=_BY_SOURCE_ORACLE, driver=False)
+def merge_by_source_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE clauses driver-verified
+    (operators/merge.py — Delta's SCD-deactivation shape, r13): the
+    source carries ONLY the still-active keys (%3==0); matched rows
+    take a column-level price bump, unmatched target rows either
+    DELETE (%5==0) or deactivate via ``not_matched_by_source_set``.
+    Every row of the target is classified by exactly one clause, so
+    n_updated == |final| by construction. DuckDB recomputes the whole
+    partition declaratively. Gates: ``sql_parity_gate`` = the
+    statement form (``WHEN NOT MATCHED BY SOURCE ...``) on a twin
+    root produces bit-identical tallies and state; ``cdf_fold_gate``
+    = the typed change feed serves this commit (update pairing via
+    manifest merge keys) and folds onto v0 to the MOR head
+    bit-exactly."""
+    from pyspark_big_data_spark.operators.cdf import (
+        fold_changes,
+        table_changes_typed,
+    )
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_into
+    from pyspark_big_data_spark.operators.mutation_sql import run_mutation_sql
+    from pyspark_big_data_spark.operators.versioned import write_version
+
+    api_root = session_tmpdir("merge_bysrc_api_")
+    sql_root = session_tmpdir("merge_bysrc_sql_")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    for r in (api_root, sql_root):
+        write_version(orders, r)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+
+    res = merge_into(
+        spark,
+        api_root,
+        src,
+        "o_orderkey",
+        when_matched_update=True,
+        update_set={"o_totalprice": "target.o_totalprice + 100.0"},
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete="target.o_orderkey % 5 = 0",
+        when_not_matched_by_source_update=True,
+        not_matched_by_source_set={"o_orderpriority": "'X-INACTIVE'"},
+    )
+    state = read_version_mor(spark, api_root, res["version"])
+
+    src.createOrReplaceTempView("bysrc_active_keys")
+    res_sql = run_mutation_sql(
+        spark,
+        """
+        MERGE INTO t USING bysrc_active_keys ON target.o_orderkey = source.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = target.o_totalprice + 100.0
+        WHEN NOT MATCHED BY SOURCE AND target.o_orderkey % 5 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderpriority = 'X-INACTIVE'
+        """,
+        {"t": sql_root},
+    )
+    sql_state = read_version_mor(spark, sql_root, res_sql["version"])
+    sql_ok = (
+        all(
+            res_sql[k] == res[k]
+            for k in ("n_deleted", "n_updated", "n_inserted")
+        )
+        and state.exceptAll(sql_state).unionByName(sql_state.exceptAll(state)).count()
+        == 0
+    )
+
+    ch = table_changes_typed(spark, api_root, 0, res["version"])
+    folded = fold_changes(read_version_mor(spark, api_root, 0), ch)
+    fold_ok = (
+        folded.exceptAll(state).unionByName(state.exceptAll(folded)).count()
+        == 0
+    )
+
+    return state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "price_sum"),
+    ).select(
+        "n_rows",
+        "price_sum",
+        F.lit(res["n_deleted"]).cast("long").alias("n_deleted"),
+        F.lit(res["n_updated"]).cast("long").alias("n_updated"),
+        F.lit(
+            state.filter(F.col("o_orderpriority") == "X-INACTIVE").count()
+        )
+        .cast("long")
+        .alias("n_deactivated"),
+        F.lit(1 if sql_ok else 0).cast("long").alias("sql_parity_gate"),
+        F.lit(1 if fold_ok else 0).cast("long").alias("cdf_fold_gate"),
+    )

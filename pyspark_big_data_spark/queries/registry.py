@@ -369,6 +369,20 @@ DRIVER_EXCLUDED: set[str] = set()
 # minhash_fast_tier_witness, pca_project_witness); remaining slots
 # fill with r9-stale rows oldest-registered-first.
 
+# r14 POLICY (settled NOW, same arithmetic): heads first — the NEW r13
+# registrations (driver=False this round, queued registered-oldest-
+# first: cdf_typed_fold_witness — the batch typed change feed over a
+# MERGE-maintained chain, fold/refusal-gated —
+# streaming_cdf_typed_replay_witness — the typed streaming feed,
+# fold/restart-gated — merge_partial_update_witness — column-level
+# UPDATE SET / INSERT (cols) VALUES, SQL-parity/CDF-pairing-gated —
+# and merge_by_source_witness — WHEN NOT MATCHED BY SOURCE, the SCD
+# shape, SQL-parity/CDF-fold-gated); then the 35 r9-stale rows named
+# in the r13 ROTATE_OUT comment OLDEST-REGISTERED-FIRST (the full r9
+# tier drains to zero: 4 + 35 = 39), and the remaining 11 slots fill
+# with r10-stale rows oldest-registered-first. Any NEW r14
+# registration beyond the heads queues as an r15 head.
+
 # Superseded variants OUT OF THE CYCLING POOL for good (see the policy
 # amendment above); structurally excluded from the driver surface in
 # driver_registry(), so they can never silently re-take a slot.

@@ -595,3 +595,99 @@ def test_partial_clause_validation(spark, tmp_path):
     # full-width insert still demands a full-width source
     with pytest.raises(ValueError, match="missing"):
         merge_into(spark, root, src, "k", update_set={"val": "source.delta"})
+
+
+def test_not_matched_by_source_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (Delta's SCD shape): unmatched target
+    rows delete or update row-wise; matched/inserted behavior
+    unchanged; the clauses compose with column-level update_set."""
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i * 10), "A") for i in range(10)],
+            "k int, val double, status string",
+        ),
+        root,
+    )
+    src = spark.createDataFrame([(2,), (4,), (11,)], "k int")
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        when_matched_update=True,
+        update_set={"val": "target.val + 1"},
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete="target.k >= 8",
+        when_not_matched_by_source_update=True,
+        not_matched_by_source_set={"status": "'inactive'"},
+    )
+    assert (res["n_deleted"], res["n_updated"], res["n_inserted"]) == (2, 8, 0)
+    got = {
+        r["k"]: (r["val"], r["status"])
+        for r in read_version_mor(spark, root).collect()
+    }
+    assert got[2] == (21.0, "A") and got[4] == (41.0, "A")  # matched
+    assert 8 not in got and 9 not in got  # by-source delete
+    assert got[0] == (0.0, "inactive")  # by-source update
+    assert 11 not in got  # insert disabled
+
+
+def test_by_source_update_requires_assignments(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 1.0)], "k int, val double"), root
+    )
+    src = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="not_matched_by_source_set"):
+        merge_into(
+            spark,
+            root,
+            src,
+            "k",
+            when_matched_update=None,
+            when_not_matched_insert=None,
+            when_not_matched_by_source_update=True,
+        )
+    with pytest.raises(ValueError, match="non-existent"):
+        merge_into(
+            spark,
+            root,
+            src,
+            "k",
+            when_matched_update=None,
+            when_not_matched_insert=None,
+            when_not_matched_by_source_update=True,
+            not_matched_by_source_set={"nope": "1"},
+        )
+
+
+def test_by_source_delete_first_order(spark, tmp_path):
+    """A by-source row passing both conditions is DELETED (the pinned
+    delete-first order, mirroring the matched pair)."""
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y")], "k int, status string"
+        ),
+        root,
+    )
+    src = spark.createDataFrame([(99,)], "k int")
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        when_matched_update=None,
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete="target.k = 1",
+        when_not_matched_by_source_update=True,
+        not_matched_by_source_set={"status": "'z'"},
+    )
+    assert (res["n_deleted"], res["n_updated"]) == (1, 1)
+    got = {r["k"]: r["status"] for r in read_version_mor(spark, root).collect()}
+    assert got == {2: "z"}

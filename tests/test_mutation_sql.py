@@ -467,3 +467,68 @@ def test_assignment_list_respects_nested_commas(spark, tmp_path):
     assert res["n_updated"] == 1
     got = read_version_mor(spark, cat["t"]).filter("k = 2").collect()
     assert got[0]["name"] == "u2-x"
+
+
+def test_merge_statement_not_matched_by_source(spark, tmp_path):
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_into
+
+    root, cat = _catalog_table(spark, tmp_path)
+    root2, _ = _catalog_table(spark, tmp_path, "t2")
+    src = spark.createDataFrame([(2,), (4,)], "k int")
+    src.createOrReplaceTempView("bysrc_stmt_src")
+    res = run_mutation_sql(
+        spark,
+        """
+        MERGE INTO t USING bysrc_stmt_src ON target.k = source.k
+        WHEN MATCHED THEN UPDATE SET val = target.val + 1
+        WHEN NOT MATCHED BY SOURCE AND target.k >= 8 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'gone'
+        """,
+        cat,
+    )
+    want = merge_into(
+        spark,
+        root2,
+        src,
+        "k",
+        when_matched_update=True,
+        update_set={"val": "target.val + 1"},
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete="target.k >= 8",
+        when_not_matched_by_source_update=True,
+        not_matched_by_source_set={"name": "'gone'"},
+    )
+    assert {k: res[k] for k in ("n_deleted", "n_updated", "n_inserted")} == {
+        k: want[k] for k in ("n_deleted", "n_updated", "n_inserted")
+    }
+    a = read_version_mor(spark, root)
+    b = read_version_mor(spark, root2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_by_source_grammar_refusals(spark, tmp_path):
+    _, cat = _catalog_table(spark, tmp_path)
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("bysrc_bad")
+    with pytest.raises(ValueError, match="meaningless"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING bysrc_bad ON target.k = source.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+            cat,
+        )
+    with pytest.raises(ValueError, match="DELETE first"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING bysrc_bad ON target.k = source.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'x' "
+            "WHEN NOT MATCHED BY SOURCE AND k < 3 THEN DELETE",
+            cat,
+        )
+    with pytest.raises(ValueError, match="did you mean"):
+        run_mutation_sql(
+            spark,
+            "MERGE INTO t USING bysrc_bad ON target.k = source.k "
+            "WHEN MATCHED BY SOURCE THEN DELETE",
+            cat,
+        )
