@@ -106,6 +106,7 @@ def merge_into(
     when_not_matched_by_source_update=None,
     when_not_matched_by_source_delete=None,
     not_matched_by_source_set: dict[str, str] | None = None,
+    allow_evolution: bool = False,
 ) -> dict:
     """Run the MERGE and return ``{"version", "n_deleted", "n_updated",
     "n_inserted"}`` (the new version is None when every clause matched
@@ -127,6 +128,18 @@ def merge_into(
     — expressions over the ``source`` alias, unassigned columns NULL;
     the merge keys must be assigned (a NULL-key insert could never be
     matched again).
+
+    SCHEMA EVOLUTION (r13, Delta's autoMerge shape):
+    ``allow_evolution=True`` makes NEW source columns (beyond the
+    target schema) part of the written delta instead of
+    condition-only extras — updated and inserted rows carry them, the
+    commit evolves the chain additively (``append_version
+    allow_evolution``), and chain/MOR reads null-fill pre-evolution
+    rows, exactly like the append-evolution contract. Column-level
+    ``update_set`` / ``insert_values`` may then assign the new
+    columns too (unassigned new columns are NULL on rewritten rows).
+    Default off: extra source columns stay visible to clause
+    conditions but are never written.
 
     NOT MATCHED BY SOURCE clauses (r13, Delta's SCD shape): target
     rows whose key appears in NO source row. ``..._delete`` retires
@@ -174,6 +187,18 @@ def merge_into(
     for k in keys:
         if k not in target_cols:
             raise ValueError(f"merge key {k!r} is not a target column")
+    # schema evolution: new source columns become written columns
+    new_cols = (
+        [c for c in source.columns if c not in target_cols]
+        if allow_evolution
+        else []
+    )
+    out_cols = target_cols + new_cols
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        list(target_schema.fields) + [source.schema[c] for c in new_cols]
+    )
     upd = _clause_cond(when_matched_update)
     dele = _clause_cond(when_matched_delete)
     ins = _clause_cond(when_not_matched_insert)
@@ -193,11 +218,11 @@ def merge_into(
                 "not_matched_by_source_set given but the by-source "
                 "update clause is disabled"
             )
-        bad = set(not_matched_by_source_set) - set(target_cols)
+        bad = set(not_matched_by_source_set) - set(out_cols)
         if bad:
             raise ValueError(
                 f"not_matched_by_source_set assigns non-existent "
-                f"column(s) {sorted(bad)} (target schema: {sorted(target_cols)})"
+                f"column(s) {sorted(bad)} (writable schema: {sorted(out_cols)})"
             )
     if update_set is not None and upd is None:
         raise ValueError("update_set given but the update clause is disabled")
@@ -207,11 +232,11 @@ def merge_into(
         if assigns is not None:
             if not assigns:
                 raise ValueError(f"{label} needs at least one assignment")
-            bad = set(assigns) - set(target_cols)
+            bad = set(assigns) - set(out_cols)
             if bad:
                 raise ValueError(
                     f"{label} assigns non-existent column(s) {sorted(bad)} "
-                    f"(target schema: {sorted(target_cols)})"
+                    f"(writable schema: {sorted(out_cols)})"
                 )
     if insert_values is not None:
         missing_keys = set(keys) - set(insert_values)
@@ -357,25 +382,30 @@ def merge_into(
                 # update clause disabled: never build the projection (a
                 # key-only source could not even RESOLVE the full-width
                 # select, filter-false or not)
-                updates = spark.createDataFrame([], target_schema)
+                updates = spark.createDataFrame([], out_schema)
             elif update_set is None:
                 updates = (
                     matched.filter(~dele_c & upd_c)
-                    .select(*[F.col(f"source.{c}").alias(c) for c in target_cols])
+                    .select(*[F.col(f"source.{c}").alias(c) for c in out_cols])
                     .dropDuplicates(keys)  # collapse duplicate TARGET copies
                 )
             else:
                 # column-level UPDATE SET: compose each matched TARGET
                 # copy row-wise — assigned columns from the expressions,
-                # the rest carried through from the target row
+                # the rest carried through from the target row (NULL for
+                # unassigned evolution columns: the target has no value)
                 updates = matched.filter(~dele_c & upd_c).select(
                     *[
                         F.expr(update_set[c])
-                        .cast(target_schema[c].dataType)
+                        .cast(out_schema[c].dataType)
                         .alias(c)
                         if c in update_set
-                        else F.col(f"target.{c}").alias(c)
-                        for c in target_cols
+                        else (
+                            F.col(f"target.{c}").alias(c)
+                            if c in target_cols
+                            else F.lit(None).cast(out_schema[c].dataType).alias(c)
+                        )
+                        for c in out_cols
                     ]
                 )
             n_updated = updates.count()
@@ -394,7 +424,7 @@ def merge_into(
                 )
                 if insert_values is None:
                     inserts = not_matched.select(
-                        *[F.col(f"source.{c}").alias(c) for c in target_cols]
+                        *[F.col(f"source.{c}").alias(c) for c in out_cols]
                     )
                 else:
                     # explicit-column INSERT (cols) VALUES (exprs):
@@ -402,17 +432,17 @@ def merge_into(
                     inserts = not_matched.select(
                         *[
                             F.expr(insert_values[c])
-                            .cast(target_schema[c].dataType)
+                            .cast(out_schema[c].dataType)
                             .alias(c)
                             if c in insert_values
                             else F.lit(None)
-                            .cast(target_schema[c].dataType)
+                            .cast(out_schema[c].dataType)
                             .alias(c)
-                            for c in target_cols
+                            for c in out_cols
                         ]
                     )
             else:
-                inserts = spark.createDataFrame([], target_schema)
+                inserts = spark.createDataFrame([], out_schema)
             delta = updates.unionByName(inserts)
             n_inserted = delta.count() - n_updated
 
@@ -437,11 +467,15 @@ def merge_into(
                 nm_updates = nm.filter(~nm_del_c & nm_upd_c).select(
                     *[
                         F.expr(not_matched_by_source_set[c])
-                        .cast(target_schema[c].dataType)
+                        .cast(out_schema[c].dataType)
                         .alias(c)
                         if c in (not_matched_by_source_set or {})
-                        else F.col(f"target.{c}").alias(c)
-                        for c in target_cols
+                        else (
+                            F.col(f"target.{c}").alias(c)
+                            if c in target_cols
+                            else F.lit(None).cast(out_schema[c].dataType).alias(c)
+                        )
+                        for c in out_cols
                     ]
                 )
                 n_nm_updated = nm_updates.count()
@@ -469,9 +503,10 @@ def merge_into(
             # rows with their replacements as update_pre/postimage
             extra = {**(manifest_extra or {}), "merge_keys": keys}
             new_v = append_version(
-                delta.select(*target_cols),
+                delta.select(*out_cols),
                 root,
                 stats_cols=stats_cols,
+                allow_evolution=bool(new_cols),
                 allow_base_tombstones=True,  # MERGE lives on the MOR read path
                 # pinned-base merges (branch heads) commit onto their base
                 # explicitly; global merges pin via conflict detection

@@ -691,3 +691,84 @@ def test_by_source_delete_first_order(spark, tmp_path):
     assert (res["n_deleted"], res["n_updated"]) == (1, 1)
     got = {r["k"]: r["status"] for r in read_version_mor(spark, root).collect()}
     assert got == {2: "z"}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """allow_evolution=True (the autoMerge shape): a NEW source column
+    becomes part of the written delta — updated/inserted rows carry it,
+    chain/MOR reads null-fill pre-evolution rows, and the typed change
+    feed still folds bit-exactly."""
+    from pyspark_big_data_spark.operators.cdf import (
+        fold_changes,
+        table_changes_typed,
+    )
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(10)], "k int, val double"
+        ),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(2, 222.0, "eu"), (99, 9.0, "us")], "k int, val double, region string"
+    )
+    res = merge_into(spark, root, src, "k", allow_evolution=True)
+    got = {
+        r["k"]: (r["val"], r["region"])
+        for r in read_version_mor(spark, root, res["version"]).collect()
+    }
+    assert got[2] == (222.0, "eu") and got[99] == (9.0, "us")
+    assert got[3] == (30.0, None)  # pre-evolution row null-filled
+    assert len(got) == 11
+
+    ch = table_changes_typed(spark, root, 0, res["version"])
+    folded = fold_changes(read_version_mor(spark, root, 0), ch)
+    head = read_version_mor(spark, root, res["version"])
+    assert folded.exceptAll(head).count() == 0
+    assert head.exceptAll(folded).count() == 0
+
+    # default (no flag): the extra column stays condition-only
+    root2 = str(tmp_path / "t2")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(10)], "k int, val double"
+        ),
+        root2,
+    )
+    res2 = merge_into(spark, root2, src, "k")
+    assert "region" not in read_version_mor(spark, root2, res2["version"]).columns
+
+
+def test_merge_evolution_with_column_level_clauses(spark, tmp_path):
+    """Evolution composes with update_set/insert_values: new columns
+    are assignable; unassigned new columns are NULL on rewritten rows."""
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    root = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(5)], "k int, val double"
+        ),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(1, "eu"), (77, "us")], "k int, region string"
+    )
+    res = merge_into(
+        spark,
+        root,
+        src,
+        "k",
+        allow_evolution=True,
+        update_set={"region": "source.region"},
+        insert_values={"k": "source.k", "region": "source.region"},
+    )
+    got = {
+        r["k"]: (r["val"], r["region"])
+        for r in read_version_mor(spark, root, res["version"]).collect()
+    }
+    assert got[1] == (10.0, "eu")  # val carried, new col assigned
+    assert got[77] == (None, "us")  # unassigned old col NULL on insert
+    assert got[0] == (0.0, None)  # untouched pre-evolution row
