@@ -298,6 +298,23 @@ def table_changes_typed(
     return out
 
 
+def table_changes_typed_as_of(
+    spark: SparkSession, root: str, from_ts, to_ts, **kwargs
+) -> DataFrame:
+    """Typed change feed between two TIMESTAMPS — both resolved by the
+    ``version_as_of`` boundary rule, then served by
+    ``table_changes_typed`` with the same guards and typing."""
+    from pyspark_big_data_spark.operators.versioned import version_as_of
+
+    return table_changes_typed(
+        spark,
+        root,
+        version_as_of(spark, root, from_ts),
+        version_as_of(spark, root, to_ts),
+        **kwargs,
+    )
+
+
 def fold_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
     """Apply a typed feed onto the snapshot it starts from: multiset
     base + (inserts ∪ update_postimages) − (deletes ∪

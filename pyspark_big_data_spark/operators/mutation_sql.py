@@ -27,6 +27,9 @@ stripped)::
 
     DELETE FROM <table> [WHERE <cond>]
     UPDATE <table> SET <c> = <expr> [, ...] [WHERE <cond>]
+    DESCRIBE HISTORY <table>
+    VACUUM <table> KEEP <n>
+    OPTIMIZE <table> TARGET <n> FILES [CLUSTER BY <col>]
 
     SELECT ... FROM <table> VERSION AS OF <n> ...
     SELECT ... FROM <table> TIMESTAMP AS OF '<ts>' ...
@@ -271,6 +274,17 @@ def _split_where(rest: str) -> tuple[str, str | None]:
     return rest.strip(), None
 
 
+_DESCRIBE_RE = re.compile(
+    rf"^DESCRIBE\s+HISTORY\s+(?P<table>{_IDENT})$", re.IGNORECASE
+)
+_VACUUM_RE = re.compile(
+    rf"^VACUUM\s+(?P<table>{_IDENT})\s+KEEP\s+(?P<n>\d+)$", re.IGNORECASE
+)
+_OPTIMIZE_RE = re.compile(
+    rf"^OPTIMIZE\s+(?P<table>{_IDENT})\s+TARGET\s+(?P<n>\d+)\s+FILES"
+    rf"(?:\s+CLUSTER\s+BY\s+(?P<col>{_IDENT}))?$",
+    re.IGNORECASE,
+)
 _CREATE_TAG_RE = re.compile(
     rf"^CREATE\s+TAG\s+(?P<name>{_IDENT})\s+ON\s+(?P<table>{_IDENT})\s+"
     r"AT\s+VERSION\s+(?P<v>\d+)(?:\s+NOTE\s+'(?P<note>[^']*)')?$",
@@ -531,6 +545,45 @@ def run_mutation_sql(
             expected_txn=int(m["exp"]) if m["exp"] is not None else None,
         )
 
+    m = _DESCRIBE_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.versioned import snapshot_history
+
+        hist = snapshot_history(spark, _root(catalog, m["table"]))
+        return spark.createDataFrame(
+            [
+                (
+                    int(h["version"]),
+                    int(h["n_files"]),
+                    None if h["n_rows"] is None else int(h["n_rows"]),
+                    bool(h["has_manifest"]),
+                    None if h["base_version"] is None else int(h["base_version"]),
+                )
+                for h in hist
+            ],
+            "version long, n_files long, n_rows long, has_manifest boolean, "
+            "base_version long",
+        )
+
+    m = _VACUUM_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.versioned import expire_versions
+
+        return expire_versions(
+            spark, _root(catalog, m["table"]), keep_last=int(m["n"])
+        )
+
+    m = _OPTIMIZE_RE.match(stmt)
+    if m:
+        from pyspark_big_data_spark.operators.versioned import compact_version
+
+        return compact_version(
+            spark,
+            _root(catalog, m["table"]),
+            target_files=int(m["n"]),
+            cluster_by=m["col"],
+        )
+
     m = _DELETE_STMT_RE.match(stmt)
     if m:
         from pyspark_big_data_spark.operators.merge import delete_where
@@ -566,7 +619,8 @@ def run_mutation_sql(
         "statement not in the documented mutation-SQL subset (MERGE INTO, "
         "DELETE FROM, UPDATE ... SET, SELECT ... VERSION/TIMESTAMP AS OF, "
         "RESTORE TABLE, CREATE BRANCH, MERGE BRANCH, CREATE TAG, "
-        f"COMMIT TRANSACTION): {stmt[:120]!r}"
+        "COMMIT TRANSACTION, DESCRIBE HISTORY, VACUUM, OPTIMIZE): "
+        f"{stmt[:120]!r}"
     )
 
 

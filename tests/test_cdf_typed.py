@@ -286,3 +286,22 @@ def test_sequential_mutations_compose(spark, tmp_path):
     assert got.filter("k = 3").count() == 0
     assert got.count() == 19
     _assert_fold_equals_head(spark, root, 0, v2)
+
+
+def test_table_changes_typed_as_of(spark, tmp_path):
+    """Timestamp endpoints resolve via the version_as_of boundary rule
+    and serve the same typed rows as the version form."""
+    from pyspark_big_data_spark.operators.cdf import table_changes_typed_as_of
+    from pyspark_big_data_spark.operators.versioned import (
+        version_commit_times,
+    )
+
+    root = str(tmp_path / "t")
+    write_version(_base(spark), root)
+    v1 = update_where(spark, root, {"val": "val + 1"}, "k < 3")["version"]
+    times = version_commit_times(spark, root)
+    ch = table_changes_typed_as_of(spark, root, times[0], times[v1])
+    assert _counts(ch) == {
+        (v1, "update_preimage"): 3,
+        (v1, "update_postimage"): 3,
+    }

@@ -353,3 +353,49 @@ def test_typed_stream_equals_batch_typed_feed(spark, tmp_path):
     a, b = changeset(got), changeset(want)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_typed_stream_branch_scoped(spark, tmp_path):
+    """Typed mode composes with branch scoping: the stream follows its
+    branch's MERGE commits and another branch's mutations neither
+    break the feed nor leak into it."""
+    from pyspark_big_data_spark.operators.merge import merge_to_branch
+    from pyspark_big_data_spark.operators.refs import create_branch
+
+    register_chain_cdf(spark)
+    root, out, ckpt = (str(tmp_path / d) for d in ("vds", "out", "ckpt"))
+    write_version(_df(spark, 0, 20), root)
+    create_branch(spark, root, "main", 0)
+    create_branch(spark, root, "dev", 0)
+    merge_to_branch(
+        spark, root, "main",
+        spark.createDataFrame([(1, 111.0), (100, 1.0)], "k long, x double"),
+        "k",
+    )
+    merge_to_branch(  # noise on the other branch
+        spark, root, "dev",
+        spark.createDataFrame([(2, 999.0)], "k long, x double"),
+        "k",
+    )
+
+    def sink(batch, _bid):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("chain_cdf")
+        .option("path", root)
+        .option("from_version", 0)
+        .option("branch", "main")
+        .option("change_types", "typed")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    rows = {(r["k"], r["_change_type"]) for r in got.collect()}
+    # main's changeset only: update of k=1 (delete+insert) + insert 100
+    assert rows == {(1, "delete"), (1, "insert"), (100, "insert")}
+    assert got.filter(F.col("x") == 999.0).count() == 0  # no dev leak

@@ -532,3 +532,36 @@ def test_by_source_grammar_refusals(spark, tmp_path):
             "WHEN MATCHED BY SOURCE THEN DELETE",
             cat,
         )
+
+
+def test_ops_statements_match_api(spark, tmp_path):
+    """DESCRIBE HISTORY / VACUUM / OPTIMIZE statement forms dispatch to
+    snapshot_history / expire_versions / compact_version with
+    bit-identical results."""
+    from pyspark_big_data_spark.operators.versioned import (
+        list_versions,
+        snapshot_history,
+    )
+
+    root = str(tmp_path / "vds")
+    for i in range(4):
+        write_version(_df(spark, 0, 10 + i), root)
+    cat = {"t": root}
+
+    hist = run_mutation_sql(spark, "DESCRIBE HISTORY t", cat).collect()
+    want = snapshot_history(spark, root)
+    assert [r["version"] for r in hist] == [h["version"] for h in want]
+    assert [r["n_files"] for r in hist] == [h["n_files"] for h in want]
+    assert [r["n_rows"] for r in hist] == [h["n_rows"] for h in want]
+
+    expired = run_mutation_sql(spark, "VACUUM t KEEP 2", cat)
+    assert expired == [0, 1]
+    assert list_versions(spark, root) == [2, 3]
+
+    res = run_mutation_sql(spark, "OPTIMIZE t TARGET 1 FILES", cat)
+    assert res["version"] == 4
+    v = latest_version(spark, root)
+    assert read_version(spark, root, v).count() == 13
+
+    with pytest.raises(ValueError, match="documented mutation-SQL subset"):
+        run_mutation_sql(spark, "OPTIMIZE t", cat)  # arity is explicit
