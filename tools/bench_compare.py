@@ -23,7 +23,13 @@ import sys
 
 def _load_queries(path: str) -> dict[str, float]:
     with open(path) as f:
-        raw = json.load(f)
+        text = f.read()
+    try:
+        raw = json.loads(text)
+    except json.JSONDecodeError:
+        # bench.py emits detail + total as TWO json lines; the detail
+        # line carries the per-query map
+        raw = json.loads(text.splitlines()[0])
     # driver artifacts wrap the bench line differently per round; accept
     # either the flat bench JSON or the driver's {parsed: {...}} / tail form
     for candidate in (raw, raw.get("parsed") or {}):
