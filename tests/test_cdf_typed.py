@@ -305,3 +305,99 @@ def test_table_changes_typed_as_of(spark, tmp_path):
         (v1, "update_preimage"): 3,
         (v1, "update_postimage"): 3,
     }
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_typed_feed_model_randomized(spark, tmp_path, seed):
+    """Model-based randomized exercise of the typed feed: a seeded
+    random sequence of mutations (append / MERGE / UPDATE WHERE /
+    DELETE WHERE) against a dict model. After EVERY commit:
+
+    - the MOR head equals the model exactly (the mutation layer
+      applied what the model says and nothing else);
+    - the typed feed from v0 folds onto v0 to the head bit-exactly
+      (no lost, duplicated, or mistyped change row anywhere in the
+      chain).
+    """
+    import random
+
+    rng = random.Random(seed)
+    root = str(tmp_path / "t")
+    model = {i: (f"u{i}", float(i * 10)) for i in range(12)}
+    write_version(
+        spark.createDataFrame(
+            [(k, n, v) for k, (n, v) in model.items()],
+            "k int, name string, val double",
+        ),
+        root,
+    )
+    next_key = 100
+    head = 0
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k int, name string, val double")
+
+    for step in range(8):
+        op = rng.choice(["append", "merge", "update", "delete"])
+        if op == "append":
+            rows = [
+                (next_key + i, f"a{next_key + i}", float(step)) for i in range(3)
+            ]
+            next_key += 3
+            head = append_version(df_of(rows), root, allow_base_tombstones=True)
+            model.update({k: (n, v) for k, n, v in rows})
+        elif op == "merge":
+            existing = rng.sample(sorted(model), min(4, len(model)))
+            upd = [(k, f"m{step}", model[k][1] + 1) for k in existing[:2]]
+            dele = [(k, "x", 0.0) for k in existing[2:]]
+            ins = [(next_key, f"i{step}", 7.0)]
+            next_key += 1
+            src = df_of(upd + ins).withColumn("__del", F.lit(False)).unionByName(
+                df_of(dele).withColumn("__del", F.lit(True))
+            )
+            res = merge_into(
+                spark,
+                root,
+                src,
+                "k",
+                when_matched_update="NOT source.__del",
+                when_matched_delete="source.__del",
+                when_not_matched_insert="NOT source.__del",
+            )
+            if res["version"] is None:
+                continue
+            head = res["version"]
+            for k, n, v in upd:
+                model[k] = (n, v)
+            for k, _, _ in dele:
+                model.pop(k, None)
+            for k, n, v in ins:
+                model[k] = (n, v)
+        elif op == "update":
+            m = rng.randint(2, 5)
+            res = update_where(
+                spark, root, {"val": "val + 100"}, f"k % {m} = 0"
+            )
+            if res["version"] is None:
+                continue
+            head = res["version"]
+            for k in list(model):
+                if k % m == 0:
+                    n, v = model[k]
+                    model[k] = (n, v + 100)
+        else:
+            m = rng.randint(5, 9)
+            res = delete_where(spark, root, f"k % {m} = {m - 1}")
+            if res["version"] is None:
+                continue
+            head = res["version"]
+            for k in list(model):
+                if k % m == m - 1:
+                    del model[k]
+
+        got = {
+            r["k"]: (r["name"], r["val"])
+            for r in read_version_mor(spark, root, head).collect()
+        }
+        assert got == model, (seed, step, op)
+        _assert_fold_equals_head(spark, root, 0, head)
