@@ -165,8 +165,21 @@ def _preimage_rows(
     spark.catalog.refreshByPath(emb)
     vec = spark.read.parquet(emb).select(FILE_COL, POS_COL).distinct()
     # one relative path string per touched file — the same driver-side
-    # cardinality every file-pruning plan here carries
-    touched = sorted(r[FILE_COL] for r in vec.select(FILE_COL).distinct().collect())
+    # cardinality every file-pruning plan here carries. Read straight
+    # off the vector parquet ON THE DRIVER (one column, pyarrow): the
+    # vector is commit-sized by construction, and this was one Spark
+    # job per vector-bearing commit in every typed-feed walk.
+    import pyarrow.dataset as pads
+
+    touched = sorted(
+        {
+            str(x)
+            for x in pads.dataset(emb, format="parquet")
+            .to_table(columns=[FILE_COL])
+            .column(FILE_COL)
+            .to_pylist()
+        }
+    )
     if not touched:
         return None
     paths = [f"{root.rstrip('/')}/{rel}" for rel in touched]

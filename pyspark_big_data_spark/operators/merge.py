@@ -277,7 +277,10 @@ def merge_into(
 
     try:
         # key-unique source, or updates are non-deterministic (Delta's
-        # 'multiple source rows matched' refusal)
+        # 'multiple source rows matched' refusal). The same aggregate
+        # also carries the first key's [min, max] for the stats-pruning
+        # ladder below — one source pass where there were two (the
+        # bounds come free next to the uniqueness census).
         null_any = None
         for k in keys:
             c = F.col(k).isNull()
@@ -286,6 +289,8 @@ def merge_into(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
             F.sum(null_any.cast("long")).alias("nn"),
+            F.min(F.col(keys[0])).alias("lo"),
+            F.max(F.col(keys[0])).alias("hi"),
         ).collect()[0]
         if counts["nn"]:
             raise ValueError("merge source carries NULL keys")
@@ -315,9 +320,7 @@ def merge_into(
                 pruned_file_plan,
             )
 
-            bounds = source.agg(
-                F.min(F.col(keys[0])).alias("lo"), F.max(F.col(keys[0])).alias("hi")
-            ).collect()[0]
+            bounds = counts  # [min, max] rode the uniqueness aggregate
             selected = None
             try:
                 sel, n_sel, n_total = pruned_file_plan(
@@ -366,6 +369,7 @@ def merge_into(
         if small_source:
             src_side = F.broadcast(src_side)
         matched = target.alias("target").join(src_side, on, "inner").persist()
+        nm = None  # by-source anti-join, persisted below when enabled
         try:
             always_false = F.lit(False)
             dele_c = dele if dele is not None else always_false
@@ -377,7 +381,45 @@ def merge_into(
                 F.col(f"target.{FILE_COL}").alias(FILE_COL),
                 F.col(f"target.{POS_COL}").alias(POS_COL),
             )
-            n_retired = retire.count()
+            # ONE aggregate job prices every matched-side clause
+            # (retired / deleted / updated) instead of three separate
+            # count() actions over the persisted matched set — same
+            # numbers, 1 job where there were 3 (guide §1.2: fewer
+            # passes before per-task tuning). n_updated semantics per
+            # path: full-width SET * collapses duplicate target copies
+            # to one source row per key (distinct source keys among
+            # update-passing rows); column-level SET updates row-wise.
+            upd_live = ~dele_c & upd_c
+            if upd is None:
+                upd_count_col = F.lit(0).alias("n_upd")
+            elif update_set is None:
+                upd_count_col = F.count_distinct(
+                    F.when(
+                        upd_live,
+                        F.struct(*[F.col(f"source.{k}") for k in keys]),
+                    )
+                ).alias("n_upd")
+            else:
+                upd_count_col = F.coalesce(
+                    F.sum(upd_live.cast("long")), F.lit(0)
+                ).alias("n_upd")
+            clause_counts = matched.agg(
+                F.coalesce(F.sum((dele_c | upd_c).cast("long")), F.lit(0)).alias(
+                    "n_retired"
+                ),
+                F.coalesce(F.sum(dele_c.cast("long")), F.lit(0)).alias(
+                    "n_deleted"
+                ),
+                upd_count_col,
+                # distinct source keys with ANY match: prices the
+                # unconditional-INSERT clause as n_source - n_matched
+                # (source is key-unique, proven above) without a
+                # separate anti-join count job
+                F.count_distinct(
+                    F.struct(*[F.col(f"source.{k}") for k in keys])
+                ).alias("n_src_matched"),
+            ).collect()[0]
+            n_retired = int(clause_counts["n_retired"])
             if upd is None:
                 # update clause disabled: never build the projection (a
                 # key-only source could not even RESOLVE the full-width
@@ -408,9 +450,9 @@ def merge_into(
                         for c in out_cols
                     ]
                 )
-            n_updated = updates.count()
+            n_updated = int(clause_counts["n_upd"])
             # target copies retired by the DELETE clause specifically
-            n_deleted = matched.filter(dele_c).count() if dele is not None else 0
+            n_deleted = int(clause_counts["n_deleted"]) if dele is not None else 0
             if ins is not None:
                 matched_keys = matched.select(
                     *[F.col(f"source.{k}").alias(k) for k in keys]
@@ -444,16 +486,37 @@ def merge_into(
             else:
                 inserts = spark.createDataFrame([], out_schema)
             delta = updates.unionByName(inserts)
-            n_inserted = delta.count() - n_updated
+            # price inserts from the clause census when the INSERT is
+            # unconditional (n_source - n_matched source keys: the
+            # source is key-unique, so every source key either matched
+            # or inserts) — zero extra jobs; a conditional INSERT pays
+            # one source-sized anti-join count (never delta.count(),
+            # which would re-run the update projection over the whole
+            # matched set just to subtract n_updated back out)
+            if ins is None:
+                n_inserted = 0
+            elif when_not_matched_insert is True:
+                n_inserted = int(counts["n"]) - int(
+                    clause_counts["n_src_matched"]
+                )
+            else:
+                n_inserted = not_matched.count()
 
             if by_source:
                 # target rows with no source counterpart: one more
                 # anti-join pass over the (unpruned) target, clauses
-                # over the target alias only, delete-first order
+                # over the target alias only, delete-first order.
+                # Persisted: the clause census, the vector write and the
+                # delta write would otherwise each re-scan the full
+                # target (by-source disables pruning by construction).
                 src_keys = source.select(*keys).distinct()
                 if small_source:
                     src_keys = F.broadcast(src_keys)
-                nm = target.alias("target").join(src_keys, keys, "left_anti")
+                nm = (
+                    target.alias("target")
+                    .join(src_keys, keys, "left_anti")
+                    .persist()
+                )
                 nm_del_c = by_del if by_del is not None else always_false
                 nm_upd_c = by_upd if by_upd is not None else always_false
                 nm_retire = nm.filter(nm_del_c | nm_upd_c)
@@ -463,7 +526,6 @@ def merge_into(
                         F.col(f"target.{POS_COL}").alias(POS_COL),
                     )
                 )
-                n_retired += nm_retire.count()
                 nm_updates = nm.filter(~nm_del_c & nm_upd_c).select(
                     *[
                         F.expr(not_matched_by_source_set[c])
@@ -478,10 +540,24 @@ def merge_into(
                         for c in out_cols
                     ]
                 )
-                n_nm_updated = nm_updates.count()
+                # one aggregate job for the by-source clause census
+                # (was three count() actions over three scans)
+                nm_counts = nm.agg(
+                    F.coalesce(
+                        F.sum((nm_del_c | nm_upd_c).cast("long")), F.lit(0)
+                    ).alias("n_retired"),
+                    F.coalesce(F.sum(nm_del_c.cast("long")), F.lit(0)).alias(
+                        "n_deleted"
+                    ),
+                    F.coalesce(
+                        F.sum((~nm_del_c & nm_upd_c).cast("long")), F.lit(0)
+                    ).alias("n_updated"),
+                ).collect()[0]
+                n_retired += int(nm_counts["n_retired"])
+                n_nm_updated = int(nm_counts["n_updated"])
                 n_updated += n_nm_updated
                 if by_del is not None:
-                    n_deleted += nm.filter(nm_del_c).count()
+                    n_deleted += int(nm_counts["n_deleted"])
                 if n_nm_updated:
                     delta = delta.unionByName(nm_updates)
 
@@ -523,6 +599,8 @@ def merge_into(
             }
         finally:
             matched.unpersist()
+            if nm is not None:
+                nm.unpersist()
     finally:
         if we_persisted:
             source.unpersist()

@@ -355,6 +355,11 @@ def expire_group(
                 fs.delete(Path(f"{troot}/_deletes/v={v}"), True)
                 fs.delete(Path(f"{troot}/_pos_deletes/v={v}"), True)
                 expired.setdefault(table, []).append(v)
+                from pyspark_big_data_spark.operators.versioned import (
+                    invalidate_metadata_cache,
+                )
+
+                invalidate_metadata_cache(troot)
         expired.setdefault(table, [])
         expired[table] = sorted(
             expired[table]

@@ -661,14 +661,47 @@ def fast_forward_branch(
     update_branch(spark, root, name, to_version, expected_head=head)
 
 
-def _keyed_changes(spark: SparkSession, root: str, base_v: int, head_v: int, keys: list[str]):
+def _row_hash(keys: list[str], nonkey: list[str]):
+    """md5 over the sorted non-key columns — the per-row payload
+    fingerprint both sides of a keyed diff compare."""
+    from pyspark.sql import functions as F
+
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in sorted(nonkey)
+            ],
+        )
+    )
+
+
+def _keyed_changes(
+    spark: SparkSession,
+    root: str,
+    base_v: int,
+    head_v: int,
+    keys: list[str],
+    _base_proj=None,
+):
     """Key-level change extract between the MERGE-ON-READ states of two
-    chain-related versions: ``(upserts, deleted, changed_keys)`` where
-    ``upserts`` are the head's rows for inserted-or-updated keys,
-    ``deleted`` the base's rows for keys gone at the head, and
-    ``changed_keys`` the union of both key sets. One co-partitioned
-    full-outer join on the key; unchanged keys (the vast majority at
-    100 TB) never leave their joined partition."""
+    chain-related versions: ``(upserts, deleted, changed_keys, j)``
+    where ``upserts`` are the head's rows for inserted-or-updated keys,
+    ``deleted`` the base's rows for keys gone at the head,
+    ``changed_keys`` the union of both key sets, and ``j`` the
+    PERSISTED narrow diff frame backing all three (the caller
+    unpersists it when done). One co-partitioned full-outer join on
+    the key over NARROW ``(keys, payload-hash)`` projections — the
+    wide rows never cross the exchange (guide: project before the
+    shuffle); unchanged keys (the vast majority at 100 TB) never leave
+    their joined partition. The NULL-key refusals ride the same
+    persisted pass instead of two extra full-scan probe jobs.
+
+    ``_base_proj``: the base side's already-persisted ``(keys, __oh,
+    __o)`` projection — ``merge_branch_keyed`` diffs BOTH branch heads
+    against the same merge base, so it computes/persists that
+    projection once and passes it to both extracts."""
     from pyspark.sql import functions as F
 
     from pyspark_big_data_spark.operators.deletes import read_version_mor
@@ -681,35 +714,40 @@ def _keyed_changes(spark: SparkSession, root: str, base_v: int, head_v: int, key
             f"v={head_v} (got {sorted(old.columns)} vs "
             f"{sorted(new.columns)}); reconcile evolution explicitly first"
         )
+    nonkey = [c for c in new.columns if c not in keys]
+    h = _row_hash(keys, nonkey)
+    o = (
+        _base_proj
+        if _base_proj is not None
+        else old.select(*keys, h.alias("__oh"), F.lit(1).alias("__o"))
+    )
+    n = new.select(*keys, h.alias("__nh"), F.lit(1).alias("__n"))
+    j = o.join(n, keys, "full_outer").persist()
     # NULL keys would silently vanish from the left_semi extracts below
-    # (NULL never equi-matches) — refuse loudly, never lose rows
+    # (NULL never equi-matches, so they surface in j as unmatched rows
+    # of their own side) — refuse loudly, never lose rows. ONE
+    # aggregate over the diff frame materializes the persist and
+    # checks both sides.
     null_any = None
     for k in keys:
         c = F.col(k).isNull()
         null_any = c if null_any is None else (null_any | c)
-    for label, df in (("base", old), ("head", new)):
-        if df.filter(null_any).limit(1).count():
+    nulls = j.agg(
+        F.coalesce(
+            F.sum((null_any & F.col("__o").isNotNull()).cast("long")), F.lit(0)
+        ).alias("base_nulls"),
+        F.coalesce(
+            F.sum((null_any & F.col("__n").isNotNull()).cast("long")), F.lit(0)
+        ).alias("head_nulls"),
+    ).collect()[0]
+    for label, cnt in (("base", nulls["base_nulls"]), ("head", nulls["head_nulls"])):
+        if cnt:
+            j.unpersist()
             raise ValueError(
                 f"keyed merge found NULL {keys} key(s) in the {label} "
                 f"snapshot under {root}; key-level merge semantics need "
                 "non-null keys — clean or re-key the rows first"
             )
-    nonkey = [c for c in new.columns if c not in keys]
-
-    def _h(df):
-        return F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in sorted(nonkey)
-                ],
-            )
-        )
-
-    o = old.select(*keys, _h(old).alias("__oh"), F.lit(1).alias("__o"))
-    n = new.select(*new.columns, _h(new).alias("__nh"), F.lit(1).alias("__n"))
-    j = o.join(n, keys, "full_outer")
     upsert_keys = j.filter(
         F.col("__o").isNull() | (F.col("__oh") != F.col("__nh"))
     ).select(*keys)
@@ -717,7 +755,7 @@ def _keyed_changes(spark: SparkSession, root: str, base_v: int, head_v: int, key
     upserts = new.join(upsert_keys, keys, "left_semi")
     deleted = old.join(deleted_keys, keys, "left_semi")
     changed = upsert_keys.unionByName(deleted_keys).distinct()
-    return upserts, deleted, changed
+    return upserts, deleted, changed, j
 
 
 def merge_branch_keyed(
@@ -763,67 +801,95 @@ def merge_branch_keyed(
         return {"mode": "fast-forward", "version": head_s, "base": head_t}
 
     base = merge_base(spark, root, head_s, head_t, _cache=mcache, _reach_b=reach_t)
-    s_up, s_del, s_changed = _keyed_changes(spark, root, base, head_s, keys)
-    _, _, t_changed = _keyed_changes(spark, root, base, head_t, keys)
-    # keys changed on BOTH branches are conflicts UNLESS both sides
-    # arrived at the IDENTICAL end state (same rows, or both deleted) —
-    # git merges those cleanly, so do we (r12 verdict What's-wrong #1):
-    # they need no replay (the target already has the change) and are
-    # excluded from the source changeset below.
-    overlap = s_changed.join(t_changed, keys, "left_semi")
-    n_identical = 0
-    identical = None
-    if overlap.limit(1).count():
-        from pyspark_big_data_spark.operators.deletes import read_version_mor
+    # BOTH sides diff against the same merge base: compute + persist
+    # the base's narrow (keys, payload-hash) projection ONCE and hand
+    # it to both extracts — the base MOR state is scanned once, not
+    # twice (both sides' diff joins then build from the cached rows).
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
 
-        s_state = read_version_mor(spark, root, head_s)
-        t_state = read_version_mor(spark, root, head_t)
-        if s_state.columns != t_state.columns:
-            # divergent schema evolution: rows cannot be identical
-            diff_keys = overlap
-        else:
-            s_rows = s_state.join(overlap, keys, "left_semi")
-            t_rows = t_state.join(overlap, keys, "left_semi")
-            diff_keys = (
-                s_rows.exceptAll(t_rows)
-                .unionByName(t_rows.exceptAll(s_rows))
-                .select(*keys)
-                .distinct()
-            )
-        conflicts = [
-            tuple(r[k] for k in keys) for r in diff_keys.limit(5).collect()
-        ]
-        if conflicts:
-            raise ValueError(
-                f"keyed merge of {source!r} into {into!r} conflicts: both "
-                f"branches changed key(s) {conflicts} since base v={base} "
-                "and the end states differ; resolve by an explicit merge "
-                "commit on one branch first"
-            )
-        identical = overlap
-        n_identical = overlap.count()
+    base_state = read_version_mor(spark, root, base)
+    base_nonkey = [c for c in base_state.columns if c not in keys]
+    base_proj = base_state.select(
+        *keys,
+        _row_hash(keys, base_nonkey).alias("__oh"),
+        F.lit(1).alias("__o"),
+    ).persist()
+    pinned = [base_proj]
+    try:
+        s_up, s_del, s_changed, j_s = _keyed_changes(
+            spark, root, base, head_s, keys, _base_proj=base_proj
+        )
+        pinned.append(j_s)
+        _, _, t_changed, j_t = _keyed_changes(
+            spark, root, base, head_t, keys, _base_proj=base_proj
+        )
+        pinned.append(j_t)
+        # keys changed on BOTH branches are conflicts UNLESS both sides
+        # arrived at the IDENTICAL end state (same rows, or both
+        # deleted) — git merges those cleanly, so do we (r12 verdict
+        # What's-wrong #1): they need no replay (the target already has
+        # the change) and are excluded from the source changeset below.
+        overlap = s_changed.join(t_changed, keys, "left_semi").persist()
+        pinned.append(overlap)
+        n_identical = 0
+        identical = None
+        n_overlap = overlap.count()
+        if n_overlap:
+            s_state = read_version_mor(spark, root, head_s)
+            t_state = read_version_mor(spark, root, head_t)
+            if s_state.columns != t_state.columns:
+                # divergent schema evolution: rows cannot be identical
+                diff_keys = overlap
+            else:
+                # both end states restricted to the overlapped keys are
+                # O(|overlap|): pin them so the two exceptAll
+                # directions don't re-scan the MOR states twice each
+                s_rows = s_state.join(overlap, keys, "left_semi").persist()
+                t_rows = t_state.join(overlap, keys, "left_semi").persist()
+                pinned.extend([s_rows, t_rows])
+                diff_keys = (
+                    s_rows.exceptAll(t_rows)
+                    .unionByName(t_rows.exceptAll(s_rows))
+                    .select(*keys)
+                    .distinct()
+                )
+            conflicts = [
+                tuple(r[k] for k in keys) for r in diff_keys.limit(5).collect()
+            ]
+            if conflicts:
+                raise ValueError(
+                    f"keyed merge of {source!r} into {into!r} conflicts: both "
+                    f"branches changed key(s) {conflicts} since base v={base} "
+                    "and the end states differ; resolve by an explicit merge "
+                    "commit on one branch first"
+                )
+            identical = overlap
+            n_identical = n_overlap
 
-    if identical is not None:
-        s_up = s_up.join(identical, keys, "left_anti")
-        s_del = s_del.join(identical, keys, "left_anti")
-    src = s_up.withColumn("__del", F.lit(False)).unionByName(
-        s_del.withColumn("__del", F.lit(True))
-    )
-    res = merge_to_branch(
-        spark,
-        root,
-        into,
-        src,
-        keys if len(keys) > 1 else keys[0],
-        when_matched_update="NOT source.__del",
-        when_matched_delete="source.__del",
-        when_not_matched_insert="NOT source.__del",
-        manifest_extra={
-            "merged_from": head_s,
-            "merge_base": base,
-            "merge_mode": "keyed",
-        },
-    )
+        if identical is not None:
+            s_up = s_up.join(identical, keys, "left_anti")
+            s_del = s_del.join(identical, keys, "left_anti")
+        src = s_up.withColumn("__del", F.lit(False)).unionByName(
+            s_del.withColumn("__del", F.lit(True))
+        )
+        res = merge_to_branch(
+            spark,
+            root,
+            into,
+            src,
+            keys if len(keys) > 1 else keys[0],
+            when_matched_update="NOT source.__del",
+            when_matched_delete="source.__del",
+            when_not_matched_insert="NOT source.__del",
+            manifest_extra={
+                "merged_from": head_s,
+                "merge_base": base,
+                "merge_mode": "keyed",
+            },
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
     mode = "keyed-merge" if res["version"] is not None else "noop"
     out_v = res["version"] if res["version"] is not None else head_t
     return {"mode": mode, "version": out_v, "base": base,

@@ -102,6 +102,46 @@ def latest_version(spark: SparkSession, root: str) -> int | None:
 
 MANIFEST_NAME = "_manifest.json"
 
+# Process-level memo of IMMUTABLE per-version metadata: committed
+# manifests and chain schemas. A committed ``v=N`` dir is write-once by
+# the race-verified rename (commit_staged) — its manifest JSON and the
+# chain's merged schema never change after publication, so re-reading
+# them per operation is pure py4j/JSON/schema-inference overhead (a
+# branch-merge witness pays hundreds of such round-trips). The ONLY
+# way an entry goes stale is version EXPIRY (the dir is deleted, and —
+# if every version is expired — its number can be reused by a later
+# writer), so every destructive maintenance path calls
+# ``invalidate_metadata_cache(root)``. Bounded FIFO so a long-lived
+# driver never grows it unboundedly.
+_META_CACHE: dict[tuple, object] = {}
+_META_CACHE_MAX = 8192
+
+
+def _meta_cache_get(kind: str, root: str, version: int):
+    return _META_CACHE.get((kind, root.rstrip("/"), version))
+
+
+def _meta_cache_put(kind: str, root: str, version: int, value) -> None:
+    if len(_META_CACHE) >= _META_CACHE_MAX:
+        # FIFO eviction: drop the oldest ~quarter in one sweep
+        for k in list(_META_CACHE)[: _META_CACHE_MAX // 4]:
+            _META_CACHE.pop(k, None)
+    _META_CACHE[(kind, root.rstrip("/"), version)] = value
+
+
+def invalidate_metadata_cache(root: str | None = None) -> None:
+    """Drop memoized per-version metadata — for ``root`` (prefix match:
+    a table root invalidates its own versions only) or everything.
+    Called by every path that DELETES committed version dirs
+    (expire/vacuum/group retention); anything else only ever adds new
+    version numbers and cannot stale the memo."""
+    if root is None:
+        _META_CACHE.clear()
+        return
+    r = root.rstrip("/")
+    for k in [k for k in _META_CACHE if k[1] == r]:
+        _META_CACHE.pop(k, None)
+
 # MERGE commits stage their positional deletion vectors INSIDE the
 # committed version dir under this name (underscore-prefixed: hidden
 # from parquet data scans), so delta files + vectors publish in ONE
@@ -237,6 +277,61 @@ def _build_file_blooms(
     return blooms
 
 
+def _file_footer_entry(path: str, cols: set[str]):
+    """One file's footer distillation: ``(basename, stats, nulls,
+    num_rows)`` — the shared kernel of the driver-side and distributed
+    footer passes (identical output by construction)."""
+    import pyarrow.parquet as papq
+
+    md = papq.ParquetFile(path).metadata
+    agg: dict[str, list | None] = {}
+    nulls: dict[str, int | None] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            cmeta = group.column(ci)
+            name = cmeta.path_in_schema
+            if name not in cols:
+                continue
+            st = cmeta.statistics
+            # null counts ride the same footers (a column chunk without
+            # them poisons the file to None — degrade to "don't know",
+            # never to wrong)
+            if (
+                st is None
+                or not st.has_null_count
+                or nulls.get(name, 0) is None
+            ):
+                nulls[name] = None
+            else:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if name in agg and agg[name] is None:
+                continue  # already poisoned by a stat-less group
+            if st is None or not st.has_min_max:
+                agg[name] = None
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "replace")
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [mn, mx]
+            else:
+                agg[name] = [min(cur[0], mn), max(cur[1], mx)]
+    return os.path.basename(str(path)), agg, nulls, int(md.num_rows)
+
+
+# Commits of at most this many files read their footers on the driver;
+# larger snapshots distribute the footer pass. Env-tunable so a
+# deployment with slow per-RPC storage can force distribution (0) or a
+# fat coordinator can raise it.
+_DRIVER_STATS_MAX_FILES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_STATS_MAX_FILES", "64")
+)
+
+
 def _collect_file_stats(
     spark: SparkSession, file_paths: list[str], stats_cols: list[str]
 ) -> dict[str, dict[str, list] | None]:
@@ -253,60 +348,38 @@ def _collect_file_stats(
     kept JSON-portable; stats columns should be numeric or string.
 
     Returns ``(per_file_stats, per_file_num_rows)`` — row counts come
-    free from the same footers and feed metadata-only COUNT answers."""
+    free from the same footers and feed metadata-only COUNT answers.
+
+    Small commits (<= ``SPARK_GRAFT_DRIVER_STATS_MAX_FILES`` files,
+    default 64) read the footers ON THE DRIVER — metadata-only work at
+    manifest cardinality with zero job-scheduling constant (the
+    Iceberg-coordinator shape; a full Spark job costs ~0.5-3 s per
+    commit, measured in OPTIMIZATION_r13.md, which dominated small
+    MERGE commits); larger snapshots keep the distributed pass."""
     cols = set(stats_cols)
+
+    if len(file_paths) <= _DRIVER_STATS_MAX_FILES:
+        stats: dict = {}
+        nulls: dict = {}
+        num_rows: dict = {}
+        for path in file_paths:
+            fname, agg, fn, n = _file_footer_entry(path, cols)
+            # round-trip through JSON exactly like the distributed path
+            # (default=str stringifies dates/decimals identically)
+            stats[fname] = json.loads(json.dumps(agg, default=str))
+            nulls[fname] = json.loads(json.dumps(fn))
+            num_rows[fname] = n
+        return stats, nulls, num_rows
 
     def reader(it):
         import pandas as pd
-        import pyarrow.parquet as papq
 
         for pdf in it:
             rows = []
             for path in pdf["path"]:
-                md = papq.ParquetFile(path).metadata
-                agg: dict[str, list | None] = {}
-                nulls: dict[str, int | None] = {}
-                for rg in range(md.num_row_groups):
-                    group = md.row_group(rg)
-                    for ci in range(group.num_columns):
-                        cmeta = group.column(ci)
-                        name = cmeta.path_in_schema
-                        if name not in cols:
-                            continue
-                        st = cmeta.statistics
-                        # null counts ride the same footers (a column
-                        # chunk without them poisons the file to None —
-                        # degrade to "don't know", never to wrong)
-                        if (
-                            st is None
-                            or not st.has_null_count
-                            or nulls.get(name, 0) is None
-                        ):
-                            nulls[name] = None
-                        else:
-                            nulls[name] = nulls.get(name, 0) + int(st.null_count)
-                        if name in agg and agg[name] is None:
-                            continue  # already poisoned by a stat-less group
-                        if st is None or not st.has_min_max:
-                            agg[name] = None
-                            continue
-                        mn, mx = st.min, st.max
-                        if isinstance(mn, bytes):
-                            mn = mn.decode("utf-8", "replace")
-                        if isinstance(mx, bytes):
-                            mx = mx.decode("utf-8", "replace")
-                        cur = agg.get(name)
-                        if cur is None:
-                            agg[name] = [mn, mx]
-                        else:
-                            agg[name] = [min(cur[0], mn), max(cur[1], mx)]
+                fname, agg, fn, n = _file_footer_entry(path, cols)
                 rows.append(
-                    (
-                        os.path.basename(str(path)),
-                        json.dumps(agg, default=str),
-                        json.dumps(nulls),
-                        int(md.num_rows),
-                    )
+                    (fname, json.dumps(agg, default=str), json.dumps(fn), n)
                 )
             yield pd.DataFrame(
                 rows, columns=["file", "stats_json", "nulls_json", "num_rows"]
@@ -368,10 +441,20 @@ def manifest(
     reads parallelize the same way the footer pass does."""
     if _cache is not None and version in _cache:
         return _cache[version]
+    hit = _meta_cache_get("manifest", root, version)
+    if hit is not None:
+        if _cache is not None:
+            _cache[version] = hit
+        return hit
 
     def _done(res):
         if _cache is not None:
             _cache[version] = res
+        # committed manifests are immutable: memo process-wide too.
+        # None is NOT memoized — it costs one fs.exists to re-derive,
+        # and a probe racing a concurrent commit must never pin it.
+        if res is not None:
+            _meta_cache_put("manifest", root, version, res)
         return res
 
     vdir = f"{root.rstrip('/')}/v={version}"
@@ -573,9 +656,15 @@ def write_version(
         if embedded_pos_deletes is not None:
             emb = f"{staging}/{EMBEDDED_DELETES_DIR}"
             embedded_pos_deletes.write.mode("overwrite").parquet(emb)
-            spark.catalog.refreshByPath(emb)
-            # footer-only count: prices the MOR anti-join without a job
-            pos_delete_rows = spark.read.parquet(emb).count()
+            # footer-only count on the DRIVER: prices the MOR anti-join
+            # with zero Spark jobs (was a spark.read.parquet().count()
+            # job per MERGE commit)
+            import pyarrow.parquet as papq
+
+            pos_delete_rows = sum(
+                papq.ParquetFile(p).metadata.num_rows
+                for p in _list_parquet_files(fs, jvm, emb)
+            )
         if stats_cols or bloom_cols or ndv_cols or _append or manifest_extra:
             files = _list_parquet_files(fs, jvm, staging)
             stats, file_nulls, file_rows = _collect_file_stats(
@@ -929,13 +1018,25 @@ def read_version(
     ]
     for d in dirs:
         spark.catalog.refreshByPath(d)
+    # a committed chain's merged schema is immutable: re-reads bind the
+    # memoized schema explicitly, skipping the per-read schema
+    # inference (a distributed footer-merge job on multi-member
+    # chains). The parquet reader null-fills columns a pre-evolution
+    # file lacks when given an explicit schema — the same semantics
+    # the mergeSchema inference produces.
+    cached = _meta_cache_get("chain_schema", root, version)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(*dirs)
     if len(dirs) == 1:
-        return spark.read.parquet(dirs[0])
-    # a chain may have evolved additively (append_version
-    # allow_evolution): merge member schemas and null-fill columns
-    # absent from pre-evolution files — the default reader would bind
-    # one file's schema and silently drop late columns
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        df = spark.read.parquet(dirs[0])
+    else:
+        # a chain may have evolved additively (append_version
+        # allow_evolution): merge member schemas and null-fill columns
+        # absent from pre-evolution files — the default reader would
+        # bind one file's schema and silently drop late columns
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    _meta_cache_put("chain_schema", root, version, df.schema)
+    return df
 
 
 def pruned_file_plan(
@@ -1239,6 +1340,10 @@ def expire_versions(
         # its deletion vectors with it (operators/deletes.py)
         fs.delete(Path(f"{root.rstrip('/')}/_deletes/v={n}"), True)
         fs.delete(Path(f"{root.rstrip('/')}/_pos_deletes/v={n}"), True)
+    if expired:
+        # deleted version dirs may have memoized manifests/schemas (and
+        # a fully-drained root could even reuse the numbers)
+        invalidate_metadata_cache(root)
     latest = versions[-1] if versions else -1
     if fs.exists(hroot):
         for status in fs.listStatus(hroot):
