@@ -332,6 +332,15 @@ def triangle_count(
     (src/query1-4.py) has no graph operators; this completes the graph
     family (PageRank / LPA / CC / BFS) with the subgraph-census shape.
     """
+    # The canonical edge set appears FIVE times in the plans below
+    # (degree union x2, orientation join, closing semi-join, edge
+    # count) and itself embeds the caller's pair fan-out join — without
+    # a persist Spark re-runs that fan-out per occurrence per action.
+    # Same for deg (wedge total + both orientation sides) and oriented
+    # (both wedge sides). All three are pinned for the function's
+    # lifetime and released before returning; e and oriented are O(m),
+    # deg O(n) — MEMORY_AND_DISK, so an edge set bigger than the cache
+    # spills instead of OOMing.
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -339,41 +348,49 @@ def triangle_count(
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("lo").alias("node"))
         .unionByName(e.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
     )
-    wedges_total = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
-    )
+    try:
+        wedges_total = deg.agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+        )
 
-    # orient lower-(deg, id) -> higher-(deg, id)
-    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
-    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
-    keyed = e.join(dl, "lo").join(dh, "hi")
-    fwd = (F.col("dlo") < F.col("dhi")) | (
-        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
-    )
-    oriented = keyed.select(
-        F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("u"),
-        F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("v"),
-    )
+        # orient lower-(deg, id) -> higher-(deg, id)
+        dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+        dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+        keyed = e.join(dl, "lo").join(dh, "hi")
+        fwd = (F.col("dlo") < F.col("dhi")) | (
+            (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+        )
+        oriented = keyed.select(
+            F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        ).persist()
+        try:
+            # wedges at the apex u: out-neighbor pairs (v < w by id),
+            # closed against the UNDIRECTED canonical edge set (lo, hi)
+            w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+            w2 = oriented.select(F.col("u").alias("apex_b"), F.col("v").alias("y"))
+            wedge = w1.join(
+                w2, (F.col("apex") == F.col("apex_b")) & (F.col("x") < F.col("y"))
+            ).select(F.col("x").alias("lo"), F.col("y").alias("hi"))
+            tri = wedge.join(e, ["lo", "hi"], "left_semi").count()
 
-    # wedges at the apex u: out-neighbor pairs (v < w by id), closed
-    # against the UNDIRECTED canonical edge set (lo, hi)
-    w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
-    w2 = oriented.select(F.col("u").alias("apex_b"), F.col("v").alias("y"))
-    wedge = w1.join(
-        w2, (F.col("apex") == F.col("apex_b")) & (F.col("x") < F.col("y"))
-    ).select(F.col("x").alias("lo"), F.col("y").alias("hi"))
-    tri = wedge.join(e, ["lo", "hi"], "left_semi").count()
-
-    spark = edges.sparkSession
-    n_edges = e.count()
-    n_wedges = int(wedges_total.collect()[0]["w"] or 0)
+            spark = edges.sparkSession
+            n_edges = e.count()
+            n_wedges = int(wedges_total.collect()[0]["w"] or 0)
+        finally:
+            oriented.unpersist()
+    finally:
+        deg.unpersist()
+        e.unpersist()
     clustering = (3.0 * tri / n_wedges) if n_wedges else 0.0
     return spark.createDataFrame(
         [(n_edges, n_wedges, tri, clustering)],
@@ -420,6 +437,9 @@ def k_core(
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
+        # pinned: the count action and the next round's two semi-joins
+        # all consume this frame — without the persist the degree
+        # aggregate runs twice per round
         survivors = (
             e.select(F.col("lo").alias("node"))
             .unionByName(e.select(F.col("hi").alias("node")))
@@ -427,18 +447,22 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select("node")
+            .persist()
         )
-        n_now = survivors.count()
-        if n_now == n_nodes:
-            converged = True
-            break
-        n_nodes = n_now
-        e = (
-            e.join(survivors.withColumnRenamed("node", "lo"), "lo", "left_semi")
-            .join(survivors.withColumnRenamed("node", "hi"), "hi", "left_semi")
-            .select("lo", "hi")
-            .localCheckpoint(eager=True)
-        )
+        try:
+            n_now = survivors.count()
+            if n_now == n_nodes:
+                converged = True
+                break
+            n_nodes = n_now
+            e = (
+                e.join(survivors.withColumnRenamed("node", "lo"), "lo", "left_semi")
+                .join(survivors.withColumnRenamed("node", "hi"), "hi", "left_semi")
+                .select("lo", "hi")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            survivors.unpersist()
     core_nodes = (
         e.select(F.col("lo").alias("node"))
         .unionByName(e.select(F.col("hi").alias("node")))

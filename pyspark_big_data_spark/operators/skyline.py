@@ -46,7 +46,18 @@ from pyspark.sql import DataFrame
 
 def _skyline_kernel(pdf: pd.DataFrame, cols: list[str], signs: np.ndarray) -> pd.DataFrame:
     """Exact skyline of one in-memory block. signs flips minimized
-    criteria so the kernel always maximizes."""
+    criteria so the kernel always maximizes.
+
+    CHUNKED block-nested-loop: rows are sorted by descending criterion
+    sum (a dominator's sum is strictly greater, so dominators always
+    precede their victims), then eliminated CHUNK-at-a-time against the
+    current frontier with one broadcasted numpy comparison — the
+    overwhelmingly common case (row dominated by an already-kept row)
+    never touches the Python interpreter per row. Only chunk survivors
+    enter the sequential loop, and each checks just the keeps added
+    SINCE its chunk started (earlier keeps were already applied
+    vectorized). Same dominance predicate, same tie semantics, same
+    output order as the row-at-a-time spelling."""
     if pdf.empty:
         return pdf
     x = pdf[cols].to_numpy(dtype=np.float64) * signs
@@ -54,15 +65,32 @@ def _skyline_kernel(pdf: pd.DataFrame, cols: list[str], signs: np.ndarray) -> pd
     order = np.argsort(-x.sum(axis=1), kind="stable")
     x = x[order]
     keep_idx: list[int] = []
-    kept: np.ndarray | None = None
-    for i in range(len(x)):
-        if kept is not None:
-            ge = (kept >= x[i]).all(axis=1)
-            gt = (kept > x[i]).any(axis=1)
-            if bool((ge & gt).any()):
-                continue
-        keep_idx.append(i)
+    kept = x[:0]
+    n = len(x)
+    s = 0
+    while s < n:
+        # bound the (chunk x frontier x d) comparison buffer to ~32M
+        # bool cells regardless of frontier growth
+        ch = max(64, min(8192, (1 << 25) // max(1, len(keep_idx) * x.shape[1])))
+        chunk = x[s : s + ch]
+        if len(keep_idx):
+            ge = (kept[None, :, :] >= chunk[:, None, :]).all(axis=2)
+            gt = (kept[None, :, :] > chunk[:, None, :]).any(axis=2)
+            alive = ~((ge & gt).any(axis=1))
+        else:
+            alive = np.ones(len(chunk), dtype=bool)
+        k0 = len(keep_idx)
+        for j in np.nonzero(alive)[0]:
+            i = s + int(j)
+            if len(keep_idx) > k0:
+                new_kept = x[keep_idx[k0:]]
+                ge = (new_kept >= x[i]).all(axis=1)
+                gt = (new_kept > x[i]).any(axis=1)
+                if bool((ge & gt).any()):
+                    continue
+            keep_idx.append(i)
         kept = x[np.array(keep_idx)]
+        s += ch
     return pdf.iloc[order[np.array(keep_idx)]]
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark_big_data_spark.functions.aggregates import dsum
 from pyspark_big_data_spark.io import read_table, session_tmpdir
-from pyspark_big_data_spark.queries.registry import register
+from pyspark_big_data_spark.queries.registry import multiset_equal, register
 
 
 def _mutating_chain(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, int]:
@@ -157,10 +157,7 @@ def cdf_typed_fold_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         folded = fold_changes(read_version(spark, root, 0), ch)
         head = read_version_mor(spark, root, head_v)
-        fold_ok = (
-            folded.exceptAll(head).unionByName(head.exceptAll(folded)).count()
-            == 0
-        )
+        fold_ok = multiset_equal(folded, head)
 
         refusals = 0
         try:  # adds-only feed must refuse the vector-bearing range
@@ -292,9 +289,7 @@ def streaming_cdf_typed_replay_witness(
         streamed.drop("_commit_version"),
     )
     head = read_version_mor(spark, root, head_v)
-    fold_ok = (
-        folded.exceptAll(head).unionByName(head.exceptAll(folded)).count() == 0
-    )
+    fold_ok = multiset_equal(folded, head)
 
     # restart: nothing redelivered (no batch fires, so the sink dir is
     # never even created); then one more mutation streams exactly its
@@ -444,8 +439,7 @@ def merge_partial_update_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
             res_sql[k] == res[k]
             for k in ("n_deleted", "n_updated", "n_inserted")
         )
-        and state.exceptAll(sql_state).unionByName(sql_state.exceptAll(state)).count()
-        == 0
+        and multiset_equal(state, sql_state)
     )
 
     ch = table_changes_typed(spark, api_root, 0, res["version"])
@@ -566,16 +560,12 @@ def merge_by_source_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
             res_sql[k] == res[k]
             for k in ("n_deleted", "n_updated", "n_inserted")
         )
-        and state.exceptAll(sql_state).unionByName(sql_state.exceptAll(state)).count()
-        == 0
+        and multiset_equal(state, sql_state)
     )
 
     ch = table_changes_typed(spark, api_root, 0, res["version"])
     folded = fold_changes(read_version_mor(spark, api_root, 0), ch)
-    fold_ok = (
-        folded.exceptAll(state).unionByName(state.exceptAll(folded)).count()
-        == 0
-    )
+    fold_ok = multiset_equal(folded, state)
 
     return state.agg(
         F.count(F.lit(1)).alias("n_rows"),

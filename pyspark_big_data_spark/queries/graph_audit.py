@@ -241,10 +241,21 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_big_data_spark.operators.graph import triangle_count
 
     li = read_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    ).distinct()
-    return triangle_count(_copurchase_edges(op))
+    # pinned: the basket-size guard and BOTH sides of the pair fan-out
+    # join consume this distinct — unpinned it re-shuffles lineitem
+    # three times. Released after triangle_count, whose result is a
+    # collected 1-row frame (every action has already run).
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        return triangle_count(_copurchase_edges(op))
+    finally:
+        op.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -328,9 +339,16 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_big_data_spark.operators.graph import k_core
 
     li = read_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    ).distinct()
+    # pinned across the guard + both fan-out join sides (see
+    # copurchase_triangles); safe to release after k_core because its
+    # edge frontier is eagerly localCheckpointed inside the loop
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .persist()
+    )
     # support >= 2 edges (pairs co-purchased in at least two orders):
     # the raw basket graph is clique-per-order and everything survives
     # a k=3 peel; the support threshold is what recommender pipelines
@@ -343,9 +361,12 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
 
-    nodes, core_edges, rounds, converged = k_core(
-        edges, _KCORE_K, max_rounds=_KCORE_LAYERS + 2
-    )
+    try:
+        nodes, core_edges, rounds, converged = k_core(
+            edges, _KCORE_K, max_rounds=_KCORE_LAYERS + 2
+        )
+    finally:
+        op.unpersist()
     stats = nodes.agg(
         F.count(F.lit(1)).alias("n_core_nodes"),
         F.coalesce(F.sum("node"), F.lit(0)).cast("long").alias("node_id_sum"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark_big_data_spark.io import read_table, session_tmpdir
-from pyspark_big_data_spark.queries.registry import register
+from pyspark_big_data_spark.queries.registry import multiset_equal, register
 
 _ORACLE = """
 WITH target AS (
@@ -114,10 +114,7 @@ def mutation_sql_parity_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tallies_equal = all(
         res_sql[k] == res_api[k] for k in ("n_deleted", "n_updated", "n_inserted")
     )
-    sym_diff = (
-        sql_state.exceptAll(api_state).count()
-        + api_state.exceptAll(sql_state).count()
-    )
+    sym_ok = multiset_equal(sql_state, api_state)
 
     # r13 statements: UPDATE / DELETE — statement on sql_root, API twin
     # on api_root, every intermediate state compared
@@ -141,12 +138,9 @@ def mutation_sql_parity_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     stmt_equal = (
         upd_sql["n_updated"] == upd_api["n_updated"]
         and del_sql["n_deleted"] == del_api["n_deleted"]
-        and sql_final.exceptAll(api_final)
-        .unionByName(api_final.exceptAll(sql_final))
-        .count()
-        == 0
+        and multiset_equal(sql_final, api_final)
     )
-    parity_gate = 1 if (tallies_equal and sym_diff == 0 and stmt_equal) else 0
+    parity_gate = 1 if (tallies_equal and sym_ok and stmt_equal) else 0
 
     pre_merge = run_mutation_sql(
         spark,

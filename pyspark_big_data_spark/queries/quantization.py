@@ -172,8 +172,13 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     dim_row = emb.select(F.size("e").alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
-    qv = quantized_vectors(emb).join(
-        emb.select("vec_id", V.norm(F.col("e")).alias("nn")), "vec_id"
+    # pinned: the probe collect, the phase-1 scan input, and BOTH sides
+    # of the phase-2 pool join consume qv — unpinned, the corpus-wide
+    # quantization transforms re-run four times
+    qv = (
+        quantized_vectors(emb)
+        .join(emb.select("vec_id", V.norm(F.col("e")).alias("nn")), "vec_id")
+        .persist()
     )
 
     # Phase 1 — the PRE-CUT (the pq.py / kmeans.py pattern): one Arrow

@@ -600,3 +600,29 @@ def driver_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries = {**oracled, **rows_only}
     oracles = {n: ORACLES[n] for n in oracled}
     return queries, oracles
+
+
+def multiset_equal(a, b) -> bool:
+    """Multiset equality of two frames (the witness gate pattern
+    ``a.exceptAll(b) UNION b.exceptAll(a) is empty``), with BOTH sides
+    pinned for the check: each side appears twice in the symmetric
+    difference plan, and when a side is a MOR read or a typed-feed walk
+    the unpinned spelling evaluates that whole lineage twice in the one
+    job. Pin, count, release — same verdict, one evaluation per side."""
+    from pyspark.storagelevel import StorageLevel
+
+    pin_a = a.storageLevel == StorageLevel.NONE
+    pin_b = b.storageLevel == StorageLevel.NONE
+    if pin_a:
+        a = a.persist()
+    if pin_b:
+        b = b.persist()
+    try:
+        return (
+            a.exceptAll(b).unionByName(b.exceptAll(a)).limit(1).count() == 0
+        )
+    finally:
+        if pin_a:
+            a.unpersist()
+        if pin_b:
+            b.unpersist()

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pyspark_big_data_spark.io import read_table
 from pyspark_big_data_spark.queries.dedup import _MINHASH_ORACLE, dedup_minhash_lsh
-from pyspark_big_data_spark.queries.registry import register
+from pyspark_big_data_spark.queries.registry import multiset_equal, register
 
 _REPLAY_BATCHES = 3
 
@@ -929,9 +929,7 @@ def streaming_cdf_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run(out1)
     streamed = spark.read.parquet(out1)
     feed = table_changes(spark, table_root, 0, 2)
-    sym_diff = (
-        streamed.exceptAll(feed).unionByName(feed.exceptAll(streamed)).count()
-    )
+    sym_ok = multiset_equal(streamed, feed)
 
     # restart after one more append: exactly the new delta arrives
     bump = rem(0).select(
@@ -940,9 +938,7 @@ def streaming_cdf_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_version(bump, table_root)
     _run(out2)
     resumed = spark.read.parquet(out2)
-    restart_ok = (
-        resumed.exceptAll(bump).unionByName(bump.exceptAll(resumed)).count() == 0
-    )
+    restart_ok = multiset_equal(resumed, bump)
 
     from pyspark_big_data_spark.functions.aggregates import dsum
 
@@ -951,7 +947,7 @@ def streaming_cdf_replay_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_rows",
         "price_sum",
-        F.lit(1 if sym_diff == 0 else 0).cast("long").alias("batch_equiv_gate"),
+        F.lit(1 if sym_ok else 0).cast("long").alias("batch_equiv_gate"),
         F.lit(1 if restart_ok else 0).cast("long").alias("restart_gate"),
     )
 

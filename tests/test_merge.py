@@ -772,3 +772,45 @@ def test_merge_evolution_with_column_level_clauses(spark, tmp_path):
     assert got[1] == (10.0, "eu")  # val carried, new col assigned
     assert got[77] == (None, "us")  # unassigned old col NULL on insert
     assert got[0] == (0.0, None)  # untouched pre-evolution row
+
+
+def test_merge_insert_pricing_paths_agree(spark, tmp_path):
+    """n_inserted is priced two ways (r13): an UNCONDITIONAL insert
+    clause reads it from the matched-census aggregate (n_source minus
+    matched source keys — zero extra jobs), a CONDITIONAL one still
+    pays the anti-join count. Same MERGE through both paths must
+    produce the identical result dict and end state."""
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    from pyspark_big_data_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, 21.0), (3, 30.0)], "k long, x double"
+    )
+    src = spark.createDataFrame(
+        [(2, 99.0), (3, 33.0), (7, 70.0), (8, 80.0)], "k long, x double"
+    )
+    roots = [str(tmp_path / "uncond"), str(tmp_path / "cond")]
+    results = []
+    for root, ins in zip(roots, (True, "1 = 1")):
+        from pyspark_big_data_spark.operators.versioned import write_version
+
+        write_version(base, root)
+        results.append(
+            merge_into(
+                spark,
+                root,
+                src,
+                "k",
+                when_matched_update=True,
+                when_matched_delete="source.k = 3",
+                when_not_matched_insert=ins,
+            )
+        )
+    a, b = results
+    assert {k: a[k] for k in ("n_deleted", "n_updated", "n_inserted")} == {
+        k: b[k] for k in ("n_deleted", "n_updated", "n_inserted")
+    }
+    assert a["n_inserted"] == 2  # keys 7, 8
+    sa = {tuple(r) for r in read_version_mor(spark, roots[0]).collect()}
+    sb = {tuple(r) for r in read_version_mor(spark, roots[1]).collect()}
+    assert sa == sb

@@ -490,3 +490,24 @@ def test_null_counts_chain_aware(spark, tmp_path):
     )
     append_version(delta, root, stats_cols=["x"])
     assert snapshot_null_counts(spark, root, ["x"], 1) == {"x": 100}
+
+
+def test_metadata_memo_invalidated_by_expiry(spark, tmp_path):
+    """The process-level (root, version) metadata memo (r13: committed
+    manifests and chain schemas are immutable, so they are memoized
+    across operations) must be dropped when retention DELETES version
+    dirs — a stale memo would serve a manifest for bytes that no
+    longer exist."""
+    from pyspark_big_data_spark.operators.versioned import expire_versions
+
+    root = str(tmp_path / "memo_expire")
+    write_version(_df(spark, [(1, 1.0), (2, 2.0)]), root, stats_cols=["k"])
+    write_version(_df(spark, [(3, 3.0)]), root, stats_cols=["k"])
+    # prime the memo for v=0 (manifest + chain schema)
+    assert manifest(spark, root, 0) is not None
+    assert read_version(spark, root, 0).count() == 2
+    assert expire_versions(spark, root, keep_last=1) == [0]
+    # the memo must not resurrect the expired version's metadata
+    assert manifest(spark, root, 0) is None
+    with pytest.raises(ValueError):
+        read_version(spark, root, 0)
