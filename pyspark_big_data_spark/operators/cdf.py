@@ -89,6 +89,12 @@ def _range_commits(
     no full rewrite) plus the typed feed's own: EXTERNAL post-hoc
     vectors against an in-range version refuse; EMBEDDED vectors are
     the point and pass."""
+    from pyspark_big_data_spark.operators.deletes import (
+        DELETES_DIR,
+        POS_DELETES_DIR,
+        _versions_with_vector_dirs,
+    )
+
     committed = set(list_versions(spark, root))
     for v in (from_version, to_version):
         if v not in committed:
@@ -97,6 +103,10 @@ def _range_commits(
         raise ValueError(
             f"from_version {from_version} is newer than to_version {to_version}"
         )
+    # two parent listings bound the per-version external-vector probes
+    # over the whole walk (r14)
+    eq_vs = _versions_with_vector_dirs(spark, root, DELETES_DIR)
+    pos_vs = _versions_with_vector_dirs(spark, root, POS_DELETES_DIR)
     chain: list[int] = []
     v = to_version
     while v != from_version:
@@ -109,8 +119,8 @@ def _range_commits(
                 f"v={from_version} and v={to_version}; use a keyed "
                 "snapshot diff instead"
             )
-        if list_delete_commits(spark, root, v) or list_pos_delete_commits(
-            spark, root, v
+        if (v in eq_vs and list_delete_commits(spark, root, v)) or (
+            v in pos_vs and list_pos_delete_commits(spark, root, v)
         ):
             raise ValueError(
                 f"v={v} under {root} carries EXTERNAL deletion vectors "
@@ -168,18 +178,30 @@ def _preimage_rows(
     # cardinality every file-pruning plan here carries. Read straight
     # off the vector parquet ON THE DRIVER (one column, pyarrow): the
     # vector is commit-sized by construction, and this was one Spark
-    # job per vector-bearing commit in every typed-feed walk.
-    import pyarrow.dataset as pads
+    # job per vector-bearing commit in every typed-feed walk. Remote
+    # roots (hdfs://, s3a://, ...) keep the Spark collect — pyarrow
+    # cannot open them (r13 advice item).
+    from pyspark_big_data_spark.operators.versioned import _driver_readable
 
-    touched = sorted(
-        {
-            str(x)
-            for x in pads.dataset(emb, format="parquet")
-            .to_table(columns=[FILE_COL])
-            .column(FILE_COL)
-            .to_pylist()
-        }
-    )
+    if _driver_readable(emb):
+        import pyarrow.dataset as pads
+
+        touched = sorted(
+            {
+                str(x)
+                for x in pads.dataset(emb, format="parquet")
+                .to_table(columns=[FILE_COL])
+                .column(FILE_COL)
+                .to_pylist()
+            }
+        )
+    else:
+        touched = sorted(
+            {
+                r[FILE_COL]
+                for r in vec.select(FILE_COL).distinct().collect()
+            }
+        )
     if not touched:
         return None
     paths = [f"{root.rstrip('/')}/{rel}" for rel in touched]

@@ -96,6 +96,29 @@ def _deletes_root(root: str, version: int) -> str:
     return f"{root.rstrip('/')}/{DELETES_DIR}/v={version}"
 
 
+def _versions_with_vector_dirs(spark: SparkSession, root: str, sub: str) -> set[int]:
+    """Version numbers that have ANY ``v=N`` dir under ``root/<sub>`` —
+    ONE parent listing instead of an exists-probe per chain member.
+    A SUPERSET signal: a listed dir may hold only staging (zero
+    committed ``d=K``), so presence still needs the per-version
+    listing — but absence (the common case on merge/append chains,
+    whose vectors are MERGE-embedded, not external) proves there is
+    nothing to list. Always a LIVE listing, never memoized: external
+    vectors are mutable post-commit (r13 memory note)."""
+    proot = f"{root.rstrip('/')}/{sub}"
+    fs, hroot, jvm = _fs(spark, proot)
+    if not fs.exists(hroot):
+        return set()
+    out: set[int] = set()
+    for status in fs.listStatus(hroot):
+        if not status.isDirectory():
+            continue
+        m = re.match(r"^v=(\d+)$", status.getPath().getName())
+        if m:
+            out.add(int(m.group(1)))
+    return out
+
+
 def list_delete_commits(
     spark: SparkSession, root: str, version: int
 ) -> list[int]:
@@ -229,8 +252,12 @@ def deleted_keys(
     spark: SparkSession, root: str, version: int | None = None
 ) -> tuple[DataFrame | None, str | None]:
     """``(keys_df, key_col)`` — the union of all committed EQUALITY
-    tombstones against ``v=version``, distinct; ``(None, None)`` when
-    the version has none."""
+    tombstones against ``v=version``; ``(None, None)`` when the version
+    has none. NOT de-duplicated across commits (r14): each commit's
+    file is distinct by construction (``delete_keys`` writes distinct),
+    the only consumer is the MOR anti-join — where duplicates cannot
+    change the result — and the cross-commit distinct was a full
+    shuffle re-paid on every evaluation of every MOR plan."""
     version = _resolve_version(spark, root, version)
     key = _delete_key_col(spark, root, version)
     if key is None:
@@ -239,7 +266,7 @@ def deleted_keys(
     paths = [f"{droot}/d={k}" for k in list_delete_commits(spark, root, version)]
     for p in paths:
         spark.catalog.refreshByPath(p)
-    return spark.read.parquet(*paths).distinct(), key
+    return spark.read.parquet(*paths), key
 
 
 # ---------------------------------------------------------------------------
@@ -290,8 +317,21 @@ def _embedded_deletes_dir(
     """The embedded positional-vector dir a MERGE commit staged inside
     ``v=version`` (None when absent). Underscore-prefixed, so data
     scans never see it; committed atomically with the version's data
-    files by the one rename."""
+    files by the one rename.
+
+    Answered from the version's MANIFEST when one exists (r14):
+    ``write_version`` is the only committer that stages embedded
+    vectors, and it always stamps ``pos_delete_rows`` into the
+    manifest it writes for the same commit — so for a manifest-bearing
+    version, key presence <=> dir presence, and the (memoized) manifest
+    replaces a per-call fs probe. Manifest-less versions (plain
+    write_version, txn commits) can never carry embedded vectors by
+    construction, but keep the conservative fs probe for them — a
+    foreign/hand-built version dir must still be seen."""
     d = f"{root.rstrip('/')}/v={version}/{EMBEDDED_DELETES_DIR}"
+    m = manifest(spark, root, version)
+    if m is not None:
+        return d if "pos_delete_rows" in m else None
     fs, hp, _ = _fs(spark, d)
     return d if fs.exists(hp) else None
 
@@ -319,11 +359,15 @@ def has_any_delete_vectors(
     """True iff ANY chain member of ``v=version`` carries equality,
     positional, or embedded (MERGE) deletion vectors — the question
     every physical-read consumer (compaction, plain appends, CDF)
-    must ask before trusting ``read_version``."""
+    must ask before trusting ``read_version``. Two parent listings
+    answer the external-vector side for the whole chain (r14); only
+    members inside those supersets pay the per-version listing."""
+    eq_vs = _versions_with_vector_dirs(spark, root, DELETES_DIR)
+    pos_vs = _versions_with_vector_dirs(spark, root, POS_DELETES_DIR)
     for v in version_chain(spark, root, version):
         if (
-            list_delete_commits(spark, root, v)
-            or list_pos_delete_commits(spark, root, v)
+            (v in eq_vs and list_delete_commits(spark, root, v))
+            or (v in pos_vs and list_pos_delete_commits(spark, root, v))
             or _embedded_deletes_dir(spark, root, v) is not None
         ):
             return True
@@ -425,15 +469,23 @@ def _chain_vectors(spark: SparkSession, root: str, version: int):
     pos_paths: list[str] = []
     legacy_pos_paths: list[str] = []
     total_rows = 0
+    # two parent listings bound the external-vector probes for the
+    # whole chain (r14): members outside these supersets skip their
+    # per-version listings entirely — the common case for merge/append
+    # chains, whose vectors are MERGE-embedded
+    eq_vs = _versions_with_vector_dirs(spark, root, DELETES_DIR)
+    pos_vs = _versions_with_vector_dirs(spark, root, POS_DELETES_DIR)
     for v in version_chain(spark, root, version):
-        keys_df, kcol = deleted_keys(spark, root, v)
+        keys_df, kcol = (
+            deleted_keys(spark, root, v) if v in eq_vs else (None, None)
+        )
         if keys_df is not None:
             eq.append((v, keys_df, kcol))
             droot = _deletes_root(root, v)
             for k in list_delete_commits(spark, root, v):
                 total_rows += _commit_rows(spark, f"{droot}/d={k}")
         proot = _pos_deletes_root(root, v)
-        for k in list_pos_delete_commits(spark, root, v):
+        for k in list_pos_delete_commits(spark, root, v) if v in pos_vs else []:
             p = f"{proot}/d={k}"
             if _has_rows_sidecar(spark, p):
                 pos_paths.append(p)
@@ -552,7 +604,13 @@ def read_version_mor(
     if pos_paths:
         for p in pos_paths:
             spark.catalog.refreshByPath(p)
-        tomb = spark.read.parquet(*pos_paths).select(FILE_COL, POS_COL).distinct()
+        # NO distinct on the tombstone side (r14): a LEFT ANTI join
+        # drops a row on ANY match, so duplicate addresses cannot
+        # change the result — and every committed vector is distinct
+        # within itself by construction (a retired row is invisible to
+        # later merges, delete_keys writes distinct). The distinct was
+        # a full shuffle re-paid on EVERY evaluation of every MOR plan.
+        tomb = spark.read.parquet(*pos_paths).select(FILE_COL, POS_COL)
         if hint:
             tomb = F.broadcast(tomb)
         base = base.join(tomb, [FILE_COL, POS_COL], "left_anti")
@@ -563,14 +621,10 @@ def read_version_mor(
         # so the basename is unambiguous within a chain)
         for p in legacy_pos:
             spark.catalog.refreshByPath(p)
-        ltomb = (
-            spark.read.parquet(*legacy_pos)
-            .select(
-                F.col(FILE_COL).alias("__legacy_file"),
-                F.col(POS_COL).alias("__legacy_pos"),
-            )
-            .distinct()
-        )
+        ltomb = spark.read.parquet(*legacy_pos).select(
+            F.col(FILE_COL).alias("__legacy_file"),
+            F.col(POS_COL).alias("__legacy_pos"),
+        )  # no distinct: anti-join semantics (see the pos_paths note)
         if hint:
             ltomb = F.broadcast(ltomb)
         base = base.join(

@@ -77,6 +77,17 @@ from pyspark_big_data_spark.operators.versioned import (
 )
 
 
+# A MERGE whose source has at most this many keys may carry its
+# deletion-vector addresses inline on the clause-census aggregate
+# (collect_list capped at _VECTOR_INLINE_MAX_ROWS entries by slice) and
+# commit them driver-side with zero extra jobs; larger sources — or a
+# census list truncated by the cap (duplicate target copies) — keep the
+# distributed vector write. Same bounded-collect discipline as
+# bloom_prune_max_keys.
+_VECTOR_INLINE_MAX_SOURCE_KEYS = 100_000
+_VECTOR_INLINE_MAX_ROWS = 200_000
+
+
 def _clause_cond(clause):
     """Normalize a clause argument: True -> always, None/False ->
     disabled, str -> SQL expr over the target/source aliases."""
@@ -285,13 +296,34 @@ def merge_into(
         for k in keys:
             c = F.col(k).isNull()
             null_any = c if null_any is None else (null_any | c)
-        counts = source.agg(
+        # A CONDITIONAL insert whose condition resolves against the
+        # source alias ALONE (the CDC-flag shape, "NOT source.__del")
+        # is priced from two aggregates that already run — # source
+        # rows passing the condition (here) minus # matched source
+        # keys passing it (the clause census) — instead of a separate
+        # anti-join count job per MERGE (r14; guide §1.2). Conditions
+        # that reference target.* keep the anti-join count.
+        ins_src_only = False
+        if ins is not None and when_not_matched_insert is not True:
+            try:
+                source.alias("source").select(F.when(ins, F.lit(1)))
+                ins_src_only = True
+            except Exception:
+                ins_src_only = False
+        agg_cols = [
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
             F.sum(null_any.cast("long")).alias("nn"),
             F.min(F.col(keys[0])).alias("lo"),
             F.max(F.col(keys[0])).alias("hi"),
-        ).collect()[0]
+        ]
+        if ins_src_only:
+            agg_cols.append(
+                F.coalesce(
+                    F.sum(F.when(ins, F.lit(1)).cast("long")), F.lit(0)
+                ).alias("n_ins_pass")
+            )
+        counts = source.alias("source").agg(*agg_cols).collect()[0]
         if counts["nn"]:
             raise ValueError("merge source carries NULL keys")
         if counts["n"] != counts["nd"]:
@@ -332,8 +364,26 @@ def merge_into(
                 pass  # no/partial manifest stats for the key
             if selected is None and counts["n"] <= bloom_prune_max_keys:
                 # the stats range cut nothing (or could not run): probe the
-                # per-file Blooms with the source's keys — bounded collect
+                # per-file Blooms with the source's keys — bounded collect.
+                # Coverage is pre-checked on the (memoized) manifests so a
+                # bloom-less chain never pays the probe-collect job only
+                # to have bloom_file_plan_multi refuse (r14: this was one
+                # wasted source-sized collect per MERGE on every
+                # manifest-less witness table).
+                from pyspark_big_data_spark.operators.versioned import (
+                    manifest,
+                    version_chain,
+                )
+
                 try:
+                    covered = all(
+                        (mf := manifest(spark, root, v)) is not None
+                        and keys[0] in mf.get("bloom_cols", [])
+                        for v in version_chain(spark, root, version)
+                    )
+                except ValueError:
+                    covered = False
+                if covered:
                     probes = [
                         r[keys[0]] for r in source.select(keys[0]).collect()
                     ]
@@ -342,8 +392,6 @@ def merge_into(
                     )
                     if n_sel < n_total:
                         selected = sel
-                except ValueError:
-                    pass  # no blooms for the key
             if selected is not None:
                 target = read_version_mor(
                     spark,
@@ -403,7 +451,7 @@ def merge_into(
                 upd_count_col = F.coalesce(
                     F.sum(upd_live.cast("long")), F.lit(0)
                 ).alias("n_upd")
-            clause_counts = matched.agg(
+            census_cols = [
                 F.coalesce(F.sum((dele_c | upd_c).cast("long")), F.lit(0)).alias(
                     "n_retired"
                 ),
@@ -418,7 +466,58 @@ def merge_into(
                 F.count_distinct(
                     F.struct(*[F.col(f"source.{k}") for k in keys])
                 ).alias("n_src_matched"),
-            ).collect()[0]
+            ]
+            # a bounded merge's deletion vector rides the SAME census
+            # aggregate as a capped address list — the per-commit vector
+            # write job disappears (r14; the addresses are written
+            # driver-side by append_version). Only for sources small
+            # enough that the matched set is broadcast-sized, never for
+            # by-source merges (their unpruned anti-join side is
+            # unbounded); the slice cap forces the distributed fallback
+            # if duplicate target copies blow the list up anyway.
+            inline_vec = (
+                not by_source
+                and counts["n"] <= _VECTOR_INLINE_MAX_SOURCE_KEYS
+            )
+            if inline_vec:
+                census_cols.append(
+                    F.slice(
+                        F.collect_list(
+                            F.when(
+                                dele_c | upd_c,
+                                F.struct(
+                                    F.col(f"target.{FILE_COL}").alias("f"),
+                                    F.col(f"target.{POS_COL}").alias("p"),
+                                ),
+                            )
+                        ),
+                        1,
+                        _VECTOR_INLINE_MAX_ROWS + 1,
+                    ).alias("vec")
+                )
+            if ins_src_only:
+                # matched source keys passing the source-only insert
+                # condition (constant per key: the condition reads only
+                # source columns, which every matched copy shares)
+                census_cols.append(
+                    F.count_distinct(
+                        F.when(
+                            ins,
+                            F.struct(*[F.col(f"source.{k}") for k in keys]),
+                        )
+                    ).alias("n_src_matched_ins")
+                )
+            try:
+                clause_counts = matched.agg(*census_cols).collect()[0]
+            except Exception:
+                if not ins_src_only:
+                    raise
+                # the insert condition resolved on the source alias but
+                # is ambiguous over the joined frame (an unqualified
+                # column name both sides carry): drop the pricing term
+                # (appended last above), keep the anti-join count path
+                ins_src_only = False
+                clause_counts = matched.agg(*census_cols[:-1]).collect()[0]
             n_retired = int(clause_counts["n_retired"])
             if upd is None:
                 # update clause disabled: never build the projection (a
@@ -499,6 +598,13 @@ def merge_into(
                 n_inserted = int(counts["n"]) - int(
                     clause_counts["n_src_matched"]
                 )
+            elif ins_src_only:
+                # source rows passing the condition minus matched source
+                # keys passing it (both already paid for above; the
+                # source is key-unique, so rows == keys)
+                n_inserted = int(counts["n_ins_pass"]) - int(
+                    clause_counts["n_src_matched_ins"]
+                )
             else:
                 n_inserted = not_matched.count()
 
@@ -578,6 +684,14 @@ def merge_into(
             # feed (operators/cdf.py) can pair this commit's retired
             # rows with their replacements as update_pre/postimage
             extra = {**(manifest_extra or {}), "merge_keys": keys}
+            # the inline address list from the census is complete iff it
+            # was not slice-truncated; a truncated (or disabled) list
+            # falls back to the distributed vector write
+            vec_rows = None
+            if inline_vec and n_retired:
+                lst = clause_counts["vec"]
+                if len(lst) == n_retired:
+                    vec_rows = [(r["f"], r["p"]) for r in lst]
             new_v = append_version(
                 delta.select(*out_cols),
                 root,
@@ -589,7 +703,11 @@ def merge_into(
                 expected_base=None if base_version is not None else version,
                 base_override=version if base_version is not None else None,
                 manifest_extra=extra,
-                embedded_pos_deletes=vector if n_retired else None,
+                embedded_pos_deletes=(
+                    vec_rows
+                    if vec_rows is not None
+                    else (vector if n_retired else None)
+                ),
             )
             return {
                 "version": new_v,

@@ -528,7 +528,10 @@ def merge_branch(
     only the source-side delta bytes (the same bill a git-style rebase
     pays), never either snapshot."""
     from pyspark_big_data_spark.operators.deletes import (
+        DELETES_DIR,
+        POS_DELETES_DIR,
         _embedded_deletes_dir,
+        _versions_with_vector_dirs,
         list_delete_commits,
         list_pos_delete_commits,
     )
@@ -555,12 +558,14 @@ def merge_branch(
 
     base = merge_base(spark, root, head_s, head_t, _cache=mcache, _reach_b=reach_t)
     chain_s = version_chain(spark, root, head_s, _cache=mcache)
+    eq_vs = _versions_with_vector_dirs(spark, root, DELETES_DIR)
+    pos_vs = _versions_with_vector_dirs(spark, root, POS_DELETES_DIR)
     for v in chain_s:
         if v == base:
             break
         if (
-            list_delete_commits(spark, root, v)
-            or list_pos_delete_commits(spark, root, v)
+            (v in eq_vs and list_delete_commits(spark, root, v))
+            or (v in pos_vs and list_pos_delete_commits(spark, root, v))
             or _embedded_deletes_dir(spark, root, v) is not None
         ):
             raise ValueError(
@@ -677,6 +682,110 @@ def _row_hash(keys: list[str], nonkey: list[str]):
     )
 
 
+def _keyed_diff(
+    spark: SparkSession,
+    root: str,
+    base_v: int,
+    head_v: int,
+    keys: list[str],
+    _base_proj=None,
+):
+    """The LAZY half of a keyed change extract: ``(old, new, j,
+    stats)`` where ``j`` is the persisted narrow diff (not yet
+    materialized) and ``stats`` is an unexecuted 1-row aggregate over
+    it carrying the NULL-key guard counts and the changed-row counts
+    (``base_nulls, head_nulls, n_up, n_del``). Callers fuse several
+    sides' stats into ONE action (merge_branch_keyed runs both sides'
+    guards plus the overlap census as a single job tree) and then
+    build the wide extracts via ``_keyed_extracts`` with the counts in
+    hand."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+    old = read_version_mor(spark, root, base_v)
+    new = read_version_mor(spark, root, head_v)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"keyed merge needs matching schemas between v={base_v} and "
+            f"v={head_v} (got {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}); reconcile evolution explicitly first"
+        )
+    nonkey = [c for c in new.columns if c not in keys]
+    h = _row_hash(keys, nonkey)
+    o = (
+        _base_proj
+        if _base_proj is not None
+        else old.select(*keys, h.alias("__oh"), F.lit(1).alias("__o"))
+    )
+    n = new.select(*keys, h.alias("__nh"), F.lit(1).alias("__n"))
+    j = o.join(n, keys, "full_outer").persist()
+    up_cond = F.col("__o").isNull() | (F.col("__oh") != F.col("__nh"))
+    del_cond = F.col("__n").isNull()
+    null_any = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_any = c if null_any is None else (null_any | c)
+    stats = j.agg(
+        F.coalesce(
+            F.sum((null_any & F.col("__o").isNotNull()).cast("long")), F.lit(0)
+        ).alias("base_nulls"),
+        F.coalesce(
+            F.sum((null_any & F.col("__n").isNotNull()).cast("long")), F.lit(0)
+        ).alias("head_nulls"),
+        F.coalesce(F.sum(up_cond.cast("long")), F.lit(0)).alias("n_up"),
+        F.coalesce(F.sum(del_cond.cast("long")), F.lit(0)).alias("n_del"),
+    )
+    return old, new, j, stats
+
+
+def _guard_null_keys(j, keys, root, base_nulls: int, head_nulls: int) -> None:
+    """Refuse NULL merge keys loudly (they would silently vanish from
+    the equi-extracts); unpersists the diff on refusal."""
+    for label, cnt in (("base", base_nulls), ("head", head_nulls)):
+        if cnt:
+            j.unpersist()
+            raise ValueError(
+                f"keyed merge found NULL {keys} key(s) in the {label} "
+                f"snapshot under {root}; key-level merge semantics need "
+                "non-null keys — clean or re-key the rows first"
+            )
+
+
+def _keyed_extracts(old, new, j, keys, n_up: int, n_del: int):
+    """The wide extracts over a materialized diff: ``(upserts, deleted,
+    changed_keys)``. The changed-key sets are PRICED broadcasts (r14;
+    guide §3.1): post-diff they are CDC-sized in the merge workloads
+    this serves, so the head/base MOR states stream through
+    BroadcastHashJoin LeftSemi with no exchange of the big side —
+    above the threshold the hint is dropped and AQE plans the shuffle
+    join as before."""
+    from pyspark.sql import functions as F
+
+    from pyspark_big_data_spark.operators.deletes import (
+        BROADCAST_THRESHOLD_ROWS,
+    )
+
+    up_cond = F.col("__o").isNull() | (F.col("__oh") != F.col("__nh"))
+    del_cond = F.col("__n").isNull()
+    upsert_keys = j.filter(up_cond).select(*keys)
+    deleted_keys = j.filter(del_cond).select(*keys)
+    uk = (
+        F.broadcast(upsert_keys)
+        if n_up <= BROADCAST_THRESHOLD_ROWS
+        else upsert_keys
+    )
+    dk = (
+        F.broadcast(deleted_keys)
+        if n_del <= BROADCAST_THRESHOLD_ROWS
+        else deleted_keys
+    )
+    upserts = new.join(uk, keys, "left_semi")
+    deleted = old.join(dk, keys, "left_semi")
+    changed = upsert_keys.unionByName(deleted_keys).distinct()
+    return upserts, deleted, changed
+
+
 def _keyed_changes(
     spark: SparkSession,
     root: str,
@@ -701,61 +810,29 @@ def _keyed_changes(
     ``_base_proj``: the base side's already-persisted ``(keys, __oh,
     __o)`` projection — ``merge_branch_keyed`` diffs BOTH branch heads
     against the same merge base, so it computes/persists that
-    projection once and passes it to both extracts."""
-    from pyspark.sql import functions as F
+    projection once (hash-partitioned by the keys, so both sides' diff
+    joins reuse ONE exchange of the base) and passes it to both
+    extracts.
 
-    from pyspark_big_data_spark.operators.deletes import read_version_mor
-
-    old = read_version_mor(spark, root, base_v)
-    new = read_version_mor(spark, root, head_v)
-    if set(old.columns) != set(new.columns):
-        raise ValueError(
-            f"keyed merge needs matching schemas between v={base_v} and "
-            f"v={head_v} (got {sorted(old.columns)} vs "
-            f"{sorted(new.columns)}); reconcile evolution explicitly first"
-        )
-    nonkey = [c for c in new.columns if c not in keys]
-    h = _row_hash(keys, nonkey)
-    o = (
-        _base_proj
-        if _base_proj is not None
-        else old.select(*keys, h.alias("__oh"), F.lit(1).alias("__o"))
+    Returns ``(upserts, deleted, changed_keys, j, n_changed_rows)``
+    where ``n_changed_rows`` is the diff's changed ROW count
+    (upserts + deletes; equals the changed KEY count whenever keys are
+    unique per snapshot) — priced by the same aggregate as the NULL
+    guard, it sizes the extract broadcasts and lets the caller prove a
+    changeset empty without another job. (merge_branch_keyed uses the
+    split halves — _keyed_diff / _keyed_extracts — directly, fusing
+    both sides' guard aggregates and the overlap census into ONE
+    action; this composition keeps the one-sided contract for tests
+    and tools.)"""
+    old, new, j, stats = _keyed_diff(
+        spark, root, base_v, head_v, keys, _base_proj=_base_proj
     )
-    n = new.select(*keys, h.alias("__nh"), F.lit(1).alias("__n"))
-    j = o.join(n, keys, "full_outer").persist()
-    # NULL keys would silently vanish from the left_semi extracts below
-    # (NULL never equi-matches, so they surface in j as unmatched rows
-    # of their own side) — refuse loudly, never lose rows. ONE
-    # aggregate over the diff frame materializes the persist and
-    # checks both sides.
-    null_any = None
-    for k in keys:
-        c = F.col(k).isNull()
-        null_any = c if null_any is None else (null_any | c)
-    nulls = j.agg(
-        F.coalesce(
-            F.sum((null_any & F.col("__o").isNotNull()).cast("long")), F.lit(0)
-        ).alias("base_nulls"),
-        F.coalesce(
-            F.sum((null_any & F.col("__n").isNotNull()).cast("long")), F.lit(0)
-        ).alias("head_nulls"),
-    ).collect()[0]
-    for label, cnt in (("base", nulls["base_nulls"]), ("head", nulls["head_nulls"])):
-        if cnt:
-            j.unpersist()
-            raise ValueError(
-                f"keyed merge found NULL {keys} key(s) in the {label} "
-                f"snapshot under {root}; key-level merge semantics need "
-                "non-null keys — clean or re-key the rows first"
-            )
-    upsert_keys = j.filter(
-        F.col("__o").isNull() | (F.col("__oh") != F.col("__nh"))
-    ).select(*keys)
-    deleted_keys = j.filter(F.col("__n").isNull()).select(*keys)
-    upserts = new.join(upsert_keys, keys, "left_semi")
-    deleted = old.join(deleted_keys, keys, "left_semi")
-    changed = upsert_keys.unionByName(deleted_keys).distinct()
-    return upserts, deleted, changed, j
+    row = stats.collect()[0]
+    _guard_null_keys(j, keys, root, row["base_nulls"], row["head_nulls"])
+    upserts, deleted, changed = _keyed_extracts(
+        old, new, j, keys, int(row["n_up"]), int(row["n_del"])
+    )
+    return upserts, deleted, changed, j, int(row["n_up"] + row["n_del"])
 
 
 def merge_branch_keyed(
@@ -802,41 +879,99 @@ def merge_branch_keyed(
 
     base = merge_base(spark, root, head_s, head_t, _cache=mcache, _reach_b=reach_t)
     # BOTH sides diff against the same merge base: compute + persist
-    # the base's narrow (keys, payload-hash) projection ONCE and hand
-    # it to both extracts — the base MOR state is scanned once, not
-    # twice (both sides' diff joins then build from the cached rows).
-    from pyspark_big_data_spark.operators.deletes import read_version_mor
+    # the base's narrow (keys, payload-hash) projection ONCE, HASH-
+    # PARTITIONED by the merge keys (r14; guide §2.4) — the cached
+    # frame then satisfies both diff joins' key distribution, so the
+    # base crosses ONE exchange total instead of re-exchanging under
+    # each side's full-outer join.
+    from pyspark_big_data_spark.operators.deletes import (
+        BROADCAST_THRESHOLD_ROWS,
+        read_version_mor,
+    )
 
     base_state = read_version_mor(spark, root, base)
     base_nonkey = [c for c in base_state.columns if c not in keys]
-    base_proj = base_state.select(
-        *keys,
-        _row_hash(keys, base_nonkey).alias("__oh"),
-        F.lit(1).alias("__o"),
-    ).persist()
+    base_proj = (
+        base_state.select(
+            *keys,
+            _row_hash(keys, base_nonkey).alias("__oh"),
+            F.lit(1).alias("__o"),
+        )
+        .repartition(*[F.col(k) for k in keys])
+        .persist()
+    )
     pinned = [base_proj]
     try:
-        s_up, s_del, s_changed, j_s = _keyed_changes(
+        s_old, s_new, j_s, s_stats = _keyed_diff(
             spark, root, base, head_s, keys, _base_proj=base_proj
         )
         pinned.append(j_s)
-        _, _, t_changed, j_t = _keyed_changes(
+        t_old, t_new, j_t, t_stats = _keyed_diff(
             spark, root, base, head_t, keys, _base_proj=base_proj
         )
         pinned.append(j_t)
+        # ONE action runs both sides' NULL guards, both changed-row
+        # censuses AND the overlap count (r14; guide §1.2): the three
+        # 1-row aggregates cross-join into a single job tree that
+        # materializes both pinned diffs once — this was three separate
+        # actions, each rebuilding its subtree's broadcasts.
+        up_cond = F.col("__o").isNull() | (F.col("__oh") != F.col("__nh"))
+        del_cond = F.col("__n").isNull()
+        s_keys_raw = j_s.filter(up_cond | del_cond).select(*keys)
+        t_keys_raw = j_t.filter(up_cond | del_cond).select(*keys)
+        ov_cnt = (
+            s_keys_raw.distinct()
+            .join(t_keys_raw.distinct(), keys, "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        stats = (
+            s_stats.select(*[F.col(c).alias(f"s_{c}") for c in s_stats.columns])
+            .crossJoin(
+                t_stats.select(
+                    *[F.col(c).alias(f"t_{c}") for c in t_stats.columns]
+                )
+            )
+            .crossJoin(ov_cnt)
+            .collect()[0]
+        )
+        _guard_null_keys(
+            j_s, keys, root, stats["s_base_nulls"], stats["s_head_nulls"]
+        )
+        _guard_null_keys(
+            j_t, keys, root, stats["t_base_nulls"], stats["t_head_nulls"]
+        )
+        s_n_changed = int(stats["s_n_up"] + stats["s_n_del"])
+        s_up, s_del, s_changed = _keyed_extracts(
+            s_old, s_new, j_s, keys, int(stats["s_n_up"]), int(stats["s_n_del"])
+        )
         # keys changed on BOTH branches are conflicts UNLESS both sides
         # arrived at the IDENTICAL end state (same rows, or both
         # deleted) — git merges those cleanly, so do we (r12 verdict
         # What's-wrong #1): they need no replay (the target already has
         # the change) and are excluded from the source changeset below.
-        overlap = s_changed.join(t_changed, keys, "left_semi").persist()
-        pinned.append(overlap)
         n_identical = 0
         identical = None
-        n_overlap = overlap.count()
+        n_overlap = int(stats["n_overlap"])
         if n_overlap:
-            s_state = read_version_mor(spark, root, head_s)
-            t_state = read_version_mor(spark, root, head_t)
+            # rebuild the overlap set (cache-backed, rare path) with a
+            # priced broadcast of the target-side keys
+            t_side = (
+                F.broadcast(t_keys_raw.distinct())
+                if stats["t_n_up"] + stats["t_n_del"]
+                <= BROADCAST_THRESHOLD_ROWS
+                else t_keys_raw.distinct()
+            )
+            overlap = s_changed.join(t_side, keys, "left_semi").persist()
+            pinned.append(overlap)
+            # the overlap set is exact-counted: broadcast it into every
+            # consumer below while it fits
+            ov = (
+                F.broadcast(overlap)
+                if n_overlap <= BROADCAST_THRESHOLD_ROWS
+                else overlap
+            )
+            s_state = s_new  # the diffs' head MOR frames are exactly
+            t_state = t_new  # the end states — no need to re-plan them
             if s_state.columns != t_state.columns:
                 # divergent schema evolution: rows cannot be identical
                 diff_keys = overlap
@@ -844,8 +979,8 @@ def merge_branch_keyed(
                 # both end states restricted to the overlapped keys are
                 # O(|overlap|): pin them so the two exceptAll
                 # directions don't re-scan the MOR states twice each
-                s_rows = s_state.join(overlap, keys, "left_semi").persist()
-                t_rows = t_state.join(overlap, keys, "left_semi").persist()
+                s_rows = s_state.join(ov, keys, "left_semi").persist()
+                t_rows = t_state.join(ov, keys, "left_semi").persist()
                 pinned.extend([s_rows, t_rows])
                 diff_keys = (
                     s_rows.exceptAll(t_rows)
@@ -863,30 +998,44 @@ def merge_branch_keyed(
                     "and the end states differ; resolve by an explicit merge "
                     "commit on one branch first"
                 )
-            identical = overlap
+            identical = ov
             n_identical = n_overlap
 
-        if identical is not None:
-            s_up = s_up.join(identical, keys, "left_anti")
-            s_del = s_del.join(identical, keys, "left_anti")
-        src = s_up.withColumn("__del", F.lit(False)).unionByName(
-            s_del.withColumn("__del", F.lit(True))
-        )
-        res = merge_to_branch(
-            spark,
-            root,
-            into,
-            src,
-            keys if len(keys) > 1 else keys[0],
-            when_matched_update="NOT source.__del",
-            when_matched_delete="source.__del",
-            when_not_matched_insert="NOT source.__del",
-            manifest_extra={
-                "merged_from": head_s,
-                "merge_base": base,
-                "merge_mode": "keyed",
-            },
-        )
+        if identical is not None and s_n_changed == n_overlap:
+            # every source-side changed ROW is an identical-on-both-
+            # sides key (row count == overlap KEY count also proves the
+            # changed keys unique), so the replay source is empty by
+            # construction: skip the merge call instead of running a
+            # full MERGE pipeline over provably-empty frames (r14).
+            # merge_into returns exactly this for an all-noop source.
+            res = {
+                "version": None,
+                "n_deleted": 0,
+                "n_updated": 0,
+                "n_inserted": 0,
+            }
+        else:
+            if identical is not None:
+                s_up = s_up.join(identical, keys, "left_anti")
+                s_del = s_del.join(identical, keys, "left_anti")
+            src = s_up.withColumn("__del", F.lit(False)).unionByName(
+                s_del.withColumn("__del", F.lit(True))
+            )
+            res = merge_to_branch(
+                spark,
+                root,
+                into,
+                src,
+                keys if len(keys) > 1 else keys[0],
+                when_matched_update="NOT source.__del",
+                when_matched_delete="source.__del",
+                when_not_matched_insert="NOT source.__del",
+                manifest_extra={
+                    "merged_from": head_s,
+                    "merge_base": base,
+                    "merge_mode": "keyed",
+                },
+            )
     finally:
         for df in pinned:
             df.unpersist()

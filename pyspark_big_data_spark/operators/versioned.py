@@ -113,6 +113,17 @@ MANIFEST_NAME = "_manifest.json"
 # writer), so every destructive maintenance path calls
 # ``invalidate_metadata_cache(root)``. Bounded FIFO so a long-lived
 # driver never grows it unboundedly.
+#
+# HARD RETENTION ASSUMPTION (single coordinator): expiry/vacuum for a
+# root must run in THIS driver process. A *different* process deleting
+# version dirs cannot invalidate this memo, and after a fully-drained
+# root reuses version numbers a stale entry would be silently wrong
+# rather than loudly missing (r13 advice item). This matches the
+# repo's single-coordinator architecture (one writer/maintainer per
+# root — the same assumption the commit-counter allocation already
+# makes); a multi-coordinator deployment must route maintenance
+# through the coordinator or call ``invalidate_metadata_cache``
+# out-of-band after foreign expiry.
 _META_CACHE: dict[tuple, object] = {}
 _META_CACHE_MAX = 8192
 
@@ -131,15 +142,18 @@ def _meta_cache_put(kind: str, root: str, version: int, value) -> None:
 
 def invalidate_metadata_cache(root: str | None = None) -> None:
     """Drop memoized per-version metadata — for ``root`` (prefix match:
-    a table root invalidates its own versions only) or everything.
-    Called by every path that DELETES committed version dirs
-    (expire/vacuum/group retention); anything else only ever adds new
-    version numbers and cannot stale the memo."""
+    the root itself AND any nested table root under it, so invalidating
+    a group root covers its member tables) or everything. Called by
+    every path that DELETES committed version dirs (expire/vacuum/group
+    retention); anything else only ever adds new version numbers and
+    cannot stale the memo."""
     if root is None:
         _META_CACHE.clear()
         return
     r = root.rstrip("/")
-    for k in [k for k in _META_CACHE if k[1] == r]:
+    for k in [
+        k for k in _META_CACHE if k[1] == r or k[1].startswith(r + "/")
+    ]:
         _META_CACHE.pop(k, None)
 
 # MERGE commits stage their positional deletion vectors INSIDE the
@@ -332,6 +346,18 @@ _DRIVER_STATS_MAX_FILES = int(
 )
 
 
+def _driver_readable(path: str) -> bool:
+    """True when ``path`` is POSIX-readable from the driver process
+    (no scheme, or an explicit file:), so pyarrow fast paths may read
+    it directly. Remote filesystems (hdfs://, s3a://, ...) fall back to
+    the Spark read that works on any Hadoop filesystem — the r13
+    driver-side footer/vector reads silently assumed a local root
+    (r13 advice item)."""
+    from urllib.parse import urlparse
+
+    return urlparse(str(path)).scheme in ("", "file")
+
+
 def _collect_file_stats(
     spark: SparkSession, file_paths: list[str], stats_cols: list[str]
 ) -> dict[str, dict[str, list] | None]:
@@ -358,7 +384,9 @@ def _collect_file_stats(
     MERGE commits); larger snapshots keep the distributed pass."""
     cols = set(stats_cols)
 
-    if len(file_paths) <= _DRIVER_STATS_MAX_FILES:
+    if len(file_paths) <= _DRIVER_STATS_MAX_FILES and all(
+        _driver_readable(p) for p in file_paths
+    ):
         stats: dict = {}
         nulls: dict = {}
         num_rows: dict = {}
@@ -398,6 +426,25 @@ def _collect_file_stats(
     nulls = {r["file"]: json.loads(r["nulls_json"]) for r in out}
     num_rows = {r["file"]: int(r["num_rows"]) for r in out}
     return stats, nulls, num_rows
+
+
+def _write_pos_vector_driver(emb_dir: str, rows: list[tuple]) -> None:
+    """Write a positional deletion vector as ONE parquet file straight
+    from the driver (pyarrow) — the zero-job commit path for the
+    bounded vectors a small MERGE produces. Schema matches the
+    distributed write exactly: (_file string, _pos long)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    local = emb_dir[len("file:"):] if emb_dir.startswith("file:") else emb_dir
+    os.makedirs(local, exist_ok=True)
+    tbl = pa.table(
+        {
+            "_file": pa.array([r[0] for r in rows], pa.string()),
+            "_pos": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    papq.write_table(tbl, f"{local}/part-00000-driver.parquet")
 
 
 def _list_parquet_files(fs, jvm, directory: str) -> list[str]:
@@ -568,6 +615,10 @@ def write_version(
     retire the rows they replace publish in the SAME atomic rename —
     the single-commit MERGE shape. The vector schema must be exactly
     ``(_file string, _pos long)`` (operators/deletes.py addresses).
+    It may also be a driver-resident LIST of ``(_file, _pos)`` pairs
+    (r14): a bounded vector the caller already collected rides the
+    commit with zero extra Spark jobs (pyarrow write on a local root,
+    one-partition distributed write otherwise).
 
     Every manifest carries ``committed_at`` (epoch seconds at commit
     build time) for AS-OF-TIMESTAMP resolution (``version_as_of``)."""
@@ -588,11 +639,20 @@ def write_version(
                 "embedded_pos_deletes is a MERGE-commit feature and "
                 "requires an append commit (_append=True)"
             )
-        if set(embedded_pos_deletes.columns) != {"_file", "_pos"}:
-            raise ValueError(
-                "embedded_pos_deletes must have exactly the address "
-                f"columns ['_file', '_pos']; got {sorted(embedded_pos_deletes.columns)}"
-            )
+        if isinstance(embedded_pos_deletes, DataFrame):
+            if set(embedded_pos_deletes.columns) != {"_file", "_pos"}:
+                raise ValueError(
+                    "embedded_pos_deletes must have exactly the address "
+                    f"columns ['_file', '_pos']; got {sorted(embedded_pos_deletes.columns)}"
+                )
+        else:
+            # driver-resident vector: a bounded list of (_file, _pos)
+            # pairs the caller already holds (collected as a side
+            # product of an aggregate it paid for anyway) — committed
+            # with ZERO extra Spark jobs on a driver-reachable root
+            embedded_pos_deletes = [
+                (str(r[0]), int(r[1])) for r in embedded_pos_deletes
+            ]
     spark = df.sparkSession
     fs, hroot, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -655,16 +715,29 @@ def write_version(
         pos_delete_rows = None
         if embedded_pos_deletes is not None:
             emb = f"{staging}/{EMBEDDED_DELETES_DIR}"
-            embedded_pos_deletes.write.mode("overwrite").parquet(emb)
-            # footer-only count on the DRIVER: prices the MOR anti-join
-            # with zero Spark jobs (was a spark.read.parquet().count()
-            # job per MERGE commit)
-            import pyarrow.parquet as papq
+            if isinstance(embedded_pos_deletes, DataFrame):
+                embedded_pos_deletes.write.mode("overwrite").parquet(emb)
+                if _driver_readable(emb):
+                    # footer-only count on the DRIVER: prices the MOR
+                    # anti-join with zero Spark jobs (was a
+                    # spark.read.parquet().count() job per MERGE commit)
+                    import pyarrow.parquet as papq
 
-            pos_delete_rows = sum(
-                papq.ParquetFile(p).metadata.num_rows
-                for p in _list_parquet_files(fs, jvm, emb)
-            )
+                    pos_delete_rows = sum(
+                        papq.ParquetFile(p).metadata.num_rows
+                        for p in _list_parquet_files(fs, jvm, emb)
+                    )
+                else:  # remote root: Spark's parquet count is footer-only too
+                    spark.catalog.refreshByPath(emb)
+                    pos_delete_rows = spark.read.parquet(emb).count()
+            else:
+                pos_delete_rows = len(embedded_pos_deletes)
+                if _driver_readable(emb):
+                    _write_pos_vector_driver(emb, embedded_pos_deletes)
+                else:
+                    spark.createDataFrame(
+                        embedded_pos_deletes, "_file string, _pos long"
+                    ).coalesce(1).write.mode("overwrite").parquet(emb)
         if stats_cols or bloom_cols or ndv_cols or _append or manifest_extra:
             files = _list_parquet_files(fs, jvm, staging)
             stats, file_nulls, file_rows = _collect_file_stats(
@@ -820,6 +893,9 @@ def _validate_append_base(
       guard: they are part of committed versions by construction, and
       every read of such a chain is documented as MOR-only."""
     from pyspark_big_data_spark.operators.deletes import (
+        DELETES_DIR,
+        POS_DELETES_DIR,
+        _versions_with_vector_dirs,
         list_delete_commits,
         list_pos_delete_commits,
     )
@@ -839,9 +915,16 @@ def _validate_append_base(
         )
     if allow_base_tombstones:
         return
+    # two LIVE parent listings bound the per-member probes (r14):
+    # external vectors are mutable post-commit, so this is re-listed on
+    # every validation (per commit retry), never memoized — but a chain
+    # whose root has no _deletes/_pos_deletes tree at all (the common
+    # case) now pays 2 listings instead of 2 per member
+    eq_vs = _versions_with_vector_dirs(spark, root, DELETES_DIR)
+    pos_vs = _versions_with_vector_dirs(spark, root, POS_DELETES_DIR)
     for v in version_chain(spark, root, base_version):
-        if list_delete_commits(spark, root, v) or list_pos_delete_commits(
-            spark, root, v
+        if (v in eq_vs and list_delete_commits(spark, root, v)) or (
+            v in pos_vs and list_pos_delete_commits(spark, root, v)
         ):
             raise ValueError(
                 f"v={v} in the base chain of this append carries deletion "
@@ -1675,7 +1758,10 @@ def table_changes(
     rows. Both endpoints must be on the same chain; ``from_version ==
     to_version`` is an empty feed with the correct schema."""
     from pyspark_big_data_spark.operators.deletes import (
+        DELETES_DIR,
+        POS_DELETES_DIR,
         _embedded_deletes_dir,
+        _versions_with_vector_dirs,
         list_delete_commits,
         list_pos_delete_commits,
     )
@@ -1690,6 +1776,10 @@ def table_changes(
         )
     if from_version == to_version:
         return read_version(spark, root, to_version).filter(F.lit(False))
+    # two parent listings bound the per-version external-vector probes
+    # over the whole walk (r14)
+    eq_vs = _versions_with_vector_dirs(spark, root, DELETES_DIR)
+    pos_vs = _versions_with_vector_dirs(spark, root, POS_DELETES_DIR)
     dirs = []
     v = to_version
     while v != from_version:
@@ -1703,8 +1793,8 @@ def table_changes(
                 "snapshot diff instead"
             )
         if (
-            list_delete_commits(spark, root, v)
-            or list_pos_delete_commits(spark, root, v)
+            (v in eq_vs and list_delete_commits(spark, root, v))
+            or (v in pos_vs and list_pos_delete_commits(spark, root, v))
             or _embedded_deletes_dir(spark, root, v) is not None
         ):
             raise ValueError(

@@ -71,7 +71,14 @@ def test_delete_commits_accumulate_and_distinct(spark, tmp_path):
     assert delete_keys(spark, root, _keys(spark, [2, 3]), "k") == 1  # overlap ok
     tomb, key = deleted_keys(spark, root, 0)
     assert key == "k"
-    assert sorted(r["k"] for r in tomb.collect()) == [1, 2, 3]
+    # distinct WITHIN each commit (delete_keys writes distinct); the
+    # cross-commit union is NOT re-deduplicated (r14: the only consumer
+    # is the MOR anti-join, where duplicates cannot change the result,
+    # and the distinct was a shuffle paid on every MOR evaluation) —
+    # key 2 appears once per commit that tombstoned it
+    assert sorted(set(r["k"] for r in tomb.collect())) == [1, 2, 3]
+    assert sorted(r["k"] for r in tomb.collect()) == [1, 2, 2, 3]
+    # the MOR result is identical with or without the dedup
     assert read_version_mor(spark, root, 0).count() == 97
 
 
