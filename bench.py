@@ -282,6 +282,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Detailed line first (variants + hint matrix for the record) …
+    # Compact separators on BOTH lines (r14, verdict contract item):
+    # the driver's tail capture truncates the FRONT of stdout, and the
+    # final line's own length is what decides whether it survives
+    # intact — every byte shaved is slack against bracket growth (keys
+    # are pinned by the never-rename rule, so separators and rounding
+    # are the only shrinkable bytes).
+    compact = {"separators": (",", ":")}
     print(
         json.dumps(
             {
@@ -295,7 +302,8 @@ def main() -> None:
                 "variants": variants,
                 "hint_matrix": hint_matrix,
                 "sf": sf_num,
-            }
+            },
+            **compact,
         )
     )
     # … then the compact headline line LAST: the driver tail-captures
@@ -318,7 +326,8 @@ def main() -> None:
                 "ncpu": ncpu,
                 "bracket_state": "warm",  # session + codegen warmed above
                 "contended": load_max > ncpu,
-            }
+            },
+            **compact,
         ),
         flush=True,
     )

@@ -124,6 +124,39 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, bits: int, bitmap: bytes) ->
     return clean.mapInPandas(probe, schema=clean.schema)
 
 
+def bloom_probe_counts(
+    fact: DataFrame, fact_key: str, bits: int, bitmap: bytes
+) -> tuple[int, int]:
+    """``(n_fact, n_candidates)`` in ONE key-column pass (r14; guide
+    §1.2/§4): per-batch partial counts — total rows, and probe hits
+    among non-null keys (exactly ``bloom_prefilter``'s candidate rule)
+    — summed by one aggregate. Replaces two separate full-fact counts,
+    the second of which shipped every fact column through the Python
+    probe just to count survivors."""
+    bc = fact.sparkSession.sparkContext.broadcast(bitmap)
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            k = pdf[fact_key]
+            keys = k[k.notna()].to_numpy(np.int64)
+            hit = _test_bits(arr, keys, bits)
+            yield pd.DataFrame({"n": [len(pdf)], "hits": [int(hit.sum())]})
+
+    row = (
+        fact.select(fact_key)
+        .mapInPandas(counts, schema="n long, hits long")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("hits"), F.lit(0)).alias("hits"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["hits"])
+
+
 def bloom_semi_join(
     fact: DataFrame, fact_key: str, keys: DataFrame, key_col: str
 ) -> DataFrame:

@@ -39,9 +39,19 @@ ORDER BY l_returnflag
 
 @register("bloom_semi_join_witness", oracle=_ORACLE, driver=False)
 def bloom_semi_join_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runtime-filter semi-join, aggregate value pin + superset gate."""
+    """Runtime-filter semi-join, aggregate value pin + superset gate.
+
+    Execution (r14; guide §1.2): TWO fact passes where there were
+    four-plus — ``bloom_probe_counts`` prices n_fact AND n_candidates
+    in one key-column pass, and the exact semi-join is evaluated ONCE
+    by eagerly collecting its (returnflag-cardinality-bounded) group
+    aggregate; n_exact is the sum of the collected group counts, so
+    the separate exact count and the second full evaluation of the
+    semi-join at materialization both disappear. Values identical:
+    the collected aggregate rows ARE the result rows."""
     from pyspark_big_data_spark.operators.bloom_join import (
         bloom_prefilter,
+        bloom_probe_counts,
         build_bloom,
     )
 
@@ -65,18 +75,21 @@ def bloom_semi_join_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftsemi",
     )
 
-    # gate: exact_matches <= candidates < fact_total (superset that pruned)
-    n_fact = fact.count()
-    n_cand = candidates.count()
-    n_exact = exact.count()
-    gate = 1 if n_exact <= n_cand < n_fact else 0
-
-    return (
+    n_fact, n_cand = bloom_probe_counts(fact, "l_orderkey", bits, bitmap)
+    agg_rows = (
         exact.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             dsum("l_quantity", "qty_sum"),
         )
-        .withColumn("reduction_gate", F.lit(gate))
         .orderBy("l_returnflag")
+        .collect()
     )
+    n_exact = sum(int(r["n_items"]) for r in agg_rows)
+    # gate: exact_matches <= candidates < fact_total (superset that pruned)
+    gate = 1 if n_exact <= n_cand < n_fact else 0
+
+    out = spark.createDataFrame(
+        agg_rows, schema="l_returnflag string, n_items long, qty_sum double"
+    )
+    return out.withColumn("reduction_gate", F.lit(gate)).orderBy("l_returnflag")

@@ -82,7 +82,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     r=2 -> banded equi-join candidates -> signature-agreement filter."""
     docs = read_table(spark, sf_dir, "documents")
     sh = DD.shingles(docs)
-    sigs = DD.minhash_signatures(sh).cache()  # reused: bands + both agreement joins
+    # reused by bands + both agreement joins; eager localCheckpoint
+    # instead of .cache() (r14): same one materialization, but the
+    # blocks are GC-reclaimed with the result frame instead of pinned
+    # per invocation for the session's lifetime
+    sigs = DD.minhash_signatures(sh).localCheckpoint(eager=True)
     cand = DD.candidate_pairs(DD.band_keys(sigs))
     return (
         DD.estimated_jaccard(cand, sigs)
@@ -103,7 +107,9 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     in bench.py/PERFORMANCE.md."""
     docs = read_table(spark, sf_dir, "documents")
     sh = DD.shingles(docs)
-    sigs = DD.minhash_signatures(sh, base_hash=DD.xxhash64_48).cache()
+    sigs = DD.minhash_signatures(sh, base_hash=DD.xxhash64_48).localCheckpoint(
+        eager=True
+    )
     cand = DD.candidate_pairs(
         DD.band_keys(sigs, band_hash=lambda *cols: F.xxhash64(*cols))
     )
@@ -533,7 +539,13 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count refine). No nested-loop anywhere — scales like MinHash
     banding (Σbucket² refine cost)."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = DD.simhash(docs)
+    # pin the signatures (r14): the block equi-join's two sides carry
+    # different aliases, so Catalyst does not share one subtree and the
+    # token-explode + 60-bit majority aggregate would run TWICE (once
+    # per side). The frame is (doc_id, simhash) — two ints per doc;
+    # eager localCheckpoint so the blocks are GC-reclaimed with the
+    # result instead of pinned per invocation.
+    sh = DD.simhash(docs).localCheckpoint(eager=True)
     return DD.simhash_near_pairs_blocked(sh).orderBy("id_a", "id_b")
 
 

@@ -59,58 +59,71 @@ _TABLE_PLANES = [
 ]
 
 
-def _noise_expr_spark(d: int) -> F.Column:
-    h = hash48(
-        F.concat(F.lit("pn:"), F.col("vec_id").cast("string"), F.lit(f":{d}"))
-    )
-    return ((h % 2001) - 1000) / F.lit(1000.0) * F.lit(_EPS)
-
-
 def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e array<double>): the computed planted-cluster vectors
-    over the ``embeddings`` id domain. Cached — downstream operators
-    (flatten, 120 bucket dots, the all-pairs truth) must read the
-    materialized doubles, not re-inline the md5 calls per reference
-    (Catalyst collapses projections; the cache is the barrier).
+    over the ``embeddings`` id domain. Eagerly localCheckpointed —
+    downstream operators (flatten, 120 bucket dots, the all-pairs
+    truth) read the materialized doubles, and checkpoint blocks are
+    GC-reclaimed once the result is dropped (a .cache() pinned one
+    corpus per invocation for the session's lifetime, r14).
 
-    The centroid component depends only on (vec_id % C, d) — {_C} x
-    {_DIM} distinct doubles — so it is built ONCE as a {_C}-row
-    broadcast dim and joined on the cluster id instead of re-hashing
-    per row (same doubles, half the md5 work; the oracle keeps the
-    inline spelling since DuckDB evaluates it in negligible time)."""
-    cent_rows = spark.range(_C).select(
-        F.col("id").alias("_cl"),
-        F.array(
-            *[
-                F.when(
-                    hash48(
-                        F.concat(
-                            F.lit("pc:"), F.col("id").cast("string"), F.lit(f":{d}")
-                        )
-                    )
-                    % 2
-                    == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(_DIM)
-            ]
-        ).alias("_cent"),
-    )
+    Computed per-task in numpy/hashlib (r14; guide §4.2) instead of a
+    {_DIM}-wide md5 expression tree: the doubles are IDENTICAL — the
+    python twin of hash48 is ``int(md5(s)[:12], 16)`` and the noise /
+    centroid arithmetic applies the same IEEE operations in the same
+    order — but the multi-second Catalyst/codegen bill of 64 nested
+    md5-concat expressions per invocation is gone. The oracle keeps
+    the inline SQL spelling (DuckDB evaluates it in negligible time)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     # Single-file testdata arrives as ONE partition, serializing the
     # md5 fixture arithmetic and every downstream HOF onto one core —
     # fan out before the compute (no-op on real multi-file input).
     ids = ensure_min_partitions(
-        read_table(spark, sf_dir, "embeddings").select(
-            "vec_id", (F.col("vec_id") % _C).alias("_cl")
-        )
+        read_table(spark, sf_dir, "embeddings").select("vec_id")
     )
-    noise = [_noise_expr_spark(d) for d in range(_DIM)]
-    elems = [(F.col("_cent").getItem(d) + noise[d]) for d in range(_DIM)]
-    return (
-        ids.join(F.broadcast(cent_rows), "_cl")
-        .select("vec_id", F.array(*elems).alias("e"))
-        .cache()
-    )
+
+    def gen(batches):
+        cent = np.empty((_C, _DIM))
+        for c in range(_C):
+            for d in range(_DIM):
+                h = int(
+                    hashlib.md5(f"pc:{c}:{d}".encode()).hexdigest()[:12], 16
+                )
+                cent[c, d] = 1.0 if h % 2 == 0 else -1.0
+        for pdf in batches:
+            vids = pdf["vec_id"].to_numpy()
+            vecs = []
+            for vid in vids:
+                vid = int(vid)
+                base = cent[vid % _C]
+                row = [
+                    base[d]
+                    + (
+                        (
+                            int(
+                                hashlib.md5(
+                                    f"pn:{vid}:{d}".encode()
+                                ).hexdigest()[:12],
+                                16,
+                            )
+                            % 2001
+                        )
+                        - 1000
+                    )
+                    / 1000.0
+                    * _EPS
+                    for d in range(_DIM)
+                ]
+                vecs.append(row)
+            yield pd.DataFrame({"vec_id": vids, "e": vecs})
+
+    return ids.mapInPandas(
+        gen, schema="vec_id long, e array<double>"
+    ).localCheckpoint(eager=True)
 
 
 def _cent_sql(d: int) -> str:
@@ -207,19 +220,20 @@ def planted_candidate_pairs(planted: DataFrame) -> DataFrame:
         V.dot(F.col("e"), F.col("plane")) > 0,
         F.expr("shiftleft(1, p)").cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    # Cache the banded ids: the self-join's two sides carry different
+    # Pin the banded ids: the self-join's two sides carry different
     # column aliases, so Catalyst does NOT reuse one exchange for both
     # and would otherwise run the bucket pipeline twice (and once more
     # per downstream reuse). The frame is (id, t, bucket) — n x TABLES
-    # ints, the same bytes a shuffle would materialize.
+    # ints, the same bytes a shuffle would materialize. Eager
+    # localCheckpoint, not .cache() (r14): blocks are GC-reclaimed
+    # with the result frame instead of pinned per invocation forever.
     tabled = (
         planted.crossJoin(F.broadcast(planes_df))
         .select("vec_id", "t", bit.alias("_bit"))
         .groupBy("vec_id", "t")
         .agg(F.sum("_bit").alias("bucket"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    tabled.count()  # eager: both join sides read the built cache
     a = tabled.select(F.col("vec_id").alias("id_a"), "t", "bucket")
     b = tabled.select(
         F.col("vec_id").alias("id_b"),
@@ -241,30 +255,67 @@ def planted_candidate_pairs(planted: DataFrame) -> DataFrame:
 def planted_truth_pairs(planted: DataFrame) -> DataFrame:
     """Exact all-pairs cosine truth over the planted vectors (guarded:
     this is the O(n²) witness side, estimated on a hash-sample at real
-    scale like lsh_recall_witness)."""
+    scale like lsh_recall_witness).
+
+    Vectorized per task (r14; guide §4.2, the skyline-kernel pattern):
+    the guarded-bounded vector set is broadcast once and each task
+    checks its row chunk against all of it with numpy — replacing the
+    O(n²)-row flat-column theta-join that re-shuffled and evaluated a
+    64-term codegen dot per pair. BIT-IDENTICAL by construction: the
+    kernel accumulates each dot with the same left-to-right fold as
+    ``V.dot_flat`` (one elementwise multiply-add per dimension, in
+    dimension order), the norms come in from the SAME Spark-computed
+    ``V.norm`` column, and the cosine applies the identical
+    ``dot / (na * nb)`` operation order — every IEEE rounding step
+    matches the expression it replaces."""
     from pyspark_big_data_spark.queries.similarity import guard_allpairs
 
-    flat = V.flatten_vec(
-        guard_allpairs(planted, "planted_truth_pairs").withColumn(
-            "nrm", V.norm(F.col("e"))
-        ),
-        "e", _DIM, "_x", ["vec_id", "nrm"],
+    import numpy as np
+    import pandas as pd
+
+    spark = planted.sparkSession
+    sv = guard_allpairs(planted, "planted_truth_pairs").withColumn(
+        "nrm", V.norm(F.col("e"))
     )
-    a = flat.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("nrm").alias("na"),
-        *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(_DIM)],
-    )
-    b = flat.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("nrm").alias("nb"),
-        *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(_DIM)],
-    )
-    cos = V.dot_flat("_a", "_b", _DIM) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cos >= _THRESH)
-        .select("id_a", "id_b")
+    # bounded by the guard (<= ALLPAIRS_MAX_ROWS) and usually by the
+    # witness's md5 truth sample well below it
+    rows = sv.select("vec_id", "e", "nrm").collect()
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype="int64")
+    mat = np.array([r["e"] for r in rows], dtype="float64")
+    nrm = np.array([r["nrm"] for r in rows], dtype="float64")
+    b = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def scan(batches):
+        all_ids, all_mat, all_nrm = b.value
+        n_all = len(all_ids)
+        # bound per-chunk pair-matrix memory (<= ~32M cells)
+        chunk_rows = max(1, 32_000_000 // max(n_all, 1))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            cm = np.stack(pdf["e"].to_numpy()).astype("float64")
+            cn = pdf["nrm"].to_numpy().astype("float64")
+            for s in range(0, len(vids), chunk_rows):
+                cv, cmat, cnrm = (
+                    vids[s : s + chunk_rows],
+                    cm[s : s + chunk_rows],
+                    cn[s : s + chunk_rows],
+                )
+                # EXACT dot_flat fold: acc = ((0 + a0*b0) + a1*b1) + ...
+                acc = np.zeros((len(cv), n_all))
+                for d in range(_DIM):
+                    acc = acc + cmat[:, d, None] * all_mat[None, :, d]
+                cos = acc / (cnrm[:, None] * all_nrm[None, :])
+                ra, cb = np.nonzero(
+                    (cos >= _THRESH) & (cv[:, None] < all_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {"id_a": cv[ra], "id_b": all_ids[cb]}
+                )
+
+    return sv.select("vec_id", "e", "nrm").mapInPandas(
+        scan, schema="id_a long, id_b long"
     )
 
 

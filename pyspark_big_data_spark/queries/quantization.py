@@ -174,12 +174,15 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = dim_row["d"] if dim_row else 0
     # pinned: the probe collect, the phase-1 scan input, and BOTH sides
     # of the phase-2 pool join consume qv — unpinned, the corpus-wide
-    # quantization transforms re-run four times
-    qv = (
-        quantized_vectors(emb)
-        .join(emb.select("vec_id", V.norm(F.col("e")).alias("nn")), "vec_id")
-        .persist()
-    )
+    # quantization transforms re-run four times. An EAGER localCheckpoint
+    # rather than persist (r14 advice item): the returned frame is lazy,
+    # so an in-function unpersist is impossible — checkpoint blocks are
+    # reclaimed by the ContextCleaner once the result frame is dropped,
+    # where a persist would pin a corpus-sized frame per invocation for
+    # the session's lifetime.
+    qv = quantized_vectors(emb).join(
+        emb.select("vec_id", V.norm(F.col("e")).alias("nn")), "vec_id"
+    ).localCheckpoint(eager=True)
 
     # Phase 1 — the PRE-CUT (the pq.py / kmeans.py pattern): one Arrow
     # mapInPandas pass over (vec_id, q, scale, nn) against the bounded
