@@ -77,17 +77,6 @@ from pyspark_big_data_spark.operators.versioned import (
 )
 
 
-# A MERGE whose source has at most this many keys may carry its
-# deletion-vector addresses inline on the clause-census aggregate
-# (collect_list capped at _VECTOR_INLINE_MAX_ROWS entries by slice) and
-# commit them driver-side with zero extra jobs; larger sources — or a
-# census list truncated by the cap (duplicate target copies) — keep the
-# distributed vector write. Same bounded-collect discipline as
-# bloom_prune_max_keys.
-_VECTOR_INLINE_MAX_SOURCE_KEYS = 100_000
-_VECTOR_INLINE_MAX_ROWS = 200_000
-
-
 def _clause_cond(clause):
     """Normalize a clause argument: True -> always, None/False ->
     disabled, str -> SQL expr over the target/source aliases."""
@@ -467,34 +456,15 @@ def merge_into(
                     F.struct(*[F.col(f"source.{k}") for k in keys])
                 ).alias("n_src_matched"),
             ]
-            # a bounded merge's deletion vector rides the SAME census
-            # aggregate as a capped address list — the per-commit vector
-            # write job disappears (r14; the addresses are written
-            # driver-side by append_version). Only for sources small
-            # enough that the matched set is broadcast-sized, never for
-            # by-source merges (their unpruned anti-join side is
-            # unbounded); the slice cap forces the distributed fallback
-            # if duplicate target copies blow the list up anyway.
-            inline_vec = (
-                not by_source
-                and counts["n"] <= _VECTOR_INLINE_MAX_SOURCE_KEYS
-            )
-            if inline_vec:
-                census_cols.append(
-                    F.slice(
-                        F.collect_list(
-                            F.when(
-                                dele_c | upd_c,
-                                F.struct(
-                                    F.col(f"target.{FILE_COL}").alias("f"),
-                                    F.col(f"target.{POS_COL}").alias("p"),
-                                ),
-                            )
-                        ),
-                        1,
-                        _VECTOR_INLINE_MAX_ROWS + 1,
-                    ).alias("vec")
-                )
+            # MEASURED DEAD END (r14, kept as a note): carrying the
+            # deletion-vector addresses on this aggregate as a capped
+            # collect_list — to commit them driver-side and drop the
+            # per-commit vector-write job — degenerates the census plan:
+            # mixing collect_list with the count_distinct terms forces
+            # the distinct-expand + SortAggregate path (20.7 s vs 1.2 s
+            # for the scalar census on the merge witness fixture), and a
+            # separate vec-only action prices the same as the write job
+            # it would replace. The distributed vector write stays.
             if ins_src_only:
                 # matched source keys passing the source-only insert
                 # condition (constant per key: the condition reads only
@@ -684,14 +654,6 @@ def merge_into(
             # feed (operators/cdf.py) can pair this commit's retired
             # rows with their replacements as update_pre/postimage
             extra = {**(manifest_extra or {}), "merge_keys": keys}
-            # the inline address list from the census is complete iff it
-            # was not slice-truncated; a truncated (or disabled) list
-            # falls back to the distributed vector write
-            vec_rows = None
-            if inline_vec and n_retired:
-                lst = clause_counts["vec"]
-                if len(lst) == n_retired:
-                    vec_rows = [(r["f"], r["p"]) for r in lst]
             new_v = append_version(
                 delta.select(*out_cols),
                 root,
@@ -703,11 +665,7 @@ def merge_into(
                 expected_base=None if base_version is not None else version,
                 base_override=version if base_version is not None else None,
                 manifest_extra=extra,
-                embedded_pos_deletes=(
-                    vec_rows
-                    if vec_rows is not None
-                    else (vector if n_retired else None)
-                ),
+                embedded_pos_deletes=vector if n_retired else None,
             )
             return {
                 "version": new_v,

@@ -428,25 +428,6 @@ def _collect_file_stats(
     return stats, nulls, num_rows
 
 
-def _write_pos_vector_driver(emb_dir: str, rows: list[tuple]) -> None:
-    """Write a positional deletion vector as ONE parquet file straight
-    from the driver (pyarrow) — the zero-job commit path for the
-    bounded vectors a small MERGE produces. Schema matches the
-    distributed write exactly: (_file string, _pos long)."""
-    import pyarrow as pa
-    import pyarrow.parquet as papq
-
-    local = emb_dir[len("file:"):] if emb_dir.startswith("file:") else emb_dir
-    os.makedirs(local, exist_ok=True)
-    tbl = pa.table(
-        {
-            "_file": pa.array([r[0] for r in rows], pa.string()),
-            "_pos": pa.array([r[1] for r in rows], pa.int64()),
-        }
-    )
-    papq.write_table(tbl, f"{local}/part-00000-driver.parquet")
-
-
 def _list_parquet_files(fs, jvm, directory: str) -> list[str]:
     Path = jvm.org.apache.hadoop.fs.Path
     out = []
@@ -615,10 +596,6 @@ def write_version(
     retire the rows they replace publish in the SAME atomic rename —
     the single-commit MERGE shape. The vector schema must be exactly
     ``(_file string, _pos long)`` (operators/deletes.py addresses).
-    It may also be a driver-resident LIST of ``(_file, _pos)`` pairs
-    (r14): a bounded vector the caller already collected rides the
-    commit with zero extra Spark jobs (pyarrow write on a local root,
-    one-partition distributed write otherwise).
 
     Every manifest carries ``committed_at`` (epoch seconds at commit
     build time) for AS-OF-TIMESTAMP resolution (``version_as_of``)."""
@@ -639,20 +616,11 @@ def write_version(
                 "embedded_pos_deletes is a MERGE-commit feature and "
                 "requires an append commit (_append=True)"
             )
-        if isinstance(embedded_pos_deletes, DataFrame):
-            if set(embedded_pos_deletes.columns) != {"_file", "_pos"}:
-                raise ValueError(
-                    "embedded_pos_deletes must have exactly the address "
-                    f"columns ['_file', '_pos']; got {sorted(embedded_pos_deletes.columns)}"
-                )
-        else:
-            # driver-resident vector: a bounded list of (_file, _pos)
-            # pairs the caller already holds (collected as a side
-            # product of an aggregate it paid for anyway) — committed
-            # with ZERO extra Spark jobs on a driver-reachable root
-            embedded_pos_deletes = [
-                (str(r[0]), int(r[1])) for r in embedded_pos_deletes
-            ]
+        if set(embedded_pos_deletes.columns) != {"_file", "_pos"}:
+            raise ValueError(
+                "embedded_pos_deletes must have exactly the address "
+                f"columns ['_file', '_pos']; got {sorted(embedded_pos_deletes.columns)}"
+            )
     spark = df.sparkSession
     fs, hroot, jvm = _fs(spark, root)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -715,29 +683,20 @@ def write_version(
         pos_delete_rows = None
         if embedded_pos_deletes is not None:
             emb = f"{staging}/{EMBEDDED_DELETES_DIR}"
-            if isinstance(embedded_pos_deletes, DataFrame):
-                embedded_pos_deletes.write.mode("overwrite").parquet(emb)
-                if _driver_readable(emb):
-                    # footer-only count on the DRIVER: prices the MOR
-                    # anti-join with zero Spark jobs (was a
-                    # spark.read.parquet().count() job per MERGE commit)
-                    import pyarrow.parquet as papq
+            embedded_pos_deletes.write.mode("overwrite").parquet(emb)
+            if _driver_readable(emb):
+                # footer-only count on the DRIVER: prices the MOR
+                # anti-join with zero Spark jobs (was a
+                # spark.read.parquet().count() job per MERGE commit)
+                import pyarrow.parquet as papq
 
-                    pos_delete_rows = sum(
-                        papq.ParquetFile(p).metadata.num_rows
-                        for p in _list_parquet_files(fs, jvm, emb)
-                    )
-                else:  # remote root: Spark's parquet count is footer-only too
-                    spark.catalog.refreshByPath(emb)
-                    pos_delete_rows = spark.read.parquet(emb).count()
-            else:
-                pos_delete_rows = len(embedded_pos_deletes)
-                if _driver_readable(emb):
-                    _write_pos_vector_driver(emb, embedded_pos_deletes)
-                else:
-                    spark.createDataFrame(
-                        embedded_pos_deletes, "_file string, _pos long"
-                    ).coalesce(1).write.mode("overwrite").parquet(emb)
+                pos_delete_rows = sum(
+                    papq.ParquetFile(p).metadata.num_rows
+                    for p in _list_parquet_files(fs, jvm, emb)
+                )
+            else:  # remote root: Spark's parquet count is footer-only too
+                spark.catalog.refreshByPath(emb)
+                pos_delete_rows = spark.read.parquet(emb).count()
         if stats_cols or bloom_cols or ndv_cols or _append or manifest_extra:
             files = _list_parquet_files(fs, jvm, staging)
             stats, file_nulls, file_rows = _collect_file_stats(

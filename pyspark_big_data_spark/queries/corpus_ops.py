@@ -119,35 +119,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_per_doc_aggs() -> list:
-    """The per-document aggregate columns of the BM25 pass (dl + the
-    fixed-term tf counts) over an exploded ``tok`` column — split out
-    so the hybrid retrieval stack can fuse them into ONE shared
-    tokenize+aggregate corpus pass with the hashed-vector sums
-    (hybrid_retrieval._shared_doc_stats; all integer aggregates, so
-    the fusion is bit-identical to the standalone pass)."""
-    return [
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
-            for t in BM25_TERMS
-        ],
-    ]
-
-
 def bm25_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, dl, tf_*, score): every document's rounded BM25 score
     for the fixed BM25_TERMS query — the Spark twin of
     bm25_scored_cte(), shared with the hybrid-RRF fusion."""
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    per_doc = toks.groupBy("doc_id").agg(*bm25_per_doc_aggs())
-    return bm25_score_per_doc(per_doc)
-
-
-def bm25_score_per_doc(per_doc: DataFrame) -> DataFrame:
-    """Attach the corpus stats and the rounded BM25 score to a
-    ``(doc_id, dl, tf_*)`` per-document frame (the second half of
-    bm25_scored, reusable over a fused per-doc pass)."""
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

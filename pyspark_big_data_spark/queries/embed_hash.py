@@ -38,35 +38,6 @@ _NEAR_COS = 0.90
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def bucket_sign_cols(tok_col: Column, dim: int = DIM) -> tuple[Column, Column]:
-    """``(bucket, sgn)`` of one token — the exact hash/sign arithmetic
-    of hashed_doc_vectors, split out so the hybrid retrieval stack can
-    fuse the embed aggregate with the BM25 per-doc pass over ONE
-    token explode (hybrid_retrieval._shared_doc_stats)."""
-    h = hash48(tok_col)
-    sgn = F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-    return (h % dim).alias("bucket"), sgn.alias("sgn")
-
-
-def bucket_sum_aggs(dim: int = DIM) -> list[Column]:
-    """The per-document signed bucket-sum aggregate columns (v0..v{dim-1})
-    over projected ``bucket``/``sgn`` columns — identical conditional
-    integer sums to hashed_doc_vectors' aggregate."""
-    return [
-        F.coalesce(
-            F.sum(F.when(F.col("bucket") == i, F.col("sgn"))), F.lit(0)
-        ).alias(f"v{i}")
-        for i in range(dim)
-    ]
-
-
-def embedding_from_bucket_sums(dim: int = DIM) -> Column:
-    """Fold v0..v{dim-1} back into the embedding array column."""
-    return F.array(
-        *[F.col(f"v{i}").cast("long") for i in range(dim)]
-    ).alias("embedding")
-
-
 def hashed_doc_vectors(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = DIM
 ) -> DataFrame:

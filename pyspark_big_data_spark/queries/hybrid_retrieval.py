@@ -20,14 +20,12 @@ Differential-oracle exactness, piece by piece:
   order needs no rounding fudge (the emitted score is rounded to 9dp
   for the value hash).
 
-Scale shape (r14): ONE shared tokenize+aggregate corpus pass feeds
-both rankers (the per-doc BM25 stats and the hashed-vector bucket sums
-are conditional integer aggregates over the same token stream, so they
-fuse bit-identically); both ranker lists are then produced by
-TakeOrderedAndProject (global top-N, no full sort) off the pinned
-pass, and the fusion joins two ≤N-row frames — everything after the
-one corpus pass is constant-size. At 100 TB this is one scan + one
-shuffle and two bounded top-Ns — the right plan.
+Scale shape: both ranker lists are produced by TakeOrderedAndProject
+(global top-N, no full sort) and the fusion joins two ≤N-row frames —
+everything after the two corpus passes is constant-size. The dense
+pass is corpus × broadcast(1 probe row) on flat codegen columns; the
+lexical pass is the bm25_scored aggregate. At 100 TB this is two scans
+and two bounded top-Ns — the right plan.
 """
 
 from __future__ import annotations
@@ -35,20 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pyspark_big_data_spark.functions import vectors as V
-from pyspark_big_data_spark.functions.text import tokens as _tokens
-from pyspark_big_data_spark.io import ensure_min_partitions, read_table
-from pyspark_big_data_spark.queries.corpus_ops import (
-    bm25_per_doc_aggs,
-    bm25_score_per_doc,
-    bm25_scored_cte,
-)
-from pyspark_big_data_spark.queries.embed_hash import (
-    DIM,
-    _dd_embed_cte,
-    bucket_sign_cols,
-    bucket_sum_aggs,
-    embedding_from_bucket_sums,
-)
+from pyspark_big_data_spark.io import read_table
+from pyspark_big_data_spark.queries.corpus_ops import bm25_scored, bm25_scored_cte
+from pyspark_big_data_spark.queries.embed_hash import DIM, _dd_embed_cte, hashed_doc_vectors
 from pyspark_big_data_spark.queries.registry import register
 
 _PROBE_DOC = 0  # fixed probe document (doc_id 0 exists at every SF)
@@ -107,44 +94,29 @@ ORDER BY rnk
 """
 
 
-def _shared_doc_stats(docs: DataFrame) -> DataFrame:
-    """ONE tokenize + aggregate corpus pass feeding BOTH rankers (r14;
-    guide §5 — the lexical and dense sides previously each exploded
-    and re-aggregated the same token stream): per doc_id, the BM25
-    per-doc stats (dl, tf_*) AND the {DIM} signed hash-bucket sums
-    (v0..v{DIM}-1). Every aggregate is a conditional integer sum over
-    the identical token stream, so the fused pass is bit-identical to
-    the two standalone passes it replaces."""
-    toks = ensure_min_partitions(docs.select("doc_id", "text")).select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    )
-    bucket, sgn = bucket_sign_cols(F.col("tok"), DIM)
-    proj = toks.select("doc_id", "tok", bucket, sgn)
-    return proj.groupBy("doc_id").agg(
-        *bm25_per_doc_aggs(), *bucket_sum_aggs(DIM)
-    )
-
-
-def _lex_top(shared: DataFrame) -> DataFrame:
-    """(doc_id, score): the truncated BM25 top list off the shared
-    corpus pass (orderBy+limit is TakeOrderedAndProject)."""
-    return (
-        bm25_score_per_doc(shared)
+def _lex_list(docs: DataFrame) -> DataFrame:
+    """(doc_id, lex_rnk): the truncated BM25 ranking. orderBy+limit is
+    TakeOrderedAndProject; the rank window then runs over ≤ {_LEX_N}
+    rows, so the single-partition window is constant-size by
+    construction."""
+    top = (
+        bm25_scored(docs)
         .filter((F.col("score") > 0) & (F.col("doc_id") != _PROBE_DOC))
         .select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(_LEX_N)
     )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select("doc_id", F.row_number().over(w).cast("long").alias("lex_rnk"))
 
 
-def _den_top(shared: DataFrame) -> DataFrame:
-    """(doc_id, cos6): truncated cosine ranking of every document's
+def _den_list(docs: DataFrame) -> DataFrame:
+    """(doc_id, den_rnk): truncated cosine ranking of every document's
     hashed vector against the fixed probe document's vector — corpus ×
-    broadcast(1 row) on flat codegen columns, then a global top-N —
-    off the shared corpus pass."""
-    vecs = shared.select(
-        "doc_id", embedding_from_bucket_sums(DIM)
-    ).select("doc_id", F.col("embedding").cast("array<double>").alias("e"))
+    broadcast(1 row) on flat codegen columns, then a global top-N."""
+    vecs = hashed_doc_vectors(docs).select(
+        "doc_id", F.col("embedding").cast("array<double>").alias("e")
+    )
     corpus = V.flatten_vec(
         vecs.filter(F.col("doc_id") != _PROBE_DOC).select(
             "doc_id", "e", V.norm(F.col("e")).alias("nb")
@@ -158,47 +130,23 @@ def _den_top(shared: DataFrame) -> DataFrame:
         "e", DIM, "_a", ["na"],
     )
     cos = V.dot_flat("_a", "_b", DIM) / (F.col("na") * F.col("nb"))
-    return (
+    top = (
         corpus.crossJoin(F.broadcast(probe))
         .select("doc_id", F.round(cos, 6).alias("cos6"))
         .orderBy(F.col("cos6").desc(), F.col("doc_id").asc())
         .limit(_DEN_N)
     )
+    w = Window.orderBy(F.col("cos6").desc(), F.col("doc_id").asc())
+    return top.select("doc_id", F.row_number().over(w).cast("long").alias("den_rnk"))
 
 
 @register("hybrid_rrf_topk", oracle=_rrf_oracle(), driver=False)
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion of the BM25 and hashed-vector rankings (see module
     docstring): top-{_FINAL_K} documents for the fixed query, with each
-    ranker's rank and the fused score.
-
-    Execution (r14): ONE shared tokenize+aggregate pass over the
-    corpus (pinned; both rankers' aggregates fused — previously each
-    ranker exploded and aggregated the same tokens separately), then
-    the two bounded top-{_LEX_N}/{_DEN_N} lists are collected (≤ 100
-    rows total) and the rank/fusion windows run over local relations —
-    the pinned pass is released deterministically before returning,
-    and materializing the returned frame re-executes no corpus scan.
-    Values are bit-identical: the collected doubles round-trip exactly
-    and the windows/fusion are the same expressions as before."""
+    ranker's rank and the fused score."""
     docs = read_table(spark, sf_dir, "documents")
-    shared = _shared_doc_stats(docs).persist()
-    try:
-        lex_rows = _lex_top(shared).collect()
-        den_rows = _den_top(shared).collect()
-    finally:
-        shared.unpersist()
-    lex_top = spark.createDataFrame(lex_rows, "doc_id long, score double")
-    den_top = spark.createDataFrame(den_rows, "doc_id long, cos6 double")
-    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    lex = lex_top.select(
-        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rnk")
-    )
-    w_den = Window.orderBy(F.col("cos6").desc(), F.col("doc_id").asc())
-    den = den_top.select(
-        "doc_id", F.row_number().over(w_den).cast("long").alias("den_rnk")
-    )
-    fused = lex.join(den, "doc_id", "full_outer")
+    fused = _lex_list(docs).join(_den_list(docs), "doc_id", "full_outer")
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rnk")), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("den_rnk")), F.lit(0.0))

@@ -93,6 +93,37 @@ def main() -> None:
     dump("keyed_changes_upserts", upserts)
     res[3].unpersist()
 
+    # ---- the diff JOIN itself, with the shared base projection the
+    # way merge_branch_keyed builds it (hash-partitioned by the merge
+    # keys before pinning): the o-side Exchange disappears from the
+    # join because the cached distribution already satisfies it. For
+    # an in-tree A/B, the "unpartitioned" twin pins the same
+    # projection WITHOUT the repartition — its plan carries one more
+    # Exchange under the full-outer join.
+    if hasattr(refs, "_keyed_diff"):
+        from pyspark.sql import functions as F2
+
+        from pyspark_big_data_spark.operators.deletes import read_version_mor
+
+        keys = ["o_orderkey"]
+        base_state = read_version_mor(spark, root, 0)
+        nonkey = [c for c in base_state.columns if c not in keys]
+        proj = base_state.select(
+            *keys,
+            refs._row_hash(keys, nonkey).alias("__oh"),
+            F2.lit(1).alias("__o"),
+        )
+        for label, side in (
+            ("keyed_diff_join", proj.repartition(*[F2.col(k) for k in keys])),
+            ("keyed_diff_join_unpartitioned", proj),
+        ):
+            bp = side.persist()
+            bp.count()
+            _, _, j, _ = refs._keyed_diff(spark, root, 0, 1, keys, _base_proj=bp)
+            dump(label, j)
+            j.unpersist()
+            bp.unpersist()
+
     spark.stop()
 
 
