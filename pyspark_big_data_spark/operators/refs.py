@@ -879,11 +879,14 @@ def merge_branch_keyed(
 
     base = merge_base(spark, root, head_s, head_t, _cache=mcache, _reach_b=reach_t)
     # BOTH sides diff against the same merge base: compute + persist
-    # the base's narrow (keys, payload-hash) projection ONCE, HASH-
-    # PARTITIONED by the merge keys (r14; guide §2.4) — the cached
-    # frame then satisfies both diff joins' key distribution, so the
-    # base crosses ONE exchange total instead of re-exchanging under
-    # each side's full-outer join.
+    # the base's narrow (keys, payload-hash) projection ONCE and hand
+    # it to both extracts — the base MOR state is scanned once, not
+    # twice. (Measured r14 dead end, recorded in plans/r14/
+    # keyed_diff_join_*: pre-hash-partitioning the pinned projection by
+    # the merge keys does NOT let the diff joins reuse the cached
+    # distribution — EnsureRequirements re-exchanges on top of the
+    # InMemoryTableScan regardless, so the repartition only added an
+    # exchange inside the cache build.)
     from pyspark_big_data_spark.operators.deletes import (
         BROADCAST_THRESHOLD_ROWS,
         read_version_mor,
@@ -891,15 +894,11 @@ def merge_branch_keyed(
 
     base_state = read_version_mor(spark, root, base)
     base_nonkey = [c for c in base_state.columns if c not in keys]
-    base_proj = (
-        base_state.select(
-            *keys,
-            _row_hash(keys, base_nonkey).alias("__oh"),
-            F.lit(1).alias("__o"),
-        )
-        .repartition(*[F.col(k) for k in keys])
-        .persist()
-    )
+    base_proj = base_state.select(
+        *keys,
+        _row_hash(keys, base_nonkey).alias("__oh"),
+        F.lit(1).alias("__o"),
+    ).persist()
     pinned = [base_proj]
     try:
         s_old, s_new, j_s, s_stats = _keyed_diff(

@@ -82,11 +82,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     r=2 -> banded equi-join candidates -> signature-agreement filter."""
     docs = read_table(spark, sf_dir, "documents")
     sh = DD.shingles(docs)
-    # reused by bands + both agreement joins; eager localCheckpoint
-    # instead of .cache() (r14): same one materialization, but the
-    # blocks are GC-reclaimed with the result frame instead of pinned
-    # per invocation for the session's lifetime
-    sigs = DD.minhash_signatures(sh).localCheckpoint(eager=True)
+    # reused: bands + both agreement joins. Lazy .cache(), NOT an eager
+    # localCheckpoint — measured r14: the eager checkpoint's separate
+    # serialize-everything materialization cost this row +25% wall
+    # (3.13 -> 3.91 s) for the same evaluation count
+    sigs = DD.minhash_signatures(sh).cache()
     cand = DD.candidate_pairs(DD.band_keys(sigs))
     return (
         DD.estimated_jaccard(cand, sigs)
@@ -107,9 +107,7 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     in bench.py/PERFORMANCE.md."""
     docs = read_table(spark, sf_dir, "documents")
     sh = DD.shingles(docs)
-    sigs = DD.minhash_signatures(sh, base_hash=DD.xxhash64_48).localCheckpoint(
-        eager=True
-    )
+    sigs = DD.minhash_signatures(sh, base_hash=DD.xxhash64_48).cache()
     cand = DD.candidate_pairs(
         DD.band_keys(sigs, band_hash=lambda *cols: F.xxhash64(*cols))
     )

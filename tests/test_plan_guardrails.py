@@ -42,6 +42,10 @@ _PYTHON_OK = {
     # partition) and the fact-side membership probe are vectorized
     # numpy mapInPandas by design; the exact semi-join stays JVM-side
     "bloom_semi_join_witness",
+    # r14: the planted fixture (hashlib twin of the md5 expression
+    # tree) and the exact-truth chunk kernel (dot_flat-order numpy,
+    # the skyline pattern) are Arrow mapInPandas by design
+    "planted_lsh_recall_witness",
     # distributed zipWithIndex: the per-partition offset numbering pass
     # is mapInPandas by design — the whole point is avoiding the
     # single-partition Window a global row_number would plan
