@@ -27,9 +27,11 @@ def main() -> None:
     sc.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm codegen
 
-    for qname in names:
+    for pos, qname in enumerate(names):
         spark.catalog.clearCache()
-        group = f"census:{qname}"
+        # position-unique group: passing the same query name twice must
+        # not accumulate job ids across invocations (r14 gotcha)
+        group = f"census:{pos}:{qname}"
         sc.setJobGroup(group, qname)
         t0 = time.time()
         REGISTRY[qname](spark, sf_dir).write.format("noop").mode(
